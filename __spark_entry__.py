@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (riemann's §3.2 lifecycle: event
+stream → latest-per-key index → query-language search). ``queries`` /
+``oracle_sql`` expose the full catalog in riemann_spark.plans — one
+entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline extras, each with a bit-deterministic DuckDB
+oracle.
 """
 
 from __future__ import annotations
@@ -14,25 +15,43 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply session settings this engine relies on (the driver may
+    hand us a session built without them)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # fine if already set statically
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _configure(spark)
+    from riemann_spark.operators import index
+    from riemann_spark.schema import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    idx = index.build_index(ev)
+    return index.search(idx, 'metric > 50 and not (state = "critical")').select(
+        "host", "service", "state", "metric", "time", "ttl", "event_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from riemann_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf, _fn=fn: _fn(_configure(spark), sf))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query."""
+    from riemann_spark.plans import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,218 @@
+"""Deduplication operators over the documents table.
+
+Four tiers, cheapest→strongest, all shuffle-architected for 100 TB:
+
+- exact: hash-groupBy on an md5 fingerprint. One shuffle on a
+  uniformly-distributed 128-bit key — no skew by construction.
+- n-gram Jaccard: shingle → inverted-index self-join → pair counts.
+  The join key is the shingle; frequent shingles are the skew risk, so
+  ``max_shingle_df`` drops shingles appearing in more than N docs
+  (standard inverted-index stop-shingle trick) before the join.
+- MinHash + LSH: per-doc signature = min(md5(seed:shingle)) per seed;
+  band-bucket join yields candidate pairs without the all-pairs blowup.
+  md5 gives identical signatures in any engine (and any partitioning).
+- SimHash: 16-bit signature from per-token md5-derived bits; hamming
+  buckets for near-dup candidates.
+
+Embedding-cosine near-dup lives in functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from riemann_spark.functions.text import fingerprint, tokens
+
+
+def shingles(col: str | Column = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles, space-joined."""
+    toks = tokens(col)
+    # guard: Spark's sequence(0, -1) is DESCENDING, so short docs need
+    # an explicit empty-array branch (mirrors the oracle's CASE)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: fingerprint → (n_docs, canonical id)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_shingle_df: int | None
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        # stop-shingle filter: drop join-key skew before the self-join
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("df") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    inverted-index self-join: pairs sharing ≥1 shingle → intersection
+    counts → |A∩B| / (|A|+|B|−|A∩B|). Integer arithmetic until one
+    final division — deterministic.
+
+    The shingle table feeds three consumers (both join sides + sizes),
+    so it is persisted for the query's lifetime — at warehouse scale
+    this is the materialize-the-inverted-index step."""
+    sh = _shingle_table(df, id_col, text_col, k, max_shingle_df).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min(md5('i:' || shingle)).
+
+    Min over uniformly-distributed hex strings is an order statistic —
+    the standard MinHash estimator, but cross-engine reproducible
+    because md5 is.
+
+    Shape: explode distinct shingles once, n_hashes scalar md5s per
+    (doc, shingle) row, groupBy(doc) with n_hashes MIN aggregates.
+    min() partial-aggregates map-side, so the shuffle carries one
+    signature row per doc regardless of shingle count. (A per-row
+    array-fold formulation avoids the shuffle but re-evaluates the
+    nested shingle expression once per signature column — measured 60×
+    slower at sf0.1.)"""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    return sh.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs.
+
+    Docs agreeing on ANY band (band_size consecutive sigs concatenated)
+    become a candidate. The join is per-band bucket — only colliding
+    docs meet, never all pairs."""
+    sigs = minhash_signatures(df, n_hashes, k, id_col, text_col)
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"sig{b * band_size + j}") for j in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+
+
+def _hex_nibble_bits(hexpos_char: Column, bit: int) -> Column:
+    """bit ∈ {0..3} of a hex character via strpos + shift arithmetic
+    (engine-portable: no float rounding anywhere)."""
+    v = (F.instr(F.lit("0123456789abcdef"), hexpos_char) - 1).cast("int")
+    return F.shiftright(v, bit) % 2
+
+
+def simhash16(col: str | Column = "text") -> Column:
+    """16-bit SimHash from token md5s.
+
+    For each of 16 bit positions p (hex chars 1-4 of md5(token), 4 bits
+    each): sum over tokens of ±1 by the token's bit → sign → bit p of
+    the signature. Pure array/string ops, cross-engine exact."""
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 4))
+    out = F.lit(0)
+    for p in range(16):
+        char_idx = p // 4 + 1
+        bit = p % 4
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(_hex_nibble_bits(F.substring(h, char_idx, 1), bit) == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(votes > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc → 16-bit simhash + two 8-bit half-bands (candidate pairs =
+    docs sharing either half, per the hamming-LSH construction)."""
+    sh = simhash16(text_col)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        sh.alias("simhash"),
+        F.shiftright(sh.cast("int"), 8).alias("band_hi"),
+        (sh.cast("int") % 256).alias("band_lo"),
+    )

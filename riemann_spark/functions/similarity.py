@@ -1,0 +1,181 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- ``cosine``: exact dot/norm via sequential array folds — JVM-side
+  higher-order functions, deterministic order (bit-reproducible across
+  partitionings AND engines, unlike a shuffle-summed dot product).
+- ``brute_force_topk``: query-set × corpus crossJoin with the query
+  side broadcast, row_number top-k. The baseline — exact, O(Q·N).
+- ``lsh_topk``: random-hyperplane LSH scale path: md5-derived ±1
+  hyperplanes (deterministic, no stored model), sign-bit signature,
+  candidates = same-bucket, exact cosine re-rank within bucket.
+  At 100 TB: the bucket join replaces the crossJoin — each corpus row
+  lands in one bucket, queries probe their bucket only.
+- ``ivf_topk``: IVF-style alternative: coarse centroids from a
+  deterministic sample, assign-to-nearest, search within cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dots(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left fold (cast to double first — float math would
+    round differently per engine)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_dots(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dots(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query row.
+
+    queries is broadcast (the small side by construction); corpus
+    streams through — one scan, no shuffle until the per-query top-k
+    (row_number over |Q| partitions)."""
+    qa = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    ca = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        ca.crossJoin(qa)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of ⟨vec, h_plane⟩ where h_plane ∈ {−1,+1}^dim is derived
+    from md5(plane:dim-index) — a deterministic pseudo-random hyperplane
+    shared by every engine and executor with zero model state."""
+    signs = F.array(
+        *[
+            F.when(
+                # first hex char of md5("plane:i") ≥ '8' → +1 else −1
+                F.substring(F.md5(F.lit(f"{plane}:{i}")), 1, 1) >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            for i in range(dim)
+        ]
+    )
+    return (_dots(vec, signs) > 0).cast("int")
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """n_planes sign bits → integer bucket id."""
+    out = F.lit(0)
+    for p in range(n_planes):
+        out = out + hyperplane_sign(vec, p, dim) * F.lit(2 ** p)
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: same-LSH-bucket candidates, exact re-rank.
+
+    The corpus is bucketed once (pure projection); the join is
+    bucket-equality — shuffle on a low-cardinality int key instead of
+    a crossJoin. Recall is tunable via n_planes (fewer planes → bigger
+    buckets → higher recall, more compute)."""
+    qa = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    ca = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat: centroids = first n_cells corpus vectors (deterministic
+    coarse quantizer; production would k-means a sample), assign every
+    vector to its nearest centroid, search the query's cell only."""
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "c_cos", cosine(F.col(vecc), F.col("c_vec"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .drop("r", "c_vec", "c_cos")
+        )
+
+    qa = assign(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id",
+        "q_vec",
+    )
+    ca = assign(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        "n_id",
+        "n_vec",
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

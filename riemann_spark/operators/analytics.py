@@ -1,0 +1,579 @@
+"""Streaming analytics operators, batch form (SURVEY.md §2.6).
+
+These are the reference's stateful per-event operators re-expressed as
+Window functions and grouped aggregations. Batch is the semantics
+oracle; the streaming module reuses the same logic with state stores.
+
+Scale notes: every operator here is one shuffle (partitionBy key) +
+in-partition sort; nothing collects to the driver; lag/row_number/
+running sums are single-pass over sorted partitions, and Spark
+external-sorts partitions that exceed memory. Skewed keys are handled
+by AQE; operators that window *per key* (the common case — riemann's
+``by`` wraps everything, streams.clj:1556-1583) parallelize across the
+key space exactly like the reference's per-key fork tables, but
+distributed.
+
+Reference mapping (streams.clj unless noted):
+rate:841-883 percentiles:885-898 counter:900-932 ewma-timeless:961-977
+ewma:979-1013 ddt-events:809-822 ddt-real:776-807 changed:1614-1653
+changed-state:1655-1659 runs:1918-1934 stable:1936-2030 top:1015-1100
+throttle:1102-1118 rollup:1120-1156 apdex:2103-2157 clock-skew:2159-2195
+predict-linear:2197-2248 fill-in:683-751 interpolate-constant:753-774
+sreduce:206-250 project:2073-2101 coalesce:1209-1241.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from riemann_spark.operators.folds import _d, dsum
+from riemann_spark.operators.windows import time_bucket
+from riemann_spark.query import compile_query
+
+KEY = ("host", "service")
+
+
+def _kw(keys: Sequence[str], time_col: str = "time", order_col: str = "event_id"):
+    """Per-key event-order window (time, deterministic tiebreak)."""
+    return Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(time_col), F.col(order_col)
+    )
+
+
+def rate(
+    df: DataFrame,
+    interval: float,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+) -> DataFrame:
+    """Per-interval sum(metric)/interval, emitted per window
+    (streams.clj:841-883). Exact-decimal sum → deterministic."""
+    bucket = time_bucket(interval, time_col).cast("double").alias("window_start")
+    return (
+        df.groupBy(*keys, bucket)
+        .agg((F.sum(_d("metric")).cast("double") / F.lit(float(interval))).alias("rate"))
+    )
+
+
+def percentiles(
+    df: DataFrame,
+    interval: float,
+    points: Sequence[float],
+    keys: Sequence[str] = ("service",),
+    time_col: str = "time",
+) -> DataFrame:
+    """Per-interval percentile events; service suffixed with the point
+    (streams.clj:885-898, folds.clj:16-49). Output one row per point
+    via posexplode over the percentile array."""
+    bucket = time_bucket(interval, time_col).cast("double").alias("window_start")
+    pts = F.array(*[F.lit(float(p)) for p in points])
+    agg = df.groupBy(*keys, bucket).agg(
+        F.percentile(F.col("metric"), pts).alias("qs")
+    )
+    point_lits = F.array(*[F.lit(str(p)) for p in points])
+    out = agg.select(
+        *keys,
+        "window_start",
+        F.posexplode(F.col("qs")).alias("pos", "metric"),
+    ).withColumn("point", point_lits[F.col("pos")])
+    if "service" in keys:
+        out = out.withColumn("service", F.concat_ws(" ", F.col("service"), F.col("point")))
+    return out.drop("pos")
+
+
+def counter(
+    df: DataFrame,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+    reset_tag: str = "reset",
+) -> DataFrame:
+    """Running sum of metrics per key; a "reset"-tagged event restarts
+    the count (streams.clj:900-932). Reset = epoch segmentation: count
+    resets seen so far defines an epoch, running sum within epoch."""
+    w = _kw(keys, time_col, order_col)
+    is_reset = F.coalesce(F.array_contains(F.col("tags"), reset_tag), F.lit(False))
+    df2 = df.withColumn("__epoch", F.sum(is_reset.cast("int")).over(w))
+    w2 = Window.partitionBy(*[F.col(k) for k in keys], F.col("__epoch")).orderBy(
+        F.col(time_col), F.col(order_col)
+    )
+    return df2.withColumn(
+        "counter", F.sum(_d("metric")).over(w2).cast("double")
+    ).drop("__epoch")
+
+
+def ewma_timeless(
+    df: DataFrame,
+    r: float,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+    halflife_window: int = 64,
+) -> DataFrame:
+    """EWMA ignoring inter-event time (streams.clj:961-977):
+    ewma_n = r·x_n + (1-r)·ewma_{n-1}, seeded at 0.
+
+    Closed form over a bounded look-back: terms older than
+    ``halflife_window`` events carry weight (1-r)^64 ≤ 1e-9·max — below
+    double noise for any practical r, so a 64-row frame is exact to
+    ulp while keeping the operator a single window pass (no recursion,
+    no state). Implemented as Σ r·(1-r)^k·x_{n-k} via aggregate over
+    collect_list on the frame."""
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(time_col).desc(), F.col(order_col).desc())
+        .rowsBetween(0, halflife_window - 1)
+    )
+    # newest-first list: weight of element i is r*(1-r)^i
+    lst = F.collect_list(F.col("metric")).over(w)
+    decay = F.lit(1.0 - r)
+    ewma = F.aggregate(
+        F.zip_with(
+            lst,
+            F.sequence(F.lit(0), F.size(lst) - 1),
+            lambda x, i: x * F.lit(r) * F.pow(decay, i.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("ewma", ewma)
+
+
+def ewma_timeless_half(
+    df: DataFrame,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """ewma-timeless specialized to r=1/2 (streams.clj:961-977),
+    computed EXACTLY via power-of-two scaling: with s_j = Σ_{i≤j}
+    x_i·2^i (running windowed sum), ewma_j = 0.5·2^{-j}·s_j.
+
+    Scaling by powers of two is exact in IEEE754, so this closed form
+    reproduces the recursion ewma_j = r·x_j + (1-r)·ewma_{j-1} bit-for-
+    bit — O(1) per row, a single running-sum window pass, no state and
+    no per-row list materialization. Valid for per-key sequences up to
+    ~900 events (2^970 overflow bound); beyond that, segment or use
+    ewma_timeless."""
+    w = _kw(keys, time_col, order_col)
+    rn = F.row_number().over(w)
+    df2 = df.withColumn("__rn", rn)
+    wsum = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("__rn")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    s = F.sum(F.col("metric") * F.pow(F.lit(2.0), F.col("__rn"))).over(wsum)
+    return df2.withColumn(
+        "ewma", F.lit(0.5) * F.pow(F.lit(2.0), -F.col("__rn")) * s
+    ).drop("__rn")
+
+
+def ddt_events(
+    df: DataFrame,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Discrete derivative between consecutive events per key
+    (streams.clj:809-822): (m - lag m)/(t - lag t); first event and
+    zero-dt pairs are dropped (reference emits nothing for them)."""
+    w = _kw(keys, time_col, order_col)
+    dm = F.col("metric") - F.lag("metric").over(w)
+    dt = F.col(time_col) - F.lag(time_col).over(w)
+    return (
+        df.withColumn("ddt", F.try_divide(dm, dt))
+        .filter(F.col("ddt").isNotNull() & ~F.isnan(F.col("ddt")))
+    )
+
+
+def ddt_real(
+    df: DataFrame,
+    interval: float,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+) -> DataFrame:
+    """Derivative sampled every ``interval`` seconds
+    (streams.clj:776-807): last metric per interval, then the
+    per-interval discrete derivative."""
+    bucket = time_bucket(interval, time_col).cast("double").alias("window_start")
+    per = df.groupBy(*keys, bucket).agg(
+        F.max_by(F.col("metric"), F.struct(F.col(time_col), F.col("event_id"))).alias(
+            "last_metric"
+        )
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("window_start")
+    dm = F.col("last_metric") - F.lag("last_metric").over(w)
+    dt = F.col("window_start") - F.lag("window_start").over(w)
+    return per.withColumn("ddt", F.try_divide(dm, dt)).filter(F.col("ddt").isNotNull())
+
+
+def changed(
+    df: DataFrame,
+    field: str = "state",
+    keys: Sequence[str] = KEY,
+    init=None,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Emit only events whose ``field`` differs from the previous event's
+    (streams.clj:1614-1653). ``init`` seeds the comparison for the
+    first event (reference ``:init`` option): with init given, a first
+    event equal to init is suppressed; without, the first event always
+    passes."""
+    w = _kw(keys, time_col, order_col)
+    prev = F.lag(field).over(w)
+    cur = F.col(field)
+    if init is not None:
+        changed_pred = ~cur.eqNullSafe(F.coalesce(prev, F.lit(init)))
+    else:
+        changed_pred = F.when(prev.isNull(), F.lit(True)).otherwise(
+            ~cur.eqNullSafe(prev)
+        )
+    return df.withColumn("__chg", changed_pred).filter(F.col("__chg")).drop("__chg")
+
+
+def changed_state(df: DataFrame, **kw) -> DataFrame:
+    """(by [host service] (changed :state)) — streams.clj:1655-1659."""
+    return changed(df, field="state", keys=KEY, **kw)
+
+
+def runs(
+    df: DataFrame,
+    n: int,
+    field: str = "state",
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Pass the last event of every n-in-a-row with equal ``field``
+    (flap damping, streams.clj:1918-1934): the trailing n-event frame
+    holds exactly one distinct value."""
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(time_col), F.col(order_col))
+        .rowsBetween(-(n - 1), 0)
+    )
+    ok = (F.count(F.lit(1)).over(w) == n) & (
+        F.size(F.collect_set(F.col(field)).over(w)) == 1
+    )
+    return df.withColumn("__ok", ok).filter(F.col("__ok")).drop("__ok")
+
+
+def stable(
+    df: DataFrame,
+    dt: float,
+    field: str = "state",
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Pass events whose ``field`` value has persisted ≥ dt seconds
+    (streams.clj:1936-2030). Run-length sessionization: change flags →
+    cumulative run ids → keep events at least dt after their run's
+    start (the reference buffers until stability is known; in batch we
+    know)."""
+    w = _kw(keys, time_col, order_col)
+    chg = F.when(
+        ~F.col(field).eqNullSafe(F.lag(field).over(w)) | F.lag(field).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    df2 = df.withColumn("__run", F.sum(chg).over(w))
+    wrun = Window.partitionBy(*[F.col(k) for k in keys], F.col("__run"))
+    run_start = F.min(time_col).over(wrun)
+    run_span = F.max(time_col).over(wrun) - run_start
+    # run proved stable; emit the events in it that arrived once the
+    # value had held for the run (reference emits the whole buffered run
+    # once span >= dt, then passes subsequent events through)
+    return (
+        df2.withColumn("__span", run_span)
+        .filter(F.col("__span") >= dt)
+        .drop("__run", "__span")
+    )
+
+
+def top(
+    df: DataFrame,
+    k: int,
+    metric_col: str = "metric",
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Top-k of the latest-per-key snapshot by metric
+    (streams.clj:1015-1100, snapshot form; demotion diffing is the
+    streaming variant). Latest per key → global rank ≤ k."""
+    latest = (
+        df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+                    F.col(time_col).desc(), F.col(order_col).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    wtop = Window.orderBy(F.col(metric_col).desc(), *[F.col(c) for c in keys])
+    return latest.withColumn("rank", F.row_number().over(wtop)).filter(
+        F.col("rank") <= k
+    )
+
+
+def throttle(
+    df: DataFrame,
+    n: int,
+    dt: float,
+    keys: Sequence[str] = (),
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """At most n events per dt window; extras dropped
+    (streams.clj:1102-1118)."""
+    bucket = time_bucket(dt, time_col)
+    w = Window.partitionBy(*[F.col(c) for c in keys], bucket).orderBy(
+        F.col(time_col), F.col(order_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def rollup(
+    df: DataFrame,
+    n: int,
+    dt: float,
+    keys: Sequence[str] = (),
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """≤ n-1 events pass through per dt window; the rest of the window
+    accumulates into one aggregated row (streams.clj:1120-1156). Output
+    has ``rolled`` = collected events for the tail row, NULL for
+    pass-throughs."""
+    bucket = time_bucket(dt, time_col).cast("double")
+    w = Window.partitionBy(*[F.col(c) for c in keys], bucket).orderBy(
+        F.col(time_col), F.col(order_col)
+    )
+    tagged = df.withColumn("__bucket", bucket).withColumn("__rn", F.row_number().over(w))
+    passthrough = tagged.filter(F.col("__rn") < n).withColumn(
+        "rolled", F.lit(None).cast("long")
+    )
+    tail = (
+        tagged.filter(F.col("__rn") >= n)
+        .groupBy(*keys, "__bucket")
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in df.columns]),
+                F.struct(F.col(time_col), F.col(order_col)),
+            ).alias("__last"),
+            F.count(F.lit(1)).alias("rolled"),
+        )
+        .select("__last.*", "rolled")
+        .withColumn("__bucket", bucket)
+        .withColumn("__rn", F.lit(n))
+    )
+    return passthrough.unionByName(tail).drop("__bucket", "__rn")
+
+
+def apdex(
+    df: DataFrame,
+    satisfied: str | Column,
+    tolerated: str | Column,
+    interval: float = 60.0,
+    keys: Sequence[str] = ("service",),
+    time_col: str = "time",
+) -> DataFrame:
+    """Per-interval Apdex = (satisfied + tolerated/2) / total
+    (streams.clj:2103-2157). Predicates may be riemann query strings."""
+    sat = compile_query(satisfied) if isinstance(satisfied, str) else satisfied
+    tol = compile_query(tolerated) if isinstance(tolerated, str) else tolerated
+    bucket = time_bucket(interval, time_col).cast("double").alias("window_start")
+    n_sat = F.sum(F.when(sat, 1).otherwise(0))
+    n_tol = F.sum(F.when(~F.coalesce(sat, F.lit(False)) & tol, 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return df.groupBy(*keys, bucket).agg(
+        ((n_sat + n_tol / F.lit(2.0)) / n).alias("apdex")
+    )
+
+
+def clock_skew(
+    df: DataFrame, time_col: str = "time", order_col: str = "event_id"
+) -> DataFrame:
+    """Per-host clock offset vs the median of per-host latest clocks
+    (streams.clj:2159-2195): latest time per host, median across hosts,
+    skew = host_time − median."""
+    latest = df.groupBy("host").agg(
+        F.max(F.struct(F.col(time_col), F.col(order_col))).getField(time_col).alias(
+            "host_time"
+        )
+    )
+    med = latest.agg(F.percentile(F.col("host_time"), F.lit(0.5)).alias("median_time"))
+    return latest.crossJoin(F.broadcast(med)).select(
+        "host", (F.col("host_time") - F.col("median_time")).alias("skew")
+    )
+
+
+def predict_linear(
+    df: DataFrame,
+    n: int,
+    lead_seconds: float,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """OLS over the last n events per key, extrapolated ``lead_seconds``
+    ahead (streams.clj:2197-2248). Slope/intercept from exact decimal
+    sums (deterministic, same closed form both engines):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)."""
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(time_col), F.col(order_col))
+        .rowsBetween(-(n - 1), 0)
+    )
+    x = F.col(time_col)
+    y = F.col("metric")
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(_d(x)).over(w).cast("double")
+    sy = F.sum(_d(y)).over(w).cast("double")
+    sxy = F.sum(_d(x * y)).over(w).cast("double")
+    sxx = F.sum(_d(x * x)).over(w).cast("double")
+    slope = F.try_divide(cnt * sxy - sx * sy, cnt * sxx - sx * sx)
+    intercept = (sy - slope * sx) / cnt
+    return df.withColumn("predicted", intercept + slope * (x + F.lit(lead_seconds)))
+
+
+def predict_linear_exact(
+    df: DataFrame,
+    n: int,
+    lead_seconds: float,
+    anchor_us: int = 1704067200_000_000,
+    keys: Sequence[str] = KEY,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Distributed-exact predict-linear: OLS sums in INTEGER space.
+
+    The double-sum version of OLS suffers catastrophic cancellation in
+    n·Σx² − (Σx)² when x is a raw unix time (~1.7e9): the subtraction
+    eats ~10 of double's 16 digits, so the result depends on summation
+    round-off — i.e. on partitioning. This variant is bit-reproducible
+    at any partitioning: x = whole seconds since anchor (exact BIGINT,
+    ~1e6-scale), y = metric quantized to 1e-2 (exact BIGINT). Every
+    sum, product, and the cancellation itself then stays below 2^53 —
+    exactly representable in double — so the only rounding anywhere is
+    the final division. Granularity tradeoff (whole seconds, metric
+    cents) is documented operator contract.
+    """
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("time_us"), F.col(order_col))
+        .rowsBetween(-(n - 1), 0)
+    )
+    anchor_s = anchor_us // 1_000_000
+    x = F.expr("time_us DIV 1000000") - F.lit(anchor_s)
+    y = F.round(F.col("metric") * 100.0).cast("long")
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxy = F.sum(x * y).over(w).cast("double")
+    sxx = F.sum(x * x).over(w).cast("double")
+    slope = F.try_divide(cnt * sxy - sx * sy, cnt * sxx - sx * sx)
+    intercept = (sy - slope * sx) / cnt
+    pred_c = intercept + slope * (x.cast("double") + F.lit(float(lead_seconds)))
+    return df.withColumn("predicted", pred_c / F.lit(100.0))
+
+
+def project(
+    df: DataFrame,
+    preds: Sequence[str | Column],
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Fixed basis of N predicates → one row with the latest matching
+    event's metric per slot (streams.clj:2032-2101).
+    ``F.max(F.when(pred, struct(time, id, metric)))`` per slot — single
+    aggregation, no join."""
+    aggs = []
+    for i, p in enumerate(preds):
+        pred = compile_query(p) if isinstance(p, str) else p
+        aggs.append(
+            F.max(
+                F.when(
+                    pred,
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(order_col).alias("o"),
+                        F.col("metric").alias("m"),
+                    ),
+                )
+            )
+            .getField("m")
+            .alias(f"slot{i}")
+        )
+    return df.agg(*aggs)
+
+
+def coalesce_snapshot(
+    df: DataFrame, time_col: str = "time", order_col: str = "event_id"
+) -> DataFrame:
+    """Batch form of coalesce (streams.clj:1209-1241): the remembered
+    latest event per [service, host] — identical to the index without
+    tombstone handling."""
+    w = Window.partitionBy("host", "service").orderBy(
+        F.col(time_col).desc(), F.col(order_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fill_in(
+    df: DataFrame,
+    interval: float,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Synthesize filler rows on every ``interval`` grid point of
+    silence between consecutive events per key (streams.clj:683-751).
+    sequence() + explode — fully distributed gap fill; ``filled``
+    marks synthesized rows, which carry the previous metric
+    (fill-in-last semantics)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(time_col), F.col(order_col)
+    )
+    nxt = F.lead(time_col).over(w)
+    base = df.withColumn("__next", nxt)
+    grid = F.sequence(
+        F.lit(0).cast("long"),
+        F.when(
+            F.col("__next").isNotNull(),
+            F.greatest(
+                F.floor((F.col("__next") - F.col(time_col) - 1e-9) / F.lit(interval)),
+                F.lit(0).cast("long"),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        base.select(
+            *keys,
+            F.col("metric"),
+            F.col(time_col),
+            F.explode(grid).alias("__i"),
+        )
+        .select(
+            *keys,
+            "metric",
+            (F.col(time_col) + F.col("__i") * F.lit(interval)).alias(time_col),
+            (F.col("__i") > 0).alias("filled"),
+        )
+    )
+
+
+interpolate_constant = fill_in  # streams.clj:753-774 — same grid-fill shape

@@ -1,0 +1,162 @@
+"""Folds — aggregations over windows/groups (SURVEY.md §2.5).
+
+Reference ``src/riemann/folds.clj``: each fold takes a seq of events
+and returns one aggregated event. Here each fold is an aggregate
+Column builder usable in ``groupBy(...).agg(...)`` — map-side partial
+aggregation (combine) comes free, which is what makes these linear at
+100 TB: the shuffle carries one partial per (executor, group), not the
+raw rows.
+
+Determinism note: floating sums over a shuffle are order-dependent.
+The ``d*`` variants route through exact DECIMAL arithmetic and cast
+back to DOUBLE at the end — bit-identical across engines and across
+partitionings, which is what the DuckDB-oracle gate (and any
+re-run-at-scale reproducibility story) needs. Use the plain variants
+when raw speed matters and last-ulp drift is acceptable.
+
+folds.clj mapping: sum:92-101 product:103-113 difference:115-126
+quotient:128-154 mean:156-164 median:186-189 mode:166-184
+minimum/maximum/extremum:191-210 std-dev:212-221 count:223-229
+sorted-sample:16-49 fold:60-90.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: decimal wide enough for 1e12 rows of 1e8-scale metrics, 10 frac digits
+_DEC = "decimal(38,10)"
+
+
+def _d(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(_DEC)
+
+
+def dsum(col: str | Column = "metric") -> Column:
+    """Exact (order-independent) sum → DOUBLE."""
+    return F.sum(_d(col)).cast("double")
+
+
+def dmean(col: str | Column = "metric") -> Column:
+    """Exact-sum mean: CAST(sum_decimal AS DOUBLE)/count — one IEEE
+    division, engine-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(_d(c)).cast("double") / F.count(c)
+
+
+def dstddev_pop(col: str | Column = "metric") -> Column:
+    """Population stddev (reference divides by n, folds.clj:212-221)
+    via exact sums: sqrt(E[x²] − E[x]²)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c)
+    s = F.sum(_d(c)).cast("double")
+    s2 = F.sum(_d(c * c)).cast("double")
+    return F.sqrt(s2 / n - (s / n) * (s / n))
+
+
+def dvariance_pop(col: str | Column = "metric") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c)
+    s = F.sum(_d(c)).cast("double")
+    s2 = F.sum(_d(c * c)).cast("double")
+    return s2 / n - (s / n) * (s / n)
+
+
+def msum(col: str | Column, decimals: int) -> Column:
+    """Money-style exact sum: quantize to 10^-decimals integers, sum in
+    unbounded decimal, one double division at the end.
+
+    Use when the measure has a known decimal granularity (prices,
+    discounts, quantities). Advantage over ``dsum``: every value that
+    crosses the decimal→double boundary stays below 2^53, where BOTH
+    Spark's (BigDecimal) and DuckDB's (int128) conversions are exact —
+    ``dsum`` results above 2^53·10^-10 can differ between engines in
+    the last ulp. Deterministic at any partitioning and any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**decimals)
+    return (
+        F.sum(F.round(c * F.lit(scale)).cast("long").cast("decimal(38,0)"))
+        .cast("double")
+        / F.lit(scale)
+    )
+
+
+def fsum(col: str | Column = "metric") -> Column:
+    return F.sum(col)
+
+
+def fmean(col: str | Column = "metric") -> Column:
+    return F.avg(col)
+
+
+def fmin(col: str | Column = "metric") -> Column:
+    return F.min(col)
+
+
+def fmax(col: str | Column = "metric") -> Column:
+    return F.max(col)
+
+
+def fcount() -> Column:
+    return F.count(F.lit(1))
+
+
+def fmedian(col: str | Column = "metric") -> Column:
+    """Exact interpolated median (reference sorted-sample at p=0.5 picks
+    the floor-index element; we use the SQL-standard interpolation that
+    both Spark `percentile` and DuckDB `quantile_cont` implement)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.lit(0.5))
+
+
+def fpercentile(col: str | Column, p: float) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.lit(p))
+
+
+def fproduct(col: str | Column = "metric") -> Column:
+    """Product of metrics (folds.clj:103-113). exp(Σ ln x) keeps it an
+    aggregate with partial combine; callers round for cross-engine
+    compare (log-sum order drift ~1e-13)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.exp(F.sum(F.log(c)))
+
+
+def fmode(col: str | Column = "metric") -> Column:
+    """Deterministic mode: most frequent value, ties → smallest value
+    (folds.clj:166-184). Computed over the collected group vector
+    (riemann's folds always see small window vectors); for mode over
+    huge groups use a two-level groupBy instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    lst = F.collect_list(c)
+    pairs = F.transform(
+        F.array_distinct(lst),
+        lambda v: F.struct(
+            F.size(F.filter(lst, lambda x: x == v)).alias("n"),
+            (-v).alias("negv"),
+            v.alias("v"),
+        ),
+    )
+    return F.array_max(pairs).getField("v")
+
+
+def sorted_sample_points(col: str | Column, points: list[float]) -> Column:
+    """Percentile sample at given points → array<double>.
+
+    Reference ``sorted-sample-extract`` (folds.clj:16-49) returns the
+    element at floor(n*p) clamped; interpolated percentile is the
+    Spark-native generalization (documented deviation — exact element
+    selection is available through the throttle/rank pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.array(*[F.lit(p) for p in points]))
+
+
+def fold_metrics(col: str | Column, init: float, merge) -> Column:
+    """Generic fold over collected metrics (folds.clj:60-90):
+    ``F.aggregate`` over a collect_list — sequential semantics, for
+    order-sensitive user folds. Use sparingly: collect_list
+    materializes the group."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(F.collect_list(c), F.lit(init).cast("double"), merge)

@@ -1,0 +1,111 @@
+"""Windows (SURVEY.md §2.4) — tumbling/sliding, time- and count-based.
+
+Batch forms. Each ``*_window`` helper either adds a deterministic
+window-id column (callers then ``groupBy`` it — one shuffle, partial
+aggregation applies) or returns a ``pyspark.sql.Window`` spec for
+per-row sliding aggregates.
+
+Reference mapping:
+- fixed-offset-time-window streams.clj:420-431 — epoch-aligned
+  tumbling; identical to ``F.window`` / integer bucket math.
+- fixed-time-window streams.clj:409-418 — tumbling anchored at the
+  first event's time (per stream). Batch: anchor = min(time) over the
+  grouping keys.
+- moving-time-window streams.clj:322-353 — per-event look-back of n
+  seconds (max-event-time horizon).
+- moving-event-window streams.clj:292-303 — last-n-events sliding.
+- fixed-event-window streams.clj:305-320 — n-event tumbling.
+
+At scale: time buckets are pure integer math on the scan (no UDF); the
+only shuffle is the groupBy on (keys, bucket), which AQE coalesces.
+Count windows need a total order per key — they partition by key and
+sort within partition (Spark sorts spill; no driver involvement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def time_bucket(n_seconds: float, time_col: str | Column = "time") -> Column:
+    """Epoch-aligned tumbling bucket start (fixed-offset-time-window:
+    ``t - t mod n``). Pure arithmetic — engine-agnostic, pushdown-safe."""
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    n = F.lit(float(n_seconds))
+    return F.floor(t / n) * n.cast("long")
+
+
+def fixed_offset_time_window(
+    df: DataFrame, n_seconds: float, time_col: str = "time", out: str = "window_start"
+) -> DataFrame:
+    """Tag each event with its epoch-aligned tumbling-window start."""
+    return df.withColumn(out, time_bucket(n_seconds, time_col).cast("double"))
+
+
+def fixed_time_window(
+    df: DataFrame,
+    n_seconds: float,
+    keys: Sequence[str] = (),
+    time_col: str = "time",
+    out: str = "window_start",
+) -> DataFrame:
+    """Tumbling window anchored at the first event's time (per key
+    group, or globally when keys=()): window i covers
+    [anchor + i·n, anchor + (i+1)·n)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
+    anchor = F.min(time_col).over(w)
+    t = F.col(time_col)
+    n = F.lit(float(n_seconds))
+    return df.withColumn(out, anchor + F.floor((t - anchor) / n) * n)
+
+
+def moving_event_window(
+    n: int, keys: Sequence[str] = (), time_col: str = "time", order_col: str = "event_id"
+) -> WindowSpec:
+    """Sliding count window: this row and the n-1 preceding, per key,
+    ordered by (time, tiebreak)."""
+    return (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(time_col), F.col(order_col))
+        .rowsBetween(-(n - 1), 0)
+    )
+
+
+def moving_time_window(
+    n_seconds: float, keys: Sequence[str] = (), time_col: str = "time"
+) -> WindowSpec:
+    """Sliding event-time window: all events within the trailing
+    n seconds of each event (range frame).
+
+    PySpark's rangeBetween only takes integral bounds; fractional
+    windows order by integer microseconds instead (time·1e6)."""
+    if float(n_seconds).is_integer():
+        order = F.col(time_col)
+        lo = -int(n_seconds)
+    else:
+        order = (F.col(time_col) * 1_000_000).cast("long")
+        lo = -int(round(n_seconds * 1_000_000))
+    return (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(order)
+        .rangeBetween(lo, 0)
+    )
+
+
+def fixed_event_window(
+    df: DataFrame,
+    n: int,
+    keys: Sequence[str] = (),
+    time_col: str = "time",
+    order_col: str = "event_id",
+    out: str = "window_id",
+) -> DataFrame:
+    """n-event tumbling window id: floor((row_number-1)/n) per key."""
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(time_col), F.col(order_col))
+    )
+    return df.withColumn(out, F.floor((F.row_number().over(w) - 1) / F.lit(n)))

@@ -1,0 +1,693 @@
+"""Catalog part 1: riemann operator queries + relational showcase.
+
+Each entry: QUERIES[name] = fn(spark, sf_dir) -> DataFrame, and
+ORACLES[name] = equivalent DuckDB SQL over the driver's raw tables.
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name and hashes values).
+
+Scale intent per query is noted inline — these same plans are what
+bench.py times at sf0.1 and what a 1000-executor cluster would run:
+one shuffle per groupBy/window key, broadcast for dim joins, no
+driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from riemann_spark.operators import analytics, index, stateless, windows
+from riemann_spark.operators.folds import _d, dmean, dstddev_pop, dsum, msum
+from riemann_spark.query import parse, to_sql
+from riemann_spark.schema import EVENTS_NORM_SQL, load_events, load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_EV = f"WITH ev AS ({EVENTS_NORM_SQL})"
+
+_LATEST_SQL = """
+SELECT * FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY host, service ORDER BY time DESC, event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND (state IS DISTINCT FROM 'expired')
+"""
+
+# ------------------------------------------------------------------ index
+
+@q(
+    "index_latest",
+    f"""{_EV}, latest AS ({_LATEST_SQL})
+SELECT host, service, state, metric, time, ttl, event_id FROM latest""",
+)
+def index_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """The index: latest event per [host, service] (index.clj:98-101).
+    Scale: one shuffle on the key; at 100 TB the same plan with the
+    index stored bucketed-by-host gives point-query pruning."""
+    ev = load_events(spark, sf)
+    return index.build_index(ev).select(
+        "host", "service", "state", "metric", "time", "ttl", "event_id"
+    )
+
+
+_SEARCH_Q = '(state = "critical" or metric > 150) and not (service =~ "%up%")'
+
+
+@q(
+    "index_search",
+    f"""{_EV}, latest AS ({_LATEST_SQL})
+SELECT host, service, state, metric, time, ttl, event_id FROM latest
+WHERE {to_sql(parse(_SEARCH_Q), 'duckdb')}""",
+)
+def index_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-language search against the index (SURVEY §3.2 lifecycle):
+    string → AST → Column; Catalyst pushes the predicate down."""
+    ev = load_events(spark, sf)
+    return index.search(index.build_index(ev), _SEARCH_Q).select(
+        "host", "service", "state", "metric", "time", "ttl", "event_id"
+    )
+
+
+@q(
+    "index_expired",
+    f"""{_EV}, latest AS ({_LATEST_SQL})
+SELECT host, service, 'expired' AS state, 1706745600.0 AS time
+FROM latest WHERE time + coalesce(ttl, 60.0) <= 1706745600.0""",
+)
+def index_expired(spark: SparkSession, sf: str) -> DataFrame:
+    """The reaper sweep (index.clj:73-87, core.clj:275-309): synthetic
+    expired events for index entries past time+ttl at t=2024-02-01."""
+    now = 1706745600.0
+    ev = load_events(spark, sf)
+    _, exp = index.expire(index.build_index(ev), now)
+    return exp.select("host", "service", "state", "time")
+
+
+# -------------------------------------------------- filters / transforms
+
+_WHERE_Q = 'metric > 50 and metric <= 180 and not (service = "signup" or service = "view")'
+
+
+@q(
+    "where_filter",
+    f"""{_EV}
+SELECT event_id, host, service, metric FROM ev
+WHERE {to_sql(parse(_WHERE_Q), 'duckdb')}""",
+)
+def where_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """where-macro predicate DSL (streams.clj:1765-1810) as a pushed-
+    down scan filter — stays inside WholeStageCodegen, no shuffle."""
+    ev = load_events(spark, sf)
+    return stateless.where(ev, _WHERE_Q).select("event_id", "host", "service", "metric")
+
+
+@q(
+    "tagged_filter",
+    f"""{_EV}
+SELECT event_id, host, service FROM ev
+WHERE COALESCE(list_contains(tags, 'click'), FALSE)
+  AND COALESCE(list_contains(tags, 'low'), FALSE)""",
+)
+def tagged_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """tagged-all (streams.clj:1284-1305): array containment filter."""
+    ev = load_events(spark, sf)
+    return stateless.tagged_all(ev, ["click", "low"]).select(
+        "event_id", "host", "service"
+    )
+
+
+@q(
+    "transform_fields",
+    f"""{_EV}
+SELECT event_id,
+       metric * 0.0009765625 AS metric,
+       array_to_string(
+         list_sort(list_filter(list_distinct(list_concat(tags, ['seen'])),
+                               t -> t != 'low')), ',') AS tags_str,
+       coalesce(state, 'ok') AS state
+FROM ev""",
+)
+def transform_fields(spark: SparkSession, sf: str) -> DataFrame:
+    """with/scale/tag/untag/default chain (streams.clj:1346-1488) —
+    pure projection, fused into the scan. 1/1024 is a power of two so
+    the scaled metric is exact."""
+    ev = load_events(spark, sf)
+    out = stateless.scale(ev, 1.0 / 1024)
+    out = stateless.tag(out, "seen")
+    out = stateless.untag(out, "low")
+    out = stateless.default(out, {"state": "ok"})
+    return out.select(
+        "event_id",
+        "metric",
+        F.array_join(F.array_sort("tags"), ",").alias("tags_str"),
+        "state",
+    )
+
+
+@q(
+    "split_route",
+    f"""{_EV}
+SELECT event_id,
+       CASE WHEN state = 'critical' THEN 'page'
+            WHEN metric > 150.0 THEN 'warn'
+            WHEN COALESCE(list_contains(tags, 'low'), FALSE) THEN 'archive'
+            ELSE 'drop' END AS branch
+FROM ev""",
+)
+def split_route(spark: SparkSession, sf: str) -> DataFrame:
+    """splitp first-matching-predicate routing (streams.clj:1855-1916)
+    as a CASE projection."""
+    ev = load_events(spark, sf)
+    routed = stateless.split_by(
+        ev,
+        [
+            ('state = "critical"', "page"),
+            (F.col("metric") > 150.0, "warn"),
+            (F.array_contains(F.col("tags"), "low"), "archive"),
+        ],
+        default_value="drop",
+    )
+    return routed.select("event_id", "branch")
+
+
+# ------------------------------------------------------ windows + folds
+
+_BUCKET_DAY = "CAST(CAST(floor(\"time\" / 86400.0) AS BIGINT) * 86400 AS DOUBLE)"
+_BUCKET_HOUR = "CAST(CAST(floor(\"time\" / 3600.0) AS BIGINT) * 3600 AS DOUBLE)"
+
+
+@q(
+    "rate_per_hour",
+    f"""{_EV}
+SELECT host, service, {_BUCKET_HOUR} AS window_start,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / 3600.0 AS rate
+FROM ev GROUP BY host, service, window_start""",
+)
+def rate_per_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """rate (streams.clj:841-883): per-interval sum/interval. Partial
+    aggregation map-side; shuffle carries one row per (key, hour)."""
+    ev = load_events(spark, sf)
+    return analytics.rate(ev, 3600.0)
+
+
+@q(
+    "window_folds",
+    f"""{_EV}
+SELECT service, {_BUCKET_DAY} AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric) AS mean_metric,
+       MIN(metric) AS min_metric,
+       MAX(metric) AS max_metric,
+       sqrt(CAST(SUM(CAST(metric * metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric)
+            - (CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric))
+            * (CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric))) AS stddev_metric,
+       round(quantile_cont(metric, 0.5), 6) AS median_metric
+FROM ev GROUP BY service, window_start""",
+)
+def window_folds(spark: SparkSession, sf: str) -> DataFrame:
+    """fixed-offset-time-window (streams.clj:420-431) + the §2.5 fold
+    family in one grouped aggregation — sum/mean/min/max/stddev/count/
+    median per (service, day). Exact-decimal sums → deterministic."""
+    ev = windows.fixed_offset_time_window(load_events(spark, sf), 86400.0)
+    return ev.groupBy("service", "window_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("metric").alias("sum_metric"),
+        dmean("metric").alias("mean_metric"),
+        F.min("metric").alias("min_metric"),
+        F.max("metric").alias("max_metric"),
+        dstddev_pop("metric").alias("stddev_metric"),
+        F.round(F.percentile(F.col("metric"), F.lit(0.5)), 6).alias("median_metric"),
+    )
+
+
+_PCT_POINTS = [0.0, 0.5, 0.95, 1.0]
+
+
+@q(
+    "percentiles_day",
+    f"""{_EV}, g AS (
+  SELECT service, {_BUCKET_DAY} AS window_start,
+         quantile_cont(metric, {_PCT_POINTS}) AS qs
+  FROM ev GROUP BY service, window_start
+)
+SELECT service || ' ' || point AS service, window_start, point,
+       round(metric, 6) AS metric
+FROM (
+  SELECT service, window_start,
+         unnest({[str(p) for p in _PCT_POINTS]}) AS point,
+         unnest(qs) AS metric
+  FROM g
+)""",
+)
+def percentiles_day(spark: SparkSession, sf: str) -> DataFrame:
+    """percentiles (streams.clj:885-898): per-interval percentile
+    events, service suffixed with the point (folds.clj:16-49)."""
+    ev = load_events(spark, sf)
+    out = analytics.percentiles(ev, 86400.0, _PCT_POINTS)
+    return out.select(
+        "service", "window_start", "point", F.round("metric", 6).alias("metric")
+    )
+
+
+@q(
+    "fixed_event_window",
+    f"""{_EV}, r AS (
+  SELECT host, service, metric,
+         CAST(floor((row_number() OVER (
+             PARTITION BY host, service ORDER BY time, event_id) - 1) / 5) AS BIGINT)
+           AS window_id
+  FROM ev
+)
+SELECT host, service, window_id,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric,
+       COUNT(*) AS n
+FROM r GROUP BY host, service, window_id""",
+)
+def fixed_event_window_q(spark: SparkSession, sf: str) -> DataFrame:
+    """fixed-event-window n=5 (streams.clj:305-320) + sum fold over
+    each 5-event tumble per key."""
+    ev = windows.fixed_event_window(load_events(spark, sf), 5, keys=("host", "service"))
+    return ev.groupBy("host", "service", "window_id").agg(
+        dsum("metric").alias("sum_metric"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "moving_event_window",
+    f"""{_EV}
+SELECT event_id, host, service,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) OVER (
+          PARTITION BY host, service ORDER BY time, event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window_sum
+FROM ev""",
+)
+def moving_event_window_q(spark: SparkSession, sf: str) -> DataFrame:
+    """moving-event-window n=4 + sum fold (streams.clj:292-303):
+    trailing count-window running aggregate, one sorted pass per key."""
+    ev = load_events(spark, sf)
+    w = windows.moving_event_window(4, keys=("host", "service"))
+    return ev.select(
+        "event_id", "host", "service",
+        F.sum(_d("metric")).over(w).cast("double").alias("window_sum"),
+    )
+
+
+# -------------------------------------------------- streaming analytics
+
+@q(
+    "ddt",
+    f"""{_EV}
+SELECT event_id, host, service, ddt FROM (
+  SELECT event_id, host, service,
+         (metric - lag(metric) OVER w) /
+           NULLIF("time" - lag("time") OVER w, 0) AS ddt
+  FROM ev
+  WINDOW w AS (PARTITION BY host, service ORDER BY time, event_id)
+) WHERE ddt IS NOT NULL""",
+)
+def ddt(spark: SparkSession, sf: str) -> DataFrame:
+    """ddt-events (streams.clj:809-822): discrete derivative between
+    consecutive events per key."""
+    ev = load_events(spark, sf)
+    return analytics.ddt_events(ev).select("event_id", "host", "service", "ddt")
+
+
+@q(
+    "counter_running",
+    f"""{_EV}
+SELECT event_id, host, service,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) OVER (
+          PARTITION BY host, service ORDER BY time, event_id
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS counter
+FROM ev""",
+)
+def counter_running(spark: SparkSession, sf: str) -> DataFrame:
+    """counter (streams.clj:900-932): running sum per key (no reset
+    tags in this corpus; reset segmentation tested in tests/)."""
+    ev = load_events(spark, sf)
+    return analytics.counter(ev).select("event_id", "host", "service", "counter")
+
+
+@q(
+    "ewma",
+    f"""{_EV}, g AS (
+  SELECT host, service,
+         array_agg(metric ORDER BY "time", event_id) AS xs,
+         array_agg(event_id ORDER BY "time", event_id) AS ids
+  FROM ev GROUP BY host, service
+), x AS (
+  SELECT host, service, xs, ids,
+         unnest(generate_series(1, len(xs))) AS j
+  FROM g
+)
+SELECT ids[j] AS event_id, host, service,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_slice(xs, 1, j)),
+                   (acc, e) -> 0.5 * e + 0.5 * acc) AS ewma
+FROM x""",
+)
+def ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """ewma-timeless r=1/2 (streams.clj:961-977) via the exact
+    power-of-two closed form — see ewma_timeless_half docstring."""
+    ev = load_events(spark, sf)
+    return analytics.ewma_timeless_half(ev).select("event_id", "host", "service", "ewma")
+
+
+@q(
+    "changed_state",
+    f"""{_EV}
+SELECT event_id, host, service, state FROM (
+  SELECT event_id, host, service, state,
+         lag(state) OVER (PARTITION BY host, service
+                          ORDER BY time, event_id) AS prev
+  FROM ev
+) WHERE prev IS NULL OR state IS DISTINCT FROM prev""",
+)
+def changed_state(spark: SparkSession, sf: str) -> DataFrame:
+    """changed-state (streams.clj:1655-1659): emit only on state
+    transitions per key."""
+    ev = load_events(spark, sf)
+    return analytics.changed_state(ev).select("event_id", "host", "service", "state")
+
+
+@q(
+    "runs3",
+    f"""{_EV}
+SELECT event_id, host, service, state FROM (
+  SELECT event_id, host, service, state,
+         COUNT(*) OVER w3 AS cnt,
+         MIN(state) OVER w3 AS mn, MAX(state) OVER w3 AS mx
+  FROM ev
+  WINDOW w3 AS (PARTITION BY host, service ORDER BY time, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+) WHERE cnt = 3 AND mn = mx""",
+)
+def runs3(spark: SparkSession, sf: str) -> DataFrame:
+    """runs n=3 on :state (streams.clj:1918-1934): flap damping —
+    pass only the last of 3-in-a-row equal states."""
+    ev = load_events(spark, sf)
+    return analytics.runs(ev, 3).select("event_id", "host", "service", "state")
+
+
+@q(
+    "stable_2h",
+    f"""{_EV}, c AS (
+  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                   OR state IS DISTINCT FROM lag(state) OVER w
+            THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY host, service ORDER BY time, event_id)
+), r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY host, service
+                           ORDER BY time, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+)
+SELECT event_id, host, service, state FROM (
+  SELECT event_id, host, service, state,
+         MAX("time") OVER wr - MIN("time") OVER wr AS span
+  FROM r WINDOW wr AS (PARTITION BY host, service, run_id)
+) WHERE span >= 7200.0""",
+)
+def stable_2h(spark: SparkSession, sf: str) -> DataFrame:
+    """stable dt=2h on :state (streams.clj:1936-2030): run-length
+    sessionization, keep events of runs that persisted ≥ dt."""
+    ev = load_events(spark, sf)
+    return analytics.stable(ev, 7200.0).select("event_id", "host", "service", "state")
+
+
+@q(
+    "top10",
+    f"""{_EV}, latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host, service
+                                 ORDER BY time DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+)
+SELECT host, service, metric, rank, event_id FROM (
+  SELECT host, service, metric, event_id,
+         row_number() OVER (ORDER BY metric DESC, host, service) AS rank
+  FROM latest
+) WHERE rank <= 10""",
+)
+def top10(spark: SparkSession, sf: str) -> DataFrame:
+    """top k=10 (streams.clj:1015-1100), snapshot form: global top-k of
+    the latest-per-key table. The global window runs over |keys| rows
+    (the snapshot), not the raw stream — fine at any stream size."""
+    ev = load_events(spark, sf)
+    return analytics.top(ev, 10).select("host", "service", "metric", "rank", "event_id")
+
+
+@q(
+    "throttle",
+    f"""{_EV}
+SELECT event_id, host, service FROM (
+  SELECT event_id, host, service,
+         row_number() OVER (
+           PARTITION BY service, CAST(floor("time"/86400.0) AS BIGINT)
+           ORDER BY time, event_id) AS rn
+  FROM ev
+) WHERE rn <= 3""",
+)
+def throttle_q(spark: SparkSession, sf: str) -> DataFrame:
+    """throttle n=3 per day per service (streams.clj:1102-1118)."""
+    ev = load_events(spark, sf)
+    return analytics.throttle(ev, 3, 86400.0, keys=("service",)).select(
+        "event_id", "host", "service"
+    )
+
+
+@q(
+    "apdex",
+    f"""{_EV}
+SELECT service, {_BUCKET_DAY} AS window_start,
+       (SUM(CASE WHEN metric < 80.0 THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN NOT COALESCE(metric < 80.0, FALSE)
+                    AND metric < 140.0 THEN 1 ELSE 0 END) / 2.0)
+       / COUNT(*) AS apdex
+FROM ev GROUP BY service, window_start""",
+)
+def apdex_q(spark: SparkSession, sf: str) -> DataFrame:
+    """apdex (streams.clj:2103-2157): satisfied metric<80, tolerated
+    metric<140, per service per day."""
+    ev = load_events(spark, sf)
+    return analytics.apdex(ev, "metric < 80.0", "metric < 140.0", 86400.0)
+
+
+@q(
+    "clock_skew",
+    f"""{_EV}, latest AS (
+  SELECT host, MAX("time") AS host_time FROM ev GROUP BY host
+)
+SELECT host, host_time - (SELECT quantile_cont(host_time, 0.5) FROM latest) AS skew
+FROM latest""",
+)
+def clock_skew_q(spark: SparkSession, sf: str) -> DataFrame:
+    """clock-skew (streams.clj:2159-2195): per-host latest clock minus
+    the median across hosts (median broadcast back — no second shuffle)."""
+    ev = load_events(spark, sf)
+    return analytics.clock_skew(ev)
+
+
+@q(
+    "predict_linear",
+    f"""{_EV}, s AS (
+  SELECT event_id, host, service,
+         CAST((time_us // 1000000) - 1704067200 AS DOUBLE) AS x,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS cnt,
+         CAST(SUM((time_us // 1000000) - 1704067200) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(metric * 100.0) AS BIGINT)) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(((time_us // 1000000) - 1704067200)
+                  * CAST(round(metric * 100.0) AS BIGINT)) OVER w AS DOUBLE) AS sxy,
+         CAST(SUM(((time_us // 1000000) - 1704067200)
+                  * ((time_us // 1000000) - 1704067200)) OVER w AS DOUBLE) AS sxx
+  FROM ev
+  WINDOW w AS (PARTITION BY host, service ORDER BY time_us, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, host, service, predicted FROM (
+  SELECT event_id, host, service,
+         ((sy - (cnt * sxy - sx * sy) / NULLIF(cnt * sxx - sx * sx, 0) * sx) / cnt
+          + (cnt * sxy - sx * sy) / NULLIF(cnt * sxx - sx * sx, 0) * (x + 300.0)
+         ) / 100.0 AS predicted
+  FROM s
+) WHERE predicted IS NOT NULL""",
+)
+def predict_linear_q(spark: SparkSession, sf: str) -> DataFrame:
+    """predict-linear n=10, 300s ahead (streams.clj:2197-2248): OLS over
+    the trailing 10 events per key — exact integer sums (see
+    predict_linear_exact for why doubles can't survive the n·Σx²−(Σx)²
+    cancellation at unix-time magnitudes)."""
+    ev = load_events(spark, sf)
+    out = analytics.predict_linear_exact(ev, 10, 300.0)
+    return out.filter(F.col("predicted").isNotNull()).select(
+        "event_id", "host", "service", "predicted"
+    )
+
+
+@q(
+    "project2",
+    f"""{_EV}
+SELECT
+  (SELECT metric FROM ev WHERE (state IS NOT DISTINCT FROM 'critical')
+   ORDER BY time DESC, event_id DESC LIMIT 1) AS slot0,
+  (SELECT metric FROM ev WHERE (metric > 150.0)
+   ORDER BY time DESC, event_id DESC LIMIT 1) AS slot1""",
+)
+def project2(spark: SparkSession, sf: str) -> DataFrame:
+    """project (streams.clj:2032-2101): 2-predicate basis, latest
+    matching metric per slot in ONE aggregation pass (max of
+    conditional struct) — no per-slot scans, unlike the oracle."""
+    ev = load_events(spark, sf)
+    return analytics.project(ev, ['state = "critical"', F.col("metric") > 150.0])
+
+
+@q(
+    "fill_in",
+    f"""{_EV}, b AS (
+  SELECT host, service, metric, "time",
+         lead("time") OVER (PARTITION BY host, service
+                            ORDER BY "time", event_id) AS nxt
+  FROM ev
+), g AS (
+  SELECT host, service, metric, "time",
+         CASE WHEN nxt IS NOT NULL THEN
+           GREATEST(CAST(floor((nxt - "time" - 1e-9) / 1800.0) AS BIGINT), 0)
+         ELSE 0 END AS k
+  FROM b
+), x AS (
+  SELECT host, service, metric, "time",
+         unnest(generate_series(0, k)) AS i
+  FROM g
+)
+SELECT host, service, metric, "time" + i * 1800.0 AS time, i > 0 AS filled
+FROM x""",
+)
+def fill_in_q(spark: SparkSession, sf: str) -> DataFrame:
+    """fill-in-last every 1800s of silence (streams.clj:683-751):
+    distributed gap fill via sequence+explode — no timers needed in
+    batch; the streaming variant uses processing-time timers."""
+    ev = load_events(spark, sf)
+    return analytics.fill_in(ev, 1800.0)
+
+
+# ------------------------------------------------- relational showcase
+
+@q(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(round(l_discount * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """Pricing-summary aggregation (TPC-H Q1 shape): the canonical
+    scan→partial-agg→shuffle-one-row-per-group plan; linear at 100 TB."""
+    li = load_table(spark, sf, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        msum("l_quantity", 2).alias("sum_qty"),
+        msum("l_extendedprice", 2).alias("sum_base_price"),
+        msum(disc, 4).alias("sum_disc_price"),
+        msum(charge, 6).alias("sum_charge"),
+        (msum("l_quantity", 2) / n).alias("avg_qty"),
+        (msum("l_extendedprice", 2) / n).alias("avg_price"),
+        (msum("l_discount", 2) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@q(
+    "revenue_top10",
+    """
+SELECT o_orderkey, orderdate, revenue FROM (
+  SELECT l.l_orderkey AS o_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING' OR c.c_mktsegment = 'FURNITURE'
+  GROUP BY 1, 2
+)
+ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def revenue_top10(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): broadcast the customer dim
+    (tiny at any SF relative to lineitem), shuffle only on orderkey."""
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "FURNITURE")
+    )
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    # broadcast only the filtered customer dim; lineitem⋈orders shuffles
+    # on orderkey (orders is NOT broadcast-able at production scale)
+    joined = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(msum(rev, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "regional_revenue",
+    """
+SELECT n.n_name, r.r_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name""",
+)
+def regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-dim star join (TPC-H Q5 shape): all three dims broadcast —
+    zero shuffles before the final one-row-per-nation aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    dims = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            msum(rev, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -1,0 +1,282 @@
+"""Catalog part 2: training-data-pipeline queries over documents /
+embeddings (dedup, similarity, text analysis) — BASELINE.json extras.
+
+Every oracle mirrors the Spark expression tree op-for-op: md5 for all
+hashing (identical in hashlib/Spark/DuckDB), 1-based-index lambda
+alignment, left-fold dot products, integer arithmetic until a final
+division.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from riemann_spark.functions import dedup, similarity, text
+from riemann_spark.plans.catalog import ORACLES, QUERIES, q
+from riemann_spark.schema import load_table
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SW = {lang: str(ws) for lang, ws in text.LANG_STOPWORDS.items()}
+
+
+def _sw_count(toks: str, lang: str) -> str:
+    return f"len(list_filter({toks}, t -> list_contains({_SW[lang]}, t)))"
+
+
+# ------------------------------------------------------- text analysis
+
+@q(
+    "text_features",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                   (a, b) -> a + b) / len(toks) AS mean_token_len,
+       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       {_sw_count('toks', 'en')} / CAST(len(toks) AS DOUBLE) AS stop_ratio
+FROM t""",
+)
+def text_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-signal feature extraction: token counts, mean token
+    length, punctuation and stopword ratios — pure projections, fuse
+    with the scan, zero shuffles at any scale."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.mean_token_len("text").alias("mean_token_len"),
+        (text.punct_count("text") / text.char_count("text").cast("double")).alias(
+            "punct_ratio"
+        ),
+        (text.stopword_count("text") / text.token_count("text").cast("double")).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+@q(
+    "quality_score",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       0.5 * ({_sw_count('toks', 'en')} / CAST(len(toks) AS DOUBLE))
+       + 0.3 * least(
+           (list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                        (a, b) -> a + b) / len(toks)) / 10.0, 1.0)
+       - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                / CAST(length(text) AS DOUBLE)) AS quality
+FROM t""",
+)
+def quality_score_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite document quality score (length/punct/stopword mix)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+_LANGS = list(text.LANG_STOPWORDS)  # tie order: en > de > es > fr
+
+
+@q(
+    "lang_id",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id, lang,
+        {', '.join(f"{_sw_count('toks', lg)} AS v_{lg}" for lg in _LANGS)}
+      FROM t),
+p AS (SELECT doc_id, lang,
+        CASE WHEN greatest({', '.join('v_' + lg for lg in _LANGS)}) = 0 THEN 'und'
+             {' '.join(f"WHEN v_{lg} = greatest({', '.join('v_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+        END AS lang_pred
+      FROM v)
+SELECT lang_pred, lang AS lang_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang_pred, lang_label""",
+)
+def lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID (confusion counts vs the label col).
+    Ties resolve en > de > es > fr (first to reach the max vote)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.col("lang").alias("lang_label"), text.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred", "lang_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@q(
+    "dedup_exact",
+    """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS canonical_id
+FROM documents GROUP BY fingerprint""",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint groupBy. Uniform 128-bit key → no
+    skew; at 100 TB this is the one-shuffle baseline dedup."""
+    d = load_table(spark, sf, "documents")
+    return dedup.exact_duplicates(d).withColumn("n_docs", F.col("n_docs").cast("long"))
+
+
+_SHINGLE_SQL = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id AS doc,
+              unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+                list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+       FROM toks)"""
+
+
+@q(
+    "dedup_jaccard",
+    f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2)
+SELECT doc1, doc2, n_inter, jaccard FROM (
+  SELECT doc1, doc2, n_inter,
+         n_inter / (s1.n + s2.n - n_inter) AS jaccard
+  FROM inter JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
+) WHERE jaccard >= 0.5""",
+)
+def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs ≥ 0.5 via inverted-index
+    self-join (no all-pairs). Skew guard (max_shingle_df) available on
+    the operator; disabled here so the oracle sees identical pairs."""
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, 0.5)
+
+
+_N_HASHES, _BAND = 8, 2
+_BANDS_SQL = ", ".join(
+    "'" + str(b) + "|' || " + " || '|' || ".join(f"s{b * _BAND + j}" for j in range(_BAND))
+    for b in range(_N_HASHES // _BAND)
+)
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {', '.join(f"MIN(md5('{i}:' || shingle)) AS s{i}" for i in range(_N_HASHES))}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs)
+SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands×2) candidate pairs. Signature = per-row
+    array fold (no shuffle); the only shuffle is the band-bucket join.
+    The Spark side computes signatures without exploding shingles; the
+    oracle uses a grouped MIN — same min over the same distinct set."""
+    d = load_table(spark, sf, "documents")
+    return dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+
+
+_SIMHASH_TERMS_SQL = " + ".join(
+    f"""(CASE WHEN list_reduce(list_transform(hs,
+        h -> CASE WHEN ((strpos('0123456789abcdef', substr(h, {p // 4 + 1}, 1)) - 1) >> {p % 4}) % 2 = 1
+                  THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN {2 ** p} ELSE 0 END)"""
+    for p in range(16)
+)
+
+
+@q(
+    "simhash",
+    f"""
+WITH t AS (SELECT doc_id, list_transform(list_distinct({_TOKS}),
+                                         x -> substr(md5(x), 1, 4)) AS hs
+           FROM documents)
+SELECT doc_id, {_SIMHASH_TERMS_SQL} AS simhash FROM t""",
+)
+def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash signatures from token md5 nibbles — near-dup
+    hamming buckets; pure per-row projection."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", dedup.simhash16("text").alias("simhash"))
+
+
+# --------------------------------------------------- similarity search
+
+_DOT = "list_reduce(list_transform({a}, (x, i) -> x * {b}[i]), (x, y) -> x + y)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / (sqrt({_DOT.format(a=a, b=a)})"
+        f" * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@q(
+    "knn_bruteforce",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         {_cos_sql('q.v', 'c.v')} AS cos
+  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+)
+def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 8): broadcast
+    queries × corpus scan. Dot products are sequential folds — bit-
+    reproducible under any partitioning (a shuffle-summed dot product
+    would not be)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.brute_force_topk(e.filter(F.col("vec_id") < 8), e, 5)
+
+
+_N_PLANES, _DIM = 4, 64
+
+
+def _plane_signs(plane: int) -> list[float]:
+    """±1 hyperplane from md5 — computed in Python with hashlib, which
+    is bit-identical to md5() in Spark and DuckDB, so all three agree."""
+    return [
+        1.0 if hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] >= "8" else -1.0
+        for i in range(_DIM)
+    ]
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_DOT.format(a='v', b=str(_plane_signs(p)))} > 0 THEN {2 ** p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+
+
+@q(
+    "knn_lsh",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         {_cos_sql('q.v', 'c.v')} AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id != c.vec_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+)
+def knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: deterministic md5-derived planes,
+    same-bucket candidates, exact re-rank. The scale path: bucket join
+    instead of crossJoin — each corpus row meets only its bucket."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.lsh_topk(e.filter(F.col("vec_id") < 8), e, 5, _N_PLANES, _DIM)

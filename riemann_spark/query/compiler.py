@@ -1,0 +1,149 @@
+"""AST → pyspark Column / ANSI SQL predicate.
+
+Semantics follow reference ``src/riemann/query.clj``:
+
+- ``=`` is nil-literal-aware: nil matches only nil (query.clj +
+  common.clj:209-212) → ``eqNullSafe``.
+- ``!=`` is ``(not (= ...))`` — so ``host != 1`` DOES match events with
+  null host → negated ``eqNullSafe``.
+- ordered comparisons are nil-guarded (query.clj:124-132): a null field
+  never matches → plain Column comparison (NULL → filtered out).
+- ``=~`` is SQL-LIKE with ``%`` wildcards, compiled to an anchored
+  regex (query.clj:146-155; only ``%`` is a wildcard — ``_`` is
+  literal, unlike SQL LIKE).
+- ``~=`` is an unanchored regex search (re-find) → ``rlike``.
+- ``tagged "x"`` → tags array containment (streams.clj:1284-1305).
+- unknown fields resolve to the open ``attributes`` map (SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CORE_FIELDS = {"host", "service", "state", "description", "metric", "tags", "time", "ttl"}
+
+_ORDERED = {"<", ">", "<=", ">="}
+
+
+def _field_col(name: str) -> Column:
+    if name in CORE_FIELDS:
+        return F.col(name)
+    return F.col("attributes").getItem(name)
+
+
+def _like_to_regex(pattern: str) -> str:
+    """`%`-wildcard LIKE → anchored regex (only % is magic)."""
+    parts = pattern.split("%")
+    return "^" + ".*".join(re.escape(p) for p in parts) + "$"
+
+
+def to_column(ast) -> Column:
+    """Compile a parsed query AST into a pyspark boolean Column."""
+    if ast is True:
+        return F.lit(True)
+    if ast is False or ast is None:
+        return F.lit(False)
+    head = ast[0]
+    if head == "and":
+        out = to_column(ast[1])
+        for sub in ast[2:]:
+            out = out & to_column(sub)
+        return out
+    if head == "or":
+        out = to_column(ast[1])
+        for sub in ast[2:]:
+            out = out | to_column(sub)
+        return out
+    if head == "not":
+        # NOT with three-valued logic: riemann's compiled fns are
+        # two-valued, so coalesce NULL comparisons to false first.
+        return ~F.coalesce(to_column(ast[1]), F.lit(False))
+    if head == "tagged":
+        return F.coalesce(F.array_contains(F.col("tags"), F.lit(ast[1])), F.lit(False))
+
+    op, field, value = ast
+    col = _field_col(field)
+    if op == "=":
+        return col.eqNullSafe(F.lit(value)) if value is not None else col.isNull()
+    if op == "!=":
+        return ~col.eqNullSafe(F.lit(value)) if value is not None else col.isNotNull()
+    if op in _ORDERED:
+        lit = F.lit(value)
+        if op == "<":
+            return col < lit
+        if op == ">":
+            return col > lit
+        if op == "<=":
+            return col <= lit
+        return col >= lit
+    if op == "=~":
+        return col.rlike(_like_to_regex(value))
+    if op == "~=":
+        return col.rlike(value)
+    raise ValueError(f"unknown AST node: {ast!r}")
+
+
+# ---------------------------------------------------------------- SQL ----
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_lit(value) -> str:
+    if value is None:
+        return "NULL"
+    if value is True:
+        return "TRUE"
+    if value is False:
+        return "FALSE"
+    if isinstance(value, str):
+        return _sql_str(value)
+    return repr(value)
+
+
+def to_sql(ast, dialect: str = "duckdb") -> str:
+    """Compile the AST to a SQL boolean expression (spark or duckdb).
+
+    Used both to run the same predicate through ``spark.sql`` and to
+    generate the DuckDB oracle for correctness checks.
+    """
+    if ast is True:
+        return "TRUE"
+    if ast is False or ast is None:
+        return "FALSE"
+    head = ast[0]
+    if head in ("and", "or"):
+        joiner = f" {head.upper()} "
+        return "(" + joiner.join(to_sql(sub, dialect) for sub in ast[1:]) + ")"
+    if head == "not":
+        return f"(NOT COALESCE({to_sql(ast[1], dialect)}, FALSE))"
+    if head == "tagged":
+        if dialect == "duckdb":
+            return f"COALESCE(list_contains(tags, {_sql_str(ast[1])}), FALSE)"
+        return f"COALESCE(array_contains(tags, {_sql_str(ast[1])}), FALSE)"
+
+    op, field, value = ast
+    col = field if field in CORE_FIELDS else f"attributes['{field}']"
+    lit = _sql_lit(value)
+    if op == "=":
+        if value is None:
+            return f"({col} IS NULL)"
+        if dialect == "duckdb":
+            return f"({col} IS NOT DISTINCT FROM {lit})"
+        return f"({col} <=> {lit})"
+    if op == "!=":
+        if value is None:
+            return f"({col} IS NOT NULL)"
+        if dialect == "duckdb":
+            return f"({col} IS DISTINCT FROM {lit})"
+        return f"(NOT ({col} <=> {lit}))"
+    if op in _ORDERED:
+        return f"({col} {op} {lit})"
+    if op == "=~":
+        return f"regexp_matches({col}, {_sql_str(_like_to_regex(value))})" if dialect == "duckdb" else f"({col} RLIKE {_sql_str(_like_to_regex(value))})"
+    if op == "~=":
+        return f"regexp_matches({col}, {_sql_str(value)})" if dialect == "duckdb" else f"({col} RLIKE {_sql_str(value)})"
+    raise ValueError(f"unknown AST node: {ast!r}")

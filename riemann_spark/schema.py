@@ -1,0 +1,139 @@
+"""Event data model and loaders.
+
+The reference's Event is a flat record ``host service state description
+metric tags time ttl`` + open string attributes (SURVEY.md §1.1; field
+order per reference ``src/riemann/transport/opentsdb.clj:71``). Here it
+is a fixed StructType with a MapType tail for the open attributes
+(SURVEY.md §1.3) — columnar, so Catalyst/Tungsten can prune and codegen
+over it, unlike the reference's row-at-a-time closures.
+
+``normalize_events`` maps the driver's generic ``events.parquet``
+(event_id, ts, user_id, event_type, value, props) into this model.
+``EVENTS_NORM_SQL`` is the exact same mapping as ANSI SQL so DuckDB
+oracle queries see identical values: every expression is chosen to be
+bit-deterministic across both engines (integer casts, integer modulo,
+one double division by a power of ten).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical event schema (reference: Event defrecord, SURVEY.md §1.1).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), True),
+        StructField("service", StringType(), True),
+        StructField("state", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("metric", DoubleType(), True),
+        StructField("tags", ArrayType(StringType()), True),
+        StructField("time", DoubleType(), False),  # unix seconds, fractional
+        StructField("ttl", DoubleType(), True),
+        StructField("attributes", MapType(StringType(), StringType()), True),
+    ]
+)
+
+#: Default TTL when an event carries none (reference index.clj:42).
+DEFAULT_TTL = 60.0
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: columns stored as TIMESTAMP(NANOS) in the driver parquet; Spark reads
+#: them as long (nanosAsLong) and we restore microsecond timestamps via
+#: exact integer division — values identical to DuckDB's reading.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table, normalizing nano-precision
+    timestamp columns to TimestampType (microseconds)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def normalize_events(raw: DataFrame, with_attributes: bool = False) -> DataFrame:
+    """Map the driver's events table into the riemann event model.
+
+    host=user_id, service=event_type, metric=value, time=unix seconds
+    from ts; state/tags/ttl derived deterministically so operator tests
+    have the value distributions FIXTURES.md asks for. ``event_id`` is
+    kept as a deterministic tie-breaker for order-sensitive operators.
+    """
+    out = raw.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_type").alias("service"),
+        F.when(F.col("event_type") == "error", F.lit("critical"))
+        .when(F.col("value") > 150.0, F.lit("warning"))
+        .otherwise(F.lit("ok"))
+        .alias("state"),
+        F.col("props").alias("description"),
+        F.col("value").alias("metric"),
+        F.array(
+            F.col("event_type"),
+            F.when(F.col("value") > 150.0, F.lit("high")).otherwise(F.lit("low")),
+        ).alias("tags"),
+        (F.unix_micros(F.col("ts")) / F.lit(1000000.0)).alias("time"),
+        F.unix_micros(F.col("ts")).alias("time_us"),  # exact integer time
+        (F.lit(60) + F.col("event_id") % F.lit(240)).cast("double").alias("ttl"),
+    )
+    if with_attributes:
+        out = out.withColumn(
+            "attributes",
+            F.create_map(F.lit("k"), F.get_json_object(F.col("description"), "$.k")),
+        )
+    return out
+
+
+#: DuckDB-SQL mirror of ``normalize_events`` (no attributes map —
+#: final oracle outputs stay scalar). Keep in lock-step with the above.
+EVENTS_NORM_SQL = """
+SELECT
+  event_id,
+  CAST(user_id AS VARCHAR) AS host,
+  event_type AS service,
+  CASE WHEN event_type = 'error' THEN 'critical'
+       WHEN value > 150.0 THEN 'warning'
+       ELSE 'ok' END AS state,
+  props AS description,
+  value AS metric,
+  [event_type, CASE WHEN value > 150.0 THEN 'high' ELSE 'low' END] AS tags,
+  epoch_us(ts) / 1000000.0 AS time,
+  epoch_us(ts) AS time_us,
+  CAST(60 + (event_id % 240) AS DOUBLE) AS ttl
+FROM events
+"""
+
+
+def load_events(spark: SparkSession, sf_dir: str, with_attributes: bool = False) -> DataFrame:
+    """Load + normalize the events table in one call."""
+    return normalize_events(load_table(spark, sf_dir, "events"), with_attributes)

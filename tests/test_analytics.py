@@ -1,0 +1,208 @@
+"""Analytics operator golden cases (streams_test.clj / folds_test.clj
+ports with deterministic event times replacing the virtual clock)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from riemann_spark.operators import analytics, index
+from tests.conftest import events, metrics
+
+
+def _seq(spark, vals, dt=1.0, **common):
+    return events(
+        spark, *({"metric": float(v), "time": float(i) * dt, **common} for i, v in enumerate(vals))
+    )
+
+
+def test_counter_running_sum(spark):
+    # streams_test.clj:144-166
+    df = _seq(spark, [1, 2, 3])
+    assert metrics(analytics.counter(df), "counter") == [1.0, 3.0, 6.0]
+
+
+def test_counter_reset_tag(spark):
+    df = events(
+        spark,
+        {"metric": 1.0, "time": 0.0},
+        {"metric": 2.0, "time": 1.0},
+        {"metric": 5.0, "time": 2.0, "tags": ["reset"]},
+        {"metric": 1.0, "time": 3.0},
+    )
+    assert metrics(analytics.counter(df), "counter") == [1.0, 3.0, 5.0, 6.0]
+
+
+def test_ewma_timeless_recursion(spark):
+    # reference: streams.clj:961-977 (r·x + (1-r)·prev, seeded 0)
+    vals = [10.0, 20.0, 30.0, 5.0]
+    df = _seq(spark, vals)
+    got = metrics(analytics.ewma_timeless(df, 0.5), "ewma")
+    acc, expected = 0.0, []
+    for v in vals:
+        acc = 0.5 * v + 0.5 * acc
+        expected.append(acc)
+    assert got == pytest.approx(expected, abs=1e-12)
+    # the exact r=1/2 power-of-two variant must agree bit-for-bit
+    got2 = metrics(analytics.ewma_timeless_half(df), "ewma")
+    assert got2 == expected
+
+
+def test_ddt_events(spark):
+    df = events(
+        spark,
+        {"metric": 0.0, "time": 0.0},
+        {"metric": 10.0, "time": 5.0},
+        {"metric": 5.0, "time": 10.0},
+    )
+    assert metrics(analytics.ddt_events(df), "ddt") == [2.0, -1.0]
+
+
+def test_changed_and_init(spark):
+    df = events(
+        spark,
+        {"state": "ok", "time": 0.0, "metric": 1.0},
+        {"state": "ok", "time": 1.0, "metric": 2.0},
+        {"state": "bad", "time": 2.0, "metric": 3.0},
+        {"state": "bad", "time": 3.0, "metric": 4.0},
+        {"state": "ok", "time": 4.0, "metric": 5.0},
+    )
+    # without init: first event always passes (streams.clj:1614-1653)
+    assert metrics(analytics.changed(df)) == [1.0, 3.0, 5.0]
+    # with init "ok": first event equal to init is suppressed
+    assert metrics(analytics.changed(df, init="ok")) == [3.0, 5.0]
+
+
+def test_runs(spark):
+    # streams.clj:1918-1934: last of n-in-a-row equal states
+    states = ["a", "a", "a", "b", "b", "b", "b", "a"]
+    df = events(
+        spark,
+        *({"state": s, "time": float(i), "metric": float(i)} for i, s in enumerate(states)),
+    )
+    assert metrics(analytics.runs(df, 3)) == [2.0, 5.0, 6.0]
+
+
+def test_stable(spark):
+    # value must persist >= dt (streams.clj:1936-2030)
+    df = events(
+        spark,
+        {"state": "ok", "time": 0.0, "metric": 0.0},
+        {"state": "ok", "time": 10.0, "metric": 1.0},
+        {"state": "flap", "time": 11.0, "metric": 2.0},
+        {"state": "ok", "time": 12.0, "metric": 3.0},
+        {"state": "ok", "time": 25.0, "metric": 4.0},
+    )
+    assert metrics(analytics.stable(df, 5.0)) == [0.0, 1.0, 3.0, 4.0]
+
+
+def test_top_snapshot(spark):
+    df = events(
+        spark,
+        {"host": "a", "metric": 1.0, "time": 0.0},
+        {"host": "a", "metric": 50.0, "time": 1.0},  # latest for a
+        {"host": "b", "metric": 10.0, "time": 0.0},
+        {"host": "c", "metric": 30.0, "time": 0.0},
+    )
+    got = [(r.host, r.rank) for r in analytics.top(df, 2).orderBy("rank").collect()]
+    assert got == [("a", 1), ("c", 2)]
+
+
+def test_throttle(spark):
+    df = _seq(spark, range(10), dt=1.0)  # all within one 100s window
+    assert metrics(analytics.throttle(df, 3, 100.0)) == [0.0, 1.0, 2.0]
+
+
+def test_rollup(spark):
+    df = _seq(spark, range(5), dt=1.0)
+    out = analytics.rollup(df, 3, 100.0).orderBy("event_id").collect()
+    # 2 pass through; the tail (3 events) becomes one aggregated row
+    assert [r.metric for r in out] == [0.0, 1.0, 4.0]
+    assert [r.rolled for r in out] == [None, None, 3]
+
+
+def test_apdex(spark):
+    df = events(
+        spark,
+        {"service": "s", "metric": 10.0, "time": 0.0},   # satisfied
+        {"service": "s", "metric": 10.0, "time": 1.0},   # satisfied
+        {"service": "s", "metric": 120.0, "time": 2.0},  # tolerated
+        {"service": "s", "metric": 500.0, "time": 3.0},  # neither
+    )
+    out = analytics.apdex(df, "metric < 100", "metric < 200", 3600.0)
+    assert out.collect()[0].apdex == pytest.approx((2 + 0.5) / 4)
+
+
+def test_clock_skew(spark):
+    df = events(
+        spark,
+        {"host": "a", "time": 100.0},
+        {"host": "b", "time": 104.0},
+        {"host": "c", "time": 110.0},
+    )
+    got = {r.host: r.skew for r in analytics.clock_skew(df).collect()}
+    assert got == {"a": -4.0, "b": 0.0, "c": 6.0}
+
+
+def test_predict_linear(spark):
+    # y = 2x + 1 → prediction at t+10 is exact
+    df = events(
+        spark,
+        *({"metric": 2.0 * t + 1.0, "time": float(t), "time_us": None} for t in range(5)),
+    ).withColumn("time_us", (F.col("time") * 1e6).cast("long"))
+    out = analytics.predict_linear(df, 5, 10.0).orderBy("event_id").collect()
+    assert out[-1].predicted == pytest.approx(2.0 * 14 + 1.0)
+    out2 = analytics.predict_linear_exact(df, 5, 10.0, anchor_us=0).orderBy("event_id").collect()
+    assert out2[-1].predicted == pytest.approx(2.0 * 14 + 1.0)
+
+
+def test_project(spark):
+    df = events(
+        spark,
+        {"state": "critical", "metric": 7.0, "time": 0.0},
+        {"state": "ok", "metric": 9.0, "time": 1.0},
+        {"state": "critical", "metric": 3.0, "time": 2.0},
+    )
+    row = analytics.project(df, ['state = "critical"', 'state = "ok"']).collect()[0]
+    assert (row.slot0, row.slot1) == (3.0, 9.0)  # latest match per slot
+
+
+def test_fill_in(spark):
+    df = events(
+        spark,
+        {"metric": 1.0, "time": 0.0},
+        {"metric": 2.0, "time": 35.0},
+    )
+    out = analytics.fill_in(df, 10.0).orderBy("time").collect()
+    assert [(r.time, r.metric, r.filled) for r in out] == [
+        (0.0, 1.0, False),
+        (10.0, 1.0, True),
+        (20.0, 1.0, True),
+        (30.0, 1.0, True),
+        (35.0, 2.0, False),
+    ]
+
+
+def test_rate(spark):
+    df = _seq(spark, [3.0, 6.0, 9.0], dt=2.0)  # all in [0,10) bucket
+    out = analytics.rate(df, 10.0).collect()
+    assert out[0].rate == pytest.approx(1.8)
+
+
+def test_index_tombstone_and_ttl(spark):
+    df = events(
+        spark,
+        {"host": "a", "service": "x", "state": "ok", "time": 1.0, "metric": 1.0},
+        {"host": "a", "service": "x", "state": "expired", "time": 2.0, "metric": 2.0},
+        {"host": "b", "service": "x", "state": "ok", "time": 1.0, "ttl": 5.0, "metric": 3.0},
+    )
+    # expired winner deletes the key (index.clj:98-101)
+    idx = index.build_index(df)
+    assert metrics(idx) == [3.0]
+    # ttl sweep at now=10: b/x is past 1+5
+    live, exp = index.expire(index.build_index(df), 10.0)
+    assert live.count() == 0
+    got = exp.collect()
+    assert [(r.host, r.state, r.time) for r in got] == [("b", "expired", 10.0)]

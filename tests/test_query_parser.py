@@ -1,0 +1,103 @@
+"""Query language conformance — table-driven string→AST→matches pairs
+mirroring the reference suite (test/riemann/query_test.clj:6-160)."""
+
+from __future__ import annotations
+
+import pytest
+
+from riemann_spark.query import compile_query, parse, to_sql
+from riemann_spark.query.parser import QueryParseError
+from tests.conftest import events
+
+AST_CASES = [
+    ("true", True),
+    ("false", False),
+    ('host = "foo"', ("=", "host", "foo")),
+    ("metric = 1", ("=", "metric", 1)),
+    ("metric = 1.5", ("=", "metric", 1.5)),
+    ("metric = -1.5e2", ("=", "metric", -150.0)),
+    ("metric = 7N", ("=", "metric", 7)),
+    ("metric = nil", ("=", "metric", None)),
+    ("metric = null", ("=", "metric", None)),
+    ("metric >= 2.5", (">=", "metric", 2.5)),
+    ("metric != 4", ("!=", "metric", 4)),
+    ('service =~ "%foo%"', ("=~", "service", "%foo%")),
+    ('state ~= "^mi"', ("~=", "state", "^mi")),
+    ('tagged "cat"', ("tagged", "cat")),
+    (
+        'host = 1 or state = 2',
+        ("or", ("=", "host", 1), ("=", "state", 2)),
+    ),
+    (
+        "not ((host = 1 or host = 2) and host = 3)",
+        (
+            "not",
+            ("and", ("or", ("=", "host", 1), ("=", "host", 2)), ("=", "host", 3)),
+        ),
+    ),
+    # unicode string (query_test.clj:42)
+    ('host = "ş"', ("=", "host", "ş")),
+    # custom attribute field
+    ('custom_key = "v"', ("=", "custom_key", "v")),
+]
+
+
+@pytest.mark.parametrize("query,expected", AST_CASES)
+def test_ast(query, expected):
+    assert parse(query) == expected
+
+
+@pytest.mark.parametrize("bad", ["host =", "and", "host ~ 1", '(host = 1', "metric > "])
+def test_parse_errors(bad):
+    with pytest.raises(QueryParseError):
+        parse(bad)
+
+
+MATCH_FIXTURE = [
+    dict(host="a", service="api", state="ok", metric=1.0, tags=["cat", "dog"], time=1.0),
+    dict(host="b", service="api req", state="warning", metric=2.5, time=2.0),
+    dict(host=None, service="mill", state="critical", metric=None, time=3.0),
+    dict(host="ş", service="unicode", state="ok", metric=-150.0, time=4.0),
+]
+
+MATCH_CASES = [
+    ("true", [0, 1, 2, 3]),
+    ("false", []),
+    ('host = "a"', [0]),
+    ("host = nil", [2]),
+    ("host != nil", [0, 1, 3]),
+    # != matches null fields too (riemann: (not (= nil "a")) is true)
+    ('host != "a"', [1, 2, 3]),
+    ("metric > 1", [1]),
+    ("metric >= 1", [0, 1]),
+    ("metric < 0", [3]),
+    ('service =~ "%req%"', [1]),
+    ('service =~ "api%"', [0, 1]),
+    ('state ~= "^w"', [1]),
+    ('tagged "cat"', [0]),
+    ('tagged "bird"', []),
+    ('host = "a" or metric > 2', [0, 1]),
+    ('not (host = "a")', [1, 2, 3]),
+    ('host = "ş"', [3]),
+    ("metric = -1.5e2", [3]),
+]
+
+
+@pytest.mark.parametrize("query,expected_ids", MATCH_CASES)
+def test_matches(spark, query, expected_ids):
+    df = events(spark, *MATCH_FIXTURE)
+    got = sorted(r[0] for r in df.filter(compile_query(query)).select("event_id").collect())
+    assert got == expected_ids, query
+
+
+@pytest.mark.parametrize("query,expected_ids", MATCH_CASES)
+def test_sql_dialect_matches(spark, query, expected_ids):
+    """The spark-SQL rendering of each predicate selects the same rows."""
+    df = events(spark, *MATCH_FIXTURE)
+    df.createOrReplaceTempView("qev")
+    sql = to_sql(parse(query), "spark")
+    got = sorted(
+        r[0]
+        for r in spark.sql(f"SELECT event_id FROM qev WHERE {sql}").collect()
+    )
+    assert got == expected_ids, query

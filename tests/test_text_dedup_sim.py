@@ -1,0 +1,127 @@
+"""Text analysis, dedup, and similarity operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from riemann_spark.functions import dedup, similarity, text
+
+
+def docs(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_token_features(spark):
+    df = docs(spark, "the quick fox", "a b!")
+    rows = (
+        df.select(
+            "doc_id",
+            text.token_count("text").alias("n"),
+            text.mean_token_len("text").alias("mlen"),
+            text.punct_count("text").alias("punct"),
+            text.stopword_count("text").alias("stop"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert (rows[0].n, rows[0].mlen, rows[0].punct, rows[0].stop) == (3, 11 / 3, 0, 1)
+    assert (rows[1].n, rows[1].punct, rows[1].stop) == (2, 1, 1)
+
+
+def test_lang_id_votes(spark):
+    df = docs(spark, "the cat and the dog", "der hund ist nicht da", "xyzzy qwerty")
+    got = [r[0] for r in df.select(text.lang_id("text")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = docs(spark, "Hello   World", "hello world", "different")
+    fps = [r[0] for r in df.select(text.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_duplicates(spark):
+    df = docs(spark, "a b c", "A  b C", "unique doc")
+    out = dedup.exact_duplicates(df).orderBy("canonical_id").collect()
+    assert [(r.n_docs, r.canonical_id) for r in out] == [(2, 0), (1, 2)]
+
+
+def test_shingles(spark):
+    df = docs(spark, "a b c d", "x y")
+    got = [r[0] for r in df.select(dedup.shingles("text", 3)).orderBy("doc_id").collect()]
+    assert got == [["a b c", "b c d"], []]
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = docs(
+        spark,
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different text with no overlap at all",
+    )
+    out = dedup.ngram_jaccard_pairs(df, 0.3).collect()
+    assert [(r.doc1, r.doc2) for r in out] == [(0, 1)]
+    assert 0.4 < out[0].jaccard < 0.9
+
+
+def test_minhash_lsh_candidates(spark):
+    near_a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    near_b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zzz"
+    other = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    df = docs(spark, near_a, near_b, other)
+    pairs = {(r.doc1, r.doc2) for r in dedup.lsh_candidate_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = docs(
+        spark,
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight",
+    )
+    rows = dedup.simhash_buckets(df).orderBy("doc").collect()
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(rows[0].simhash, rows[1].simhash) <= ham(rows[0].simhash, rows[2].simhash)
+    assert all(0 <= r.simhash < 65536 for r in rows)
+
+
+def vecs(spark, *vs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_and_bruteforce_topk(spark):
+    df = vecs(spark, [1, 0, 0], [0.9, 0.1, 0], [0, 1, 0], [-1, 0, 0])
+    out = similarity.brute_force_topk(df.filter(F.col("vec_id") == 0), df, 2).collect()
+    assert [(r.n_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [(1, 1), (2, 2)]
+    cos = df.filter(F.col("vec_id") == 0).crossJoin(
+        df.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("e2"))
+    ).select(similarity.cosine(F.col("embedding"), F.col("e2")).alias("c")).collect()[0].c
+    assert cos == pytest.approx(-1.0)
+
+
+def test_lsh_topk_finds_same_bucket_neighbor(spark):
+    # near-identical vectors share all hyperplane signs → same bucket
+    base = [1.0] * 16
+    near = [1.0] * 15 + [0.9]
+    anti = [-1.0] * 16
+    df = vecs(spark, base, near, anti)
+    out = similarity.lsh_topk(df.filter(F.col("vec_id") == 0), df, 2, n_planes=4, dim=16)
+    got = [(r.n_id, r.rank) for r in out.collect()]
+    assert (1, 1) in got
+    assert all(n != 2 for n, _ in got)  # anti-parallel is in another bucket
+
+
+def test_ivf_topk(spark):
+    df = vecs(spark, [1, 0], [0, 1], [0.95, 0.05], [0.1, 0.98])
+    out = similarity.ivf_topk(df.filter(F.col("vec_id") < 2), df, 1, n_cells=2)
+    got = {r.q_id: r.n_id for r in out.collect()}
+    assert got[0] == 2 and got[1] == 3

@@ -1,0 +1,106 @@
+"""Window + fold golden cases (streams.clj §2.4, folds.clj §2.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from riemann_spark.operators import folds, windows
+from tests.conftest import events, metrics
+
+
+def _seq(spark, vals, dt=1.0, **common):
+    return events(
+        spark, *({"metric": float(v), "time": float(i) * dt, **common} for i, v in enumerate(vals))
+    )
+
+
+def test_fixed_offset_time_window(spark):
+    df = _seq(spark, [1, 2, 3, 4], dt=7.0)  # times 0,7,14,21 → buckets 0,0,10,20
+    out = windows.fixed_offset_time_window(df, 10.0)
+    assert metrics(out, "window_start") == [0.0, 0.0, 10.0, 20.0]
+
+
+def test_fixed_time_window_anchored(spark):
+    # anchored at first event's time (streams.clj:409-418), here t=5
+    df = events(
+        spark,
+        {"metric": 1.0, "time": 5.0},
+        {"metric": 2.0, "time": 14.0},
+        {"metric": 3.0, "time": 15.0},
+    )
+    out = windows.fixed_time_window(df, 10.0)
+    assert metrics(out, "window_start") == [5.0, 5.0, 15.0]
+
+
+def test_fixed_event_window(spark):
+    df = _seq(spark, range(7))
+    out = windows.fixed_event_window(df, 3)
+    assert metrics(out, "window_id") == [0, 0, 0, 1, 1, 1, 2]
+
+
+def test_moving_event_window_agg(spark):
+    df = _seq(spark, [1, 2, 3, 4])
+    w = windows.moving_event_window(2)
+    out = df.select("event_id", F.sum("metric").over(w).alias("s"))
+    assert metrics(out, "s") == [1.0, 3.0, 5.0, 7.0]
+
+
+def test_moving_time_window_agg(spark):
+    df = events(
+        spark,
+        {"metric": 1.0, "time": 0.0},
+        {"metric": 2.0, "time": 4.0},
+        {"metric": 4.0, "time": 5.0},
+        {"metric": 8.0, "time": 20.0},
+    )
+    w = windows.moving_time_window(5.0)
+    out = df.select("event_id", F.sum("metric").over(w).alias("s"))
+    assert metrics(out, "s") == [1.0, 3.0, 7.0, 8.0]
+
+
+def test_folds_family(spark):
+    df = _seq(spark, [1, 2, 2, 4, 6])
+    row = df.agg(
+        folds.dsum().alias("sum"),
+        folds.dmean().alias("mean"),
+        folds.fmedian().alias("median"),
+        folds.fmode().alias("mode"),
+        folds.dstddev_pop().alias("sd"),
+        folds.fmin().alias("mn"),
+        folds.fmax().alias("mx"),
+        folds.fcount().alias("n"),
+        folds.fproduct().alias("prod"),
+    ).collect()[0]
+    assert row["sum"] == 15.0 and row["mean"] == 3.0
+    assert row["median"] == 2.0 and row["mode"] == 2.0
+    assert row["sd"] == pytest.approx((16.0 / 5) ** 0.5)
+    assert (row.mn, row.mx, row.n) == (1.0, 6.0, 5)
+    assert row.prod == pytest.approx(96.0)
+
+
+def test_folds_null_tolerant(spark):
+    # nil-friendly variants skip null metrics (folds.clj:1-14)
+    df = events(spark, {"metric": 1.0}, {"metric": None}, {"metric": 3.0})
+    row = df.agg(folds.dsum().alias("s"), folds.dmean().alias("m")).collect()[0]
+    assert row.s == 4.0 and row.m == 2.0
+
+
+def test_sorted_sample_points(spark):
+    df = _seq(spark, [1, 2, 3, 4, 5])
+    row = df.agg(folds.sorted_sample_points("metric", [0.0, 0.5, 1.0]).alias("q")).collect()[0]
+    assert row.q == [1.0, 3.0, 5.0]
+
+
+def test_mode_tie_deterministic(spark):
+    # ties → smallest value wins
+    df = _seq(spark, [5, 5, 2, 2, 9])
+    assert df.agg(folds.fmode().alias("m")).collect()[0].m == 2.0
+
+
+def test_fold_metrics_generic(spark):
+    df = _seq(spark, [1, 2, 3])
+    row = df.agg(
+        folds.fold_metrics("metric", 0.0, lambda acc, x: acc + x * x).alias("ss")
+    ).collect()[0]
+    assert row.ss == 14.0
