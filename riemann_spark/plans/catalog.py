@@ -691,3 +691,229 @@ def regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------- round-1 widening batch
+
+@q(
+    "fixed_time_window",
+    f"""{_EV}, a AS (
+  SELECT host, service, metric,
+         MIN("time") OVER (PARTITION BY host, service) AS anchor, "time"
+  FROM ev
+), w AS (
+  SELECT host, service, metric,
+         anchor + CAST(floor(("time" - anchor) / 3600.0) AS BIGINT) * 3600
+           AS window_start
+  FROM a
+)
+SELECT host, service, window_start,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric,
+       COUNT(*) AS n
+FROM w GROUP BY host, service, window_start""",
+)
+def fixed_time_window_q(spark: SparkSession, sf: str) -> DataFrame:
+    """fixed-time-window (streams.clj:409-418): tumbling windows
+    anchored at the FIRST event's time per key (vs the epoch-aligned
+    fixed-offset variant). Two passes over one key partitioning: the
+    anchor window and the groupBy reuse the same shuffle."""
+    ev = windows.fixed_time_window(
+        load_events(spark, sf), 3600.0, keys=("host", "service")
+    )
+    return ev.groupBy("host", "service", "window_start").agg(
+        dsum("metric").alias("sum_metric"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "moving_time_window",
+    f"""{_EV}
+SELECT event_id, host, service,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) OVER (
+          PARTITION BY host, service ORDER BY "time"
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS window_sum
+FROM ev""",
+)
+def moving_time_window_q(spark: SparkSession, sf: str) -> DataFrame:
+    """moving-time-window 1h (streams.clj:322-353): per-event trailing
+    range frame — every event sees the sum of its key's last hour."""
+    ev = load_events(spark, sf)
+    w = windows.moving_time_window(3600.0, keys=("host", "service"))
+    return ev.select(
+        "event_id", "host", "service",
+        F.sum(_d("metric")).over(w).cast("double").alias("window_sum"),
+    )
+
+
+@q(
+    "rollup",
+    f"""{_EV}, t AS (
+  SELECT *, CAST(CAST(floor("time" / 86400.0) AS BIGINT) * 86400 AS DOUBLE)
+              AS bucket,
+         row_number() OVER (
+           PARTITION BY service, CAST(floor("time" / 86400.0) AS BIGINT)
+           ORDER BY "time", event_id) AS rn
+  FROM ev
+)
+SELECT event_id, host, service, metric, CAST(NULL AS BIGINT) AS rolled
+FROM t WHERE rn < 3
+UNION ALL
+SELECT arg_max(event_id, rn) AS event_id, arg_max(host, rn) AS host,
+       service, arg_max(metric, rn) AS metric, COUNT(*) AS rolled
+FROM t WHERE rn >= 3 GROUP BY service, bucket""",
+)
+def rollup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """rollup n=3/day per service (streams.clj:1120-1156): 2 events
+    pass through per window; the tail collapses to one aggregated
+    emission carrying the count."""
+    ev = load_events(spark, sf)
+    out = analytics.rollup(ev, 3, 86400.0, keys=("service",))
+    return out.select("event_id", "host", "service", "metric", "rolled")
+
+
+@q(
+    "ddt_real",
+    f"""{_EV}, last_per AS (
+  SELECT host, service, metric AS last_metric, window_start FROM (
+    SELECT host, service, metric,
+           CAST(CAST(floor("time" / 3600.0) AS BIGINT) * 3600 AS DOUBLE)
+             AS window_start,
+           row_number() OVER (
+             PARTITION BY host, service, CAST(floor("time" / 3600.0) AS BIGINT)
+             ORDER BY "time" DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+SELECT host, service, window_start, ddt FROM (
+  SELECT host, service, window_start,
+         (last_metric - lag(last_metric) OVER w)
+           / NULLIF(window_start - lag(window_start) OVER w, 0) AS ddt
+  FROM last_per WINDOW w AS (PARTITION BY host, service ORDER BY window_start)
+) WHERE ddt IS NOT NULL""",
+)
+def ddt_real_q(spark: SparkSession, sf: str) -> DataFrame:
+    """ddt-real (streams.clj:776-807): derivative sampled per hourly
+    interval — last value per interval, then per-interval slope."""
+    ev = load_events(spark, sf)
+    return analytics.ddt_real(ev, 3600.0).select(
+        "host", "service", "window_start", "ddt"
+    )
+
+
+_SS_POINTS = [0.0, 0.5, 0.95, 1.0]
+
+
+@q(
+    "sorted_sample",
+    f"""{_EV}, r AS (
+  SELECT service, metric,
+         row_number() OVER (PARTITION BY service
+                            ORDER BY metric, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY service) AS n
+  FROM ev
+)
+SELECT service || ' ' || point AS service, point, metric FROM (
+  {' UNION ALL '.join(
+    f'''SELECT service, '{p}' AS point,
+        MAX(CASE WHEN rn = LEAST(CAST(floor({p} * n) AS BIGINT), n - 1) + 1
+                 THEN metric END) AS metric
+    FROM r GROUP BY service''' for p in _SS_POINTS)}
+)""",
+)
+def sorted_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """sorted-sample (folds.clj:16-49) with the reference's EXACT
+    element selection: index floor(p·n) clamped to n−1 in the
+    metric-sorted sequence (not interpolated), service renamed
+    "svc p". One rank pass + one conditional aggregation."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("service").orderBy(F.col("metric"), F.col("event_id"))
+    r = ev.select(
+        "service", "metric",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("service")).alias("n"),
+    )
+    parts = []
+    for p in _SS_POINTS:
+        idx = F.least(F.floor(F.lit(p) * F.col("n")), F.col("n") - 1) + 1
+        parts.append(
+            r.groupBy("service").agg(
+                F.max(F.when(F.col("rn") == idx, F.col("metric"))).alias("metric")
+            ).select(
+                F.concat_ws(" ", F.col("service"), F.lit(str(p))).alias("service"),
+                F.lit(str(p)).alias("point"),
+                "metric",
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@q(
+    "fold_product",
+    f"""{_EV}
+SELECT service, round(exp(SUM(ln(1.0 + metric / 1000.0))), 6) AS product_1p
+FROM ev GROUP BY service""",
+)
+def fold_product_q(spark: SparkSession, sf: str) -> DataFrame:
+    """product fold (folds.clj:103-113) as exp(Σ ln) — keeps partial
+    map-side aggregation (a naive sequential product would not
+    distribute). Rounded to 6dp: log-sum ordering drift is ~1e-13."""
+    ev = load_events(spark, sf)
+    x = F.lit(1.0) + F.col("metric") / 1000.0
+    return ev.groupBy("service").agg(
+        F.round(F.exp(F.sum(F.log(x))), 6).alias("product_1p")
+    )
+
+
+@q(
+    "deps_suppression",
+    f"""{_EV}, latest AS ({_LATEST_SQL})
+SELECT e.event_id, e.host, e.service,
+       EXISTS (SELECT 1 FROM latest i
+               WHERE i.host = e.host AND i.service = 'signup'
+                 AND i.state = 'ok') AS deps_satisfied
+FROM ev e WHERE e.service = 'error'""",
+)
+def deps_suppression(spark: SparkSession, sf: str) -> DataFrame:
+    """deps rules (deps.clj:24-80): alert suppression — an error event
+    is actionable only if its host's 'signup' service is currently ok
+    in the index. Event stream ⋈ index snapshot as a BROADCAST
+    left-semi-style join (the index is |keys|-sized, always the small
+    side at scale)."""
+    ev = load_events(spark, sf)
+    idx = index.build_index(ev)
+    parent = idx.filter(
+        (F.col("service") == "signup") & (F.col("state") == "ok")
+    ).select(F.col("host").alias("p_host"))
+    return (
+        ev.filter(F.col("service") == "error")
+        .join(F.broadcast(parent), F.col("host") == F.col("p_host"), "left")
+        .select(
+            "event_id", "host", "service",
+            F.col("p_host").isNotNull().alias("deps_satisfied"),
+        )
+    )
+
+
+@q(
+    "by_derived_key",
+    f"""{_EV}
+SELECT CAST(host AS BIGINT) % 4 AS shard,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric
+FROM ev GROUP BY shard""",
+)
+def by_derived_key(spark: SparkSession, sf: str) -> DataFrame:
+    """by with an arbitrary key FUNCTION (streams.clj:1571): grouping
+    by a computed key (host shard) — the dynamic-fork table becomes a
+    plain groupBy on the derived expression."""
+    ev = load_events(spark, sf)
+    return ev.groupBy(
+        (F.col("host").cast("long") % 4).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("metric").alias("sum_metric"),
+    )
