@@ -1,0 +1,170 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (BASELINE.json north-star extras).
+
+Layout: ``content BINARY`` next to a ``media STRUCT<kind, mime, width,
+height, duration_ms, sample_rate>`` metadata column. All Spark-side
+plumbing (schema, partitioning, Arrow batch shapes, UDF signatures) is
+real and tested; the actual codec calls are STUBBED — the container
+has no image/audio libraries — behind ``NotImplementedError`` with a
+deterministic fake (md5-seeded) so pipelines are testable end-to-end.
+
+At 100 TB: binary payloads dominate storage — these operators use
+``mapInPandas`` (Arrow-batched, streaming through partitions without
+materializing whole groups), select only the columns they need
+(column pruning drops the heavy binary from every stage that doesn't
+touch it), and emit compact features, so the wide binary column
+crosses no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("kind", StringType()),        # image | audio | video
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+#: set True only where real codec libs exist; the container has none
+REAL_CODECS = False
+
+
+def _fake_stats(payload: bytes, n: int = 4) -> list[float]:
+    """Deterministic pseudo-features from the payload hash — stands in
+    for decoded pixel/sample statistics in tests."""
+    h = hashlib.md5(payload or b"").digest()
+    return [h[i] / 255.0 for i in range(n)]
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("f0", StringType()),  # feature vector, csv-packed
+    ]
+)
+
+
+def decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """image decode → feature extract (Arrow-batched mapInPandas).
+
+    Real path would decode with PIL/libav per batch; stubbed with the
+    deterministic fake. The plumbing — batch iteration, column
+    pruning, output schema — is the real shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if REAL_CODECS:
+                raise NotImplementedError("real image/audio decode: install codec libs")
+            feats = [
+                ",".join(f"{x:.6f}" for x in _fake_stats(b))
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": [m["kind"] if m is not None else None for m in pdf["media"]],
+                    "n_bytes": [len(b or b"") for b in pdf["content"]],
+                    "f0": feats,
+                }
+            )
+
+    return df.select(id_col, "media", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, id_col: str = "media_id") -> DataFrame:
+    """Resize plumbing: binary→binary mapInPandas with target dims.
+    Stub passes payloads through (real path: decode→resize→encode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if REAL_CODECS:
+                raise NotImplementedError("real resize: install codec libs")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": pdf["content"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int, id_col: str = "media_id") -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    (row explosion inside mapInPandas — the batch shape real frame
+    extraction uses). Stub emits hash-derived placeholder frames at
+    the metadata-declared duration."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if REAL_CODECS:
+                raise NotImplementedError("real frame sampling: install codec libs")
+            ids, idxs, frames = [], [], []
+            for mid, media, content in zip(pdf[id_col], pdf["media"], pdf["content"]):
+                dur = (media or {}).get("duration_ms") or 0
+                n = max(int(dur // every_ms), 1)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(hashlib.md5((content or b"") + bytes([i % 256])).digest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, "media", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+def make_media_frame(df: DataFrame, payload_col: str, kind: str, id_col: str) -> DataFrame:
+    """Wrap an arbitrary binary column into the multimodal layout."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).cast("binary").alias("content"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length(F.col(payload_col)) * 10).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("media"),
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from riemann_spark.operators import analytics, index, stateless, windows
 from riemann_spark.operators.folds import _d, dmean, dstddev_pop, dsum, msum
 from riemann_spark.query import parse, to_sql
-from riemann_spark.schema import EVENTS_NORM_SQL, load_events, load_table
+from riemann_spark.schema import EVENTS_NORM_SQL, load_events, load_table, normalize_events
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -917,3 +917,33 @@ def by_derived_key(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("metric").alias("sum_metric"),
     )
+
+
+@q(
+    "graphite_roundtrip",
+    """
+WITH lines AS (
+  SELECT CAST(user_id AS VARCHAR) || '.' || event_type || ' '
+         || CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR) || ' '
+         || CAST(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS VARCHAR)
+           AS line
+  FROM events
+), p AS (
+  SELECT regexp_split_to_array(trim(line), '\\s+') AS parts FROM lines
+)
+SELECT split_part(parts[1], ';', 1) AS service,
+       TRY_CAST(parts[2] AS DOUBLE) AS metric,
+       TRY_CAST(parts[3] AS DOUBLE) AS time
+FROM p""",
+)
+def graphite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Graphite line-protocol source+sink round-trip (transport/
+    graphite.clj parser :37-85, sink graphite.clj:116): events encoded
+    to `path value ts` lines, parsed back through the Column-only
+    parser. Proves the ingest path without a socket."""
+    from riemann_spark.sources import events_to_graphite_lines, graphite_lines_to_events
+
+    raw = load_table(spark, sf, "events")
+    ev = normalize_events(raw)
+    lines = events_to_graphite_lines(ev)
+    return graphite_lines_to_events(lines).select("service", "metric", "time")

@@ -1,0 +1,12 @@
+"""Sources (SURVEY.md §2.1): line-protocol parsers and stream readers.
+
+The reference's servers (tcp/udp/ws/graphite/opentsdb/kafka) decode
+wire payloads into events. Here decoding is Column work over a text or
+Kafka source — identical for batch and streaming DataFrames — and the
+"server" part is Spark's source connectors.
+"""
+
+from riemann_spark.sources.graphite import graphite_lines_to_events, events_to_graphite_lines
+from riemann_spark.sources.opentsdb import opentsdb_lines_to_events
+from riemann_spark.sources.json_codec import events_from_json, events_to_json
+from riemann_spark.sources.readers import read_events_stream, read_kafka_events, read_socket_lines

@@ -1,0 +1,61 @@
+"""Stream readers — the "server" half of the reference's transports.
+
+| reference server | here |
+|---|---|
+| kafka-consumer (kafka.clj:92-119) | ``read_kafka_events`` — native Kafka source + JSON codec |
+| tcp/udp protobuf servers (transport/tcp.clj:246-296) | Kafka/file bridge; protobuf decode would use from_protobuf with the Msg descriptor |
+| ws-server ingest (websockets.clj:94-133) | socket/file source + JSON codec |
+| graphite/opentsdb servers | ``read_socket_lines`` + the line parsers |
+
+The TCP acks/queries half of the reference protocol is a serving
+concern, not a data-plane one — the query endpoint is served by
+index search over the materialized index table (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from riemann_spark.schema import EVENT_SCHEMA
+from riemann_spark.sources.json_codec import events_from_json
+
+
+def read_events_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-based streaming source over event-schema data (the test
+    and replay path; also the 100 TB backfill path — the same topology
+    runs over historical parquet)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    return reader.format(fmt).load(path)
+
+
+def read_kafka_events(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    keep_extra: bool = False,
+) -> DataFrame:
+    """Kafka JSON events → event frame (kafka-consumer parity).
+
+    Requires the spark-sql-kafka package on the cluster; this builds
+    the plan only (nothing to connect to in this container)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return events_from_json(raw, "value", keep_extra=keep_extra)
+
+
+def read_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Raw text lines from a socket (dev-mode graphite/opentsdb
+    ingest); pipe through the line parsers."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .withColumnRenamed("value", "line")
+    )

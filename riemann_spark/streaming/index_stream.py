@@ -1,0 +1,127 @@
+"""Streaming index: latest event per [host, service] with TTL expiry.
+
+Reference behavior being reproduced (see operators/index.py for the
+batch oracle):
+- upsert latest per key (index.clj:98-101), tombstone on
+  state="expired";
+- reaper: when time+ttl passes, emit a synthetic
+  {host service state="expired" time=now} event (index.clj:73-87,
+  core.clj:275-309,300-307).
+
+Realized as ``applyInPandasWithState`` over groupBy(host, service)
+with EventTimeTimeout: per-key state is the current latest event; a
+timer at (time + ttl) fires once the watermark passes it, emitting the
+synthetic expired row and clearing state — the reaper loop without a
+scheduler thread, checkpointed and partitioned across executors.
+
+Scale: state is one row per live [host, service] key, hash-partitioned
+by the shuffle — the direct analogue of the reference's
+NonBlockingHashMap but distributed and fault-tolerant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from riemann_spark.schema import DEFAULT_TTL
+from riemann_spark.streaming.ops import with_event_timestamp
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("service", StringType()),
+        StructField("state", StringType()),
+        StructField("metric", DoubleType()),
+        StructField("time", DoubleType()),
+        StructField("ttl", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("state", StringType()),
+        StructField("metric", DoubleType()),
+        StructField("time", DoubleType()),
+        StructField("ttl", DoubleType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    host, service = key
+
+    if state.hasTimedOut:
+        # reaper fire: synthetic expired event at the watermark clock
+        now = state.getCurrentWatermarkMs() / 1000.0
+        state.remove()
+        yield pd.DataFrame(
+            [[host, service, "expired", None, now, None]],
+            columns=[f.name for f in OUTPUT_SCHEMA.fields],
+        )
+        return
+
+    best: tuple[Any, ...] | None = state.get if state.exists else None
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            cand = (
+                row.state,
+                None if pd.isna(row.metric) else float(row.metric),
+                float(row.time),
+                None if pd.isna(row.ttl) else float(row.ttl),
+                int(row.event_id),
+            )
+            # last-write-wins by (time, event_id) — the batch index's
+            # documented deterministic ordering
+            if best is None or (cand[2], cand[4]) > (best[2], best[4]):
+                best = cand
+
+    if best is None:
+        return
+    if best[0] == "expired":
+        # tombstone deletes the key (index.clj:98-101)
+        if state.exists:
+            state.remove()
+        return
+
+    state.update(best)
+    expiry_ms = int((best[2] + (best[3] if best[3] is not None else DEFAULT_TTL)) * 1000)
+    # timers must be ahead of the watermark; clip a late-arriving
+    # already-expired entry to fire at the next watermark advance
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(expiry_ms, wm + 1))
+    yield pd.DataFrame(
+        [[host, service, best[0], best[1], best[2], best[3]]],
+        columns=[f.name for f in OUTPUT_SCHEMA.fields],
+    )
+
+
+def streaming_index(sdf: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Wire the stateful index over a streaming event frame.
+
+    Emits the key's new latest event on every update, plus synthetic
+    ``state="expired"`` rows when TTLs lapse. Feed the output back to a
+    source topic for the reference's reinject loop (SURVEY §2.7 —
+    Spark DAGs are acyclic, so feedback is a Kafka round-trip)."""
+    sdf = with_event_timestamp(sdf).withWatermark("event_ts", watermark)
+    return sdf.groupBy("host", "service").applyInPandasWithState(
+        _update,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

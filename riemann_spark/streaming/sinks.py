@@ -1,0 +1,143 @@
+"""Sinks (SURVEY.md §2.8): pluggable output registry.
+
+The reference ships ~36 vendor integrations, all the same mechanism:
+``forward`` pushes events through a client (streams.clj:1255-1261),
+registered in config (config.clj:7-56). We implement the MECHANISM:
+a named-sink registry + foreachBatch multiplexing. Data sinks (kafka,
+parquet, delta-style paths, console, memory) are native writeStream
+formats; webhook-shaped vendors are one ``http_sink`` away.
+
+``fan_out`` reproduces the reference's core property that every event
+reaches every registered stream (core.clj:15-20): one source feeding N
+independently-trigger-able sinks via foreachBatch (single scan per
+micro-batch, no re-read per sink).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+SinkFn = Callable[[DataFrame, int], None]
+
+_REGISTRY: dict[str, Callable[..., SinkFn]] = {}
+
+
+def register_sink(name: str):
+    def deco(factory: Callable[..., SinkFn]):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def make_sink(name: str, **opts: Any) -> SinkFn:
+    return _REGISTRY[name](**opts)
+
+
+@register_sink("parquet")
+def _parquet_sink(path: str, partition_by: tuple[str, ...] = ()) -> SinkFn:
+    """Append micro-batches as parquet; partition columns are the
+    at-scale pruning story (e.g. service/day)."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    return write
+
+
+@register_sink("console")
+def _console_sink(limit: int = 20) -> SinkFn:
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.show(limit, truncate=False)
+
+    return write
+
+
+@register_sink("collect")
+def _collect_sink(store: list) -> SinkFn:
+    """Test sink — the reference's ``append``/``register`` atoms
+    (streams.clj:1243-1253)."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        store.extend(df.collect())
+
+    return write
+
+
+@register_sink("kafka")
+def _kafka_sink(bootstrap_servers: str, topic: str) -> SinkFn:
+    from riemann_spark.sources.json_codec import events_to_json
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        (
+            events_to_json(df)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+
+    return write
+
+
+@register_sink("http")
+def _http_sink(url: str, batch_limit: int = 1000) -> SinkFn:
+    """Webhook-shaped vendor sinks (slack/pagerduty/… parity): POST
+    JSON event batches. Collects at most batch_limit rows per
+    micro-batch to the driver — alerting-volume data only, never the
+    raw stream (route raw data to kafka/parquet sinks)."""
+    import urllib.request
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        rows = df.limit(batch_limit).toJSON().collect()
+        body = ("[" + ",".join(rows) + "]").encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"}
+        )
+        urllib.request.urlopen(req, timeout=10)
+
+    return write
+
+
+def fan_out(df: DataFrame, sinks: list[SinkFn]) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function sending each micro-batch to every sink.
+    The batch is persisted once so N sinks don't rescan the source."""
+
+    def for_each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if len(sinks) > 1:
+            batch_df.persist()
+        try:
+            for sink in sinks:
+                sink(batch_df, batch_id)
+        finally:
+            if len(sinks) > 1:
+                batch_df.unpersist()
+
+    return for_each_batch
+
+
+def write_stream(
+    df: DataFrame,
+    sinks: list[SinkFn],
+    checkpoint: str,
+    trigger_seconds: float | None = None,
+    query_name: str | None = None,
+):
+    """Start a streaming query pushing to the given sinks.
+    ``trigger_seconds`` maps the reference's every!-scheduled emission
+    cadence (time.clj:129-140) to Trigger.ProcessingTime."""
+    w = df.writeStream.foreachBatch(fan_out(df, sinks)).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    if query_name:
+        w = w.queryName(query_name)
+    return w.start()

@@ -1,0 +1,131 @@
+"""Structured Streaming tests: file source → memory sink, deterministic
+event times (batch mode is the semantics oracle — SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from riemann_spark.schema import EVENT_SCHEMA
+from riemann_spark.streaming import streaming_index, streaming_rate
+
+FULL_SCHEMA = "event_id long, " + ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in EVENT_SCHEMA.fields
+)
+
+
+def _write_batch(spark, path, rows, batch_id):
+    df = spark.createDataFrame(rows, FULL_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{batch_id}")
+
+
+def _mk(i, host, service, state="ok", metric=1.0, t=0.0, ttl=None):
+    return (i, host, service, state, None, metric, None, t, ttl, None)
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    yield src, ckpt
+
+
+def _run_stream(spark, src, ckpt, build, sink_name, batches, spark_rows_schema=FULL_SCHEMA):
+    """Write file batches one at a time, processing all available data
+    between writes so watermarks advance deterministically."""
+    first = spark.createDataFrame(batches[0], spark_rows_schema)
+    first.coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    sdf = spark.readStream.schema(first.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    q = (
+        build(sdf)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            df = spark.createDataFrame(rows, spark_rows_schema)
+            df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+            q.processAllAvailable()
+        return spark.sql(f"select * from {sink_name}").collect()
+    finally:
+        q.stop()
+
+
+def test_streaming_index_latest_and_expiry(spark, tmpdirs):
+    src, ckpt = tmpdirs
+    name = f"idx_{uuid.uuid4().hex[:8]}"
+    batches = [
+        # batch 0: two keys at t=100
+        [
+            _mk(0, "a", "x", metric=1.0, t=100.0, ttl=50.0),
+            _mk(1, "b", "x", metric=2.0, t=100.0, ttl=5000.0),
+        ],
+        # batch 1: update a/x (t=200); watermark moves to 200
+        [_mk(2, "a", "x", metric=10.0, t=200.0, ttl=50.0)],
+        # batch 2: far-future event pushes watermark past a/x's
+        # expiry (200+50) → reaper emits synthetic expired row
+        [_mk(3, "c", "y", metric=3.0, t=10000.0, ttl=50000.0)],
+        # batch 3: one more to let pending timers fire post-watermark
+        [_mk(4, "c", "z", metric=4.0, t=20000.0, ttl=50000.0)],
+    ]
+    rows = _run_stream(spark, src, ckpt, streaming_index, name, batches)
+    got = [(r.host, r.service, r.state, r.metric) for r in rows]
+    # every upsert emitted
+    assert ("a", "x", "ok", 1.0) in got
+    assert ("a", "x", "ok", 10.0) in got
+    assert ("b", "x", "ok", 2.0) in got
+    # the reaper fired for a/x after its ttl lapsed
+    expired = [(r.host, r.service) for r in rows if r.state == "expired"]
+    assert ("a", "x") in expired
+
+
+def test_streaming_index_tombstone(spark, tmpdirs):
+    src, ckpt = tmpdirs
+    name = f"idx_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [_mk(0, "a", "x", metric=1.0, t=100.0, ttl=9000.0)],
+        # tombstone deletes the key: no further emission for a/x
+        [_mk(1, "a", "x", state="expired", metric=None, t=200.0, ttl=9000.0)],
+        [_mk(2, "z", "z", metric=5.0, t=300.0, ttl=9000.0)],
+    ]
+    rows = _run_stream(spark, src, ckpt, streaming_index, name, batches)
+    ax = [r for r in rows if r.host == "a" and r.state != "expired"]
+    assert [(r.metric) for r in ax] == [1.0]  # only the initial upsert
+
+
+def test_streaming_rate_matches_batch(spark, tmpdirs):
+    src, ckpt = tmpdirs
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [
+            _mk(0, "a", "x", metric=3.0, t=5.0),
+            _mk(1, "a", "x", metric=6.0, t=8.0),
+        ],
+        # event far ahead closes the [0,10) window under the watermark
+        [_mk(2, "a", "x", metric=9.0, t=500.0)],
+        [_mk(3, "a", "x", metric=1.0, t=900.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, lambda s: streaming_rate(s, 10.0, watermark="1 seconds"), name, batches
+    )
+    win0 = [r for r in rows if r.window_start == 0.0]
+    assert len(win0) == 1 and win0[0].rate == pytest.approx(0.9)
+
+    # batch oracle agreement on the same closed window
+    from riemann_spark.operators import analytics
+
+    bdf = spark.createDataFrame(batches[0], FULL_SCHEMA)
+    brate = analytics.rate(bdf, 10.0).collect()[0].rate
+    assert win0[0].rate == brate
