@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 from riemann_spark.functions.text import fingerprint, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition compute-dense inputs across the cluster.
+
+    Small-file sources (one parquet split) otherwise pin the whole
+    shingle/hash pipeline to a single task — at any scale, CPU-heavy
+    per-row stages should run at cluster parallelism, not input-split
+    parallelism. One cheap round-robin shuffle of the narrow doc
+    projection buys full-width execution of everything downstream."""
+    # unconditional: probing .rdd.getNumPartitions() costs more than the
+    # tiny round-robin shuffle of the narrow projection; AQE coalesces
+    # if the input was already wide
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def shingles(col: str | Column = "text", k: int = 3) -> Column:
     """Distinct word k-gram shingles, space-joined."""
     toks = tokens(col)
@@ -43,7 +57,7 @@ def shingles(col: str | Column = "text", k: int = 3) -> Column:
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: fingerprint → (n_docs, canonical id)."""
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        _spread(df).select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -55,7 +69,7 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def _shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int, max_shingle_df: int | None
 ) -> DataFrame:
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
     )
     if max_shingle_df is not None:
@@ -128,7 +142,7 @@ def minhash_signatures(
     array-fold formulation avoids the shuffle but re-evaluates the
     nested shingle expression once per signature column — measured 60×
     slower at sf0.1.)"""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
     )
     return sh.groupBy("doc").agg(
@@ -210,7 +224,7 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """doc → 16-bit simhash + two 8-bit half-bands (candidate pairs =
     docs sharing either half, per the hamming-LSH construction)."""
     sh = simhash16(text_col)
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("doc"),
         sh.alias("simhash"),
         F.shiftright(sh.cast("int"), 8).alias("band_hi"),

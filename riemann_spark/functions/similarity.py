@@ -67,20 +67,22 @@ def brute_force_topk(
     )
 
 
+def plane_signs(plane: int, dim: int) -> list[float]:
+    """±1 hyperplane derived from md5(plane:dim-index) — deterministic
+    pseudo-random, zero model state, and identical in any engine
+    (hashlib.md5 ≡ Spark md5 ≡ DuckDB md5), so oracles can replicate
+    the bucketing. Computed driver-side: they are constants."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] >= "8" else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of ⟨vec, h_plane⟩ where h_plane ∈ {−1,+1}^dim is derived
-    from md5(plane:dim-index) — a deterministic pseudo-random hyperplane
-    shared by every engine and executor with zero model state."""
-    signs = F.array(
-        *[
-            F.when(
-                # first hex char of md5("plane:i") ≥ '8' → +1 else −1
-                F.substring(F.md5(F.lit(f"{plane}:{i}")), 1, 1) >= "8",
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            for i in range(dim)
-        ]
-    )
+    """Sign bit of ⟨vec, h_plane⟩."""
+    signs = F.array(*[F.lit(s) for s in plane_signs(plane, dim)])
     return (_dots(vec, signs) > 0).cast("int")
 
 
