@@ -142,6 +142,42 @@ def fmode(col: str | Column = "metric") -> Column:
     return F.array_max(pairs).getField("v")
 
 
+def _first_by_order(
+    col: str | Column, time_col: str = "time", order_col: str = "event_id"
+) -> Column:
+    """Earliest value by (time, id): lexicographic struct-min — a
+    deterministic arg-min usable inside any aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.min(
+        F.struct(F.col(time_col).alias("t"), F.col(order_col).alias("o"), c.alias("v"))
+    ).getField("v")
+
+
+def fdifference(
+    col: str | Column = "metric", time_col: str = "time", order_col: str = "event_id"
+) -> Column:
+    """difference fold (folds.clj:115-126): first − Σ(rest), i.e.
+    2·first − Σ(all). Exact decimal sum + deterministic first."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.lit(2).cast("double") * _first_by_order(c, time_col, order_col)
+        - F.sum(_d(c)).cast("double")
+    )
+
+
+def fquotient(
+    col: str | Column = "metric", time_col: str = "time", order_col: str = "event_id"
+) -> Column:
+    """quotient fold (folds.clj:128-154): first ÷ Π(rest) =
+    exp(2·ln(first) − Σ ln) for positive metrics; null (→ the
+    exception stream in the reference) when any metric ≤ 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    any_bad = F.max(F.when(c <= 0, 1).otherwise(0)) == 1
+    first = _first_by_order(c, time_col, order_col)
+    val = F.exp(F.lit(2.0) * F.log(first) - F.sum(F.log(c)))
+    return F.when(any_bad, F.lit(None)).otherwise(val)
+
+
 def sorted_sample_points(col: str | Column, points: list[float]) -> Column:
     """Percentile sample at given points → array<double>.
 

@@ -947,3 +947,30 @@ def graphite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ev = normalize_events(raw)
     lines = events_to_graphite_lines(ev)
     return graphite_lines_to_events(lines).select("service", "metric", "time")
+
+
+@q(
+    "fold_difference",
+    f"""{_EV}, f AS (
+  SELECT host, service, metric AS first_metric FROM (
+    SELECT host, service, metric,
+           row_number() OVER (PARTITION BY host, service
+                              ORDER BY "time", event_id) AS rn
+    FROM ev) WHERE rn = 1
+), s AS (
+  SELECT host, service,
+         CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_m
+  FROM ev GROUP BY host, service
+)
+SELECT s.host, s.service,
+       CAST(2 AS DOUBLE) * f.first_metric - s.sum_m AS difference
+FROM s JOIN f USING (host, service)""",
+)
+def fold_difference_q(spark: SparkSession, sf: str) -> DataFrame:
+    """difference fold (folds.clj:115-126): first − Σ(rest) per key in
+    ONE aggregation (deterministic struct-min arg-first + exact sum) —
+    no second scan, unlike the oracle's two-pass formulation."""
+    from riemann_spark.operators.folds import fdifference
+
+    ev = load_events(spark, sf)
+    return ev.groupBy("host", "service").agg(fdifference().alias("difference"))

@@ -47,6 +47,27 @@ def graphite_lines_to_events(df: DataFrame, line_col: str = "line") -> DataFrame
     )
 
 
+def graphite_lines_with_errors(
+    df: DataFrame, line_col: str = "line"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with an exception stream (streams.clj:81-121 call-rescue):
+    well-formed lines → events; malformed lines → a dead-letter frame
+    carrying the raw line, instead of poisoning the pipeline. The
+    reference catches per-event and routes to *exception-stream*; here
+    the split is declarative and both sides stay distributed."""
+    parsed = df.select(F.col(line_col).alias("__line"), *parse_line(F.col(line_col)))
+    ok = parsed.filter(
+        F.col("metric").isNotNull() & F.col("time").isNotNull()
+    ).drop("__line")
+    dead = parsed.filter(
+        F.col("metric").isNull() | F.col("time").isNull()
+    ).select(
+        F.col("__line").alias("line"),
+        F.lit("unparseable metric or timestamp").alias("error"),
+    )
+    return ok, dead
+
+
 def events_to_graphite_lines(
     df: DataFrame,
     path: Column | None = None,
