@@ -354,15 +354,24 @@ def counter_running(spark: SparkSession, sf: str) -> DataFrame:
   FROM g
 )
 SELECT ids[j] AS event_id, host, service,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_slice(xs, 1, j)),
-                   (acc, e) -> 0.5 * e + 0.5 * acc) AS ewma
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_reverse(list_slice(xs, greatest(1, j - 63), j)),
+             (e, i) -> e * 0.5 * pow(0.5, i - 1))),
+         (acc, t) -> acc + t) AS ewma
 FROM x""",
 )
 def ewma(spark: SparkSession, sf: str) -> DataFrame:
-    """ewma-timeless r=1/2 (streams.clj:961-977) via the exact
-    power-of-two closed form — see ewma_timeless_half docstring."""
+    """ewma-timeless r=1/2 (streams.clj:961-977), 64-term bounded form:
+    Σ_{i<64} x_{n-i}·r·(1-r)^i over the trailing frame. Exact to the
+    double precision of the unbounded recursion (truncated weights
+    < 2^-64·max ≈ 1e-17 relative) and — unlike the power-of-two
+    closed form (ewma_timeless_half) — overflow-free at ANY per-key
+    stream length. All products are exact power-of-two scalings, so
+    Spark's fold and the oracle's agree bit-for-bit."""
     ev = load_events(spark, sf)
-    return analytics.ewma_timeless_half(ev).select("event_id", "host", "service", "ewma")
+    return analytics.ewma_timeless(ev, 0.5).select("event_id", "host", "service", "ewma")
 
 
 @q(

@@ -1,0 +1,228 @@
+"""Custom stateful streaming operators (SURVEY §4 items 3-4 — the
+pieces with no Catalyst/built-in equivalent).
+
+All are ``applyInPandasWithState`` per-key state machines. Within a
+micro-batch, rows are processed in (time, event_id) order — the
+deterministic stand-in for the reference's arrival order; cross-batch
+disorder is handled by each operator's own semantics (ewma's negative
+Δt branch, the index's max-by-time).
+
+- ``streaming_ewma``: half-life EWMA (streams.clj:979-1013) — exact
+  port of the three Δt branches: decay r^Δt forward, back-decayed
+  contribution for out-of-order events, plain accumulation at Δt=0.
+- ``streaming_moving_event_window``: count-based sliding window
+  (streams.clj:292-303) — last-n buffer per key, windowed sum/count
+  emitted per event.
+- ``streaming_top``: top-k with demotion (streams.clj:1015-1100) —
+  the dual top/bottom split including the lazy demotion event when a
+  key is bumped. Global k-sized state on one group: feed it the
+  latest-per-key stream (the index output), not the raw firehose —
+  the state is O(k), but the single group serializes; k is small by
+  construction (alerting dashboards).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_EV_OUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("service", StringType()),
+        StructField("event_id", LongType()),
+        StructField("time", DoubleType()),
+        StructField("metric", DoubleType()),
+    ]
+)
+
+
+def _sorted_rows(pdfs: Iterator[pd.DataFrame], cols: list[str]) -> pd.DataFrame:
+    parts = [pdf[cols] for pdf in pdfs]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["time", "event_id"])
+
+
+# ------------------------------------------------------------- ewma --
+
+def streaming_ewma(sdf: DataFrame, halflife: float, keys: Sequence[str] = ("host", "service")) -> DataFrame:
+    """Half-life EWMA per key (streams.clj:979-1013)."""
+    r = math.exp(math.log(0.5) / halflife)  # c-existing
+    c_new = 1.0 - r
+
+    state_schema = StructType(
+        [StructField("m", DoubleType()), StructField("t", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        m, t_old = state.get if state.exists else (0.0, None)
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
+        out = []
+        for row in rows.itertuples(index=False):
+            t_new = float(row.time) if not pd.isna(row.time) else 0.0
+            if t_old is None:
+                t_old = t_new
+            dt = t_new - t_old
+            if not pd.isna(row.metric):
+                x = float(row.metric)
+                if dt > 0:
+                    m = c_new * x + m * (r ** dt)
+                    t_old = t_new
+                elif dt < 0:
+                    m = m + c_new * x * (r ** abs(dt))
+                else:
+                    m = m + c_new * x
+            out.append((host, service, int(row.event_id), t_new, m))
+        state.update((m, t_old if t_old is not None else 0.0))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in _EV_OUT.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, _EV_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------- count sliding window --
+
+def streaming_moving_event_window(
+    sdf: DataFrame, n: int, keys: Sequence[str] = ("host", "service")
+) -> DataFrame:
+    """moving-event-window n, streaming: per-key last-n buffer, emits
+    the trailing-window sum and count at every event."""
+    out_schema = StructType(
+        list(_EV_OUT.fields)
+        + [StructField("window_sum", DoubleType()), StructField("window_n", LongType())]
+    )
+    state_schema = StructType([StructField("buf", ArrayType(DoubleType()))])
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        (buf,) = state.get if state.exists else ([],)
+        buf = list(buf)
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
+        out = []
+        for row in rows.itertuples(index=False):
+            if not pd.isna(row.metric):
+                buf.append(float(row.metric))
+                del buf[:-n]
+            out.append(
+                (
+                    host,
+                    service,
+                    int(row.event_id),
+                    float(row.time),
+                    float(row.metric) if not pd.isna(row.metric) else None,
+                    float(sum(buf)),
+                    len(buf),
+                )
+            )
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# -------------------------------------------------------------- top --
+
+TOP_OUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("service", StringType()),
+        StructField("metric", DoubleType()),
+        StructField("time", DoubleType()),
+        StructField("stream", StringType()),  # top | bottom
+        StructField("state", StringType()),   # ok | expired (dual mirror)
+    ]
+)
+
+_TOP_STATE = StructType(
+    [
+        StructField("hosts", ArrayType(StringType())),
+        StructField("services", ArrayType(StringType())),
+        StructField("metrics", ArrayType(DoubleType())),
+    ]
+)
+
+
+def streaming_top(sdf: DataFrame, k: int) -> DataFrame:
+    """top k (streams.clj:1015-1100): dual top/bottom streams with
+    demotion. Every event yields a row on BOTH streams (one side the
+    real event, the other its expired mirror — the `dual` trick,
+    streams.clj:127-152); a bumped key additionally yields its
+    demotion pair."""
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hosts, services, metrics = state.get
+            top = {
+                (h, s): m for h, s, m in zip(hosts, services, metrics)
+            }
+        else:
+            top = {}
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "host", "service"])
+        out = []
+
+        def emit(h, s, m, t, stream, st):
+            out.append((h, s, m, t, stream, st))
+
+        for row in rows.itertuples(index=False):
+            ekey = (row.host, row.service)
+            value = None if pd.isna(row.metric) else float(row.metric)
+            t = float(row.time)
+            if value is None:
+                top.pop(ekey, None)
+                continue
+            in_top_before = ekey in top
+            smallest = min(top, key=lambda kk: top[kk]) if top else None
+            if (
+                not in_top_before
+                and len(top) >= k
+                and smallest is not None
+                and value <= top[smallest]
+            ):
+                # outside the top set: bottom gets e, top gets expired mirror
+                emit(row.host, row.service, value, t, "bottom", "ok")
+                emit(row.host, row.service, value, t, "top", "expired")
+                continue
+            top[ekey] = value
+            bumped = None
+            if len(top) > k:
+                bumped = min(top, key=lambda kk: top[kk])
+                bumped_val = top.pop(bumped)
+            emit(row.host, row.service, value, t, "top", "ok")
+            emit(row.host, row.service, value, t, "bottom", "expired")
+            if bumped is not None and bumped != ekey:
+                # lazy demotion: expired to top stream, real to bottom
+                emit(bumped[0], bumped[1], bumped_val, t, "top", "expired")
+                emit(bumped[0], bumped[1], bumped_val, t, "bottom", "ok")
+
+        hs = list(top.keys())
+        state.update(
+            ([h for h, _ in hs], [s for _, s in hs], [top[kk] for kk in hs])
+        )
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in TOP_OUT.fields])
+
+    one = sdf.withColumn("__g", F.lit(1))
+    return one.groupBy("__g").applyInPandasWithState(
+        update, TOP_OUT, _TOP_STATE, "append", GroupStateTimeout.NoTimeout
+    )

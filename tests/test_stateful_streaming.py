@@ -1,0 +1,84 @@
+"""Stateful streaming operators: half-life EWMA, count windows, top-k
+with demotion — cross-batch state continuity checks."""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+
+import pytest
+
+from riemann_spark.streaming.stateful_ops import (
+    streaming_ewma,
+    streaming_moving_event_window,
+    streaming_top,
+)
+from tests.test_streaming import FULL_SCHEMA, _mk, _run_stream
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    yield src, ckpt
+
+
+def test_streaming_ewma_halflife(spark, tmpdirs):
+    src, ckpt = tmpdirs
+    name = f"ew_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [_mk(0, "a", "x", metric=10.0, t=0.0)],
+        [_mk(1, "a", "x", metric=10.0, t=5.0)],   # state survives batches
+        [_mk(2, "a", "x", metric=10.0, t=5.0)],   # dt=0 branch
+    ]
+    rows = _run_stream(spark, src, ckpt, lambda s: streaming_ewma(s, 5.0), name, batches)
+    got = {r.event_id: r.metric for r in rows}
+    r = math.exp(math.log(0.5) / 5.0)
+    c = 1 - r
+    m0 = c * 10.0
+    m1 = c * 10.0 + m0 * (r ** 5)
+    m2 = m1 + c * 10.0
+    assert got[0] == pytest.approx(m0)
+    assert got[1] == pytest.approx(m1)
+    assert got[2] == pytest.approx(m2)
+
+
+def test_streaming_moving_event_window(spark, tmpdirs):
+    src, ckpt = tmpdirs
+    name = f"mw_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [_mk(0, "a", "x", metric=1.0, t=0.0), _mk(1, "a", "x", metric=2.0, t=1.0)],
+        [_mk(2, "a", "x", metric=3.0, t=2.0), _mk(3, "a", "x", metric=4.0, t=3.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, lambda s: streaming_moving_event_window(s, 3), name, batches
+    )
+    got = {r.event_id: (r.window_sum, r.window_n) for r in rows}
+    assert got == {0: (1.0, 1), 1: (3.0, 2), 2: (6.0, 3), 3: (9.0, 3)}
+
+
+def test_streaming_top_demotion(spark, tmpdirs):
+    src, ckpt = tmpdirs
+    name = f"tp_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [
+            _mk(0, "a", "x", metric=10.0, t=0.0),
+            _mk(1, "b", "x", metric=20.0, t=1.0),
+        ],
+        # c enters top-2 with 30 → bumps a (10): demotion pair expected
+        [_mk(2, "c", "x", metric=30.0, t=2.0)],
+        # d (5) below the top set → bottom
+        [_mk(3, "d", "x", metric=5.0, t=3.0)],
+    ]
+    rows = _run_stream(spark, src, ckpt, lambda s: streaming_top(s, 2), name, batches)
+    tops = [(r.host, r.state) for r in rows if r.stream == "top"]
+    bottoms = [(r.host, r.state) for r in rows if r.stream == "bottom"]
+    # a and b entered the top
+    assert ("a", "ok") in tops and ("b", "ok") in tops and ("c", "ok") in tops
+    # demotion: a expired on the top stream AND real on the bottom stream
+    assert ("a", "expired") in tops
+    assert ("a", "ok") in bottoms
+    # d never entered the top: bottom ok + expired mirror on top
+    assert ("d", "ok") in bottoms and ("d", "expired") in tops
