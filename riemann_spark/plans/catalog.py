@@ -983,3 +983,51 @@ def fold_difference_q(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_events(spark, sf)
     return ev.groupBy("host", "service").agg(fdifference().alias("difference"))
+
+
+@q(
+    "streaming_index_snapshot",
+    f"""{_EV}
+SELECT host, service, state, metric, time, ttl FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY host, service ORDER BY time DESC, event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND (state IS DISTINCT FROM 'expired')""",
+)
+def streaming_index_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING index (streaming/index_stream.py) run to
+    completion over the events table as a file stream — the stateful
+    applyInPandasWithState path, checked against the same latest-per-
+    key oracle as the batch index. In a single micro-batch the state
+    machine emits exactly one latest row per live key, so the oracle
+    is fully deterministic."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming import streaming_index
+
+    name = f"cat_sidx_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sidx_ck_")
+    # file stream sources take a directory; pathGlobFilter selects the
+    # events table. Schema must be the RAW parquet schema (ts read as
+    # nanos-long), converted in-stream exactly like load_table does.
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = streaming_index(normalize_events(raw))
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    # drop reaper-emitted synthetic expired rows: this query checks the
+    # upsert/snapshot path (expiry timers are covered in test_streaming)
+    return spark.table(name).filter(F.col("state") != "expired")

@@ -280,3 +280,41 @@ def knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     instead of crossJoin — each corpus row meets only its bucket."""
     e = load_table(spark, sf, "embeddings")
     return similarity.lsh_topk(e.filter(F.col("vec_id") < 8), e, 5, _N_PLANES, _DIM)
+
+
+def _byte_sql(i: int) -> str:
+    a, b = 2 * i + 1, 2 * i + 2
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, {a}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(hx, {b}, 1)) - 1)) / 255.0"
+    )
+
+
+@q(
+    "multimodal_features",
+    f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(nb AS BIGINT) AS n_bytes,
+       printf('%.6f,%.6f,%.6f,%.6f',
+              {_byte_sql(0)}, {_byte_sql(1)}, {_byte_sql(2)}, {_byte_sql(3)}) AS f0
+FROM h""",
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode→feature pipeline over binary media columns
+    (documents' text bytes standing in for image payloads): Arrow-
+    batched mapInPandas plumbing with the deterministic md5-seeded
+    stub decoder — the oracle replicates the stub bit-for-bit from
+    DuckDB's md5, proving the whole binary-column path (schema,
+    batching, feature extraction) end to end."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.make_media_frame(
+        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "payload", "image", "doc_id"
+    )
+    return multimodal.decode_features(media)
