@@ -1031,3 +1031,89 @@ def streaming_index_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     # drop reaper-emitted synthetic expired rows: this query checks the
     # upsert/snapshot path (expiry timers are covered in test_streaming)
     return spark.table(name).filter(F.col("state") != "expired")
+
+
+@q(
+    "filter_agg",
+    """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0""",
+)
+def filter_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecasting-revenue-change shape (TPC-H Q6): selective multi-
+    predicate scan → single global aggregate. Every predicate reaches
+    the parquet reader (PushedFilters), zero shuffles beyond the final
+    one-row combine — the purest pushdown showcase."""
+    li = load_table(spark, sf, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        msum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "top_suppliers_per_part",
+    """
+SELECT l_partkey, l_suppkey, qty, rk FROM (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS qty,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) DESC, l_suppkey) AS rk
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+) WHERE rk <= 2""",
+)
+def top_suppliers_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-N (rank over grouped aggregate): agg shuffle on
+    (part, supp) then a window partitioned by part — the second
+    'shuffle' reuses the first's partitioning when partkey prefixes the
+    agg key, so AQE plans one exchange."""
+    li = load_table(spark, sf, "lineitem")
+    qty_int = F.sum(F.round(F.col("l_quantity") * 100.0).cast("long").cast("decimal(38,0)"))
+    g = li.groupBy("l_partkey", "l_suppkey").agg(
+        qty_int.cast("double").alias("__q"), qty_int.alias("__qi")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("__qi").desc(), F.col("l_suppkey"))
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "l_partkey", "l_suppkey", (F.col("__q") / 100.0).alias("qty"), "rk"
+        )
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""",
+)
+def customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join shape: customers with no RECENT orders — the filter
+    shrinks the build side before the broadcast left_anti, so the
+    anti-join never materializes non-matching rows."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return c.join(
+        o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")

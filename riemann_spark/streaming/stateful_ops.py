@@ -141,6 +141,59 @@ def streaming_moving_event_window(
     )
 
 
+# ------------------------------------------------ fixed event window --
+
+def streaming_fixed_event_window(
+    sdf: DataFrame, n: int, keys: Sequence[str] = ("host", "service")
+) -> DataFrame:
+    """fixed-event-window (streams.clj:305-320) + batch-by-count flush
+    (streams.clj:1158-1185), streaming: buffer per key; every time the
+    buffer reaches n events, emit one aggregated row (sum + first/last
+    time) and reset. Partial windows stay buffered across micro-batches
+    (checkpointed) until filled."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("window_id", LongType()),
+            StructField("sum_metric", DoubleType()),
+            StructField("n", LongType()),
+            StructField("t_first", DoubleType()),
+            StructField("t_last", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buf_m", ArrayType(DoubleType())),
+            StructField("buf_t", ArrayType(DoubleType())),
+            StructField("win", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        buf_m, buf_t, win = state.get if state.exists else ([], [], 0)
+        buf_m, buf_t = list(buf_m), list(buf_t)
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
+        out = []
+        for row in rows.itertuples(index=False):
+            buf_m.append(0.0 if pd.isna(row.metric) else float(row.metric))
+            buf_t.append(float(row.time))
+            if len(buf_m) == n:
+                out.append(
+                    (host, service, win, float(sum(buf_m)), n, buf_t[0], buf_t[-1])
+                )
+                buf_m, buf_t = [], []
+                win += 1
+        state.update((buf_m, buf_t, win))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 # -------------------------------------------------------------- top --
 
 TOP_OUT = StructType(

@@ -82,3 +82,21 @@ def test_streaming_top_demotion(spark, tmpdirs):
     assert ("a", "ok") in bottoms
     # d never entered the top: bottom ok + expired mirror on top
     assert ("d", "ok") in bottoms and ("d", "expired") in tops
+
+
+def test_streaming_fixed_event_window(spark, tmpdirs):
+    from riemann_spark.streaming.stateful_ops import streaming_fixed_event_window
+
+    src, ckpt = tmpdirs
+    name = f"fw_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [_mk(0, "a", "x", metric=1.0, t=0.0), _mk(1, "a", "x", metric=2.0, t=1.0)],
+        # partial window buffered across batches; fills at event 2
+        [_mk(2, "a", "x", metric=3.0, t=2.0), _mk(3, "a", "x", metric=4.0, t=3.0)],
+        [_mk(4, "a", "x", metric=5.0, t=4.0), _mk(5, "a", "x", metric=6.0, t=5.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, lambda s: streaming_fixed_event_window(s, 3), name, batches
+    )
+    got = sorted((r.window_id, r.sum_metric, r.t_first, r.t_last) for r in rows)
+    assert got == [(0, 6.0, 0.0, 2.0), (1, 15.0, 3.0, 5.0)]

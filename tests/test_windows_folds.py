@@ -104,3 +104,30 @@ def test_fold_metrics_generic(spark):
         folds.fold_metrics("metric", 0.0, lambda acc, x: acc + x * x).alias("ss")
     ).collect()[0]
     assert row.ss == 14.0
+
+
+def test_salted_agg_matches_plain(spark):
+    from riemann_spark.operators.skew import salted_agg
+    from tests.conftest import events as _events
+
+    df = _events(
+        spark,
+        *(
+            {"host": "hot" if i % 4 else "cold", "metric": float(i), "time": float(i)}
+            for i in range(40)
+        ),
+    )
+    import pyspark.sql.functions as F
+
+    salted = salted_agg(
+        df,
+        ["host"],
+        {"s": F.sum(folds._d("metric")), "n": F.count(F.lit(1))},
+        {"s": F.sum(F.col("s")).cast("double"), "n": F.sum(F.col("n"))},
+    )
+    plain = df.groupBy("host").agg(
+        folds.dsum().alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = {(r.host): (r.s, r.n) for r in salted.collect()}
+    b = {(r.host): (r.s, r.n) for r in plain.collect()}
+    assert a == b
