@@ -100,3 +100,42 @@ def test_streaming_fixed_event_window(spark, tmpdirs):
     )
     got = sorted((r.window_id, r.sum_metric, r.t_first, r.t_last) for r in rows)
     assert got == [(0, 6.0, 0.0, 2.0), (1, 15.0, 3.0, 5.0)]
+
+
+def test_hot_reload_transition(spark, tmpdirs):
+    """core/transition! semantics: unchanged defs keep running,
+    changed defs restart, removed defs stop."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.streaming.lifecycle import Core, StreamDef
+
+    src, ckpt = tmpdirs
+    spark.createDataFrame(
+        [(0, "a", 1.0)], "event_id long, host string, metric double"
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    schema = spark.read.parquet(f"{src}/b0").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{src}/*")
+
+    u = uuid.uuid4().hex[:6]
+    def mk(filter_v):
+        return StreamDef(
+            build=lambda: sdf.filter(F.col("metric") > filter_v),
+            checkpoint=f"{ckpt}/q1_{u}_{filter_v}",
+        )
+
+    core = Core(spark)
+    try:
+        a1 = core.apply({f"q1{u}": mk(0.0), f"q2{u}": mk(5.0)})
+        assert a1 == {f"q1{u}": "started", f"q2{u}": "started"}
+        id_q1 = core.query(f"q1{u}").id
+
+        # same config → both kept, same query object
+        a2 = core.apply({f"q1{u}": mk(0.0), f"q2{u}": mk(5.0)})
+        assert a2 == {f"q1{u}": "kept", f"q2{u}": "kept"}
+        assert core.query(f"q1{u}").id == id_q1
+
+        # change q2's predicate, drop q1
+        a3 = core.apply({f"q2{u}": mk(7.0)})
+        assert a3 == {f"q1{u}": "stopped", f"q2{u}": "restarted"}
+    finally:
+        core.stop_all()
