@@ -43,6 +43,17 @@ HEADLINE = [
     "simhash",
     "knn_bruteforce",
     "knn_lsh",
+    "filter_agg",
+    "top_suppliers_per_part",
+    "customers_without_orders",
+    "multimodal_features",
+    "sorted_sample",
+    "fold_difference",
+    "moving_time_window",
+    "fixed_time_window",
+    "ddt_real",
+    "rollup",
+    "graphite_roundtrip",
 ]
 
 

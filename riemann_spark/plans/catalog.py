@@ -1117,3 +1117,73 @@ def customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     return c.join(
         o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "streaming_ewma_halflife",
+    f"""{_EV}, g AS (
+  SELECT host, service,
+         array_agg(struct_pack(m := metric, t := "time")
+                   ORDER BY "time", event_id) AS xs,
+         array_agg(event_id ORDER BY "time", event_id) AS ids
+  FROM ev GROUP BY host, service
+), x AS (
+  SELECT host, service, xs, ids,
+         unnest(generate_series(1, len(xs))) AS j
+  FROM g
+)
+SELECT ids[j] AS event_id, host, service,
+       list_reduce(
+         list_prepend(struct_pack(m := CAST(0.0 AS DOUBLE),
+                                  t := CAST(NULL AS DOUBLE)),
+                      list_slice(xs, 1, j)),
+         (acc, e) -> struct_pack(
+           m := CASE
+             WHEN e."t" - coalesce(acc."t", e."t") > 0 THEN
+               (1.0 - exp(ln(0.5) / 60.0)) * e.m
+                 + acc.m * pow(exp(ln(0.5) / 60.0), e."t" - acc."t")
+             WHEN e."t" - coalesce(acc."t", e."t") < 0 THEN
+               acc.m + (1.0 - exp(ln(0.5) / 60.0)) * e.m
+                 * pow(exp(ln(0.5) / 60.0), abs(e."t" - acc."t"))
+             ELSE acc.m + (1.0 - exp(ln(0.5) / 60.0)) * e.m
+           END,
+           t := CASE WHEN e."t" - coalesce(acc."t", e."t") > 0
+                     THEN e."t" ELSE coalesce(acc."t", e."t") END)
+       ).m AS ewma
+FROM x""",
+)
+def streaming_ewma_halflife(spark: SparkSession, sf: str) -> DataFrame:
+    """The STATEFUL half-life EWMA stream (streaming/stateful_ops.py,
+    reference streams.clj:979-1013) run to completion over the events
+    file stream, with a FULL value oracle: the DuckDB side folds the
+    identical three-branch recursion, and both sides use the same
+    libm (this is a Python-pandas operator — exp/pow come from the
+    same C library in both engines), so even the transcendental decay
+    terms match bit-for-bit."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_ewma
+
+    name = f"cat_sewma_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sewma_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = streaming_ewma(normalize_events(raw), 60.0)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).select(
+        "event_id", "host", "service", F.col("metric").alias("ewma")
+    )

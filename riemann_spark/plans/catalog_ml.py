@@ -201,7 +201,7 @@ def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash signatures from token md5 nibbles — near-dup
     hamming buckets; pure per-row projection."""
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", dedup.simhash16("text").alias("simhash"))
+    return dedup.simhash_table(d).select(F.col("doc").alias("doc_id"), "simhash")
 
 
 # --------------------------------------------------- similarity search

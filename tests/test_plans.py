@@ -1,0 +1,84 @@
+"""Physical-plan regression guards: the scale properties the engine
+claims (pushdown, broadcast dims, partial aggregation, top-k without
+global sort) must actually appear in the optimized plans.
+
+These run against sf0.001 — plan SHAPE doesn't depend on data volume
+(modulo AQE thresholds, which these assertions avoid)."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from riemann_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_where_filter_pushdown_and_pruning(spark):
+    p = plan_of(spark, "where_filter")
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)" in p
+    # column pruning: only the 4 needed columns reach the scan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>" in p
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    p = plan_of(spark, "tpch_q1")
+    assert "partial_sum" in p  # map-side combine before the shuffle
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+
+
+def test_regional_revenue_broadcasts_all_dims(spark):
+    p = plan_of(spark, "regional_revenue")
+    # formatted explain prints each node twice (tree + details)
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_revenue_top10_uses_take_ordered(spark):
+    # top-10 must not be a global sort of all groups
+    p = plan_of(spark, "revenue_top10")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_anti_join_is_broadcast(spark):
+    p = plan_of(spark, "customers_without_orders")
+    assert "LeftAnti" in p
+
+
+def test_deps_suppression_broadcasts_index(spark):
+    p = plan_of(spark, "deps_suppression")
+    assert "BroadcastHashJoin" in p
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    p = plan_of(spark, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_no_python_udfs_in_core_paths(spark):
+    """The riemann operator surface must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython in any core catalog plan
+    (multimodal + streaming are the sanctioned pandas paths)."""
+    for name in (
+        "index_latest",
+        "where_filter",
+        "window_folds",
+        "ewma",
+        "predict_linear",
+        "dedup_minhash_lsh",
+        "text_features",
+        "knn_lsh",
+    ):
+        p = plan_of(spark, name)
+        assert "EvalPython" not in p, name
