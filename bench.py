@@ -77,6 +77,33 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # throughput vs the reference's ~300K events/sec single-stream
+    # comment (BASELINE.md): push a 3M-row event stream through the
+    # canonical riemann pipeline (normalize -> where -> transforms ->
+    # per-key hourly rate + latest-per-key index) and measure wall rate
+    from pyspark.sql import functions as F
+
+    from riemann_spark.operators import analytics, index, stateless
+    from riemann_spark.schema import load_events
+
+    # repartition before the fan-out: a production source has many
+    # splits; the single test parquet file would serialize generation
+    ev = load_events(spark, sf_dir).repartition(cpus * 2)
+    n_copies = 30
+    big = ev.withColumn(
+        "__c", F.explode(F.array(*[F.lit(i) for i in range(n_copies)]))
+    ).withColumn("host", F.concat_ws("-", "host", "__c")).drop("__c")
+    n_events = ev.count() * n_copies
+    piped = stateless.tag(
+        stateless.default(stateless.where(big, "metric >= 0"), {"state": "ok"}),
+        "bench",
+    )
+    t0 = time.time()
+    analytics.rate(piped, 3600.0).write.format("noop").mode("overwrite").save()
+    index.build_index(piped).write.format("noop").mode("overwrite").save()
+    pipeline_sec = time.time() - t0
+    events_per_sec = int(n_events / pipeline_sec)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -86,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "events_per_sec": events_per_sec,
+                "throughput_events": n_events,
             }
         )
     )
