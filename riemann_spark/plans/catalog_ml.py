@@ -318,3 +318,84 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         d.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "payload", "image", "doc_id"
     )
     return multimodal.decode_features(media)
+
+
+@q(
+    "simhash_candidates",
+    f"""
+WITH t AS (SELECT doc_id, list_transform(list_distinct({_TOKS}),
+                                         x -> substr(md5(x), 1, 4)) AS hs
+           FROM documents),
+s AS (SELECT doc_id AS doc, {_SIMHASH_TERMS_SQL} AS simhash FROM t),
+b AS (SELECT doc, simhash,
+             unnest(['h|' || CAST(simhash // 256 AS VARCHAR),
+                     'l|' || CAST(simhash % 256 AS VARCHAR)]) AS band
+      FROM s)
+SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+FROM b a JOIN b b ON a.band = b.band AND a.doc < b.doc""",
+)
+def simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-LSH over SimHash signatures: docs agreeing on either
+    8-bit half of the 16-bit signature become near-dup candidates
+    (guarantees recall for hamming distance ≤ 1 between halves's
+    boundaries; the standard multi-band pigeonhole construction).
+    Bucket join only — no all-pairs."""
+    d = load_table(spark, sf, "documents")
+    bk = dedup.simhash_buckets(d)
+    bands = bk.select(
+        "doc",
+        F.explode(
+            F.array(
+                F.concat(F.lit("h|"), F.col("band_hi").cast("string")),
+                F.concat(F.lit("l|"), F.col("band_lo").cast("string")),
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+
+
+_IVF_CELLS = 16
+
+
+def _assign_sql(src: str, idc: str, vecc: str) -> str:
+    """nearest-centroid assignment (centroids = vec_id < n_cells)."""
+    return f"""
+  SELECT {idc}, {vecc}, cell FROM (
+    SELECT {src}.vec_id AS {idc}, {src}.v AS {vecc}, cc.vec_id AS cell,
+           row_number() OVER (
+             PARTITION BY {src}.vec_id
+             ORDER BY {_cos_sql(f'{src}.v', 'cc.v')} DESC, cc.vec_id) AS r
+    FROM e {src} JOIN e cc ON cc.vec_id < {_IVF_CELLS}
+  ) WHERE r = 1"""
+
+
+@q(
+    "knn_ivf",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qa AS ({_assign_sql('q0', 'q_id', 'q_vec')}),
+ca AS ({_assign_sql('c0', 'n_id', 'n_vec')}),
+scored AS (
+  SELECT qa.q_id, ca.n_id, {_cos_sql('qa.q_vec', 'ca.n_vec')} AS cos
+  FROM qa JOIN ca ON qa.cell = ca.cell
+  WHERE qa.q_id < 8 AND qa.q_id != ca.n_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+)
+def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse centroids (vec_id < 16),
+    nearest-centroid assignment for corpus AND queries, search within
+    the query's cell only. The third ANN tier next to brute-force and
+    hyperplane LSH — the oracle replicates assignment + rerank with
+    the same fold arithmetic."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(e.filter(F.col("vec_id") < 8), e, 5, _IVF_CELLS)
