@@ -1187,3 +1187,46 @@ def streaming_ewma_halflife(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "host", "service", F.col("metric").alias("ewma")
     )
+
+
+@q(
+    "streaming_rate_closed",
+    f"""{_EV}
+SELECT host, service, {_BUCKET_HOUR} AS window_start,
+       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / 3600.0 AS rate
+FROM ev
+GROUP BY host, service, window_start
+HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0""",
+)
+def streaming_rate_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked streaming rate (streaming/ops.py) over the events
+    file stream, append mode: only windows CLOSED by the final
+    watermark (max event time − 10 s) are emitted — the reference's
+    late-data drop made precise. The oracle filters the batch rate to
+    the same closed-window set, so window emission semantics
+    themselves are value-checked."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming import streaming_rate
+
+    name = f"cat_srate_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="srate_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = streaming_rate(normalize_events(raw), 3600.0, watermark="10 seconds")
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
