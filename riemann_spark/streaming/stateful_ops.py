@@ -141,6 +141,74 @@ def streaming_moving_event_window(
     )
 
 
+# ---------------------------------------------------------- coalesce --
+
+def streaming_coalesce(
+    sdf: DataFrame, dt_seconds: float, keys: Sequence[str] = ("host", "service")
+) -> DataFrame:
+    """coalesce (streams.clj:1209-1241), streaming: remember the latest
+    event per key; every ``dt`` seconds of WALL CLOCK each key re-emits
+    its remembered event (expired entries once, then forgotten) — the
+    reference's periodic whole-table snapshot, realized as per-key
+    processing-time timers instead of a scheduler thread.
+
+    Emission cadence is processing-time (the reference uses its timer
+    pool, time.clj:129-140); content is deterministic, timing is not —
+    so correctness checks assert content, tests poll."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("state", StringType()),
+            StructField("metric", DoubleType()),
+            StructField("time", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("state", StringType()),
+            StructField("metric", DoubleType()),
+            StructField("time", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    dt_ms = int(dt_seconds * 1000)
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        if state.hasTimedOut:
+            st, metric, t, _eid = state.get
+            if st == "expired":
+                state.remove()  # emitted-once tombstone forgotten
+            else:
+                state.setTimeoutDuration(dt_ms)
+            yield pd.DataFrame(
+                [[host, service, st, metric, t]],
+                columns=[f.name for f in out_schema.fields],
+            )
+            return
+        best = state.get if state.exists else None
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "state"])
+        for row in rows.itertuples(index=False):
+            cand = (
+                row.state,
+                None if pd.isna(row.metric) else float(row.metric),
+                float(row.time),
+                int(row.event_id),
+            )
+            if best is None or (cand[2], cand[3]) > (best[2], best[3]):
+                best = cand
+        if best is not None:
+            state.update(best)
+            state.setTimeoutDuration(dt_ms)
+        return
+        yield  # pragma: no cover — make this a generator
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
 # ------------------------------------------------ fixed event window --
 
 def streaming_fixed_event_window(

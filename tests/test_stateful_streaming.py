@@ -139,3 +139,43 @@ def test_hot_reload_transition(spark, tmpdirs):
         assert a3 == {f"q1{u}": "stopped", f"q2{u}": "restarted"}
     finally:
         core.stop_all()
+
+
+def test_streaming_coalesce_periodic_snapshot(spark, tmpdirs):
+    """Processing-time snapshots: after dt wall-clock, every remembered
+    key re-emits. Timing is nondeterministic → poll with a bound."""
+    import time as _time
+
+    from riemann_spark.streaming.stateful_ops import streaming_coalesce
+
+    src, ckpt = tmpdirs
+    name = f"co_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [_mk(0, "a", "x", metric=1.0, t=100.0), _mk(1, "b", "y", metric=2.0, t=100.0)],
+        FULL_SCHEMA,
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    sdf = spark.readStream.schema(
+        spark.read.parquet(f"{src}/b0").schema
+    ).parquet(f"{src}/*")
+    q = (
+        streaming_coalesce(sdf, 1.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql(f"select * from {name}").collect()
+            if len(rows) >= 4:  # both keys snapshotted at least twice
+                break
+            _time.sleep(0.5)
+        got = {(r.host, r.service, r.metric) for r in rows}
+        assert ("a", "x", 1.0) in got and ("b", "y", 2.0) in got
+        assert len(rows) >= 4
+    finally:
+        q.stop()
