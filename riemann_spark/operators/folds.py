@@ -25,8 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: decimal wide enough for 1e12 rows of 1e8-scale metrics, 10 frac digits
-_DEC = "decimal(38,10)"
+#: scale 6: captures every exact value this engine sums through _d
+#: (metrics ≤2dp, their squares ≤4dp, prices ≤2dp) while keeping the
+#: decimal→double boundary safe up to group sums of 2^53/1e6 ≈ 9e9 —
+#: above that both engines' conversions stop being correctly rounded
+#: and cross-engine bit-equality dies (see msum for the full story)
+_DEC = "decimal(38,6)"
 
 
 def _d(col: str | Column) -> Column:
@@ -72,7 +76,7 @@ def msum(col: str | Column, decimals: int) -> Column:
     discounts, quantities). Advantage over ``dsum``: every value that
     crosses the decimal→double boundary stays below 2^53, where BOTH
     Spark's (BigDecimal) and DuckDB's (int128) conversions are exact —
-    ``dsum`` results above 2^53·10^-10 can differ between engines in
+    ``dsum`` results above 2^53·10^-6 can differ between engines in
     the last ulp. Deterministic at any partitioning and any scale."""
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10**decimals)

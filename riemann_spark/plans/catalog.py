@@ -192,7 +192,7 @@ _BUCKET_HOUR = "CAST(CAST(floor(\"time\" / 3600.0) AS BIGINT) * 3600 AS DOUBLE)"
     "rate_per_hour",
     f"""{_EV}
 SELECT host, service, {_BUCKET_HOUR} AS window_start,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / 3600.0 AS rate
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / 3600.0 AS rate
 FROM ev GROUP BY host, service, window_start""",
 )
 def rate_per_hour(spark: SparkSession, sf: str) -> DataFrame:
@@ -207,13 +207,13 @@ def rate_per_hour(spark: SparkSession, sf: str) -> DataFrame:
     f"""{_EV}
 SELECT service, {_BUCKET_DAY} AS window_start,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric) AS mean_metric,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / COUNT(metric) AS mean_metric,
        MIN(metric) AS min_metric,
        MAX(metric) AS max_metric,
-       sqrt(CAST(SUM(CAST(metric * metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric)
-            - (CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric))
-            * (CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / COUNT(metric))) AS stddev_metric,
+       sqrt(CAST(SUM(CAST(metric * metric AS DECIMAL(38,6))) AS DOUBLE) / COUNT(metric)
+            - (CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / COUNT(metric))
+            * (CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / COUNT(metric))) AS stddev_metric,
        round(quantile_cont(metric, 0.5), 6) AS median_metric
 FROM ev GROUP BY service, window_start""",
 )
@@ -272,7 +272,7 @@ def percentiles_day(spark: SparkSession, sf: str) -> DataFrame:
   FROM ev
 )
 SELECT host, service, window_id,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric,
        COUNT(*) AS n
 FROM r GROUP BY host, service, window_id""",
 )
@@ -289,7 +289,7 @@ def fixed_event_window_q(spark: SparkSession, sf: str) -> DataFrame:
     "moving_event_window",
     f"""{_EV}
 SELECT event_id, host, service,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) OVER (
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) OVER (
           PARTITION BY host, service ORDER BY time, event_id
           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window_sum
 FROM ev""",
@@ -329,7 +329,7 @@ def ddt(spark: SparkSession, sf: str) -> DataFrame:
     "counter_running",
     f"""{_EV}
 SELECT event_id, host, service,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) OVER (
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) OVER (
           PARTITION BY host, service ORDER BY time, event_id
           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS counter
 FROM ev""",
@@ -717,7 +717,7 @@ def regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
   FROM a
 )
 SELECT host, service, window_start,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric,
        COUNT(*) AS n
 FROM w GROUP BY host, service, window_start""",
 )
@@ -738,7 +738,7 @@ def fixed_time_window_q(spark: SparkSession, sf: str) -> DataFrame:
     "moving_time_window",
     f"""{_EV}
 SELECT event_id, host, service,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) OVER (
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) OVER (
           PARTITION BY host, service ORDER BY "time"
           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS window_sum
@@ -912,7 +912,7 @@ def deps_suppression(spark: SparkSession, sf: str) -> DataFrame:
     f"""{_EV}
 SELECT CAST(host AS BIGINT) % 4 AS shard,
        COUNT(*) AS n,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_metric
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric
 FROM ev GROUP BY shard""",
 )
 def by_derived_key(spark: SparkSession, sf: str) -> DataFrame:
@@ -968,7 +968,7 @@ def graphite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     FROM ev) WHERE rn = 1
 ), s AS (
   SELECT host, service,
-         CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) AS sum_m
+         CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_m
   FROM ev GROUP BY host, service
 )
 SELECT s.host, s.service,
@@ -1193,7 +1193,7 @@ def streaming_ewma_halflife(spark: SparkSession, sf: str) -> DataFrame:
     "streaming_rate_closed",
     f"""{_EV}
 SELECT host, service, {_BUCKET_HOUR} AS window_start,
-       CAST(SUM(CAST(metric AS DECIMAL(38,10))) AS DOUBLE) / 3600.0 AS rate
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / 3600.0 AS rate
 FROM ev
 GROUP BY host, service, window_start
 HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0""",
