@@ -43,6 +43,7 @@ HEADLINE = [
     "simhash",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "filter_agg",
     "top_suppliers_per_part",
     "customers_without_orders",

@@ -111,17 +111,29 @@ def ewma_timeless(
     keys: Sequence[str] = KEY,
     time_col: str = "time",
     order_col: str = "event_id",
-    halflife_window: int = 64,
+    halflife_window: int | None = None,
 ) -> DataFrame:
     """EWMA ignoring inter-event time (streams.clj:961-977):
     ewma_n = r·x_n + (1-r)·ewma_{n-1}, seeded at 0.
 
-    Closed form over a bounded look-back: terms older than
-    ``halflife_window`` events carry weight (1-r)^64 ≤ 1e-9·max — below
-    double noise for any practical r, so a 64-row frame is exact to
-    ulp while keeping the operator a single window pass (no recursion,
-    no state). Implemented as Σ r·(1-r)^k·x_{n-k} via aggregate over
-    collect_list on the frame."""
+    Closed form over a bounded look-back of W events; the dropped tail
+    weighs (1-r)^W of the state, so W must scale with r. When
+    ``halflife_window`` is None it is chosen as
+    ceil(log(1e-12)/log(1-r)) — tail weight ≤ 1e-12, below double
+    noise — capped at 8192 rows to bound the per-row collect_list
+    (r < ~3.4e-3 hits the cap; at the cap the tail still weighs
+    ≤ (1-r)^8192). Implemented as Σ r·(1-r)^k·x_{n-k} via aggregate
+    over collect_list on the frame — a single window pass, no
+    recursion, no state."""
+    if halflife_window is None:
+        import math
+
+        if not 0.0 < r <= 1.0:
+            raise ValueError(f"ewma_timeless r must be in (0, 1], got {r}")
+        if r == 1.0:
+            halflife_window = 1
+        else:
+            halflife_window = min(8192, max(1, math.ceil(math.log(1e-12) / math.log(1.0 - r))))
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(F.col(time_col).desc(), F.col(order_col).desc())
@@ -351,20 +363,22 @@ def rollup(
     time_col: str = "time",
     order_col: str = "event_id",
 ) -> DataFrame:
-    """≤ n-1 events pass through per dt window; the rest of the window
-    accumulates into one aggregated row (streams.clj:1120-1156). Output
-    has ``rolled`` = collected events for the tail row, NULL for
+    """The first n events per dt window pass through individually; the
+    rest of the window accumulates into one aggregated row
+    (streams.clj:1120-1156: side-effects fire while sent <= n, so
+    ``rollup 3`` forwards events 1..3 and rolls [4, 5, ...]). Output has
+    ``rolled`` = count of collected events for the tail row, NULL for
     pass-throughs."""
     bucket = time_bucket(dt, time_col).cast("double")
     w = Window.partitionBy(*[F.col(c) for c in keys], bucket).orderBy(
         F.col(time_col), F.col(order_col)
     )
     tagged = df.withColumn("__bucket", bucket).withColumn("__rn", F.row_number().over(w))
-    passthrough = tagged.filter(F.col("__rn") < n).withColumn(
+    passthrough = tagged.filter(F.col("__rn") <= n).withColumn(
         "rolled", F.lit(None).cast("long")
     )
     tail = (
-        tagged.filter(F.col("__rn") >= n)
+        tagged.filter(F.col("__rn") > n)
         .groupBy(*keys, "__bucket")
         .agg(
             F.max_by(

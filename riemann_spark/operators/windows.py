@@ -34,8 +34,15 @@ def time_bucket(n_seconds: float, time_col: str | Column = "time") -> Column:
     """Epoch-aligned tumbling bucket start (fixed-offset-time-window:
     ``t - t mod n``). Pure arithmetic — engine-agnostic, pushdown-safe."""
     t = F.col(time_col) if isinstance(time_col, str) else time_col
-    n = F.lit(float(n_seconds))
-    return F.floor(t / n) * n.cast("long")
+    n = float(n_seconds)
+    if n <= 0:
+        raise ValueError(f"time_bucket interval must be positive, got {n_seconds}")
+    if n.is_integer():
+        # integer fast path: exact long arithmetic
+        return F.floor(t / F.lit(n)) * F.lit(int(n))
+    # fractional interval: multiply by the double literal (last-ulp risk
+    # accepted; casting the literal to long would truncate, e.g. 0.5 -> 0)
+    return F.floor(t / F.lit(n)) * F.lit(n)
 
 
 def fixed_offset_time_window(

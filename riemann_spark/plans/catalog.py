@@ -371,7 +371,9 @@ def ewma(spark: SparkSession, sf: str) -> DataFrame:
     stream length. All products are exact power-of-two scalings, so
     Spark's fold and the oracle's agree bit-for-bit."""
     ev = load_events(spark, sf)
-    return analytics.ewma_timeless(ev, 0.5).select("event_id", "host", "service", "ewma")
+    return analytics.ewma_timeless(ev, 0.5, halflife_window=64).select(
+        "event_id", "host", "service", "ewma"
+    )
 
 
 @q(
@@ -766,16 +768,16 @@ def moving_time_window_q(spark: SparkSession, sf: str) -> DataFrame:
   FROM ev
 )
 SELECT event_id, host, service, metric, CAST(NULL AS BIGINT) AS rolled
-FROM t WHERE rn < 3
+FROM t WHERE rn <= 3
 UNION ALL
 SELECT arg_max(event_id, rn) AS event_id, arg_max(host, rn) AS host,
        service, arg_max(metric, rn) AS metric, COUNT(*) AS rolled
-FROM t WHERE rn >= 3 GROUP BY service, bucket""",
+FROM t WHERE rn > 3 GROUP BY service, bucket""",
 )
 def rollup_q(spark: SparkSession, sf: str) -> DataFrame:
-    """rollup n=3/day per service (streams.clj:1120-1156): 2 events
-    pass through per window; the tail collapses to one aggregated
-    emission carrying the count."""
+    """rollup n=3/day per service (streams.clj:1120-1156): the first 3
+    events pass through per window; the tail collapses to one
+    aggregated emission carrying the count."""
     ev = load_events(spark, sf)
     out = analytics.rollup(ev, 3, 86400.0, keys=("service",))
     return out.select("event_id", "host", "service", "metric", "rolled")

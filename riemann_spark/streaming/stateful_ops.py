@@ -170,24 +170,35 @@ def streaming_coalesce(
             StructField("metric", DoubleType()),
             StructField("time", DoubleType()),
             StructField("event_id", LongType()),
+            StructField("deadline", LongType()),
         ]
     )
     dt_ms = int(dt_seconds * 1000)
 
     def update(key, pdfs, state: GroupState):
+        # The next-fire time is an ABSOLUTE deadline stored in state:
+        # data invocations re-arm the timeout to (deadline - now), never
+        # resetting the cadence — a key receiving events faster than dt
+        # still snapshots every dt (the reference emits every dt
+        # regardless of arrival rate, streams.clj:1227-1241). The
+        # deadline only advances when the timer actually fires.
         host, service = key
+        now = state.getCurrentProcessingTimeMs()
         if state.hasTimedOut:
-            st, metric, t, _eid = state.get
+            st, metric, t, eid, _deadline = state.get
             if st == "expired":
                 state.remove()  # emitted-once tombstone forgotten
             else:
+                state.update((st, metric, t, eid, now + dt_ms))
                 state.setTimeoutDuration(dt_ms)
             yield pd.DataFrame(
                 [[host, service, st, metric, t]],
                 columns=[f.name for f in out_schema.fields],
             )
             return
-        best = state.get if state.exists else None
+        stored = state.get if state.exists else None
+        best = stored[:4] if stored is not None else None
+        deadline = stored[4] if stored is not None else now + dt_ms
         rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "state"])
         for row in rows.itertuples(index=False):
             cand = (
@@ -199,8 +210,8 @@ def streaming_coalesce(
             if best is None or (cand[2], cand[3]) > (best[2], best[3]):
                 best = cand
         if best is not None:
-            state.update(best)
-            state.setTimeoutDuration(dt_ms)
+            state.update((*best, deadline))
+            state.setTimeoutDuration(max(int(deadline - now), 1))
         return
         yield  # pragma: no cover — make this a generator
 
@@ -280,6 +291,7 @@ _TOP_STATE = StructType(
         StructField("hosts", ArrayType(StringType())),
         StructField("services", ArrayType(StringType())),
         StructField("metrics", ArrayType(DoubleType())),
+        StructField("times", ArrayType(DoubleType())),
     ]
 )
 
@@ -289,17 +301,23 @@ def streaming_top(sdf: DataFrame, k: int) -> DataFrame:
     demotion. Every event yields a row on BOTH streams (one side the
     real event, the other its expired mirror — the `dual` trick,
     streams.clj:127-152); a bumped key additionally yields its
-    demotion pair."""
+    demotion pair carrying the bumped event's OWN stored (metric,
+    time). Expired / nil-metric inbound events remove their key and
+    are forwarded to both streams (the reference passes expired events
+    through both children after clearing state)."""
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            hosts, services, metrics = state.get
+            hosts, services, metrics, times = state.get
             top = {
-                (h, s): m for h, s, m in zip(hosts, services, metrics)
+                (h, s): (m, t)
+                for h, s, m, t in zip(hosts, services, metrics, times)
             }
         else:
             top = {}
-        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "host", "service"])
+        rows = _sorted_rows(
+            pdfs, ["event_id", "time", "metric", "host", "service", "state"]
+        )
         out = []
 
         def emit(h, s, m, t, stream, st):
@@ -309,36 +327,47 @@ def streaming_top(sdf: DataFrame, k: int) -> DataFrame:
             ekey = (row.host, row.service)
             value = None if pd.isna(row.metric) else float(row.metric)
             t = float(row.time)
-            if value is None:
+            ev_state = row.state if isinstance(row.state, str) else None
+            if value is None or ev_state == "expired":
+                # expired event: drop the key, forward to BOTH streams
                 top.pop(ekey, None)
+                st = ev_state if ev_state is not None else "expired"
+                emit(row.host, row.service, value, t, "top", st)
+                emit(row.host, row.service, value, t, "bottom", st)
                 continue
             in_top_before = ekey in top
-            smallest = min(top, key=lambda kk: top[kk]) if top else None
+            smallest = min(top, key=lambda kk: top[kk][0]) if top else None
             if (
                 not in_top_before
                 and len(top) >= k
                 and smallest is not None
-                and value <= top[smallest]
+                and value <= top[smallest][0]
             ):
                 # outside the top set: bottom gets e, top gets expired mirror
                 emit(row.host, row.service, value, t, "bottom", "ok")
                 emit(row.host, row.service, value, t, "top", "expired")
                 continue
-            top[ekey] = value
+            top[ekey] = (value, t)
             bumped = None
             if len(top) > k:
-                bumped = min(top, key=lambda kk: top[kk])
-                bumped_val = top.pop(bumped)
+                bumped = min(top, key=lambda kk: top[kk][0])
+                bumped_val, bumped_t = top.pop(bumped)
             emit(row.host, row.service, value, t, "top", "ok")
             emit(row.host, row.service, value, t, "bottom", "expired")
             if bumped is not None and bumped != ekey:
-                # lazy demotion: expired to top stream, real to bottom
-                emit(bumped[0], bumped[1], bumped_val, t, "top", "expired")
-                emit(bumped[0], bumped[1], bumped_val, t, "bottom", "ok")
+                # lazy demotion: expired to top stream, real to bottom —
+                # rows carry the bumped event's own stored metric AND time
+                emit(bumped[0], bumped[1], bumped_val, bumped_t, "top", "expired")
+                emit(bumped[0], bumped[1], bumped_val, bumped_t, "bottom", "ok")
 
         hs = list(top.keys())
         state.update(
-            ([h for h, _ in hs], [s for _, s in hs], [top[kk] for kk in hs])
+            (
+                [h for h, _ in hs],
+                [s for _, s in hs],
+                [top[kk][0] for kk in hs],
+                [top[kk][1] for kk in hs],
+            )
         )
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in TOP_OUT.fields])

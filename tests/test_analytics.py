@@ -118,9 +118,10 @@ def test_throttle(spark):
 def test_rollup(spark):
     df = _seq(spark, range(5), dt=1.0)
     out = analytics.rollup(df, 3, 100.0).orderBy("event_id").collect()
-    # 2 pass through; the tail (3 events) becomes one aggregated row
-    assert [r.metric for r in out] == [0.0, 1.0, 4.0]
-    assert [r.rolled for r in out] == [None, None, 3]
+    # first 3 pass through (streams.clj:1145-1151 fires while sent <= n);
+    # the tail (2 events) becomes one aggregated row
+    assert [r.metric for r in out] == [0.0, 1.0, 2.0, 4.0]
+    assert [r.rolled for r in out] == [None, None, None, 2]
 
 
 def test_apdex(spark):

@@ -21,6 +21,15 @@ def test_fixed_offset_time_window(spark):
     assert metrics(out, "window_start") == [0.0, 0.0, 10.0, 20.0]
 
 
+def test_time_bucket_fractional_interval(spark):
+    # fractional dt must not collapse to bucket 0 (long-cast truncation)
+    df = _seq(spark, [1, 2, 3, 4], dt=0.3)  # times 0, .3, .6, .9
+    out = windows.fixed_offset_time_window(df, 0.5)
+    assert metrics(out, "window_start") == [0.0, 0.0, 0.5, 0.5]
+    with pytest.raises(ValueError):
+        windows.time_bucket(0.0)
+
+
 def test_fixed_time_window_anchored(spark):
     # anchored at first event's time (streams.clj:409-418), here t=5
     df = events(
