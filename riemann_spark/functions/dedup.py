@@ -73,12 +73,14 @@ def _shingle_table(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
     )
     if max_shingle_df is not None:
-        # stop-shingle filter: drop join-key skew before the self-join
+        # stop-shingle filter: drop join-key skew before the self-join.
+        # Broadcast the HOT set (shingles in > max docs) and anti-join —
+        # hot shingles are few by construction, so the broadcast stays
+        # small no matter how large the corpus grows; the kept set is
+        # corpus-sized and must never be the broadcast side.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("df") <= max_shingle_df).select("shingle")),
-            "shingle",
-        )
+        hot = freq.filter(F.col("df") > max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return sh
 
 
@@ -88,13 +90,21 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
     inverted-index self-join: pairs sharing ≥1 shingle → intersection
     counts → |A∩B| / (|A|+|B|−|A∩B|). Integer arithmetic until one
     final division — deterministic.
+
+    ``max_shingle_df`` (default 1000) drops shingles appearing in more
+    than N docs BEFORE the self-join — a shingle in D docs contributes
+    D² join rows, so one hot shingle ("of the and") makes the join
+    quadratic at corpus scale. Jaccard is then computed over the
+    pruned shingle sets (sizes and intersections both exclude hot
+    shingles — the standard stop-shingle semantics). Pass None to
+    disable.
 
     The shingle table feeds three consumers (both join sides + sizes),
     so it is persisted for the query's lifetime — at warehouse scale

@@ -136,9 +136,11 @@ sh AS (SELECT doc_id AS doc,
     "dedup_jaccard",
     f"""
 WITH {_SHINGLE_SQL},
-sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
 inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
           GROUP BY 1, 2)
 SELECT doc1, doc2, n_inter, jaccard FROM (
   SELECT doc1, doc2, n_inter,
@@ -148,10 +150,12 @@ SELECT doc1, doc2, n_inter, jaccard FROM (
 )
 def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """3-gram shingle Jaccard near-dup pairs ≥ 0.5 via inverted-index
-    self-join (no all-pairs). Skew guard (max_shingle_df) available on
-    the operator; disabled here so the oracle sees identical pairs."""
+    self-join (no all-pairs). The stop-shingle skew guard
+    (max_shingle_df=1000) is ON and mirrored in the oracle's
+    hot/ANTI JOIN CTEs — Jaccard on both sides is over the pruned
+    shingle sets."""
     d = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(d, 0.5)
+    return dedup.ngram_jaccard_pairs(d, 0.5, max_shingle_df=1000)
 
 
 _N_HASHES, _BAND = 8, 2

@@ -67,6 +67,17 @@ def test_ngram_jaccard_pairs(spark):
     assert 0.4 < out[0].jaccard < 0.9
 
 
+def test_jaccard_stop_shingle_guard(spark):
+    # one hot shingle shared by every doc; with max_shingle_df=2 it is
+    # pruned, so otherwise-disjoint docs form no candidate pair at all
+    base = "common hot shingle"
+    df = docs(spark, f"{base} a1 a2", f"{base} b1 b2", f"{base} c1 c2")
+    ungated = dedup.ngram_jaccard_pairs(df, 0.01, max_shingle_df=None).collect()
+    assert len(ungated) == 3  # every pair shares the hot shingle
+    gated = dedup.ngram_jaccard_pairs(df, 0.01, max_shingle_df=2).collect()
+    assert gated == []
+
+
 def test_minhash_lsh_candidates(spark):
     near_a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     near_b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zzz"
