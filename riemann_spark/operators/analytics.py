@@ -315,7 +315,12 @@ def top(
 ) -> DataFrame:
     """Top-k of the latest-per-key snapshot by metric
     (streams.clj:1015-1100, snapshot form; demotion diffing is the
-    streaming variant). Latest per key → global rank ≤ k."""
+    streaming variant). Latest per key → orderBy().limit(k) — the
+    TakeOrderedAndProject shape: each partition keeps a local k-heap
+    and only k rows per partition reach the final merge, so no global
+    single-partition sort of the snapshot even at millions of keys.
+    The rank column is attached AFTER the take, when only k rows
+    remain (the window there is k-row-bounded, not snapshot-wide)."""
     latest = (
         df.withColumn(
             "__rn",
@@ -328,10 +333,10 @@ def top(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    wtop = Window.orderBy(F.col(metric_col).desc(), *[F.col(c) for c in keys])
-    return latest.withColumn("rank", F.row_number().over(wtop)).filter(
-        F.col("rank") <= k
-    )
+    order = [F.col(metric_col).desc(), *[F.col(c) for c in keys]]
+    taken = latest.orderBy(*order).limit(k)
+    wtop = Window.orderBy(*order)  # ranks k rows, not the snapshot
+    return taken.withColumn("rank", F.row_number().over(wtop))
 
 
 def throttle(

@@ -51,6 +51,16 @@ def test_revenue_top10_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_top10_take_ordered_not_global_window(spark):
+    # the snapshot top-k must be a TakeOrderedAndProject (local k-heaps,
+    # k-row merge), never a snapshot-wide single-partition sort; the
+    # rank Window runs after the take, over k rows only
+    p = plan_of(spark, "top10")
+    assert "TakeOrderedAndProject" in p
+    # per-key latest rn=1 gets the WindowGroupLimit pushdown
+    assert "WindowGroupLimit" in p
+
+
 def test_anti_join_is_broadcast(spark):
     p = plan_of(spark, "customers_without_orders")
     assert "LeftAnti" in p
