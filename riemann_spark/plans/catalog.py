@@ -961,6 +961,40 @@ def graphite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "protobuf_roundtrip",
+    f"""{_EV}
+SELECT host, service, state, description, metric,
+       array_to_string(tags, ',') AS tags_csv,
+       "time",
+       CAST(CAST(ttl AS FLOAT4) AS DOUBLE) AS ttl
+FROM ev""",
+)
+def protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Protobuf ``Msg`` wire round-trip (transport.clj:107-132 netty
+    ProtobufDecoder(Proto$Msg); common.clj:91-112 decode-msg): events
+    encoded to single-event Msg frames through the pure-Python wire
+    codec, decoded back, fields restored exactly. metric survives via
+    metric_sint64/metric_d (both lossless for doubles); time via exact
+    time_micros; ttl crosses the proto's float32 field, mirrored in
+    the oracle by the FLOAT4 cast."""
+    from riemann_spark.sources import events_to_msg_binary, msg_binary_to_events
+
+    ev = load_events(spark, sf)
+    frames = events_to_msg_binary(ev)
+    back = msg_binary_to_events(frames)
+    return back.select(
+        "host",
+        "service",
+        "state",
+        "description",
+        "metric",
+        F.array_join("tags", ",").alias("tags_csv"),
+        "time",
+        "ttl",
+    )
+
+
+@q(
     "fold_difference",
     f"""{_EV}, f AS (
   SELECT host, service, metric AS first_metric FROM (

@@ -10,3 +10,9 @@ from riemann_spark.sources.graphite import graphite_lines_to_events, events_to_g
 from riemann_spark.sources.opentsdb import opentsdb_lines_to_events
 from riemann_spark.sources.json_codec import events_from_json, events_to_json
 from riemann_spark.sources.readers import read_events_stream, read_kafka_events, read_socket_lines
+from riemann_spark.sources.protobuf import (
+    decode_msg,
+    encode_msg,
+    events_to_msg_binary,
+    msg_binary_to_events,
+)

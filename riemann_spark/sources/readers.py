@@ -3,7 +3,7 @@
 | reference server | here |
 |---|---|
 | kafka-consumer (kafka.clj:92-119) | ``read_kafka_events`` — native Kafka source + JSON codec |
-| tcp/udp protobuf servers (transport/tcp.clj:246-296) | Kafka/file bridge; protobuf decode would use from_protobuf with the Msg descriptor |
+| tcp/udp protobuf servers (transport/tcp.clj:246-296) | ``read_kafka_msg_frames`` — Kafka/file bridge carrying protobuf ``Msg`` frames, decoded by ``sources.protobuf.msg_binary_to_events`` (pure-Python wire codec, no protobuf lib needed) |
 | ws-server ingest (websockets.clj:94-133) | socket/file source + JSON codec |
 | graphite/opentsdb servers | ``read_socket_lines`` + the line parsers |
 
@@ -47,6 +47,28 @@ def read_kafka_events(
         .load()
     )
     return events_from_json(raw, "value", keep_extra=keep_extra)
+
+
+def read_kafka_msg_frames(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka binary ``Msg`` frames → event frame: the tcp/udp protobuf
+    ingest path (transport.clj:107-132) with Kafka as the wire bridge.
+    The record value is one protobuf Msg (possibly multi-event); the
+    pure-Python wire codec fans it out to event rows."""
+    from riemann_spark.sources.protobuf import msg_binary_to_events
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return msg_binary_to_events(raw, "value")
 
 
 def read_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
