@@ -1266,3 +1266,136 @@ def streaming_rate_closed(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+# ------------------------------------------------- round-2 additions
+
+@q(
+    "fold_quotient",
+    f"""{_EV}, f AS (
+  SELECT host, service, metric AS first_metric FROM (
+    SELECT host, service, metric,
+           row_number() OVER (PARTITION BY host, service
+                              ORDER BY "time", event_id) AS rn
+    FROM ev) WHERE rn = 1
+), g AS (
+  SELECT host, service,
+         MAX(CASE WHEN metric <= 0 THEN 1 ELSE 0 END) AS any_bad,
+         SUM(ln(metric)) AS sum_ln
+  FROM ev GROUP BY host, service
+)
+SELECT g.host, g.service,
+       CASE WHEN g.any_bad = 1 THEN NULL
+            ELSE round(exp(2.0 * ln(f.first_metric) - g.sum_ln), 6)
+       END AS quotient
+FROM g JOIN f USING (host, service)""",
+)
+def fold_quotient_q(spark: SparkSession, sf: str) -> DataFrame:
+    """quotient fold (folds.clj:128-154): first ÷ Π(rest) as
+    exp(2·ln(first) − Σ ln) — partial-agg-able like fold_product; any
+    metric ≤ 0 → NULL (the reference throws to the exception stream).
+    Rounded to 6dp for log-sum order drift."""
+    from riemann_spark.operators.folds import fquotient
+
+    ev = load_events(spark, sf)
+    return ev.groupBy("host", "service").agg(
+        F.round(fquotient("metric"), 6).alias("quotient")
+    )
+
+
+@q(
+    "fold_mode",
+    f"""{_EV}, c AS (
+  SELECT host, service, round(metric) AS v, COUNT(*) AS n
+  FROM ev WHERE metric IS NOT NULL GROUP BY host, service, round(metric)
+)
+SELECT host, service, v AS mode FROM (
+  SELECT host, service, v,
+         row_number() OVER (PARTITION BY host, service
+                            ORDER BY n DESC, v ASC) AS rn
+  FROM c) WHERE rn = 1""",
+)
+def fold_mode_q(spark: SparkSession, sf: str) -> DataFrame:
+    """mode fold (folds.clj:166-184) over rounded metrics, with the
+    documented deterministic tie rule: most frequent value, ties →
+    smallest (the reference's mode picks an arbitrary max of the
+    frequency map; a fixed tie-break is required for a reproducible
+    distributed answer). Counts-then-argmax — two shuffles on
+    [host,service(,v)], no collected vectors."""
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    counts = ev.groupBy("host", "service", F.round("metric").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("host", "service").orderBy(
+        F.col("n").desc(), F.col("v").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("host", "service", F.col("v").alias("mode"))
+    )
+
+
+@q(
+    "smapcat_tags",
+    f"""{_EV}
+SELECT event_id, unnest(tags) AS tag FROM ev""",
+)
+def smapcat_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """smapcat (streams.clj:177-189): map each event to a sequence of
+    derived events and flatten — here event → one event per tag. Pure
+    transform+explode: no shuffle, fuses with the scan."""
+    ev = load_events(spark, sf)
+    per_tag = F.transform(
+        F.col("tags"),
+        lambda t: F.struct(F.col("event_id").alias("event_id"), t.alias("tag")),
+    )
+    return stateless.smapcat(ev, per_tag, alias="e").select("e.event_id", "e.tag")
+
+
+@q(
+    "sflatten_regroup",
+    f"""{_EV}
+SELECT event_id, service, metric FROM ev""",
+)
+def sflatten_regroup(spark: SparkSession, sf: str) -> DataFrame:
+    """sflatten (streams.clj:191-204): vectors-of-events back to an
+    event stream. Round-trip: collect each host's events into one
+    vector row (what a fixed-event-window emits), then sflatten
+    restores the original stream exactly."""
+    ev = load_events(spark, sf)
+    vecs = ev.groupBy("host").agg(
+        F.collect_list(F.struct("event_id", "service", "metric")).alias("events")
+    )
+    return stateless.sflatten(vecs, "events")
+
+
+@q(
+    "opentsdb_roundtrip",
+    """
+WITH lines AS (
+  SELECT 'put ' || event_type || ' '
+         || CAST(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS VARCHAR)
+         || ' ' || CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR)
+         || ' host=' || CAST(user_id AS VARCHAR) AS line
+  FROM events
+), p AS (
+  SELECT regexp_split_to_array(trim(line), '\\s+') AS parts FROM lines
+)
+SELECT split_part(parts[5], '=', 2) AS host,
+       parts[2] AS service,
+       TRY_CAST(parts[4] AS DOUBLE) AS metric,
+       TRY_CAST(parts[3] AS DOUBLE) AS time
+FROM p WHERE parts[1] = 'put'""",
+)
+def opentsdb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """OpenTSDB telnet put round-trip (transport/opentsdb.clj parser
+    :24-77, server :120-145): events encoded to put lines, parsed back
+    through the Column-only parser — host restored from the host= tag,
+    proving the tag-to-host mapping without a socket."""
+    from riemann_spark.sources import opentsdb_lines_to_events
+    from riemann_spark.sources.opentsdb import events_to_opentsdb_lines
+
+    ev = load_events(spark, sf)
+    lines = events_to_opentsdb_lines(ev)
+    return opentsdb_lines_to_events(lines).select("host", "service", "metric", "time")

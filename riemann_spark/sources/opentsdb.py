@@ -11,6 +11,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def events_to_opentsdb_lines(df: DataFrame) -> DataFrame:
+    """Sink encode: ``put <service> <ts> <value> host=<host>`` — the
+    telnet put line the server at transport/opentsdb.clj:120-145
+    consumes. Metric stringified via DECIMAL(20,2) for deterministic
+    cross-engine formatting (same trick as the graphite sink); time as
+    whole epoch seconds (the telnet protocol's resolution)."""
+    return df.select(
+        F.concat_ws(
+            " ",
+            F.lit("put"),
+            F.col("service"),
+            F.floor(F.col("time")).cast("bigint").cast("string"),
+            F.col("metric").cast("decimal(20,2)").cast("string"),
+            F.concat(F.lit("host="), F.col("host")),
+        ).alias("line")
+    )
+
+
 def opentsdb_lines_to_events(df: DataFrame, line_col: str = "line") -> DataFrame:
     parts = F.split(F.trim(F.col(line_col)), r"\s+")
     tag_str = F.array_join(F.slice(parts, 5, 1000), ",")
