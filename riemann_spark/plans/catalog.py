@@ -1399,3 +1399,61 @@ def opentsdb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_events(spark, sf)
     lines = events_to_opentsdb_lines(ev)
     return opentsdb_lines_to_events(lines).select("host", "service", "metric", "time")
+
+
+@q(
+    "deps_algebra",
+    f"""{_EV}, latest AS ({_LATEST_SQL})
+SELECT e.event_id, e.host, e.service,
+       (CASE WHEN e.service = 'purchase' THEN
+          EXISTS (SELECT 1 FROM latest i
+                  WHERE i.service = 'signup' AND i.state = 'ok')
+          OR EXISTS (SELECT 1 FROM latest i
+                     WHERE i.service = 'view' AND i.state = 'ok')
+        ELSE TRUE END)
+       AND
+       (CASE WHEN e.service = 'error' THEN
+          (EXISTS (SELECT 1 FROM latest i
+                   WHERE i.host = e.host AND i.service = 'click'
+                     AND i.state = 'ok')
+           OR EXISTS (SELECT 1 FROM latest i
+                      WHERE i.host = e.host AND i.service = 'view'
+                        AND i.state = 'ok'))
+          AND EXISTS (SELECT 1 FROM latest i
+                      WHERE i.host = e.host AND i.service = 'signup')
+        ELSE TRUE END) AS deps_satisfied
+FROM ev e""",
+)
+def deps_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested deps rule (deps.clj:24-80, the deps_test.clj real-match
+    shape): all(depends(purchase, any(signup ok, view ok)),
+    depends(error, localhost(any(click ok, view ok), any(signup)))).
+    Leaf map-rules aggregate the index to per-host booleans ONCE
+    (broadcast join); the rule tree itself is pure codegen — no
+    per-event index probes, no shuffle of the event stream."""
+    from riemann_spark.operators import deps as D
+
+    ev = load_events(spark, sf)
+    idx = index.build_index(ev)
+    rule = D.all(
+        D.depends(
+            {"service": "purchase"},
+            D.any_(
+                {"service": "signup", "state": "ok"},
+                {"service": "view", "state": "ok"},
+            ),
+        ),
+        D.depends(
+            {"service": "error"},
+            D.localhost(
+                D.any_(
+                    {"service": "click", "state": "ok"},
+                    {"service": "view", "state": "ok"},
+                ),
+                D.any_({"service": "signup"}),
+            ),
+        ),
+    )
+    return D.deps_tag(ev, idx, rule).select(
+        "event_id", "host", "service", "deps_satisfied"
+    )
