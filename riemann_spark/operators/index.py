@@ -97,3 +97,30 @@ def expire(
         )
     )
     return live, expired
+
+
+def delete_from_index(
+    index_df: DataFrame,
+    event,
+    fields: tuple[str, ...] = KEY,
+) -> DataFrame:
+    """Delete index entries matching the event's values on ``fields``
+    (core.clj:256-273 delete-from-index: default [host service]; a
+    field list deletes every entry agreeing on all those fields).
+
+    ``event`` is either one event dict (single-cohort delete) or a
+    DataFrame of delete commands — the distributed form: the command
+    cohort is deduplicated to its match-fields and anti-joined
+    broadcast against the index, so a stream of deletions costs one
+    broadcast, never a shuffle of the index."""
+    if isinstance(event, dict):
+        cond = F.lit(True)
+        for f_ in fields:
+            cond = cond & F.col(f_).eqNullSafe(F.lit(event.get(f_)))
+        return index_df.filter(~cond)
+    cmds = event.select(*fields).dropDuplicates()
+    on = [index_df[f_].eqNullSafe(cmds[f_]) for f_ in fields]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    return index_df.join(F.broadcast(cmds), cond, "left_anti")

@@ -1457,3 +1457,23 @@ def deps_algebra(spark: SparkSession, sf: str) -> DataFrame:
     return D.deps_tag(ev, idx, rule).select(
         "event_id", "host", "service", "deps_satisfied"
     )
+
+
+@q(
+    "index_delete_cohort",
+    f"""{_EV}, latest AS ({_LATEST_SQL}),
+cmds AS (SELECT DISTINCT host FROM latest
+         WHERE service = 'error' AND metric > 180.0)
+SELECT host, service, metric, event_id
+FROM latest ANTI JOIN cmds USING (host)""",
+)
+def index_delete_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """delete-from-index by field match (core.clj:256-273): every host
+    whose latest error reading exceeds 180 has its ENTIRE cohort of
+    keys deleted. Command set is deduplicated to its match fields and
+    broadcast anti-joined — the index never reshuffles."""
+    ev = load_events(spark, sf)
+    idx = index.build_index(ev)
+    cmds = idx.filter((F.col("service") == "error") & (F.col("metric") > 180.0))
+    survivors = index.delete_from_index(idx, cmds, fields=("host",))
+    return survivors.select("host", "service", "metric", "event_id")

@@ -125,3 +125,40 @@ def streaming_index(sdf: DataFrame, watermark: str = "0 seconds") -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def delete_tombstones(
+    index_snapshot: DataFrame,
+    commands: DataFrame,
+    fields: tuple[str, ...] = ("host",),
+    now: float = 0.0,
+) -> DataFrame:
+    """delete-from-index by field match for the STREAMING index
+    (core.clj:256-273): cohort delete commands (e.g. "drop every key
+    of this host") fan out against the current index snapshot into
+    per-key ``state="expired"`` tombstones — exactly what the keyed
+    state machine consumes as deletions (index.clj:98-101,
+    _update:95-99). Feed the result back into the index stream's
+    source (the documented Kafka reinject boundary, SURVEY §2.7).
+
+    ``now`` must be >= the cohort's event times so the tombstone wins
+    last-write-wins; event_id is pinned to a sentinel above any real
+    id for the deterministic tie-break."""
+    cmds = commands.select(*fields).dropDuplicates()
+    cond = index_snapshot[fields[0]].eqNullSafe(cmds[fields[0]])
+    for f_ in fields[1:]:
+        cond = cond & index_snapshot[f_].eqNullSafe(cmds[f_])
+    from pyspark.sql import functions as F
+
+    keys = index_snapshot.join(F.broadcast(cmds), cond, "left_semi")
+    return keys.select(
+        "host",
+        "service",
+        F.lit("expired").alias("state"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("double").alias("metric"),
+        F.lit(None).cast("array<string>").alias("tags"),
+        F.lit(float(now)).alias("time"),
+        F.lit(None).cast("double").alias("ttl"),
+        F.lit(1 << 62).alias("event_id"),
+    )

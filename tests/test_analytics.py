@@ -207,3 +207,23 @@ def test_index_tombstone_and_ttl(spark):
     assert live.count() == 0
     got = exp.collect()
     assert [(r.host, r.state, r.time) for r in got] == [("b", "expired", 10.0)]
+
+
+def test_delete_from_index_field_match(spark):
+    df = events(
+        spark,
+        {"host": "a", "service": "x", "state": "ok", "time": 1.0, "metric": 1.0},
+        {"host": "a", "service": "y", "state": "critical", "time": 1.0, "metric": 2.0},
+        {"host": "b", "service": "x", "state": "ok", "time": 1.0, "metric": 3.0},
+    )
+    idx = index.build_index(df)
+    # default fields [host, service]: deletes exactly one key (core.clj:256-273)
+    out = index.delete_from_index(idx, {"host": "a", "service": "x"})
+    assert sorted((r.host, r.service) for r in out.collect()) == [("a", "y"), ("b", "x")]
+    # field list [host]: deletes the whole host-a cohort
+    out = index.delete_from_index(idx, {"host": "a"}, fields=("host",))
+    assert [(r.host, r.service) for r in out.collect()] == [("b", "x")]
+    # DataFrame command form: anti-join on the match fields
+    cmds = idx.filter(F.col("state") == "critical")
+    out = index.delete_from_index(idx, cmds, fields=("host",))
+    assert [(r.host, r.service) for r in out.collect()] == [("b", "x")]

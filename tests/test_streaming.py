@@ -105,6 +105,38 @@ def test_streaming_index_tombstone(spark, tmpdirs):
     assert [(r.metric) for r in ax] == [1.0]  # only the initial upsert
 
 
+def test_streaming_index_cohort_delete(spark, tmpdirs):
+    """delete-from-index by field match (core.clj:256-273), streaming:
+    cohort commands fan out into per-key tombstones via
+    delete_tombstones; the keyed state machine consumes them as
+    deletions and later events recreate the key."""
+    from riemann_spark.streaming.index_stream import delete_tombstones
+
+    src, ckpt = tmpdirs
+    name = f"idxdel_{uuid.uuid4().hex[:8]}"
+    b0 = [
+        _mk(0, "a", "x", metric=1.0, t=100.0, ttl=9000.0),
+        _mk(1, "a", "y", metric=2.0, t=100.0, ttl=9000.0),
+        _mk(2, "b", "x", metric=3.0, t=100.0, ttl=9000.0),
+    ]
+    snap = spark.createDataFrame(b0, FULL_SCHEMA)
+    cmds = snap.filter(F.col("host") == "a")
+    tombs = delete_tombstones(snap, cmds, fields=("host",), now=200.0)
+    tomb_keys = sorted((r.host, r.service) for r in tombs.collect())
+    assert tomb_keys == [("a", "x"), ("a", "y")]  # the whole host-a cohort
+    tomb_rows = [
+        _mk(1 << 62, h, s, state="expired", metric=None, t=200.0)
+        for h, s in tomb_keys
+    ]
+    batches = [b0, tomb_rows, [_mk(3, "a", "x", metric=9.0, t=300.0, ttl=9000.0)]]
+    rows = _run_stream(spark, src, ckpt, streaming_index, name, batches)
+    live = [(r.host, r.service, r.metric) for r in rows if r.state != "expired"]
+    assert ("a", "x", 1.0) in live and ("a", "y", 2.0) in live
+    # deletion emitted nothing; the key was recreated by the later event
+    assert not [r for r in rows if r.state == "expired"]
+    assert ("a", "x", 9.0) in live
+
+
 def test_streaming_rate_matches_batch(spark, tmpdirs):
     src, ckpt = tmpdirs
     name = f"rate_{uuid.uuid4().hex[:8]}"
