@@ -21,3 +21,11 @@ from riemann_spark.streaming.ops import (
     streaming_window_folds,
     with_event_timestamp,
 )
+from riemann_spark.streaming.stateful_ops import (
+    streaming_batch,
+    streaming_coalesce,
+    streaming_ewma,
+    streaming_fixed_event_window,
+    streaming_moving_event_window,
+    streaming_top,
+)

@@ -273,6 +273,99 @@ def streaming_fixed_event_window(
     )
 
 
+# ------------------------------------------------------ batch n|dt --
+
+def streaming_batch(
+    sdf: DataFrame,
+    n: int,
+    dt_seconds: float,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """batch (streams.clj:1158-1185): buffer per key, flush when EITHER
+    n events accumulate (immediate, ``reason="count"``) OR dt seconds
+    of wall clock pass with a non-empty buffer (``reason="time"`` —
+    part-time-simple's interval flush). Combines the count-flush of
+    streaming_fixed_event_window with streaming_coalesce's absolute-
+    deadline processing-time timer (the deadline only advances when
+    the timer fires, so steady traffic cannot starve the time flush).
+
+    Emits one aggregated row per flush: count, metric sum, first/last
+    event time — the batch vector's shape without shipping the vector.
+    """
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("batch_id", LongType()),
+            StructField("n", LongType()),
+            StructField("sum_metric", DoubleType()),
+            StructField("t_first", DoubleType()),
+            StructField("t_last", DoubleType()),
+            StructField("reason", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buf_m", ArrayType(DoubleType())),
+            StructField("buf_t", ArrayType(DoubleType())),
+            StructField("bid", LongType()),
+            StructField("deadline", LongType()),
+        ]
+    )
+    dt_ms = int(dt_seconds * 1000)
+    cols = [f.name for f in out_schema.fields]
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            buf_m, buf_t, bid, _deadline = state.get
+            buf_m, buf_t = list(buf_m), list(buf_t)
+            state.update(([], [], bid + (1 if buf_m else 0), now + dt_ms))
+            state.setTimeoutDuration(dt_ms)
+            if buf_m:
+                yield pd.DataFrame(
+                    [
+                        [
+                            host,
+                            service,
+                            bid,
+                            len(buf_m),
+                            float(sum(buf_m)),
+                            buf_t[0],
+                            buf_t[-1],
+                            "time",
+                        ]
+                    ],
+                    columns=cols,
+                )
+            return
+        if state.exists:
+            buf_m, buf_t, bid, deadline = state.get
+            buf_m, buf_t = list(buf_m), list(buf_t)
+        else:
+            buf_m, buf_t, bid, deadline = [], [], 0, now + dt_ms
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
+        out = []
+        for row in rows.itertuples(index=False):
+            buf_m.append(0.0 if pd.isna(row.metric) else float(row.metric))
+            buf_t.append(float(row.time))
+            if len(buf_m) >= n:
+                out.append(
+                    (host, service, bid, n, float(sum(buf_m)), buf_t[0], buf_t[-1], "count")
+                )
+                buf_m, buf_t = [], []
+                bid += 1
+        state.update((buf_m, buf_t, bid, deadline))
+        state.setTimeoutDuration(max(int(deadline - now), 1))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
 # -------------------------------------------------------------- top --
 
 TOP_OUT = StructType(

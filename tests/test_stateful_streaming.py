@@ -141,6 +141,54 @@ def test_hot_reload_transition(spark, tmpdirs):
         core.stop_all()
 
 
+def test_streaming_batch_n_or_dt(spark, tmpdirs):
+    """batch (streams.clj:1158-1185): count flush fires immediately at
+    n; a partial buffer flushes once dt wall-clock passes. Both
+    triggers observed in one run."""
+    import time as _time
+
+    from riemann_spark.streaming.stateful_ops import streaming_batch
+
+    src, ckpt = tmpdirs
+    name = f"ba_{uuid.uuid4().hex[:8]}"
+    # key a/x gets 3 events (n=3 → immediate count flush);
+    # key b/y gets 1 event (partial → time flush after dt=1s)
+    spark.createDataFrame(
+        [
+            _mk(0, "a", "x", metric=1.0, t=100.0),
+            _mk(1, "a", "x", metric=2.0, t=101.0),
+            _mk(2, "a", "x", metric=3.0, t=102.0),
+            _mk(3, "b", "y", metric=9.0, t=100.0),
+        ],
+        FULL_SCHEMA,
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    sdf = spark.readStream.schema(
+        spark.read.parquet(f"{src}/b0").schema
+    ).parquet(f"{src}/*")
+    q = (
+        streaming_batch(sdf, 3, 1.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql(f"select * from {name}").collect()
+            if len(rows) >= 2:
+                break
+            _time.sleep(0.5)
+        got = {(r.host, r.reason): (r.n, r.sum_metric, r.t_first, r.t_last) for r in rows}
+        assert got[("a", "count")] == (3, 6.0, 100.0, 102.0)
+        assert got[("b", "time")] == (1, 9.0, 100.0, 100.0)
+    finally:
+        q.stop()
+
+
 def test_streaming_coalesce_periodic_snapshot(spark, tmpdirs):
     """Processing-time snapshots: after dt wall-clock, every remembered
     key re-emits. Timing is nondeterministic → poll with a bound."""
