@@ -23,6 +23,7 @@ from riemann_spark.streaming.ops import (
 )
 from riemann_spark.streaming.stateful_ops import (
     streaming_batch,
+    streaming_fill_in_last,
     streaming_coalesce,
     streaming_ewma,
     streaming_fixed_event_window,

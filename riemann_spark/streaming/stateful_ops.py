@@ -273,6 +273,86 @@ def streaming_fixed_event_window(
     )
 
 
+# ---------------------------------------------------------- fill-in --
+
+def streaming_fill_in_last(
+    sdf: DataFrame,
+    interval_seconds: float,
+    update: dict | None = None,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """fill-in-last (streams.clj:712-751): pass every event through;
+    whenever ``interval`` seconds of WALL CLOCK pass without an event
+    for a key, emit a copy of the key's last event merged with
+    ``update``, stamped with the current time and ``filled=true``.
+    An expired event cancels the filler (state removed); the next live
+    event re-creates it.
+
+    Unlike coalesce, the timer is DEFERRED on every arrival (the
+    reference calls ``defer d interval`` per event) — fillers appear
+    only in real gaps. Filler cadence is processing-time like the
+    reference's every!; tests assert content and poll."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("state", StringType()),
+            StructField("metric", DoubleType()),
+            StructField("time", DoubleType()),
+            StructField("filled", StringType()),  # "fill" | None
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("state", StringType()),
+            StructField("metric", DoubleType()),
+            StructField("time", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    itv_ms = int(interval_seconds * 1000)
+    update = update or {}
+    cols = [f.name for f in out_schema.fields]
+
+    def upd(key, pdfs, state: GroupState):
+        host, service = key
+        if state.hasTimedOut:
+            st, metric, _t, _eid = state.get
+            now = state.getCurrentProcessingTimeMs() / 1000.0
+            state.setTimeoutDuration(itv_ms)  # every! — periodic until expired
+            filler = {"state": st, "metric": metric, **update}
+            yield pd.DataFrame(
+                [[host, service, filler["state"], filler["metric"], now, "fill"]],
+                columns=cols,
+            )
+            return
+        last = state.get if state.exists else None
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "state"])
+        out = []
+        for row in rows.itertuples(index=False):
+            cand = (
+                row.state if isinstance(row.state, str) else None,
+                None if pd.isna(row.metric) else float(row.metric),
+                float(row.time),
+                int(row.event_id),
+            )
+            if last is None or (cand[2], cand[3]) > (last[2], last[3]):
+                last = cand
+            out.append([host, service, cand[0], cand[1], cand[2], None])
+        if last is not None and last[0] == "expired":
+            if state.exists:
+                state.remove()  # cancel the deferrable (streams.clj:698-701)
+        else:
+            state.update(tuple(last))
+            state.setTimeoutDuration(itv_ms)  # defer: gap measured from arrival
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        upd, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
 # ------------------------------------------------------ batch n|dt --
 
 def streaming_batch(

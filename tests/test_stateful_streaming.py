@@ -141,6 +141,59 @@ def test_hot_reload_transition(spark, tmpdirs):
         core.stop_all()
 
 
+def test_streaming_fill_in_last(spark, tmpdirs):
+    """fill-in-last (streams.clj:712-751): fillers carry the last
+    event's fields merged with the update; an expired event cancels
+    them. Cadence is wall-clock → poll with a bound."""
+    import time as _time
+
+    from riemann_spark.streaming.stateful_ops import streaming_fill_in_last
+
+    src, ckpt = tmpdirs
+    name = f"fi_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [_mk(0, "a", "x", metric=5.0, t=100.0)], FULL_SCHEMA
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    sdf = spark.readStream.schema(
+        spark.read.parquet(f"{src}/b0").schema
+    ).parquet(f"{src}/*")
+    q = (
+        streaming_fill_in_last(sdf, 1.0, {"metric": 0.0})
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        fills = []
+        while _time.time() < deadline:
+            rows = spark.sql(f"select * from {name}").collect()
+            fills = [r for r in rows if r.filled == "fill"]
+            if len(fills) >= 2:
+                break
+            _time.sleep(0.5)
+        # pass-through forwarded verbatim
+        passed = [r for r in rows if r.filled is None]
+        assert [(r.host, r.metric, r.time) for r in passed] == [("a", 5.0, 100.0)]
+        # fillers: last event's fields merged with {"metric": 0.0}
+        assert len(fills) >= 2
+        assert all((r.host, r.state, r.metric) == ("a", "ok", 0.0) for r in fills)
+        # expired event cancels the filler
+        spark.createDataFrame(
+            [_mk(1, "a", "x", state="expired", metric=None, t=200.0)], FULL_SCHEMA
+        ).coalesce(1).write.parquet(f"{src}/b1")
+        _time.sleep(2.0)
+        n_then = len([r for r in spark.sql(f"select * from {name}").collect() if r.filled == "fill"])
+        _time.sleep(2.5)
+        n_now = len([r for r in spark.sql(f"select * from {name}").collect() if r.filled == "fill"])
+        assert n_now == n_then  # no new fillers after cancellation
+    finally:
+        q.stop()
+
+
 def test_streaming_batch_n_or_dt(spark, tmpdirs):
     """batch (streams.clj:1158-1185): count flush fires immediately at
     n; a partial buffer flushes once dt wall-clock passes. Both
