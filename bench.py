@@ -48,6 +48,9 @@ HEADLINE = [
     "top_suppliers_per_part",
     "customers_without_orders",
     "multimodal_features",
+    "multimodal_real_decode",
+    "protobuf_roundtrip",
+    "deps_algebra",
     "sorted_sample",
     "fold_difference",
     "moving_time_window",

@@ -154,6 +154,86 @@ def sample_frames(df: DataFrame, every_ms: int, id_col: str = "media_id") -> Dat
     return df.select(id_col, "media", "content").mapInPandas(run, FRAME_SCHEMA)
 
 
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_units", LongType()),  # pixel bytes | samples
+        StructField("sum_val", LongType()),  # exact integer — no float parity risk
+        StructField("min_val", LongType()),
+        StructField("max_val", LongType()),
+    ]
+)
+
+
+def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """THE REAL DECODE PATH (no stub): dispatch on magic bytes and run
+    the pure-stdlib parsers in functions/media_codecs.py — P6 PPM →
+    dimensions + RGB byte stats, PCM WAV → rate + sample stats.
+    Arrow-batched mapInPandas; undecodable payloads yield a NULL-kind
+    row (the dead-letter convention) instead of poisoning the batch."""
+    from riemann_spark.functions.media_codecs import decode_ppm, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content or b"")
+                try:
+                    if b[:2] == b"P6":
+                        w, h, _maxval, px = decode_ppm(b)
+                        vals = list(px)
+                        rows.append(
+                            [int(mid), "image", w, h, None, len(vals),
+                             sum(vals), min(vals), max(vals)]
+                        )
+                    elif b[:4] == b"RIFF":
+                        rate, samples = decode_wav(b)
+                        rows.append(
+                            [int(mid), "audio", None, None, rate, len(samples),
+                             sum(samples), min(samples), max(samples)]
+                        )
+                    else:
+                        raise ValueError("unknown magic")
+                except (ValueError, IndexError, ZeroDivisionError):
+                    rows.append([int(mid), None, None, None, None, 0, None, None, None])
+            yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "content").mapInPandas(run, REAL_FEATURE_SCHEMA)
+
+
+def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-format fixtures from an id column: even ids
+    become 8×8 P6 PPMs with pixel(i) = (id·7 + i·13) mod 256, odd ids
+    become 256-sample 8 kHz WAVs with sample(i) = ((id·31 + i·17) mod
+    2001) − 1000 — closed-form generators an oracle can mirror with
+    generate_series, while the Spark side round-trips through the REAL
+    encoders/decoders."""
+    from riemann_spark.functions.media_codecs import encode_ppm, encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                if d % 2 == 0:
+                    px = bytes((d * 7 + i * 13) % 256 for i in range(8 * 8 * 3))
+                    blobs.append(encode_ppm(8, 8, px))
+                else:
+                    smp = [((d * 31 + i * 17) % 2001) - 1000 for i in range(256)]
+                    blobs.append(encode_wav(8000, smp))
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
 def make_media_frame(df: DataFrame, payload_col: str, kind: str, id_col: str) -> DataFrame:
     """Wrap an arbitrary binary column into the multimodal layout."""
     return df.select(

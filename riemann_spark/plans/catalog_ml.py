@@ -403,3 +403,44 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     the same fold arithmetic."""
     e = load_table(spark, sf, "embeddings")
     return similarity.ivf_topk(e.filter(F.col("vec_id") < 8), e, 5, _IVF_CELLS)
+
+
+@q(
+    "multimodal_real_decode",
+    """
+WITH ids AS (SELECT doc_id FROM documents),
+img AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         8 AS width, 8 AS height, CAST(NULL AS INTEGER) AS sample_rate,
+         CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM((doc_id * 7 + i * 13) % 256) AS BIGINT) AS sum_val,
+         CAST(MIN((doc_id * 7 + i * 13) % 256) AS BIGINT) AS min_val,
+         CAST(MAX((doc_id * 7 + i * 13) % 256) AS BIGINT) AS max_val
+  FROM ids CROSS JOIN generate_series(0, 191) AS t(i)
+  WHERE doc_id % 2 = 0 GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id AS media_id, 'audio' AS kind,
+         CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+         8000 AS sample_rate,
+         CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(((doc_id * 31 + i * 17) % 2001) - 1000) AS BIGINT) AS sum_val,
+         CAST(MIN(((doc_id * 31 + i * 17) % 2001) - 1000) AS BIGINT) AS min_val,
+         CAST(MAX(((doc_id * 31 + i * 17) % 2001) - 1000) AS BIGINT) AS max_val
+  FROM ids CROSS JOIN generate_series(0, 255) AS t(i)
+  WHERE doc_id % 2 = 1 GROUP BY doc_id
+)
+SELECT * FROM img UNION ALL SELECT * FROM wav""",
+)
+def multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL in-container decode (no md5 stub): deterministic P6-PPM /
+    PCM-WAV fixtures are byte-encoded then fully parsed back by the
+    pure-stdlib codecs (functions/media_codecs.py) inside Arrow-batched
+    mapInPandas; the oracle mirrors the closed-form generators with
+    generate_series. Exact-integer stats (sum/min/max) — zero float
+    parity risk. The heavy binary column never crosses a shuffle."""
+    from riemann_spark.functions.multimodal import real_decode_features, synthetic_media
+
+    d = load_table(spark, sf, "documents")
+    media = synthetic_media(d, "doc_id")
+    return real_decode_features(media)
