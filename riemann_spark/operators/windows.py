@@ -24,10 +24,22 @@ sort within partition (Spark sorts spill; no driver involvement).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+
+
+def _warn_unkeyed(op: str) -> None:
+    """Unkeyed ordered windows funnel EVERY row through one task — a
+    silent scale-killer at cluster data volumes. Loud by design
+    (callers in the catalog always pass keys)."""
+    warnings.warn(
+        f"{op} with keys=() runs a single-partition global sort; "
+        "pass keys=(...) for any data that doesn't fit one executor",
+        stacklevel=3,
+    )
 
 
 def time_bucket(n_seconds: float, time_col: str | Column = "time") -> Column:
@@ -74,6 +86,8 @@ def moving_event_window(
 ) -> WindowSpec:
     """Sliding count window: this row and the n-1 preceding, per key,
     ordered by (time, tiebreak)."""
+    if not keys:
+        _warn_unkeyed("moving_event_window")
     return (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(F.col(time_col), F.col(order_col))
@@ -111,6 +125,8 @@ def fixed_event_window(
     out: str = "window_id",
 ) -> DataFrame:
     """n-event tumbling window id: floor((row_number-1)/n) per key."""
+    if not keys:
+        _warn_unkeyed("fixed_event_window")
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(F.col(time_col), F.col(order_col))

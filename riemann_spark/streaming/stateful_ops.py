@@ -469,7 +469,9 @@ _TOP_STATE = StructType(
 )
 
 
-def streaming_top(sdf: DataFrame, k: int) -> DataFrame:
+def streaming_top(
+    sdf: DataFrame, k: int, max_batch_rows: int = 100_000
+) -> DataFrame:
     """top k (streams.clj:1015-1100): dual top/bottom streams with
     demotion. Every event yields a row on BOTH streams (one side the
     real event, the other its expired mirror — the `dual` trick,
@@ -477,7 +479,13 @@ def streaming_top(sdf: DataFrame, k: int) -> DataFrame:
     demotion pair carrying the bumped event's OWN stored (metric,
     time). Expired / nil-metric inbound events remove their key and
     are forwarded to both streams (the reference passes expired events
-    through both children after clearing state)."""
+    through both children after clearing state).
+
+    CONTRACT (enforced): state is O(k) but the single group serializes
+    every row through one task — feed this the latest-per-key stream
+    (streaming_index output), NOT the raw firehose. A micro-batch
+    delivering more than ``max_batch_rows`` rows trips a loud
+    RuntimeError instead of silently becoming the cluster bottleneck."""
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
@@ -491,6 +499,12 @@ def streaming_top(sdf: DataFrame, k: int) -> DataFrame:
         rows = _sorted_rows(
             pdfs, ["event_id", "time", "metric", "host", "service", "state"]
         )
+        if len(rows) > max_batch_rows:
+            raise RuntimeError(
+                f"streaming_top received {len(rows)} rows in one micro-batch "
+                f"(limit {max_batch_rows}): it serializes on a single group — "
+                "feed it the latest-per-key index stream, not the raw firehose"
+            )
         out = []
 
         def emit(h, s, m, t, stream, st):
