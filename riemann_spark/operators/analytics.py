@@ -154,6 +154,38 @@ def ewma_timeless(
     return df.withColumn("ewma", ewma)
 
 
+def ewma_timeless_exact(
+    df: DataFrame,
+    r: float,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """ewma-timeless for ANY r, bit-exact to the reference recursion
+    ewma_n = r·x_n + (1−r)·ewma_{n−1} (streams.clj:961-977): a strict
+    left fold over the per-key prefix — no pow(), so no libm-parity
+    drift between engines (pow(0.9, i) differs from JVM Math.pow in
+    the last ulp; a fold of fused multiply-adds does not).
+
+    Cost: prefix collect_list per row → O(n²) work per key. This is
+    the SEMANTICS ORACLE variant for short per-key streams (alerting
+    keys see dozens–hundreds of events); at bulk scale use
+    ewma_timeless (bounded window, O(W·n)) or streaming_ewma (true
+    O(n) stateful)."""
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(time_col), F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = F.collect_list(F.col("metric")).over(w)
+    ewma = F.aggregate(
+        prefix,
+        F.lit(0.0),
+        lambda acc, x: F.lit(r) * x + F.lit(1.0 - r) * acc,
+    )
+    return df.withColumn("ewma", ewma)
+
+
 def ewma_timeless_half(
     df: DataFrame,
     keys: Sequence[str] = KEY,

@@ -1477,3 +1477,84 @@ def index_delete_cohort(spark: SparkSession, sf: str) -> DataFrame:
     cmds = idx.filter((F.col("service") == "error") & (F.col("metric") > 180.0))
     survivors = index.delete_from_index(idx, cmds, fields=("host",))
     return survivors.select("host", "service", "metric", "event_id")
+
+
+@q(
+    "fold_generic",
+    f"""{_EV}
+SELECT host, service,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+                      list_sort(array_agg(metric))),
+         (acc, x) -> 0.5 * acc + 0.5 * x) AS folded
+FROM ev WHERE metric IS NOT NULL GROUP BY host, service""",
+)
+def fold_generic_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic sequential fold (folds.clj:60-90 fold/fold*): an
+    order-SENSITIVE user merge (exponential smoothing acc/2 + x/2)
+    left-folded over the sorted metric vector — F.aggregate and
+    DuckDB's list_reduce are both strict left folds over the same
+    sorted order, so the doubles agree bit-for-bit."""
+    from riemann_spark.operators.folds import fold_metrics
+
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    folded = F.aggregate(
+        F.array_sort(F.collect_list("metric")),
+        F.lit(0.0),
+        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    )
+    return ev.groupBy("host", "service").agg(folded.alias("folded"))
+
+
+@q(
+    "sreduce_runmax",
+    f"""{_EV}
+SELECT host, service, event_id,
+       MAX(metric) OVER (PARTITION BY host, service
+                         ORDER BY "time", event_id
+                         ROWS UNBOUNDED PRECEDING) AS acc
+FROM ev""",
+)
+def sreduce_runmax(spark: SparkSession, sf: str) -> DataFrame:
+    """sreduce (streams.clj:206-250): running user-fn reduce per key
+    emitting every intermediate accumulator — here fn=max, init=-inf,
+    via the applyInPandas escape hatch (Arrow-batched per-key groups).
+    The oracle is the equivalent running-max window."""
+    from riemann_spark.functions.udfs import sreduce_pandas
+
+    ev = load_events(spark, sf)
+    out = sreduce_pandas(
+        ev, lambda acc, v: v if acc is None else max(acc, v), None
+    )
+    return out.select("host", "service", "event_id", "acc")
+
+
+@q(
+    "ewma_r01",
+    f"""{_EV}, g AS (
+  SELECT host, service,
+         array_agg(metric ORDER BY "time", event_id) AS xs,
+         array_agg(event_id ORDER BY "time", event_id) AS ids
+  FROM ev GROUP BY host, service
+), x AS (
+  SELECT host, service, xs, ids, unnest(generate_series(1, len(xs))) AS j
+  FROM g
+)
+SELECT ids[j] AS event_id, host, service,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE), list_slice(xs, 1, j)),
+         (acc, x) -> 0.1 * x + 0.9 * acc) AS ewma
+FROM x""",
+)
+def ewma_r01(spark: SparkSession, sf: str) -> DataFrame:
+    """ewma-timeless at a GENERIC r (0.1), bit-exact for any stream
+    length: both engines run the identical left fold of the reference
+    recursion (no pow(), whose last-ulp libm differences broke hash
+    parity). The production bulk path is the auto-scaled bounded
+    window (ewma_timeless, advisor fix: 263 terms at r=0.1) and
+    streaming_ewma; this oracle pins the exact semantics they
+    approximate."""
+    ev = load_events(spark, sf)
+    return analytics.ewma_timeless_exact(ev, 0.1).select(
+        "event_id", "host", "service", "ewma"
+    )

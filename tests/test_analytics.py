@@ -50,6 +50,25 @@ def test_ewma_timeless_recursion(spark):
     assert got2 == expected
 
 
+def test_ewma_timeless_small_r_window_scales(spark):
+    # advisor fix: at r=0.05 a fixed 64-term frame drops (0.95)^64 ≈
+    # 3.7% of the state; the auto-scaled window must track the true
+    # recursion to ~1e-12 relative instead
+    vals = [float(100 + (i * 37) % 50) for i in range(200)]
+    df = _seq(spark, vals)
+    acc, expected = 0.0, []
+    for v in vals:
+        acc = 0.05 * v + 0.95 * acc
+        expected.append(acc)
+    auto = metrics(analytics.ewma_timeless(df, 0.05), "ewma")
+    assert auto == pytest.approx(expected, rel=1e-9)
+    stale = metrics(analytics.ewma_timeless(df, 0.05, halflife_window=64), "ewma")
+    assert abs(stale[-1] - expected[-1]) / expected[-1] > 1e-4  # the old bug
+    # the generic exact-fold variant is bit-identical to the recursion
+    exact = metrics(analytics.ewma_timeless_exact(df, 0.05), "ewma")
+    assert exact == expected
+
+
 def test_ddt_events(spark):
     df = events(
         spark,
