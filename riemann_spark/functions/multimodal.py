@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from riemann_spark.operators.skew import spread_for_python as _spread
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -89,7 +91,7 @@ def decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "media", "content").mapInPandas(run, FEATURE_SCHEMA)
+    return _spread(df.select(id_col, "media", "content")).mapInPandas(run, FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -119,7 +121,7 @@ def resize_images(df: DataFrame, width: int, height: int, id_col: str = "media_i
                 }
             )
 
-    return df.select(id_col, "content").mapInPandas(run, RESIZE_SCHEMA)
+    return _spread(df.select(id_col, "content")).mapInPandas(run, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -151,7 +153,7 @@ def sample_frames(df: DataFrame, every_ms: int, id_col: str = "media_id") -> Dat
                     frames.append(hashlib.md5((content or b"") + bytes([i % 256])).digest())
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, "media", "content").mapInPandas(run, FRAME_SCHEMA)
+    return _spread(df.select(id_col, "media", "content")).mapInPandas(run, FRAME_SCHEMA)
 
 
 REAL_FEATURE_SCHEMA = StructType(
@@ -202,7 +204,7 @@ def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                     rows.append([int(mid), None, None, None, None, 0, None, None, None])
             yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURE_SCHEMA.fields])
 
-    return df.select(id_col, "content").mapInPandas(run, REAL_FEATURE_SCHEMA)
+    return _spread(df.select(id_col, "content")).mapInPandas(run, REAL_FEATURE_SCHEMA)
 
 
 def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -231,7 +233,7 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return df.select(id_col).mapInPandas(run, schema)
+    return _spread(df.select(id_col)).mapInPandas(run, schema)
 
 
 def make_media_frame(df: DataFrame, payload_col: str, kind: str, id_col: str) -> DataFrame:

@@ -54,3 +54,21 @@ def salted_agg(
     return phase1.groupBy(*[F.col(k) for k in keys]).agg(
         *[c.alias(a) for a, c in merge_aggs.items()]
     )
+
+
+def spread_for_python(df: DataFrame) -> DataFrame:
+    """Widen under-partitioned input ahead of a Python-bound stage.
+
+    ``mapInPandas`` parallelism equals the input partition count: a
+    single-file local read (1 split) runs the whole Python codec on
+    one core while 31 idle. At cluster scale the source has far more
+    splits than cores, so this is a deliberate no-op there — we only
+    round-robin repartition when the plan has *fewer* partitions than
+    ``spark.default.parallelism``. The shuffle moves only the columns
+    the stage selected (prune before calling)."""
+    if df.isStreaming:
+        return df  # micro-batch partitioning is the source's concern
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

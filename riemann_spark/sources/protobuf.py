@@ -342,13 +342,17 @@ def events_to_msg_binary(df: DataFrame) -> DataFrame:
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # zip over column arrays: ~10x cheaper than to_dict("records")
+            series = [pdf[c].to_numpy() for c in cols]
             msgs = [
-                encode_msg([{k: _clean(row[k]) for k in cols}])
-                for row in pdf.to_dict("records")
+                encode_msg([{k: _clean(v) for k, v in zip(cols, vals)}])
+                for vals in zip(*series)
             ]
             yield pd.DataFrame({"msg": msgs})
 
-    return df.select(*cols).mapInPandas(enc, _ENC_SCHEMA)
+    from riemann_spark.operators.skew import spread_for_python
+
+    return spread_for_python(df.select(*cols)).mapInPandas(enc, _ENC_SCHEMA)
 
 
 def msg_binary_to_events(df: DataFrame, bin_col: str = "msg") -> DataFrame:
@@ -358,26 +362,28 @@ def msg_binary_to_events(df: DataFrame, bin_col: str = "msg") -> DataFrame:
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in DECODED_SCHEMA.fields]
         for pdf in batches:
-            rows = []
+            # one python list per output column — pandas assembles each
+            # as a single object array, no per-row list boxing
+            cols: list[list] = [[] for _ in names]
             for buf in pdf[bin_col]:
                 for e in decode_msg(bytes(buf))["events"]:
-                    rows.append(
-                        [
-                            e.get("host"),
-                            e.get("service"),
-                            e.get("state"),
-                            e.get("description"),
-                            None if e.get("metric") is None else float(e["metric"]),
-                            e.get("tags") or [],
-                            e.get("time"),
-                            e.get("time_us"),
-                            None if e.get("ttl") is None else float(e["ttl"]),
-                            e.get("attributes") or {},
-                        ]
-                    )
-            yield pd.DataFrame(rows, columns=names)
+                    g = e.get
+                    m, t = g("metric"), g("ttl")
+                    cols[0].append(g("host"))
+                    cols[1].append(g("service"))
+                    cols[2].append(g("state"))
+                    cols[3].append(g("description"))
+                    cols[4].append(None if m is None else float(m))
+                    cols[5].append(g("tags") or [])
+                    cols[6].append(g("time"))
+                    cols[7].append(g("time_us"))
+                    cols[8].append(None if t is None else float(t))
+                    cols[9].append(g("attributes") or {})
+            yield pd.DataFrame(dict(zip(names, cols)))
 
-    return df.select(bin_col).mapInPandas(dec, DECODED_SCHEMA)
+    from riemann_spark.operators.skew import spread_for_python
+
+    return spread_for_python(df.select(bin_col)).mapInPandas(dec, DECODED_SCHEMA)
 
 
 def _clean(v):
