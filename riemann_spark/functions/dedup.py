@@ -66,22 +66,10 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, k: int, max_shingle_df: int | None
-) -> DataFrame:
-    sh = _spread(df).select(
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
     )
-    if max_shingle_df is not None:
-        # stop-shingle filter: drop join-key skew before the self-join.
-        # Broadcast the HOT set (shingles in > max docs) and anti-join —
-        # hot shingles are few by construction, so the broadcast stays
-        # small no matter how large the corpus grows; the kept set is
-        # corpus-sized and must never be the broadcast side.
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        hot = freq.filter(F.col("df") > max_shingle_df).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    return sh
 
 
 def ngram_jaccard_pairs(
@@ -106,16 +94,40 @@ def ngram_jaccard_pairs(
     shingles — the standard stop-shingle semantics). Pass None to
     disable.
 
-    The shingle table feeds three consumers (both join sides + sizes),
-    so it is persisted for the query's lifetime — at warehouse scale
-    this is the materialize-the-inverted-index step."""
-    sh = _shingle_table(df, id_col, text_col, k, max_shingle_df).persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    Shape: ONE shuffle on shingle builds posting lists (collect_list
+    per shingle — the inverted index, materialized for the query via
+    persist); hot postings are dropped by length (the DF guard becomes
+    a free ``size(docs) <= N`` filter, no separate frequency pass);
+    candidate pairs explode from within-posting combinations — no
+    self-join, no second shuffle of the shingle table. Posting lists
+    are bounded by the guard (≤ max_shingle_df ids), so collect_list
+    cannot blow an executor regardless of corpus size."""
+    sh = _shingle_table(df, id_col, text_col, k)
+    posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+    if max_shingle_df is not None:
+        posts = posts.filter(F.size("docs") <= max_shingle_df)
+    posts = posts.persist()
+    # denominator sizes count every surviving shingle, singletons
+    # included — only the pair generation skips one-doc postings
+    sizes = (
+        posts.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    ds = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        posts.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
