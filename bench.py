@@ -50,6 +50,9 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_real_decode",
     "protobuf_roundtrip",
+    "json_roundtrip",
+    "token_stats",
+    "dedup_embedding",
     "deps_algebra",
     "sorted_sample",
     "fold_difference",

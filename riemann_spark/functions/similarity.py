@@ -86,12 +86,71 @@ def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return (_dots(vec, signs) > 0).cast("int")
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """n_planes sign bits → integer bucket id."""
+def lsh_bucket(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """n_planes sign bits → integer bucket id. ``plane_offset`` selects
+    a disjoint plane family per hash table (multi-table LSH)."""
     out = F.lit(0)
     for p in range(n_planes):
-        out = out + hyperplane_sign(vec, p, dim) * F.lit(2 ** p)
+        out = out + hyperplane_sign(vec, plane_offset + p, dim) * F.lit(2 ** p)
     return out
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Standard multi-table hyperplane LSH: ``n_tables`` independent
+    plane families; a pair is a candidate if it collides in ANY table
+    (OR-amplification — recall rises with tables, precision with
+    planes). Candidates are generated from an (id, table, bucket)
+    frame only — the 64-float vectors never ride the candidate
+    shuffle; they join back by id for the exact cosine re-rank.
+
+    Cluster shape: one narrow shuffle per distinct() on (table,
+    bucket) pairs, two id-keyed joins for the re-rank. No crossJoin
+    at any scale; bucket population is bounded by plane count."""
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bands = ids.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("v"), n_planes, dim, t * n_planes).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.table", "tb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    v1 = ids.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = ids.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
 
 
 def lsh_topk(

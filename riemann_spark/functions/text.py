@@ -39,6 +39,46 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pre-tokenizer, ASCII-simplified: contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, residual
+#: whitespace. No lookaheads — identical leftmost-first semantics in
+#: Java regex (Spark) and RE2 (DuckDB), so counts oracle-match.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """LLM-style token-count estimate: matches of the BPE pre-split
+    pattern (the unit real byte-pair encoders subdivide). Pure regexp
+    count — JVM-side, no vocab, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+
+
+#: Rabin-Karp parameters: base 31, Mersenne-ish modulus keeps every
+#: intermediate < 2^36 — exact in int64 on any engine.
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def token_value(tok: Column) -> Column:
+    """Deterministic 32-bit integer per token: first 8 hex chars of
+    md5 — identical in Spark, DuckDB, and hashlib."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def rolling_fingerprint(col: str | Column = "text") -> Column:
+    """Order-sensitive document fingerprint: left-fold polynomial
+    rolling hash h = (h·31 + md5_32(token)) mod 1e9+7 over whitespace
+    tokens. Unlike the md5 normalization fingerprint (content
+    identity), this is the Rabin-Karp shape incremental/windowed
+    fingerprinting builds on."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_BASE + token_value(t)) % ROLLING_MOD,
+    )
+
+
 def char_count(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

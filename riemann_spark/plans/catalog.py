@@ -995,6 +995,36 @@ def protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "json_roundtrip",
+    f"""{_EV}
+SELECT host, service, state, description, metric,
+       array_to_string(tags, ',') AS tags_csv, "time", ttl
+FROM ev""",
+)
+def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON wire round-trip (common.clj:126-130 event-to-json;
+    websocket ingest transport/websockets.clj:94-133): events encoded
+    with to_json, parsed back with from_json against EVENT_SCHEMA —
+    both JVM-side, zero Python. Doubles survive exactly (Jackson
+    shortest-repr print, exact parse), so the oracle is the identity
+    fixpoint over the normalized events."""
+    from riemann_spark.sources import events_from_json, events_to_json
+
+    ev = load_events(spark, sf)
+    back = events_from_json(events_to_json(ev), "value")
+    return back.select(
+        "host",
+        "service",
+        "state",
+        "description",
+        "metric",
+        F.array_join("tags", ",").alias("tags_csv"),
+        "time",
+        "ttl",
+    )
+
+
+@q(
     "fold_difference",
     f"""{_EV}, f AS (
   SELECT host, service, metric AS first_metric FROM (

@@ -444,3 +444,87 @@ def multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     media = synthetic_media(d, "doc_id")
     return real_decode_features(media)
+
+
+# ------------------------------------------- token stats / fingerprints
+
+_BPE_SQL = text.BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@q(
+    "token_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks,
+             tk -> CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_fp
+FROM t""",
+)
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex pre-split) and both
+    document fingerprints (md5 content identity + Rabin-Karp rolling
+    hash) in one pass — the per-document bookkeeping row a training
+    pipeline keeps for every shard. Pure projections, zero shuffle;
+    all arithmetic exact-integer so the oracle is bit-deterministic."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_ws_tokens"),
+        text.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        text.rolling_fingerprint("text").alias("rolling_fp"),
+        text.fingerprint("text").alias("norm_fp"),
+    )
+
+
+# --------------------------------------------- embedding near-dup pairs
+
+_ND_TABLES = 4
+
+
+def _bucket_sql(offset: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_DOT.format(a='v', b=str(_plane_signs(offset + p)))} > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+
+
+_ND_BANDS = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t * _N_PLANES)} AS bucket FROM e"
+    for t in range(_ND_TABLES)
+)
+
+
+@q(
+    "dedup_embedding",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  {_ND_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+  FROM b a JOIN b c
+    ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id1, id2, {_cos_sql('v1.v', 'v2.v')} AS cos
+FROM cand
+JOIN e v1 ON v1.vec_id = id1
+JOIN e v2 ON v2.vec_id = id2
+WHERE {_cos_sql('v1.v', 'v2.v')} >= 0.4""",
+)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane
+    LSH (4 tables x 4 md5-derived planes, OR-amplified) generates
+    candidates from an (id, table, bucket) frame — vectors never ride
+    the candidate shuffle — then exact cosine re-ranks survivors at
+    threshold 0.4. The fourth dedup tier next to exact / Jaccard /
+    MinHash, for the modality where text hashing is blind."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.embedding_near_dups(e, 0.4, _ND_TABLES, _N_PLANES, _DIM)

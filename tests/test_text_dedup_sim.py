@@ -136,3 +136,51 @@ def test_ivf_topk(spark):
     out = similarity.ivf_topk(df.filter(F.col("vec_id") < 2), df, 1, n_cells=2)
     got = {r.q_id: r.n_id for r in out.collect()}
     assert got[0] == 2 and got[1] == 3
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    import re
+
+    samples = ["It's a test-case, 123 foo's  bar!!", "hello", "", "  x  "]
+    df = docs(spark, *samples)
+    got = [
+        r[0]
+        for r in df.select(text.bpe_token_count("text")).orderBy("doc_id").collect()
+    ]
+    want = [len(re.findall(text.BPE_SPLIT_PATTERN, s)) for s in samples]
+    assert got == want
+
+
+def test_rolling_fingerprint_matches_python_fold(spark):
+    import hashlib
+
+    def py_fp(s):
+        h = 0
+        for tok in s.strip().split():
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            h = (h * text.ROLLING_BASE + v) % text.ROLLING_MOD
+        return h
+
+    samples = ["the quick brown fox", "fox brown quick the", "the quick brown fox"]
+    df = docs(spark, *samples)
+    got = [
+        r[0]
+        for r in df.select(text.rolling_fingerprint("text")).orderBy("doc_id").collect()
+    ]
+    assert got == [py_fp(s) for s in samples]
+    assert got[0] == got[2] != got[1]  # order-sensitive, deterministic
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(64)]
+    near = [x + rnd.gauss(0, 0.01) for x in base]
+    vecs = [(0, base), (1, near)] + [
+        (i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_dups(df, 0.9).collect()
+    assert [(r.id1, r.id2) for r in out] == [(0, 1)]
+    assert out[0].cos > 0.99
