@@ -98,6 +98,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # drop caches a query persisted for its own lifetime (inverted
+        # indexes etc.) so queries don't pay each other's memory bills
+        spark.catalog.clearCache()
 
     # throughput vs the reference's ~300K events/sec single-stream
     # comment (BASELINE.md): push a 3M-row event stream through the

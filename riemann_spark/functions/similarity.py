@@ -142,12 +142,19 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    v1 = ids.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
-    v2 = ids.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    # norms once per vector, not once per candidate pair — same
+    # arithmetic (sqrt of the same self-fold), 3x fewer 64-step folds
+    normed = ids.select("id", "v", norm(F.col("v")).alias("n"))
+    v1 = normed.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+    )
+    v2 = normed.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+    )
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
+        .withColumn("cos", _dots(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )

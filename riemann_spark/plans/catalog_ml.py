@@ -484,19 +484,19 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------- embedding near-dup pairs
 
-_ND_TABLES = 4
+_ND_TABLES, _ND_PLANES = 4, 6  # 64 buckets/table: candidate volume vs recall
 
 
 def _bucket_sql(offset: int) -> str:
     return " + ".join(
         f"(CASE WHEN {_DOT.format(a='v', b=str(_plane_signs(offset + p)))} > 0"
         f" THEN {2 ** p} ELSE 0 END)"
-        for p in range(_N_PLANES)
+        for p in range(_ND_PLANES)
     )
 
 
 _ND_BANDS = "\n  UNION ALL ".join(
-    f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t * _N_PLANES)} AS bucket FROM e"
+    f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t * _ND_PLANES)} AS bucket FROM e"
     for t in range(_ND_TABLES)
 )
 
@@ -521,10 +521,10 @@ WHERE {_cos_sql('v1.v', 'v2.v')} >= 0.4""",
 )
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table hyperplane
-    LSH (4 tables x 4 md5-derived planes, OR-amplified) generates
+    LSH (4 tables x 6 md5-derived planes, OR-amplified) generates
     candidates from an (id, table, bucket) frame — vectors never ride
     the candidate shuffle — then exact cosine re-ranks survivors at
     threshold 0.4. The fourth dedup tier next to exact / Jaccard /
     MinHash, for the modality where text hashing is blind."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.embedding_near_dups(e, 0.4, _ND_TABLES, _N_PLANES, _DIM)
+    return similarity.embedding_near_dups(e, 0.4, _ND_TABLES, _ND_PLANES, _DIM)
