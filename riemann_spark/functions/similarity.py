@@ -51,13 +51,22 @@ def brute_force_topk(
     streams through — one scan, no shuffle until the per-query top-k
     (row_number over |Q| partitions)."""
     qa = F.broadcast(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_n"),
+        )
     )
-    ca = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    ca = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_n"),
+    )
     scored = (
         ca.crossJoin(qa)
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        # norms precomputed per row, not per pair — same double sequence
+        .withColumn("cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (
@@ -178,17 +187,19 @@ def lsh_topk(
     qa = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     ca = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_n"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = (
         ca.join(F.broadcast(qa), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (
@@ -227,19 +238,27 @@ def ivf_topk(
         )
 
     qa = assign(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_n"),
+        ),
         "q_id",
         "q_vec",
     )
     ca = assign(
-        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            norm(F.col(vec_col)).alias("n_n"),
+        ),
         "n_id",
         "n_vec",
     )
     scored = (
         ca.join(F.broadcast(qa), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (
