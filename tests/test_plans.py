@@ -92,3 +92,29 @@ def test_no_python_udfs_in_core_paths(spark):
     ):
         p = plan_of(spark, name)
         assert "EvalPython" not in p, name
+
+
+def test_dedup_embedding_no_cartesian(spark):
+    """Multi-table LSH must candidate via bucket equality — a cross
+    join anywhere means the LSH collapsed to all-pairs."""
+    p = plan_of(spark, "dedup_embedding")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_jaccard_single_shingle_shuffle(spark):
+    """Posting-list formulation: the shingle table is shuffled exactly
+    once (the collect_list groupBy) — no self-join re-exchange."""
+    p = plan_of(spark, "dedup_jaccard")
+    # pairs come from Generate (explode) over the persisted postings —
+    # a shingle self-join would appear as a shuffle join of two large
+    # sides; the only joins left are the broadcast size lookups
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "InMemoryRelation" in p  # postings materialized once, read 3x
+
+
+def test_token_stats_is_pure_projection(spark):
+    """Token counting + fingerprints must fuse with the scan — zero
+    exchanges at any scale."""
+    p = plan_of(spark, "token_stats")
+    assert "Exchange" not in p
