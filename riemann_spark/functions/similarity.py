@@ -222,19 +222,22 @@ def ivf_topk(
     vector to its nearest centroid, search the query's cell only."""
     cents = F.broadcast(
         corpus.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_n"),
         )
     )
 
     def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        nc = vecc[0] + "_n"  # q_n / n_n, precomputed by the caller
         scored = df.crossJoin(cents).withColumn(
-            "c_cos", cosine(F.col(vecc), F.col("c_vec"))
+            "c_cos", _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n"))
         )
         w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
         return (
             scored.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") == 1)
-            .drop("r", "c_vec", "c_cos")
+            .drop("r", "c_vec", "c_cos", "c_n")
         )
 
     qa = assign(
