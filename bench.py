@@ -53,6 +53,7 @@ HEADLINE = [
     "json_roundtrip",
     "token_stats",
     "dedup_embedding",
+    "dedup_clusters",
     "deps_algebra",
     "sorted_sample",
     "fold_difference",

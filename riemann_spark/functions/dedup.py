@@ -280,3 +280,89 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.shiftright(sh.cast("int"), 8).alias("band_hi"),
         (sh.cast("int") % 256).alias("band_lo"),
     )
+
+
+# ------------------------------------------------------------------ #
+# duplicate-cluster formation (connected components)
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Group candidate pairs into duplicate clusters: connected
+    components via the alternating large-star / small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the standard shuffle-architected CC for graphs that
+    don't fit one machine.
+
+    Each round is two groupBy+join passes over the edge list; the edge
+    set contracts toward stars (node → component minimum) in
+    O(log^2 n) rounds — 2-3 in practice for near-dup graphs, whose
+    components are small and dense. No per-component state ever sits
+    on one task: every step is a keyed aggregate over the edge list,
+    so a 100 TB pair set scales like any other shuffle. (Naive label
+    propagation needs O(diameter) rounds and re-shuffles the full
+    label table each round; the reference has no equivalent operator —
+    this extends the dedup tier of the training-data pipeline.)
+
+    Returns one row per node: (node, cluster) with cluster = min node
+    id of the component. Deterministic for any orderable id type.
+    Rounds are driver-sequenced (as in any iterative Spark algorithm);
+    each round's work is fully distributed. Each round ends in
+    ``localCheckpoint`` — iterative plans grow exponentially without
+    lineage truncation (on a cluster with an unreliable-executor
+    profile, swap for ``checkpoint()`` to a reliable dir).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select("u").union(e.select("v")).distinct().persist()
+    nodes.count()
+
+    for _ in range(max_rounds):
+        # large-star: for each node u, hang every larger neighbor off
+        # m = min(neighborhood ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges large→small, re-hang each small
+        # neighborhood (and the center) off its minimum
+        dir_ = large.select(
+            F.greatest("u", "v").alias("big"), F.least("u", "v").alias("small")
+        ).distinct()
+        smins = dir_.groupBy("big").agg(F.min("small").alias("m"))
+        hung = (
+            dir_.join(smins, "big")
+            .select(F.col("small").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("big").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            hung.exceptAll(e).limit(1).count() > 0
+            or e.exceptAll(hung).limit(1).count() > 0
+        )
+        e = hung
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+
+    # no unpersist: the returned plan still reads the checkpointed
+    # blocks (truncated lineage cannot recompute them)
+    return nodes.join(e, "u", "left").select(
+        F.col("u").alias("node"), F.coalesce("v", "u").alias("cluster")
+    )

@@ -528,3 +528,38 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     MinHash, for the modality where text hashing is blind."""
     e = load_table(spark, sf, "embeddings")
     return similarity.embedding_near_dups(e, 0.4, _ND_TABLES, _ND_PLANES, _DIM)
+
+
+@q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {', '.join(f"MIN(md5('{i}:' || shingle)) AS s{i}" for i in range(_N_HASHES))}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT l.doc, l.cluster, c.csize
+FROM labels l
+JOIN (SELECT cluster, COUNT(*) AS csize FROM labels GROUP BY cluster) c USING (cluster)""",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster formation: MinHash-LSH candidate pairs →
+    connected components (alternating large-star/small-star, two keyed
+    shuffles per round, lineage-truncated) → per-doc canonical cluster
+    id (component min) + cluster size. The step a real 100 TB dedup
+    pipeline runs after pair generation, so "keep one doc per cluster"
+    is a filter. Oracle: DuckDB transitive closure via WITH RECURSIVE
+    over the same pair set — different algorithm, same fixpoint."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    return labels.select(F.col("node").alias("doc"), "cluster").join(sizes, "cluster")

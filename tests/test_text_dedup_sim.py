@@ -184,3 +184,47 @@ def test_embedding_near_dups_finds_planted_pair(spark):
     out = similarity.embedding_near_dups(df, 0.9).collect()
     assert [(r.id1, r.id2) for r in out] == [(0, 1)]
     assert out[0].cos > 0.99
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    def uf(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in nodes}
+
+    rnd = random.Random(13)
+    cases = [
+        [(i, i + 1) for i in range(30)],          # path: worst case for star rounds
+        [(0, i) for i in range(1, 15)],           # star
+        [(7, 7), (1, 2), (4, 3)],                 # self-loop dropped, two pairs
+        [(rnd.randrange(40), rnd.randrange(40)) for _ in range(35)],
+    ]
+    for edges in cases:
+        real = [e for e in edges if e[0] != e[1]]
+        nodes = sorted({x for e in real for x in e})
+        df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+        got = {
+            r["node"]: r["cluster"]
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == uf(real, nodes)
+
+
+def test_connected_components_string_ids(spark):
+    df = spark.createDataFrame(
+        [("d3", "d1"), ("d1", "d2"), ("x9", "x8")], "doc1 string, doc2 string"
+    )
+    got = {r["node"]: r["cluster"] for r in dedup.connected_components(df).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x8": "x8", "x9": "x8"}
