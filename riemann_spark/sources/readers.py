@@ -3,13 +3,14 @@
 | reference server | here |
 |---|---|
 | kafka-consumer (kafka.clj:92-119) | ``read_kafka_events`` — native Kafka source + JSON codec |
-| tcp/udp protobuf servers (transport/tcp.clj:246-296) | ``read_kafka_msg_frames`` — Kafka/file bridge carrying protobuf ``Msg`` frames, decoded by ``sources.protobuf.msg_binary_to_events`` (pure-Python wire codec, no protobuf lib needed) |
+| tcp/udp protobuf servers (transport/tcp.clj:246-296) | ``sources.servers`` — in-process loopback servers (int32-framed TCP w/ ack+query, UDP datagrams); at deploy scale ``read_kafka_msg_frames`` bridges the same ``Msg`` frames through Kafka, decoded by ``sources.protobuf.msg_binary_to_events`` (pure-Python wire codec, no protobuf lib needed) |
 | ws-server ingest (websockets.clj:94-133) | socket/file source + JSON codec |
 | graphite/opentsdb servers | ``read_socket_lines`` + the line parsers |
 
-The TCP acks/queries half of the reference protocol is a serving
-concern, not a data-plane one — the query endpoint is served by
-index search over the materialized index table (SURVEY §3.2).
+``sources.servers.TcpMsgServer`` also serves the protocol's ack and
+query halves (ack Msg per frame; query Msg answered through the query
+-language compiler over an index snapshot), matching the reference's
+handle-request split.
 """
 
 from __future__ import annotations

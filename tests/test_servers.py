@@ -1,0 +1,87 @@
+"""Loopback TCP/UDP Msg-server round-trips: real sockets, the real
+int32 framing (transport/tcp.clj:44-51), the shared wire decode."""
+
+from __future__ import annotations
+
+import threading
+
+from riemann_spark.query import compile_query
+from riemann_spark.sources.servers import (
+    TcpMsgServer,
+    UdpMsgServer,
+    query_tcp,
+    send_events_tcp,
+    send_events_udp,
+)
+
+EVENTS = [
+    {"host": f"h{i}", "service": "api latency", "state": "ok" if i % 2 else "warn",
+     "metric": i * 1.5, "time": 1000.0 + i, "tags": ["prod", f"t{i}"],
+     "ttl": 60.0, "attributes": {"dc": f"dc{i % 3}"}}
+    for i in range(20)
+]
+
+
+def test_tcp_roundtrip_concurrent_clients(spark):
+    with TcpMsgServer() as srv:
+        acks = []
+
+        def client(chunk):
+            acks.append(send_events_tcp(srv.port, chunk))
+
+        threads = [
+            threading.Thread(target=client, args=(EVENTS[i : i + 5],))
+            for i in range(0, 20, 5)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(a["ok"] for a in acks) and len(acks) == 4
+
+        got = srv.received_events(spark).collect()
+    assert len(got) == 20
+    by_host = {r["host"]: r for r in got}
+    for e in EVENTS:
+        r = by_host[e["host"]]
+        assert r["service"] == e["service"]
+        assert r["metric"] == e["metric"]
+        assert r["time_us"] == int(e["time"] * 1e6)
+        assert sorted(r["tags"]) == sorted(e["tags"])
+        assert r["attributes"]["dc"] == e["attributes"]["dc"]
+
+
+def test_tcp_query_endpoint_uses_query_language(spark):
+    # index snapshot served over the socket, filtered by the real
+    # query-language compiler — the reference's query Msg path
+    idx = spark.createDataFrame(
+        [(e["host"], e["service"], e["state"], e["metric"], e["time"]) for e in EVENTS],
+        "host string, service string, state string, metric double, time double",
+    )
+
+    def handler(q):
+        return [r.asDict() for r in idx.filter(compile_query(q)).collect()]
+
+    with TcpMsgServer(query_handler=handler) as srv:
+        reply = query_tcp(srv.port, 'state = "warn" and metric > 10')
+    assert reply["ok"] is True
+    hosts = sorted(e["host"] for e in reply["events"])
+    want = sorted(
+        e["host"] for e in EVENTS if e["state"] == "warn" and e["metric"] > 10
+    )
+    assert hosts == want and hosts
+
+
+def test_udp_fire_and_forget(spark):
+    import time
+
+    with UdpMsgServer() as srv:
+        for e in EVENTS[:6]:
+            send_events_udp(srv.port, [e])
+        deadline = time.time() + 5
+        while len(srv.frames) < 6 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(srv.frames) == 6
+        got = srv.received_events(spark).collect()
+    assert sorted(r["host"] for r in got) == sorted(e["host"] for e in EVENTS[:6])
+    assert {r["service"] for r in got} == {"api latency"}
