@@ -8,7 +8,7 @@ hand-rolled ``host = X and service = Y`` fast path (index.clj:44-56).
 """
 
 from riemann_spark.query.parser import parse
-from riemann_spark.query.compiler import to_column, to_sql
+from riemann_spark.query.compiler import to_column, to_predicate, to_sql
 
 
 def compile_query(query: str):
@@ -16,4 +16,4 @@ def compile_query(query: str):
     return to_column(parse(query))
 
 
-__all__ = ["parse", "to_column", "to_sql", "compile_query"]
+__all__ = ["parse", "to_column", "to_predicate", "to_sql", "compile_query"]

@@ -147,3 +147,66 @@ def to_sql(ast, dialect: str = "duckdb") -> str:
     if op == "~=":
         return f"regexp_matches({col}, {_sql_str(value)})" if dialect == "duckdb" else f"({col} RLIKE {_sql_str(value)})"
     raise ValueError(f"unknown AST node: {ast!r}")
+
+
+# ------------------------------------------------------------ python ----
+
+def to_predicate(ast):
+    """Compile the AST to a plain-Python ``event dict -> bool``.
+
+    The serving-side backend: per-connection subscription filters in
+    the ws/SSE/TCP-query endpoints evaluate events one at a time on
+    the driver (the reference compiles queries to Clojure fns the same
+    way, query.clj:103-160). Matches ``to_column`` semantics: nil-safe
+    ``=``, nil-guarded ordered comparisons, two-valued NOT.
+    """
+    if ast is True:
+        return lambda e: True
+    if ast is False or ast is None:
+        return lambda e: False
+    head = ast[0]
+    if head in ("and", "or"):
+        subs = [to_predicate(s) for s in ast[1:]]
+        if head == "and":
+            return lambda e: all(p(e) for p in subs)
+        return lambda e: any(p(e) for p in subs)
+    if head == "not":
+        sub = to_predicate(ast[1])
+        return lambda e: not sub(e)
+    if head == "tagged":
+        tag = ast[1]
+        return lambda e: tag in (e.get("tags") or ())
+
+    op, field, value = ast
+    if field in CORE_FIELDS:
+        get = lambda e: e.get(field)  # noqa: E731
+    else:
+        get = lambda e: (e.get("attributes") or {}).get(field)  # noqa: E731
+    if op == "=":
+        return lambda e: get(e) == value if value is not None else get(e) is None
+    if op == "!=":
+        return lambda e: get(e) != value if value is not None else get(e) is not None
+    if op in _ORDERED:
+        import operator
+
+        cmp = {"<": operator.lt, ">": operator.gt, "<=": operator.le, ">=": operator.ge}[op]
+
+        def ordered(e):
+            v = get(e)
+            if v is None or value is None:
+                return False
+            try:
+                return bool(cmp(v, value))
+            except TypeError:
+                return False
+
+        return ordered
+    if op in ("=~", "~="):
+        rx = re.compile(_like_to_regex(value) if op == "=~" else value)
+
+        def matches(e):
+            v = get(e)
+            return v is not None and rx.search(str(v)) is not None
+
+        return matches
+    raise ValueError(f"unknown AST node: {ast!r}")

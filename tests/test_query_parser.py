@@ -101,3 +101,14 @@ def test_sql_dialect_matches(spark, query, expected_ids):
         for r in spark.sql(f"SELECT event_id FROM qev WHERE {sql}").collect()
     )
     assert got == expected_ids, query
+
+
+@pytest.mark.parametrize("query,expected_ids", MATCH_CASES)
+def test_python_predicate_matches(query, expected_ids):
+    """The driver-side python backend (serving endpoints) selects the
+    same events as the Column backend."""
+    from riemann_spark.query.compiler import to_predicate
+
+    pred = to_predicate(parse(query))
+    got = [i for i, e in enumerate(MATCH_FIXTURE) if pred(e)]
+    assert got == expected_ids, query
