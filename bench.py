@@ -54,6 +54,9 @@ HEADLINE = [
     "token_stats",
     "dedup_embedding",
     "dedup_clusters",
+    "repetition_filter",
+    "pii_scrub",
+    "hash_split",
     "deps_algebra",
     "sorted_sample",
     "fold_difference",

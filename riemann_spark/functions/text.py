@@ -165,3 +165,91 @@ def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+# ---------------------------------------------------------------- #
+# repetition / split / scrub — training-data curation tier
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1):
+    heavily repeated content marks low-quality/generated text.
+
+    - ``dup_word_frac``: 1 − distinct/total tokens.
+    - ``top2_char_frac``: chars occupied by the most-covering 2-gram
+      (max over 2-grams of count × gram length) / doc chars —
+      tie-deterministic by construction (max over a single integer).
+
+    Shape: one explode over 2-grams, count partial-aggregates
+    map-side, one row per doc out — the same shuffle budget as the
+    shingle pipeline, no all-pairs anything."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        toks.alias("t"),
+    )
+    grams = base.select(
+        "doc",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - 2),
+                    lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+                ),
+            ).otherwise(F.array()),
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc")
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("top2_chars"))
+    )
+    return (
+        base.drop("t")
+        .join(top, "doc", "left")
+        .select(
+            "doc",
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")).alias("dup_word_frac"),
+            (F.coalesce("top2_chars", F.lit(0)) / F.col("n_chars")).alias("top2_char_frac"),
+        )
+    )
+
+
+# anchored to simple character classes so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(col: str | Column = "text") -> Column:
+    """Mask emails / IPv4s / phone-shaped numbers — the standard
+    pre-training scrub pass, entirely in JVM regexp_replace (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def hash_split(id_col: str | Column = "doc_id", train: int = 230, valid: int = 243) -> Column:
+    """Deterministic train/valid/test assignment by md5(id) prefix.
+
+    Buckets on the first two hex chars (256 buckets): < ``train``
+    (default 230 ≈ 89.8%) → train, < ``valid`` (default 243 ≈ 5.1%)
+    → valid, else test. Pure projection — membership is stable under
+    any repartitioning, resharding, or engine, which is the property a
+    held-out split must have at 100 TB (lexicographic compare on
+    fixed-width lowercase hex, identical in Spark and DuckDB)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    b = F.substring(F.md5(c.cast("string")), 1, 2)
+    return (
+        F.when(b < F.lit(format(train, "02x")), "train")
+        .when(b < F.lit(format(valid, "02x")), "valid")
+        .otherwise("test")
+    )

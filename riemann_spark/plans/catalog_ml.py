@@ -563,3 +563,83 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     labels = dedup.connected_components(pairs)
     sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
     return labels.select(F.col("node").alias("doc"), "cluster").join(sizes, "cluster")
+
+
+@q(
+    "repetition_filter",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id AS doc, len(toks) AS n_tokens,
+                len(list_distinct(toks)) AS n_distinct,
+                length(text) AS n_chars, toks AS t FROM t),
+grams AS (SELECT doc, unnest(CASE WHEN n_tokens >= 2 THEN
+              list_transform(generate_series(1, n_tokens - 1),
+                             i -> t[i] || ' ' || t[i+1])
+              ELSE [] END) AS gram FROM base),
+cnts AS (SELECT doc, gram, COUNT(*) AS cnt FROM grams GROUP BY doc, gram),
+top AS (SELECT doc, MAX(cnt * length(gram)) AS top2_chars FROM cnts GROUP BY doc)
+SELECT b.doc,
+       CAST(1 AS DOUBLE) - (n_distinct / n_tokens) AS dup_word_frac,
+       COALESCE(top2_chars, 0) / n_chars AS top2_char_frac
+FROM base b LEFT JOIN top USING (doc)""",
+)
+def repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction + most-covering-2-gram char fraction, the
+    standard repetition gate before pre-training. One 2-gram explode
+    with map-side partial counts; output is one row per doc."""
+    d = load_table(spark, sf, "documents")
+    return text.repetition_metrics(d)
+
+
+@q(
+    "pii_scrub",
+    """
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.7 or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS scrubbed
+FROM salted""",
+)
+def pii_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PII masking (emails / IPv4 / phone shapes) as a pure JVM
+    regexp_replace projection — zero shuffle, codegen-resident. The
+    fixture has no organic PII, so deterministic doc_id-derived PII is
+    salted in first; the oracle applies identical RE2/Java-compatible
+    patterns with DuckDB's 'g' flag matching Spark's replace-all."""
+    d = load_table(spark, sf, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.7 or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return salted.select("doc_id", text.pii_scrub("text").alias("scrubbed"))
+
+
+@q(
+    "hash_split",
+    """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents""",
+)
+def hash_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test assignment by md5(doc_id)
+    prefix — stable under any repartitioning or engine, the property a
+    held-out split needs at 100 TB. Pure projection, no shuffle."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", text.hash_split("doc_id").alias("split"))

@@ -228,3 +228,37 @@ def test_connected_components_string_ids(spark):
     )
     got = {r["node"]: r["cluster"] for r in dedup.connected_components(df).collect()}
     assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x8": "x8", "x9": "x8"}
+
+
+def test_repetition_metrics_known_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "w x y z"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r for r in text.repetition_metrics(df).collect()}
+    # doc 0: 6 tokens, 2 distinct; "a b" occurs 3x (3*3=9 chars of 11)
+    assert abs(rows[0]["dup_word_frac"] - (1 - 2 / 6)) < 1e-12
+    assert abs(rows[0]["top2_char_frac"] - 9 / 11) < 1e-12
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[2]["top2_char_frac"] == 0.0  # no 2-grams
+
+
+def test_pii_scrub_golden(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@corp.example.org or 10.1.2.3 call 555-867-5309 ok")],
+        "doc_id long, text string",
+    )
+    out = df.select(text.pii_scrub("text").alias("s")).collect()[0]["s"]
+    assert out == "mail <EMAIL> or <IP> call <PHONE> ok"
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = df.select("doc_id", text.hash_split("doc_id").alias("s"))
+    counts = {r["s"]: r["cnt"] for r in out.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(counts["train"] / 5000 - 230 / 256) < 0.02
+    assert counts["train"] + counts.get("valid", 0) + counts.get("test", 0) == 5000
+    # stable across shuffles
+    again = {r["doc_id"]: r["s"] for r in out.repartition(13).collect()}
+    first = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert again == first
