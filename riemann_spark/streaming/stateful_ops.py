@@ -563,3 +563,95 @@ def streaming_top(
     return one.groupBy("__g").applyInPandasWithState(
         update, TOP_OUT, _TOP_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# --------------------------------------------------------- throttle --
+
+def streaming_throttle(
+    sdf: DataFrame, n: int, dt: float, keys: Sequence[str] = ("host", "service")
+) -> DataFrame:
+    """throttle (streams.clj:1102-1118), streaming: at most n events
+    per key per fixed dt event-time window; extras are dropped
+    immediately (no added latency, matching the reference's
+    part-time-simple shape and the batch operator's time_bucket
+    windows). State is two longs per key. Events arriving for an
+    already-passed window (late, cross-batch) are dropped — the
+    window's budget is closed, mirroring part-time-simple having
+    moved on."""
+    state_schema = StructType(
+        [StructField("bucket", LongType()), StructField("sent", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        bucket, sent = state.get if state.exists else (-(1 << 62), 0)
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
+        out = []
+        for row in rows.itertuples(index=False):
+            b = int(math.floor(float(row.time) / dt))
+            if b > bucket:
+                bucket, sent = b, 0
+            elif b < bucket:
+                continue
+            if sent < n:
+                sent += 1
+                out.append(
+                    (host, service, int(row.event_id), float(row.time),
+                     None if pd.isna(row.metric) else float(row.metric))
+                )
+        state.update((bucket, sent))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in _EV_OUT.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, _EV_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------- changed --
+
+def streaming_changed(
+    sdf: DataFrame,
+    field: str = "state",
+    init: str | None = None,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """changed / changed-state (streams.clj:1417-1458), streaming:
+    pass an event only when ``field`` differs from the key's previous
+    value — alert edge detection. ``init`` seeds the comparison (the
+    reference's :init option): with init set, a first event equal to
+    init is suppressed; without it, the first event always passes.
+    State is one string per key."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("event_id", LongType()),
+            StructField("time", DoubleType()),
+            StructField("metric", DoubleType()),
+            StructField(field, StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("prev", StringType())])
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        (prev,) = state.get if state.exists else (init,)
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", field])
+        out = []
+        for row in rows.itertuples(index=False):
+            cur = getattr(row, field)
+            cur = None if (cur is None or (isinstance(cur, float) and pd.isna(cur))) else str(cur)
+            if cur != prev:
+                out.append(
+                    (host, service, int(row.event_id), float(row.time),
+                     None if pd.isna(row.metric) else float(row.metric), cur)
+                )
+            prev = cur
+        state.update((prev,))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -280,3 +280,46 @@ def test_streaming_coalesce_periodic_snapshot(spark, tmpdirs):
         assert len(rows) >= 4
     finally:
         q.stop()
+
+
+def test_streaming_throttle_budget_per_window(spark, tmpdirs):
+    from riemann_spark.streaming.stateful_ops import streaming_throttle
+
+    src, ckpt = tmpdirs
+    name = f"th_{uuid.uuid4().hex[:8]}"
+    batches = [
+        # window [0,10): budget 2 — events 0,1 pass, 2 dropped
+        [_mk(0, "a", "x", metric=1.0, t=0.0), _mk(1, "a", "x", metric=2.0, t=3.0),
+         _mk(2, "a", "x", metric=3.0, t=9.0)],
+        # budget survives the batch boundary: still window [0,10)
+        [_mk(3, "a", "x", metric=4.0, t=9.5),      # dropped (budget spent)
+         _mk(4, "a", "x", metric=5.0, t=12.0),     # new window — passes
+         _mk(5, "b", "x", metric=6.0, t=9.0)],     # other key: own budget
+        # late event for a closed window is dropped
+        [_mk(6, "a", "x", metric=7.0, t=8.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, lambda s: streaming_throttle(s, 2, 10.0), name, batches
+    )
+    assert sorted(r.event_id for r in rows) == [0, 1, 4, 5]
+
+
+def test_streaming_changed_edge_detection(spark, tmpdirs):
+    from riemann_spark.streaming.stateful_ops import streaming_changed
+
+    src, ckpt = tmpdirs
+    name = f"ch_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [_mk(0, "a", "x", metric=1.0, t=0.0, state="ok"),
+         _mk(1, "a", "x", metric=2.0, t=1.0, state="ok")],      # suppressed
+        [_mk(2, "a", "x", metric=3.0, t=2.0, state="critical"),  # edge
+         _mk(3, "a", "x", metric=4.0, t=3.0, state="critical")], # suppressed
+        [_mk(4, "a", "x", metric=5.0, t=4.0, state="ok")],       # edge back
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, lambda s: streaming_changed(s, "state", init="ok"), name, batches
+    )
+    # init="ok" suppresses the initial ok rows (reference :init)
+    assert [(r.event_id, r.state) for r in sorted(rows, key=lambda r: r.event_id)] == [
+        (2, "critical"), (4, "ok"),
+    ]
