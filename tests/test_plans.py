@@ -17,12 +17,15 @@ from riemann_spark.plans import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
+def plan_of_df(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def plan_of(spark, name: str) -> str:
+    return plan_of_df(QUERIES[name](spark, SF))
 
 
 def test_where_filter_pushdown_and_pruning(spark):
@@ -118,3 +121,47 @@ def test_token_stats_is_pure_projection(spark):
     exchanges at any scale."""
     p = plan_of(spark, "token_stats")
     assert "Exchange" not in p
+
+
+def test_partitioned_write_prunes_and_pushes(spark, tmp_path):
+    """Event-date partition layout: a time-range read prunes
+    directories (PartitionFilters) and pushes the residual time/host
+    filters to parquet (PushedFilters) — the 100 TB read-bounding
+    mechanism."""
+    from riemann_spark.operators.storage import (
+        read_events_range,
+        write_events_partitioned,
+    )
+
+    # 4 days of events, 100/day
+    rows = [(i, f"h{i % 3}", "svc", float(i % 7), 86400.0 * (i // 100) + i)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "event_id long, host string, service string, metric double, time double"
+    )
+    path = str(tmp_path / "lake")
+    write_events_partitioned(df, path)
+    assert len(spark.read.parquet(path).inputFiles()) >= 4  # one dir per day
+
+    day2 = read_events_range(spark, path, 86400.0, 2 * 86400.0)
+    plan = plan_of_df(day2)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # empirical pruning proof: corrupt an out-of-range partition; the
+    # pruned read never touches it, a full scan chokes on it
+    import glob
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    # first partition dir (1970-01-01) is outside [day2, day3]
+    victim = sorted(glob.glob(f"{path}/event_date=*/part-*.parquet"))[0]
+    with open(victim, "wb") as f:
+        f.write(b"not parquet at all")
+    assert day2.count() == 100
+    with pytest.raises(Py4JJavaError):
+        spark.read.parquet(path).count()
+
+    from pyspark.sql import functions as F
+
+    point = day2.filter(F.col("host") == "h1")
+    pplan = plan_of_df(point)
+    assert "PushedFilters" in pplan and "EqualTo(host,h1)" in pplan
