@@ -57,6 +57,7 @@ HEADLINE = [
     "repetition_filter",
     "pii_scrub",
     "hash_split",
+    "contamination",
     "deps_algebra",
     "sorted_sample",
     "fold_difference",

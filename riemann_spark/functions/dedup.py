@@ -366,3 +366,36 @@ def connected_components(
     return nodes.join(e, "u", "left").select(
         F.col("u").alias("node"), F.coalesce("v", "u").alias("cluster")
     )
+
+
+# ------------------------------------------------------------------ #
+# benchmark decontamination
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval overlap detection — the GPT-3-style n-gram
+    decontamination pass (Brown et al. 2020, app. C): flag every
+    training doc sharing at least one word k-gram with the held-out
+    benchmark set, with overlap counts for thresholding.
+
+    Shape: the eval side is benchmark-sized (thousands of docs), so
+    its shingle table broadcasts; the train side streams through a
+    broadcast hash join keyed on shingle — no shuffle of the 100 TB
+    side at all, and the output is one row per contaminated doc."""
+    t = _shingle_table(train, id_col, text_col, k)
+    e = _shingle_table(eval_df, id_col, text_col, k).select(
+        F.col("doc").alias("eval_doc"), "shingle"
+    )
+    return (
+        t.join(F.broadcast(e), "shingle")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )

@@ -643,3 +643,34 @@ def hash_split_q(spark: SparkSession, sf: str) -> DataFrame:
     held-out split needs at 100 TB. Pure projection, no shuffle."""
     d = load_table(spark, sf, "documents")
     return d.select("doc_id", text.hash_split("doc_id").alias("split"))
+
+
+def _gram4_sql(src: str) -> str:
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(4))
+    return f"""(SELECT doc_id AS doc,
+        unnest(list_distinct(CASE WHEN len(t) >= 4 THEN
+          list_transform(generate_series(1, len(t) - 3), i -> {terms})
+          ELSE [] END)) AS shingle
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE {src}))"""
+
+
+@q(
+    "contamination",
+    f"""
+WITH tr AS {_gram4_sql("source != 'src0'")},
+ev AS (SELECT doc AS eval_doc, shingle FROM {_gram4_sql("source = 'src0'")} e)
+SELECT tr.doc,
+       COUNT(DISTINCT tr.shingle) AS n_shared_grams,
+       COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc""",
+)
+def contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source != src0)
+    sharing any word 4-gram with the stand-in eval set (source =
+    src0). Eval shingles broadcast; the training corpus never
+    shuffles."""
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_contamination(
+        d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0"), 4
+    )

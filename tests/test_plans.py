@@ -165,3 +165,11 @@ def test_partitioned_write_prunes_and_pushes(spark, tmp_path):
     point = day2.filter(F.col("host") == "h1")
     pplan = plan_of_df(point)
     assert "PushedFilters" in pplan and "EqualTo(host,h1)" in pplan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the benchmark shingles — a
+    shuffle join would re-exchange the full training corpus."""
+    p = plan_of(spark, "contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

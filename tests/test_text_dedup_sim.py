@@ -262,3 +262,21 @@ def test_hash_split_deterministic_and_proportioned(spark):
     again = {r["doc_id"]: r["s"] for r in out.repartition(13).collect()}
     first = {r["doc_id"]: r["s"] for r in out.collect()}
     assert again == first
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over lazy dogs"),
+         (1, "completely unrelated words in this doc"),
+         (2, "quick brown fox jumps again and again")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "benchmark says quick brown fox jumps high"),
+         (101, "another benchmark entry entirely")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r for r in dedup.ngram_contamination(train, ev, 4).collect()}
+    # docs 0 and 2 share "quick brown fox jumps" with eval doc 100
+    assert set(rows) == {0, 2}
+    assert rows[0]["n_shared_grams"] == 1 and rows[0]["n_eval_docs"] == 1
