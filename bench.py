@@ -58,6 +58,7 @@ HEADLINE = [
     "pii_scrub",
     "hash_split",
     "contamination",
+    "distinct_ngrams_kmv",
     "deps_algebra",
     "sorted_sample",
     "fold_difference",

@@ -674,3 +674,38 @@ def contamination(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_contamination(
         d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0"), 4
     )
+
+
+_NIBBLE_52 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h13, {i + 1}, 1)) - 1) * {16 ** (12 - i)}"
+    for i in range(13)
+)
+
+
+@q(
+    "distinct_ngrams_kmv",
+    f"""
+WITH {_SHINGLE_SQL},
+hs AS (SELECT DISTINCT ({_NIBBLE_52}) / 4503599627370496.0 AS h
+       FROM (SELECT substr(md5(shingle), 1, 13) AS h13 FROM sh)),
+mins AS (SELECT h FROM hs ORDER BY h LIMIT 1024)
+SELECT CASE WHEN COUNT(*) < 1024 THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE 1023.0 / MAX(h) END AS est_distinct,
+       MAX(h) AS kth_min,
+       1024 AS k
+FROM mins""",
+)
+def distinct_ngrams_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus 3-gram vocabulary size via the KMV sketch
+    (functions/sketches.py): k=1024 smallest md5 fractions of the
+    distinct shingles → (k−1)/kth-min. The distinct() partial-aggs
+    map-side and the take is TakeOrderedAndProject, so the full
+    shingle stream never shuffles anywhere — the 100 TB
+    count-distinct plan. Bit-exact vs the oracle because every step
+    is md5 / 52-bit-integer / power-of-two arithmetic (no ln(), no
+    engine-specific rounding)."""
+    from riemann_spark.functions import sketches
+
+    d = load_table(spark, sf, "documents")
+    sh = d.select(F.explode(dedup.shingles("text", 3)).alias("shingle"))
+    return sketches.kmv_estimate(sh, F.col("shingle"), 1024)

@@ -173,3 +173,10 @@ def test_contamination_broadcasts_eval_side(spark):
     p = plan_of(spark, "contamination")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_kmv_sketch_take_ordered(spark):
+    """The k-minima must come from TakeOrderedAndProject (local
+    heaps), never a global sort of the distinct hash stream."""
+    p = plan_of(spark, "distinct_ngrams_kmv")
+    assert "TakeOrderedAndProject" in p

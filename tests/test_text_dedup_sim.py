@@ -280,3 +280,16 @@ def test_ngram_contamination_planted_overlap(spark):
     # docs 0 and 2 share "quick brown fox jumps" with eval doc 100
     assert set(rows) == {0, 2}
     assert rows[0]["n_shared_grams"] == 1 and rows[0]["n_eval_docs"] == 1
+
+
+def test_kmv_estimate_accuracy_and_exact_path(spark):
+    from riemann_spark.functions import sketches
+
+    # estimation regime: 20k distinct values, k=1024 → ~3% stderr
+    big = spark.range(20000).select(F.concat(F.lit("v"), "id").alias("v"))
+    est = sketches.kmv_estimate(big, F.col("v"), 1024).collect()[0]
+    assert abs(est["est_distinct"] - 20000) / 20000 < 0.10
+    # exact regime: fewer distincts than k → sketch degenerates to count
+    small = spark.range(300).select(F.concat(F.lit("v"), (F.col("id") % 57)).alias("v"))
+    est2 = sketches.kmv_estimate(small, F.col("v"), 1024).collect()[0]
+    assert est2["est_distinct"] == 57.0
