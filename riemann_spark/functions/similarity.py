@@ -216,17 +216,26 @@ def ivf_topk(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-flat: centroids = first n_cells corpus vectors (deterministic
-    coarse quantizer; production would k-means a sample), assign every
-    vector to its nearest centroid, search the query's cell only."""
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_cells).select(
+    """IVF-flat: assign every vector to its nearest coarse centroid,
+    search the query's cell only. Default quantizer = first n_cells
+    corpus vectors (deterministic, oracle-mirrorable); pass
+    ``centroids`` (cell, c_vec) — e.g. from ``kmeans_centroids`` — for
+    the trained production quantizer."""
+    if centroids is not None:
+        cent_src = centroids.select(
+            "cell",
+            F.col("c_vec").cast("array<double>").alias("c_vec"),
+            norm(F.col("c_vec")).alias("c_n"),
+        )
+    else:
+        cent_src = corpus.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"),
             F.col(vec_col).alias("c_vec"),
             norm(F.col(vec_col)).alias("c_n"),
         )
-    )
+    cents = F.broadcast(cent_src)
 
     def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
         nc = vecc[0] + "_n"  # q_n / n_n, precomputed by the caller
@@ -269,3 +278,89 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+# ------------------------------------------------------------------ #
+# k-means coarse quantizer (the production IVF training step)
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column → (cell,
+    c_vec) centroid frame for ``ivf_topk(centroids=...)``.
+
+    Per iteration: the k centroids (k×dim doubles — model-sized, not
+    data-sized) are inlined as literal expressions, so assignment is a
+    pure per-row argmin projection with ZERO shuffle of the corpus;
+    re-estimation posexplodes to (cell, dim) partial sums — map-side
+    combine makes that shuffle k×dim rows regardless of corpus size.
+    Iterations are driver-sequenced (as in any iterative Spark
+    algorithm); each pulls only the k centroid rows to the driver.
+    Init = first k vectors by id (deterministic); empty cells keep
+    their previous centroid. Means are float sums, so results are
+    reproducible run-to-run only up to summation order — validated
+    against a single-node reference implementation in tests, not the
+    bit-exact oracle gate (the catalog's IVF query keeps its
+    deterministic first-k quantizer for that)."""
+    vecs = df.select(
+        F.col(id_col).alias("v_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+    cent_rows = [
+        (i, list(r["v"]))
+        for i, r in enumerate(vecs.orderBy("v_id").limit(k).collect())
+    ]
+    for _ in range(n_iter):
+        assigned = vecs.withColumn("cell", _argmin_cell(cent_rows))
+        means = {
+            r["cell"]: list(r["pm"])
+            for r in (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", (F.col("s") / F.col("n")).alias("m"))
+                        )
+                    ).alias("pm")
+                )
+                .select(
+                    "cell", F.transform("pm", lambda st: st["m"]).alias("pm")
+                )
+                .collect()
+            )
+        }
+        # empty cells keep their previous centroid
+        cent_rows = [(c, means.get(c, v)) for c, v in cent_rows]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(c, v) for c, v in cent_rows], "cell int, c_vec array<double>"
+    )
+
+
+def _argmin_cell(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id as a literal-folded projection."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, vec in cent_rows
+        ]
+    )
+    return F.array_min(scored)["cell"]

@@ -293,3 +293,57 @@ def test_kmv_estimate_accuracy_and_exact_path(spark):
     small = spark.range(300).select(F.concat(F.lit("v"), (F.col("id") % 57)).alias("v"))
     est2 = sketches.kmv_estimate(small, F.col("v"), 1024).collect()[0]
     assert est2["est_distinct"] == 57.0
+
+
+def test_kmeans_centroids_matches_reference_lloyd(spark):
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(5)
+    # 3 well-separated blobs in 8-d
+    data = []
+    i = 0
+    for c in (0.0, 5.0, 10.0):
+        for _ in range(40):
+            data.append((i, [rnd.gauss(c, 0.3) for _ in range(8)]))
+            i += 1
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    got = similarity.kmeans_centroids(df, 3, n_iter=4)
+    got_c = {r["cell"]: np.array(r["c_vec"]) for r in got.collect()}
+
+    # reference single-node Lloyd, same init (first 3 by id), 4 iters
+    X = np.array([v for _, v in data])
+    C = X[:3].copy()
+    for _ in range(4):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(3):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    for j in range(3):
+        assert np.allclose(got_c[j], C[j], atol=1e-9), j
+
+
+def test_ivf_with_kmeans_centroids_improves_recall(spark):
+    import random
+
+    rnd = random.Random(11)
+    data = []
+    i = 0
+    # four directionally-distinct blobs (cells assign by cosine, so
+    # blob centers must differ in direction, not just magnitude)
+    for b in range(4):
+        mean = [6.0 if d // 2 == b else 0.0 for d in range(8)]
+        for _ in range(30):
+            data.append((i, [rnd.gauss(m, 0.4) for m in mean]))
+            i += 1
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") % 30 == 7)
+    cents = similarity.kmeans_centroids(df, 4, n_iter=3)
+    exact = similarity.brute_force_topk(qs, df, 5)
+    approx = similarity.ivf_topk(qs, df, 5, centroids=cents)
+    ex = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    # trained cells align with the true blobs: near-total recall
+    assert len(ex & ap) / len(ex) >= 0.9
