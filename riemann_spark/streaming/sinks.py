@@ -141,3 +141,29 @@ def write_stream(
     if query_name:
         w = w.queryName(query_name)
     return w.start()
+
+
+@register_sink("riemann")
+def _riemann_forward_sink(host: str, port: int, batch_limit: int = 5000) -> SinkFn:
+    """``forward`` (streams.clj:1255-1261): push events to another
+    riemann server over the real TCP wire protocol (int32-framed
+    protobuf Msg, acked). Alert-volume streams only (collects up to
+    batch_limit rows per micro-batch on the driver, like the http
+    sink); raw-volume egress belongs on the kafka sink carrying Msg
+    frames."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        from riemann_spark.sources.servers import send_events_tcp
+
+        cols = [c for c in ("host", "service", "state", "description",
+                            "metric", "tags", "time", "ttl") if c in df.columns]
+        rows = df.select(*cols).limit(batch_limit).collect()
+        events = [
+            {k: v for k, v in row.asDict().items() if v is not None} for row in rows
+        ]
+        if events:
+            ack = send_events_tcp(port, events, host=host)
+            if not ack.get("ok"):
+                raise RuntimeError(f"riemann forward rejected: {ack.get('error')}")
+
+    return write

@@ -85,3 +85,22 @@ def test_udp_fire_and_forget(spark):
         got = srv.received_events(spark).collect()
     assert sorted(r["host"] for r in got) == sorted(e["host"] for e in EVENTS[:6])
     assert {r["service"] for r in got} == {"api latency"}
+
+
+def test_riemann_forward_sink_roundtrip(spark):
+    """forward (streams.clj:1255-1261): the sink pushes a micro-batch
+    to a riemann TCP server and the wire round-trip preserves it."""
+    from riemann_spark.streaming.sinks import make_sink
+
+    df = spark.createDataFrame(
+        [("h1", "svc", "ok", 1.5, 10.0), ("h2", "svc", "warn", 2.5, 11.0)],
+        "host string, service string, state string, metric double, time double",
+    )
+    with TcpMsgServer() as srv:
+        sink = make_sink("riemann", host="127.0.0.1", port=srv.port)
+        sink(df, 0)
+        got = sorted(
+            (r["host"], r["state"], r["metric"], r["time_us"])
+            for r in srv.received_events(spark).collect()
+        )
+    assert got == [("h1", "ok", 1.5, 10_000_000), ("h2", "warn", 2.5, 11_000_000)]
