@@ -707,5 +707,5 @@ def distinct_ngrams_kmv(spark: SparkSession, sf: str) -> DataFrame:
     from riemann_spark.functions import sketches
 
     d = load_table(spark, sf, "documents")
-    sh = d.select(F.explode(dedup.shingles("text", 3)).alias("shingle"))
+    sh = dedup._spread(d).select(F.explode(dedup.shingles("text", 3)).alias("shingle"))
     return sketches.kmv_estimate(sh, F.col("shingle"), 1024)
