@@ -59,6 +59,7 @@ HEADLINE = [
     "hash_split",
     "contamination",
     "distinct_ngrams_kmv",
+    "asof_enrich",
     "deps_algebra",
     "sorted_sample",
     "fold_difference",

@@ -1588,3 +1588,33 @@ def ewma_r01(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.ewma_timeless_exact(ev, 0.1).select(
         "event_id", "host", "service", "ewma"
     )
+
+
+@q(
+    "asof_enrich",
+    f"""{_EV},
+l AS (SELECT event_id, host, time_us, metric FROM ev WHERE service = 'click'),
+rsrc AS (SELECT host, time_us, arg_max(metric, event_id) AS r_metric
+         FROM ev WHERE service = 'purchase' GROUP BY host, time_us)
+SELECT l.event_id, l.host, l.time_us, l.metric,
+       r.r_metric AS asof_metric, r.time_us AS asof_time_us
+FROM l ASOF LEFT JOIN rsrc r ON l.host = r.host AND l.time_us >= r.time_us""",
+)
+def asof_enrich_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time enrichment: each click event joined to the
+    host's most recent purchase at-or-before its time (the replayed
+    form of the reference's read-the-live-index-at-arrival semantics,
+    deps.clj:24-80). Spark side = union + keyed window with
+    last(ignorenulls) carry-forward (operators/asof.py, one shuffle);
+    oracle = DuckDB's native ASOF LEFT JOIN — two entirely different
+    algorithms, same fixpoint."""
+    from riemann_spark.operators.asof import asof_enrich
+
+    ev = load_events(spark, sf)
+    clicks = ev.filter(F.col("service") == "click").select(
+        "event_id", "host", "time_us", "metric"
+    )
+    purchases = ev.filter(F.col("service") == "purchase").select(
+        "event_id", "host", "time_us", "metric"
+    )
+    return asof_enrich(clicks, purchases, keys=("host",))

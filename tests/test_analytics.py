@@ -246,3 +246,31 @@ def test_delete_from_index_field_match(spark):
     cmds = idx.filter(F.col("state") == "critical")
     out = index.delete_from_index(idx, cmds, fields=("host",))
     assert [(r.host, r.service) for r in out.collect()] == [("b", "x")]
+
+
+def test_asof_enrich_edges(spark):
+    """Tie at equal time (right visible), no-prior-match (nulls),
+    duplicate right timestamps (max event_id wins)."""
+    from riemann_spark.operators.asof import asof_enrich
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(10, "a", 100, 1.0), (11, "a", 200, 2.0), (12, "b", 50, 3.0)],
+        "event_id long, host string, time_us long, metric double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", 100, 7.0),   # same instant as left 10 → visible
+            (2, "a", 150, 8.0),
+            (3, "a", 150, 9.0),   # duplicate ts: event_id 3 wins
+            (4, "b", 60, 5.0),    # after left 12 → no match
+        ],
+        "event_id long, host string, time_us long, metric double",
+    )
+    rows = {
+        r["event_id"]: (r["asof_metric"], r["asof_time_us"])
+        for r in asof_enrich(left, right, keys=("host",)).collect()
+    }
+    assert rows[10] == (7.0, 100)
+    assert rows[11] == (9.0, 150)
+    assert rows[12] == (None, None)
