@@ -60,6 +60,7 @@ HEADLINE = [
     "contamination",
     "distinct_ngrams_kmv",
     "asof_enrich",
+    "sessionize",
     "deps_algebra",
     "sorted_sample",
     "fold_difference",

@@ -1618,3 +1618,28 @@ def asof_enrich_q(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "host", "time_us", "metric"
     )
     return asof_enrich(clicks, purchases, keys=("host",))
+
+
+@q(
+    "sessionize",
+    f"""{_EV},
+s AS (SELECT host, event_id, time_us, metric,
+        CASE WHEN lag(time_us) OVER w IS NULL
+                  OR time_us - lag(time_us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS nw
+      FROM ev WINDOW w AS (PARTITION BY host ORDER BY time_us, event_id)),
+sid AS (SELECT *, SUM(nw) OVER (PARTITION BY host ORDER BY time_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM s)
+SELECT host, session_id,
+       MIN(time_us) AS t_start, MAX(time_us) AS t_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric
+FROM sid GROUP BY host, session_id""",
+)
+def sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """30-minute-gap activity sessions per host (gaps-and-islands):
+    span, size, exact-decimal metric sum. Single Exchange — the lag
+    pass and the session aggregate share the host partitioning."""
+    ev = load_events(spark, sf)
+    return windows.sessionize(ev, 1800.0)

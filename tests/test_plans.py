@@ -180,3 +180,13 @@ def test_kmv_sketch_take_ordered(spark):
     heaps), never a global sort of the distinct hash stream."""
     p = plan_of(spark, "distinct_ngrams_kmv")
     assert "TakeOrderedAndProject" in p
+
+
+def test_sessionize_single_exchange(spark):
+    """Lag pass and session aggregate must reuse one host
+    partitioning — exactly one Exchange in the plan."""
+    p = plan_of(spark, "sessionize")
+    import re
+
+    n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n == 1, p[:2000]

@@ -140,3 +140,24 @@ def test_salted_agg_matches_plain(spark):
     a = {(r.host): (r.s, r.n) for r in salted.collect()}
     b = {(r.host): (r.s, r.n) for r in plain.collect()}
     assert a == b
+
+
+def test_sessionize_gap_splitting(spark):
+    from riemann_spark.operators.windows import sessionize
+
+    rows = [
+        (0, "a", 0.0, 1.0), (1, "a", 100.0, 2.0), (2, "a", 150.0, 3.0),
+        (3, "a", 400.0, 4.0),           # gap 250s > 200 → new session
+        (4, "b", 0.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, int(t * 1e6), m) for i, h, t, m in rows],
+        "event_id long, host string, time_us long, metric double",
+    )
+    out = {
+        (r["host"], r["session_id"]): (r["n_events"], r["t_start"], r["t_end"], r["sum_metric"])
+        for r in sessionize(df, 200.0).collect()
+    }
+    assert out[("a", 1)] == (3, 0, 150_000_000, 6.0)
+    assert out[("a", 2)] == (1, 400_000_000, 400_000_000, 4.0)
+    assert out[("b", 1)] == (1, 0, 0, 5.0)
