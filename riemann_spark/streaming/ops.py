@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from riemann_spark.operators.folds import _d
@@ -77,4 +77,31 @@ def streaming_window_folds(
             "min_metric",
             "max_metric",
         )
+    )
+
+
+def streaming_dedup_exact(
+    sdf: DataFrame,
+    fingerprint_col: Column | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: one representative per content
+    fingerprint passes (arbitrary within a micro-batch — structured
+    streaming has no intra-batch order), replays in later batches drop — the ingest-time half of the
+    dedup tier (functions/dedup.exact_duplicates is the backfill
+    half). State = one row per distinct fingerprint, bounded by the
+    watermark horizon: Spark evicts fingerprints older than the
+    watermark, which is the deliberate semantics for an unbounded
+    stream (an exact forever-dedup would grow state forever; dedupe
+    beyond the horizon belongs to the batch pass over the landed
+    lake)."""
+    from riemann_spark.functions.text import fingerprint
+    from riemann_spark.streaming.ops import with_event_timestamp
+
+    fp = fingerprint_col if fingerprint_col is not None else fingerprint("description")
+    return (
+        with_event_timestamp(sdf)
+        .withColumn("fingerprint", fp)
+        .withWatermark("event_ts", watermark)
+        .dropDuplicates(["fingerprint"])
     )

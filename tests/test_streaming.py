@@ -161,3 +161,21 @@ def test_streaming_rate_matches_batch(spark, tmpdirs):
     bdf = spark.createDataFrame(batches[0], FULL_SCHEMA)
     brate = analytics.rate(bdf, 10.0).collect()[0].rate
     assert win0[0].rate == brate
+
+
+def test_streaming_dedup_exact_drops_replays(spark, tmpdirs):
+    from riemann_spark.streaming.ops import streaming_dedup_exact
+
+    src, ckpt = tmpdirs
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    mk = lambda i, desc, t: (i, "h", "s", "ok", desc, 1.0, None, t, None, None)
+    batches = [
+        [mk(0, "alpha", 0.0), mk(1, "alpha", 1.0), mk(2, "beta", 2.0)],
+        [mk(3, "alpha", 3.0), mk(4, "gamma", 4.0)],  # replay dropped across batches
+    ]
+    rows = _run_stream(spark, src, ckpt, streaming_dedup_exact, name, batches)
+    got = sorted(r.event_id for r in rows)
+    # one alpha representative from batch 1 (intra-batch pick is
+    # arbitrary), beta, gamma; the batch-2 alpha replay must drop
+    assert got in ([0, 2, 4], [1, 2, 4])
+    assert 3 not in got
