@@ -315,6 +315,16 @@ def connected_components(
     lineage truncation (on a cluster with an unreliable-executor
     profile, swap for ``checkpoint()`` to a reliable dir).
     """
+    def _sig(df: DataFrame) -> tuple:
+        # one shuffle-free job: (count, hash-sum) edge-set signature,
+        # used as a cheap no-change screen before the exact check
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode would overflow a long hash-sum
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -323,6 +333,7 @@ def connected_components(
     )
     nodes = e.select("u").union(e.select("v")).distinct().persist()
     nodes.count()
+    prev_sig = _sig(e)
 
     for _ in range(max_rounds):
         # large-star: for each node u, hang every larger neighbor off
@@ -351,13 +362,20 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        changed = (
-            hung.exceptAll(e).limit(1).count() > 0
-            or e.exceptAll(hung).limit(1).count() > 0
-        )
-        e = hung
-        if not changed:
-            break
+        sig = _sig(hung)
+        if sig == prev_sig:
+            # signatures match → almost surely converged; confirm with
+            # the exact set compare once instead of every round
+            same = (
+                hung.exceptAll(e).limit(1).count() == 0
+                and e.exceptAll(hung).limit(1).count() == 0
+            )
+            e = hung
+            if same:
+                break
+        else:
+            e = hung
+        prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
