@@ -2,4 +2,15 @@
 DSL (SURVEY.md §2). Streaming variants live in riemann_spark.streaming
 and reuse the same Column logic."""
 
-from riemann_spark.operators import analytics, folds, index, stateless, windows  # noqa: F401
+from riemann_spark.operators import (  # noqa: F401
+    analytics,
+    asof,
+    bucketing,
+    deps,
+    folds,
+    index,
+    skew,
+    stateless,
+    storage,
+    windows,
+)

@@ -16,3 +16,12 @@ from riemann_spark.sources.protobuf import (
     events_to_msg_binary,
     msg_binary_to_events,
 )
+from riemann_spark.sources.servers import (
+    TcpMsgServer,
+    UdpMsgServer,
+    query_tcp,
+    send_events_tcp,
+    send_events_udp,
+)
+from riemann_spark.sources.sse import SseEventServer
+from riemann_spark.sources.websockets import WsClient, WsEventServer

@@ -71,3 +71,17 @@ def events(spark: SparkSession, *rows: dict, with_id: bool = True):
 def metrics(df, col: str = "metric", order: str = "event_id") -> list:
     """Collect one column ordered by arrival — the test-stream output."""
     return [r[0] for r in df.orderBy(order).select(col).collect()]
+
+
+def assert_stream(spark, op, input_rows, expected, col="metric"):
+    """``(test-stream op ins outs)`` (src/riemann/test.clj:206-257,
+    streams_test.clj:37-44): apply a batch operator to an event seq
+    in arrival order and assert the output seq of ``col`` values.
+
+    Scalars are shorthand for {"metric": x}; expected compares in
+    event order (the deterministic event_id tie-break)."""
+    ins = [r if isinstance(r, dict) else {"metric": float(r)} for r in input_rows]
+    out = op(events(spark, *ins)).orderBy("event_id").collect()
+    got = [r[col] for r in out]
+    want = [float(x) if isinstance(x, int) else x for x in expected]
+    assert got == want, f"stream mismatch: {got} != {want}"

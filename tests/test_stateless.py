@@ -110,3 +110,45 @@ def test_smapcat_sflatten(spark):
     df = events(spark, {"metric": 2.0})
     out = stateless.smapcat(df, F.array(F.col("metric"), F.col("metric") * 10), alias="m")
     assert sorted(r.m for r in out.collect()) == [2.0, 20.0]
+
+
+def test_reference_test_stream_golden_cases(spark):
+    """Canonical test-stream shapes ported verbatim from
+    streams_test.clj (smap/where/over/under/default/adjust/scale)."""
+    from tests.conftest import assert_stream
+    from riemann_spark.operators import stateless
+
+    # (test-stream (smap inc) [6 3 -1] [7 4 0]) — streams_test.clj:37-44
+    assert_stream(
+        spark,
+        lambda df: stateless.smap(
+            df, "event_id", (F.col("metric") + 1).alias("metric")
+        ),
+        [6, 3, -1],
+        [7, 4, 0],
+    )
+    # where: metric > 5 passes
+    assert_stream(
+        spark, lambda df: stateless.where(df, "metric > 5"), [6, 3, 7], [6, 7]
+    )
+    # over / under (streams.clj:1661-1675)
+    assert_stream(spark, lambda df: stateless.over(df, 5), [6, 3, 7], [6, 7])
+    assert_stream(spark, lambda df: stateless.under(df, 5), [6, 3, 7], [3])
+    # scale (streams.clj:1443-1461)
+    assert_stream(
+        spark, lambda df: stateless.scale(df, 2.0), [1, 2, 3], [2, 4, 6]
+    )
+    # default fills only missing fields (streams.clj:1395-1417)
+    assert_stream(
+        spark,
+        lambda df: stateless.default(df, {"metric": 9.0}),
+        [{"metric": None}, {"metric": 3.0}],
+        [9, 3],
+    )
+    # adjust a present field (streams.clj:1419-1441)
+    assert_stream(
+        spark,
+        lambda df: stateless.adjust(df, "metric", lambda c: c * 10),
+        [1, 2],
+        [10, 20],
+    )
