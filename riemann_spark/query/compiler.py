@@ -27,6 +27,48 @@ CORE_FIELDS = {"host", "service", "state", "description", "metric", "tags", "tim
 
 _ORDERED = {"<", ">", "<=", ">="}
 
+# the event model's static types drive the reference's runtime guards
+# (query.clj:184-189: `=` is cross-type-false Clojure equality, ordered
+# comparisons are number?-guarded, regex matches are string?-guarded) —
+# compiled here as constant-folded FALSE / guarded casts instead of
+# per-event checks, so no query can throw at runtime (ANSI mode would
+# otherwise raise on e.g. `host = 1` casting 'ş' to bigint)
+_STRING_FIELDS = {"host", "service", "state", "description"}
+_NUMERIC_FIELDS = {"metric", "time", "ttl"}
+
+
+def _kind(field: str) -> str:
+    if field in _STRING_FIELDS:
+        return "string"
+    if field in _NUMERIC_FIELDS:
+        return "numeric"
+    if field == "tags":
+        return "tags"
+    return "attr"  # open attributes: map<string,string>
+
+
+def _eq_type_mismatch(field: str, value) -> bool:
+    """Clojure `=` semantics: values of different types are unequal
+    (bools are not numbers). None is type-compatible with anything."""
+    if value is None:
+        return False
+    k = _kind(field)
+    if isinstance(value, bool):
+        return True  # no boolean-typed event fields
+    if isinstance(value, (int, float)):
+        return k in ("string", "attr", "tags")
+    return k in ("numeric", "tags")  # string literal
+
+
+def _ordered_comparable(field: str, value) -> bool:
+    """number?-guarded ordered comparison: needs a numeric literal and
+    a numeric-capable field (attr values try-cast from string)."""
+    return (
+        isinstance(value, (int, float))
+        and not isinstance(value, bool)
+        and _kind(field) in ("numeric", "attr")
+    )
+
 
 def _field_col(name: str) -> Column:
     if name in CORE_FIELDS:
@@ -67,10 +109,18 @@ def to_column(ast) -> Column:
     op, field, value = ast
     col = _field_col(field)
     if op == "=":
+        if _eq_type_mismatch(field, value):
+            return F.lit(False)
         return col.eqNullSafe(F.lit(value)) if value is not None else col.isNull()
     if op == "!=":
+        if _eq_type_mismatch(field, value):
+            return F.lit(True)
         return ~col.eqNullSafe(F.lit(value)) if value is not None else col.isNotNull()
     if op in _ORDERED:
+        if not _ordered_comparable(field, value):
+            return F.lit(False)
+        if _kind(field) == "attr":
+            col = col.try_cast("double")
         lit = F.lit(value)
         if op == "<":
             return col < lit
@@ -79,10 +129,10 @@ def to_column(ast) -> Column:
         if op == "<=":
             return col <= lit
         return col >= lit
-    if op == "=~":
-        return col.rlike(_like_to_regex(value))
-    if op == "~=":
-        return col.rlike(value)
+    if op in ("=~", "~="):
+        if _kind(field) in ("numeric", "tags"):
+            return F.lit(False)  # string?-guarded (query.clj:160-165)
+        return col.rlike(_like_to_regex(value) if op == "=~" else value)
     raise ValueError(f"unknown AST node: {ast!r}")
 
 
@@ -129,23 +179,34 @@ def to_sql(ast, dialect: str = "duckdb") -> str:
     col = field if field in CORE_FIELDS else f"attributes['{field}']"
     lit = _sql_lit(value)
     if op == "=":
+        if _eq_type_mismatch(field, value):
+            return "FALSE"
         if value is None:
             return f"({col} IS NULL)"
         if dialect == "duckdb":
             return f"({col} IS NOT DISTINCT FROM {lit})"
         return f"({col} <=> {lit})"
     if op == "!=":
+        if _eq_type_mismatch(field, value):
+            return "TRUE"
         if value is None:
             return f"({col} IS NOT NULL)"
         if dialect == "duckdb":
             return f"({col} IS DISTINCT FROM {lit})"
         return f"(NOT ({col} <=> {lit}))"
     if op in _ORDERED:
+        if not _ordered_comparable(field, value):
+            return "FALSE"
+        if _kind(field) == "attr":
+            col = f"TRY_CAST({col} AS DOUBLE)"
         return f"({col} {op} {lit})"
-    if op == "=~":
-        return f"regexp_matches({col}, {_sql_str(_like_to_regex(value))})" if dialect == "duckdb" else f"({col} RLIKE {_sql_str(_like_to_regex(value))})"
-    if op == "~=":
-        return f"regexp_matches({col}, {_sql_str(value)})" if dialect == "duckdb" else f"({col} RLIKE {_sql_str(value)})"
+    if op in ("=~", "~="):
+        if _kind(field) in ("numeric", "tags"):
+            return "FALSE"
+        pat = _like_to_regex(value) if op == "=~" else value
+        if dialect == "duckdb":
+            return f"regexp_matches({col}, {_sql_str(pat)})"
+        return f"({col} RLIKE {_sql_str(pat)})"
     raise ValueError(f"unknown AST node: {ast!r}")
 
 
@@ -182,19 +243,29 @@ def to_predicate(ast):
         get = lambda e: e.get(field)  # noqa: E731
     else:
         get = lambda e: (e.get("attributes") or {}).get(field)  # noqa: E731
-    if op == "=":
-        return lambda e: get(e) == value if value is not None else get(e) is None
-    if op == "!=":
+    if op in ("=", "!="):
+        if _eq_type_mismatch(field, value):
+            return (lambda e: False) if op == "=" else (lambda e: True)
+        if op == "=":
+            return lambda e: get(e) == value if value is not None else get(e) is None
         return lambda e: get(e) != value if value is not None else get(e) is not None
     if op in _ORDERED:
+        if not _ordered_comparable(field, value):
+            return lambda e: False
         import operator
 
         cmp = {"<": operator.lt, ">": operator.gt, "<=": operator.le, ">=": operator.ge}[op]
+        is_attr = _kind(field) == "attr"
 
         def ordered(e):
             v = get(e)
-            if v is None or value is None:
+            if v is None:
                 return False
+            if is_attr:  # map values are strings: mirror TRY_CAST
+                try:
+                    v = float(v)
+                except (TypeError, ValueError):
+                    return False
             try:
                 return bool(cmp(v, value))
             except TypeError:
@@ -202,11 +273,13 @@ def to_predicate(ast):
 
         return ordered
     if op in ("=~", "~="):
+        if _kind(field) in ("numeric", "tags"):
+            return lambda e: False
         rx = re.compile(_like_to_regex(value) if op == "=~" else value)
 
         def matches(e):
             v = get(e)
-            return v is not None and rx.search(str(v)) is not None
+            return isinstance(v, str) and rx.search(v) is not None
 
         return matches
     raise ValueError(f"unknown AST node: {ast!r}")

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from riemann_spark.query import compile_query, parse, to_sql
+from riemann_spark.query import compile_query, parse, to_column, to_sql
 from riemann_spark.query.parser import QueryParseError
 from tests.conftest import events
 
@@ -112,3 +112,89 @@ def test_python_predicate_matches(query, expected_ids):
     pred = to_predicate(parse(query))
     got = [i for i, e in enumerate(MATCH_FIXTURE) if pred(e)]
     assert got == expected_ids, query
+
+
+# ---------------------------------------------------------------- #
+# property test: the three backends agree on arbitrary queries
+
+def _hyp_strategies():
+    from hypothesis import strategies as st
+
+    fields = st.sampled_from(["host", "service", "state", "metric", "time", "zone"])
+    strs = st.sampled_from(['"a"', '"api"', '"w%"', '"^w"', '"x y"'])
+    nums = st.sampled_from(["1", "2.5", "-150", "0"])
+    ops = st.sampled_from(["=", "!=", "<", ">", "<=", ">="])
+
+    simple = st.one_of(
+        st.builds(lambda f, o, v: f"{f} {o} {v}", fields, ops, nums),
+        st.builds(lambda f, v: f"{f} = {v}", fields, strs),
+        st.builds(lambda f, v: f"{f} =~ {v}", fields, strs),
+        st.builds(lambda v: f"tagged {v}", st.sampled_from(['"cat"', '"x"'])),
+        st.sampled_from(["true", "false", "host = nil", "metric != nil"]),
+    )
+
+    def combine(children):
+        return st.one_of(
+            st.builds(lambda a, b: f"({a} and {b})", children, children),
+            st.builds(lambda a, b: f"({a} or {b})", children, children),
+            st.builds(lambda a: f"not ({a})", children),
+        )
+
+    return st.recursive(simple, combine, max_leaves=6)
+
+
+def test_three_backends_agree_on_random_queries(spark):
+    """Column (Catalyst), SQL, and python-predicate backends must
+    select identical row sets for arbitrary well-formed queries."""
+    from hypothesis import HealthCheck, given, settings
+    from riemann_spark.query.compiler import to_predicate
+
+    df = events(spark, *MATCH_FIXTURE)
+    df.createOrReplaceTempView("qev3")
+    fixture = MATCH_FIXTURE
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(q=_hyp_strategies())
+    def run(q):
+        ast = parse(q)
+        col_ids = sorted(r[0] for r in df.filter(to_column(ast)).select("event_id").collect())
+        sql_ids = sorted(
+            r[0]
+            for r in spark.sql(
+                f"SELECT event_id FROM qev3 WHERE {to_sql(ast, 'spark')}"
+            ).collect()
+        )
+        py_ids = [i for i, e in enumerate(fixture) if to_predicate(ast)(e)]
+        assert col_ids == sql_ids == py_ids, q
+
+    run()
+
+
+@pytest.mark.parametrize(
+    "query,expected_ids",
+    [
+        ('host = 1', []),            # cross-type =: false, not a cast error
+        ('host != 1', [0, 1, 2, 3]),  # (not (= host 1)) matches everything
+        ('host > 1', []),            # number?-guard: string field never orders
+        ('metric =~ "1%"', []),      # string?-guard: no regex on numbers
+        ("metric = true", []),       # bools equal nothing in the event model
+    ],
+)
+def test_reference_type_guard_semantics(spark, query, expected_ids):
+    """query.clj:184-189 runtime guards, compiled as constant folds:
+    cross-type comparisons are FALSE (never errors), in all three
+    backends."""
+    from riemann_spark.query.compiler import to_predicate
+
+    df = events(spark, *MATCH_FIXTURE)
+    ast = parse(query)
+    assert sorted(r[0] for r in df.filter(to_column(ast)).select("event_id").collect()) == expected_ids
+    df.createOrReplaceTempView("qev4")
+    assert sorted(
+        r[0] for r in spark.sql(f"SELECT event_id FROM qev4 WHERE {to_sql(ast, 'spark')}").collect()
+    ) == expected_ids
+    assert [i for i, e in enumerate(MATCH_FIXTURE) if to_predicate(ast)(e)] == expected_ids
