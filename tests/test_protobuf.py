@@ -97,3 +97,55 @@ def test_spark_roundtrip_mapinpandas(spark):
     back = msg_binary_to_events(events_to_msg_binary(df))
     rows = {r.host: (r.metric, r.time) for r in back.collect()}
     assert rows == {"a": (1.5, 1.0), "b": (-7.0, 2.0), "c": (None, 3.0)}
+
+
+# ---------------------------------------------------------------- #
+# property: encode→decode is the identity on the event model
+
+def test_wire_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    txt = st.text(min_size=0, max_size=40)
+    metric = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    ev = st.fixed_dictionaries(
+        {},
+        optional={
+            "host": txt,
+            "service": txt,
+            "state": txt,
+            "description": txt,
+            "metric": metric,
+            "tags": st.lists(txt, max_size=4),
+            "time_us": st.integers(min_value=0, max_value=2**53),
+            "ttl": st.floats(min_value=0, max_value=1e6, allow_nan=False),
+            "attributes": st.dictionaries(
+                st.text(min_size=1, max_size=10), txt, max_size=3
+            ),
+        },
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(e=ev)
+    def run(e):
+        got = decode_msg(encode_msg([e]))["events"][0]
+        for k in ("host", "service", "state", "description"):
+            assert got.get(k) == e.get(k, None)
+        assert got["tags"] == e.get("tags", [])
+        assert got["attributes"] == e.get("attributes", {})
+        if "time_us" in e:
+            assert got["time_us"] == e["time_us"]
+        m = e.get("metric")
+        if m is None:
+            assert got["metric"] is None
+        elif isinstance(m, int) or (isinstance(m, float) and m.is_integer() and abs(m) < 2**63):
+            assert got["metric"] == int(m)  # sint64 precedence
+        else:
+            assert got["metric"] == m  # double field, exact
+        if "ttl" in e:
+            assert got["ttl"] == struct.unpack("<f", struct.pack("<f", e["ttl"]))[0]
+
+    run()
