@@ -90,18 +90,24 @@ def counter(
     time_col: str = "time",
     order_col: str = "event_id",
     reset_tag: str = "reset",
+    init: float = 0.0,
 ) -> DataFrame:
     """Running sum of metrics per key; a "reset"-tagged event restarts
     the count (streams.clj:900-932). Reset = epoch segmentation: count
-    resets seen so far defines an epoch, running sum within epoch."""
+    resets seen so far defines an epoch, running sum within epoch.
+
+    ``init`` seeds the first epoch only — a reset event restarts the
+    count at its own metric, exactly the reference's
+    ``(counter 100)`` vectors (streams_test.clj:144-166)."""
     w = _kw(keys, time_col, order_col)
     is_reset = F.coalesce(F.array_contains(F.col("tags"), reset_tag), F.lit(False))
     df2 = df.withColumn("__epoch", F.sum(is_reset.cast("int")).over(w))
     w2 = Window.partitionBy(*[F.col(k) for k in keys], F.col("__epoch")).orderBy(
         F.col(time_col), F.col(order_col)
     )
+    seed = F.when(F.col("__epoch") == 0, F.lit(float(init))).otherwise(F.lit(0.0))
     return df2.withColumn(
-        "counter", F.sum(_d("metric")).over(w2).cast("double")
+        "counter", (F.sum(_d("metric")).over(w2) + seed).cast("double")
     ).drop("__epoch")
 
 
@@ -128,8 +134,12 @@ def ewma_timeless(
     if halflife_window is None:
         import math
 
-        if not 0.0 < r <= 1.0:
-            raise ValueError(f"ewma_timeless r must be in (0, 1], got {r}")
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"ewma_timeless r must be in [0, 1], got {r}")
+        if r == 0.0:
+            # ewma_n = 0·x_n + 1·ewma_{n-1}, seeded 0 — identically zero
+            # (streams_test.clj:1226-1228).
+            return df.withColumn("ewma", F.lit(0.0))
         if r == 1.0:
             halflife_window = 1
         else:

@@ -143,18 +143,27 @@ def scale(df: DataFrame, factor: float) -> DataFrame:
 
 
 def tag(df: DataFrame, tags: str | Sequence[str]) -> DataFrame:
-    """Add tag(s), dedup-preserving (reference uses set-union)."""
+    """Add tag(s): new tags first, then existing, distinct-preserving —
+    the reference's exact output order (streams.clj:1463-1477,
+    streams_test.clj:233-250: tag "foo" on ["bar" "baz"] →
+    ["foo" "bar" "baz"])."""
     ts = [tags] if isinstance(tags, str) else list(tags)
     new = F.array(*[F.lit(t) for t in ts])
     return df.withColumn(
-        "tags", F.array_union(F.coalesce(F.col("tags"), F.array()), new)
+        "tags", F.array_union(new, F.coalesce(F.col("tags"), F.array()))
     )
 
 
 def untag(df: DataFrame, tags: str | Sequence[str]) -> DataFrame:
+    """Remove tag(s); nil tags normalize to [] exactly as the
+    reference's (remove ...) over nil does (streams_test.clj:210-230:
+    untag on {} → {:tags []})."""
     ts = [tags] if isinstance(tags, str) else list(tags)
     return df.withColumn(
-        "tags", F.array_except(F.col("tags"), F.array(*[F.lit(t) for t in ts]))
+        "tags",
+        F.array_except(
+            F.coalesce(F.col("tags"), F.array()), F.array(*[F.lit(t) for t in ts])
+        ),
     )
 
 

@@ -73,7 +73,12 @@ def fixed_time_window(
 ) -> DataFrame:
     """Tumbling window anchored at the first event's time (per key
     group, or globally when keys=()): window i covers
-    [anchor + i·n, anchor + (i+1)·n)."""
+    [anchor + i·n, anchor + (i+1)·n).
+
+    Rejects n ≤ 0 exactly as the reference throws
+    IllegalArgumentException (streams_test.clj:1666-1668)."""
+    if float(n_seconds) <= 0:
+        raise ValueError(f"fixed_time_window interval must be positive, got {n_seconds}")
     w = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
     anchor = F.min(time_col).over(w)
     t = F.col(time_col)

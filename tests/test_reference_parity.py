@@ -1,0 +1,546 @@
+"""Ports of the reference's own test vectors (test/riemann/
+streams_test.clj, folds_test.clj) through the batch operators — the
+``test-stream`` cases whose semantics are event-time-expressible.
+Interval/virtual-clock cases live in test_stateful_streaming.py; each
+test cites the deftest it mirrors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from riemann_spark.operators import analytics, folds, stateless, windows
+from tests.conftest import assert_stream, events, metrics
+
+
+# ---------------------------------------------------------------- §smap
+
+def test_smap_increment(spark):
+    """streams_test.clj:37-39 — (smap inc) [6 3 -1] -> [7 4 0]."""
+    assert_stream(
+        spark,
+        lambda df: stateless.smap(df, "event_id", (F.col("metric") + 1).alias("metric")),
+        [6, 3, -1],
+        [7, 4, 0],
+    )
+
+
+def test_smapcat_doubles(spark):
+    """streams_test.clj:46-49 — (smapcat #(vector % %)) duplicates."""
+    ev = events(spark, *({"metric": float(m)} for m in [0, 1, 2, 3]))
+    out = stateless.smapcat(
+        ev,
+        F.array(
+            F.struct(F.col("event_id"), F.col("metric")),
+            F.struct(F.col("event_id"), F.col("metric")),
+        ),
+        alias="e",
+    ).select("e.event_id", "e.metric")
+    got = [r["metric"] for r in out.orderBy("event_id", "metric").collect()]
+    assert got == [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+
+
+def test_sflatten(spark):
+    """streams_test.clj:51-53 — vectors of events flatten in order."""
+    rows = [([(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0)],), ([(4, 4.0), (5, 5.0)],)]
+    df = spark.createDataFrame(
+        rows, "events array<struct<event_id: long, metric: double>>"
+    )
+    out = stateless.sflatten(df)
+    assert [r["metric"] for r in out.orderBy("event_id").collect()] == [
+        0.0, 1.0, 2.0, 3.0, 4.0, 5.0,
+    ]
+
+
+# -------------------------------------------------------------- §counter
+
+def test_counter_counts_and_passes_nil(spark):
+    """streams_test.clj:144-157 — running sum; nil-metric events pass
+    through unchanged (their metric stays nil; the running count holds)."""
+    ev = events(spark, {"metric": 2.0}, {"metric": None}, {"metric": 3.0})
+    out = analytics.counter(ev).orderBy("event_id").collect()
+    assert [r["metric"] for r in out] == [2.0, None, 3.0]
+    assert [r["counter"] for r in out] == [2.0, 2.0, 5.0]
+
+    out100 = analytics.counter(ev, init=100.0).orderBy("event_id").collect()
+    assert [r["counter"] for r in out100] == [102.0, 102.0, 105.0]
+
+
+def test_counter_resets(spark):
+    """streams_test.clj:158-166 — a "reset"-tagged event restarts the
+    count at its own metric; init seeds only the first epoch."""
+    ev = events(
+        spark,
+        {"metric": 1.0},
+        {"metric": 200.0, "tags": ["reset"]},
+        {"metric": 5.0},
+    )
+    out = analytics.counter(ev, init=100.0).orderBy("event_id").collect()
+    assert [r["counter"] for r in out] == [101.0, 200.0, 205.0]
+
+
+# ---------------------------------------------------------------- §match
+
+def test_match_string_set_regex_nil(spark):
+    """streams_test.clj:168-208 — strings, sets, regexen, nils."""
+    ev = events(
+        spark,
+        {"service": None},
+        {"service": "bar"},
+        {"service": "foo"},
+    )
+    assert [r["service"] for r in stateless.match(ev, "service", "foo").collect()] == [
+        "foo"
+    ]
+
+    ev = events(spark, {"metric": None}, {"metric": 1.0}, {"metric": 2.0})
+    got = stateless.match(ev, "metric", {0.0, 2.0}).collect()
+    assert [r["metric"] for r in got] == [2.0]
+
+    ev = events(
+        spark,
+        {"state": None},
+        {"state": "migas"},
+        {"state": "other breakfast foods"},
+    )
+    got = stateless.match(ev, "state", "re:^mi").collect()
+    assert [r["state"] for r in got] == ["migas"]
+
+    ev = events(spark, {"host": None}, {"host": None}, {"host": "foo"})
+    got = stateless.match(ev, "host", None).collect()
+    assert len(got) == 2 and all(r["host"] is None for r in got)
+
+
+# ------------------------------------------------------------ §tag/untag
+
+def test_tag_order(spark):
+    """streams_test.clj:233-250 — new tags first, distinct-preserving."""
+    ev = events(
+        spark,
+        {"tags": None},
+        {"service": "a", "tags": ["foo"]},
+        {"service": "b", "tags": ["bar", "baz"]},
+    )
+    got = [r["tags"] for r in stateless.tag(ev, "foo").orderBy("event_id").collect()]
+    assert got == [["foo"], ["foo"], ["foo", "bar", "baz"]]
+
+    ev = events(
+        spark,
+        {"tags": None},
+        {"service": "a", "tags": ["foo"]},
+        {"service": "b", "tags": ["foo", "baz"]},
+    )
+    got = [
+        r["tags"]
+        for r in stateless.tag(ev, ["foo", "bar"]).orderBy("event_id").collect()
+    ]
+    assert got == [["foo", "bar"], ["foo", "bar"], ["foo", "bar", "baz"]]
+
+
+def test_untag_nil_to_empty(spark):
+    """streams_test.clj:210-230 — untag on nil tags yields []."""
+    ev = events(
+        spark,
+        {"tags": None},
+        {"service": "a", "tags": []},
+        {"service": "a", "tags": ["foo"]},
+        {"service": "b", "tags": ["foo", "bar", "baz"]},
+    )
+    got = [r["tags"] for r in stateless.untag(ev, "foo").orderBy("event_id").collect()]
+    assert got == [[], [], [], ["bar", "baz"]]
+    got = [
+        r["tags"]
+        for r in stateless.untag(ev, ["foo", "bar"]).orderBy("event_id").collect()
+    ]
+    assert got == [[], [], [], ["baz"]]
+
+
+def test_tagged_all_any(spark):
+    """streams_test.clj:252-301."""
+    ev = events(
+        spark,
+        {"tags": ["kitten", "cat"]},
+        {"tags": ["kitten", "cat", "meow"]},
+        {"tags": ["dog", "cat"]},
+        {"tags": ["cat"]},
+        {"tags": []},
+        {"tags": None},
+    )
+    got = stateless.tagged_all(ev, ["kitten", "cat"]).orderBy("event_id").collect()
+    assert [r["tags"] for r in got] == [["kitten", "cat"], ["kitten", "cat", "meow"]]
+
+    got = stateless.tagged_any(ev, ["kitten", "cat"]).orderBy("event_id").collect()
+    assert [sorted(r["tags"]) for r in got] == [
+        ["cat", "kitten"],
+        ["cat", "kitten", "meow"],
+        ["cat", "dog"],
+        ["cat"],
+    ]
+
+
+# ---------------------------------------------------------------- §split
+
+def test_split_state_routing(spark):
+    """streams_test.clj:340-371 — metric>10 crit, >5 warn, else ok."""
+    ev = events(spark, {"metric": 15.0}, {"metric": 8.0}, {"metric": 2.0})
+    crit, warn, ok = stateless.split_streams(ev, ["metric > 10", "metric > 5"])
+    assert [r["metric"] for r in crit.collect()] == [15.0]
+    assert [r["metric"] for r in warn.collect()] == [8.0]
+    assert [r["metric"] for r in ok.collect()] == [2.0]
+
+
+# ---------------------------------------------------------------- §where
+
+def test_where_star_expired(spark):
+    """streams_test.clj:411-418 — (where* expired?) at now=0."""
+    ev = events(spark, {"time": -1.0, "ttl": 0.5}, {"time": 0.0, "ttl": 1.0})
+    got = stateless.expired(ev, 0.0).collect()
+    assert [r["time"] for r in got] == [-1.0]
+
+
+def test_where_compound_with_else(spark):
+    """streams_test.clj:429-447 — service="good" or metric>2, else branch."""
+    ev = events(
+        spark,
+        {"service": "good", "metric": 0.0},
+        {"service": "bad", "metric": 0.0},
+        {"service": None, "metric": 1.0},
+        {"service": "bad", "metric": 1.0},
+        {"service": "bad", "metric": 3.0},
+    )
+    good, bad = stateless.where_else(ev, 'service = "good" or metric > 2')
+    assert [r["event_id"] for r in good.orderBy("event_id").collect()] == [0, 4]
+    assert [r["event_id"] for r in bad.orderBy("event_id").collect()] == [1, 2, 3]
+
+
+# ------------------------------------------------------------ §over/under
+
+def test_over_under(spark):
+    """streams_test.clj:1204-1224."""
+    ms = [0.5, 1.0, 1.5, 2.0, 2.5]
+    ev = events(spark, *({"metric": m} for m in ms))
+    assert metrics(stateless.over(ev, 1.5)) == [2.0, 2.5]
+    assert metrics(stateless.under(ev, 1.5)) == [0.5, 1.0]
+
+
+# ------------------------------------------------------------------ §ewma
+
+def test_ewma_timeless_vectors(spark):
+    """streams_test.clj:1226-1235 — r=0 zeros, r=1 identity, r=1/2."""
+    ev = events(spark, *({"metric": float(m)} for m in [1, 10, 20, -100, 4]))
+    got = [r["ewma"] for r in analytics.ewma_timeless(ev, 0.0).orderBy("event_id").collect()]
+    assert got == [0.0] * 5
+
+    ev = events(spark, *({"metric": float(m)} for m in [5, 13, 1, -10, 3]))
+    got = [r["ewma"] for r in analytics.ewma_timeless(ev, 1.0).orderBy("event_id").collect()]
+    assert got == [5.0, 13.0, 1.0, -10.0, 3.0]
+
+    ev = events(spark, *({"metric": 1.0} for _ in range(5)))
+    want = [0.5, 0.75, 0.875, 0.9375, 0.96875]
+    got = [r["ewma"] for r in analytics.ewma_timeless(ev, 0.5).orderBy("event_id").collect()]
+    assert got == pytest.approx(want, abs=1e-12)
+    got = [
+        r["ewma"]
+        for r in analytics.ewma_timeless_half(ev).orderBy("event_id").collect()
+    ]
+    assert got == want  # po2 closed form is bit-exact
+
+
+# ------------------------------------------------------------------- §ddt
+
+def test_ddt_immediate(spark):
+    """streams_test.clj:984-999 — pairwise derivative; first event and
+    metric-less events emit nothing."""
+    assert analytics.ddt_events(events(spark)).count() == 0
+    ev = events(spark, *({"metric": None, "time": float(i)} for i in range(4)))
+    assert analytics.ddt_events(ev).count() == 0
+    ev = events(spark, {"metric": 1.0, "time": 0.0})
+    assert analytics.ddt_events(ev).count() == 0
+
+    ev = events(
+        spark,
+        {"metric": 0.0, "time": 0.0},
+        {"metric": 0.0, "time": 1.0},
+        {"metric": 2.0, "time": 2.0},
+        {"metric": -4.0, "time": 4.0},
+    )
+    out = analytics.ddt_events(ev).orderBy("time").collect()
+    assert [(r["ddt"], r["time"]) for r in out] == [
+        (0.0, 1.0),
+        (2.0, 2.0),
+        (-3.0, 4.0),
+    ]
+
+
+# --------------------------------------------------------------- §changed
+
+def test_changed_vectors(spark):
+    """streams_test.clj:1141-1156 — edge detection, with and without
+    :init."""
+    states = ["ok", "bad", "bad", "ok", "ok", "ok", "evil", "bad"]
+    ev = events(spark, *({"state": s} for s in states))
+    got = [r["state"] for r in analytics.changed(ev).orderBy("event_id").collect()]
+    assert got == ["ok", "bad", "ok", "evil", "bad"]
+
+    states = ["ok", "bad", "bad", "ok", "ok", "evil", "bad"]
+    ev = events(spark, *({"state": s} for s in states))
+    got = [
+        r["state"]
+        for r in analytics.changed(ev, init="ok").orderBy("event_id").collect()
+    ]
+    assert got == ["bad", "ok", "evil", "bad"]
+
+
+# ------------------------------------------------------------- §windows
+
+def test_moving_event_window_vector(spark):
+    """streams_test.clj:1594-1600 — n=2 on [1 2 3]."""
+    ev = events(spark, *({"metric": float(m), "time": float(m)} for m in [1, 2, 3]))
+    w = windows.moving_event_window(2)
+    out = ev.withColumn("w", F.collect_list("metric").over(w))
+    got = [r["w"] for r in out.orderBy("event_id").collect()]
+    assert got == [[1.0], [1.0, 2.0], [2.0, 3.0]]
+
+
+def test_fixed_event_window_vector(spark):
+    """streams_test.clj:1602-1610 — n=2 on [1..5]: incomplete tail
+    window never flushes."""
+    ev = events(spark, *({"metric": float(m), "time": float(m)} for m in [1, 2, 3, 4, 5]))
+    tagged = windows.fixed_event_window(ev, 2)
+    full = (
+        tagged.groupBy("window_id")
+        .agg(F.sort_array(F.collect_list("metric")).alias("w"), F.count("*").alias("n"))
+        .filter(F.col("n") == 2)
+    )
+    got = [r["w"] for r in full.orderBy("window_id").collect()]
+    assert got == [[1.0, 2.0], [3.0, 4.0]]
+
+    ev1 = events(spark, {"metric": 1.0})
+    got = (
+        windows.fixed_event_window(ev1, 2)
+        .groupBy("window_id").count().filter(F.col("count") == 2).count()
+    )
+    assert got == 0
+
+
+def test_fixed_time_window_vectors(spark):
+    """streams_test.clj:1666-1697 — anchored tumbling windows flush
+    (with empties) only when a later window is entered; n=0 throws."""
+    with pytest.raises(ValueError):
+        windows.fixed_time_window(events(spark), 0)
+
+    def flushed(ev_rows):
+        ev = events(spark, *ev_rows)
+        tagged = windows.fixed_time_window(ev, 2.0)
+        rows = tagged.select("window_start", "time").collect()
+        anchor = min(r["window_start"] for r in rows)
+        last = max(r["window_start"] for r in rows)
+        buckets: dict[float, list[float]] = {}
+        w = anchor
+        while w < last:
+            buckets[w] = []
+            w += 2.0
+        for r in rows:
+            if r["window_start"] < last:
+                buckets[r["window_start"]].append(r["time"])
+        return [sorted(v) for _, v in sorted(buckets.items())]
+
+    got = flushed([{"time": float(t)} for t in [1, 2, 3, 4, 5]])
+    assert got == [[1.0, 2.0], [3.0, 4.0]]
+
+    got = flushed([{"time": 1.0}, {"time": 7.0}])
+    assert got == [[1.0], [], []]
+
+
+def test_fixed_offset_time_window_vector(spark):
+    """streams_test.clj:1699-1731 — epoch-aligned buckets; n=0 throws."""
+    with pytest.raises(ValueError):
+        windows.fixed_offset_time_window(events(spark, {"time": 1.0}), 0).collect()
+
+    ev = events(spark, *({"time": float(t)} for t in [1, 2, 3, 4, 5, 6]))
+    tagged = windows.fixed_offset_time_window(ev, 2.0)
+    rows = tagged.select("window_start", "time").collect()
+    last = max(r["window_start"] for r in rows)
+    buckets: dict[float, list[float]] = {}
+    for r in rows:
+        if r["window_start"] < last:
+            buckets.setdefault(r["window_start"], []).append(r["time"])
+    got = [sorted(v) for _, v in sorted(buckets.items())]
+    assert got == [[1.0], [2.0, 3.0], [4.0, 5.0]]
+
+
+# ------------------------------------------------------------------ §runs
+
+def test_runs_vector(spark):
+    """streams_test.clj:1612-1631 — only the n-th consecutive equal
+    state passes."""
+    ev = events(spark, {"state": "1"}, {"state": "2"}, {"state": "2"})
+    assert analytics.runs(ev, 3, keys=()).count() == 0
+
+    seq = [
+        ("1", None), ("1", None), ("2", 0.5), ("2", 0.6),
+        ("3", None), ("4", 5.0), ("4", 5.1), ("4", 5.2),
+    ]
+    ev = events(spark, *({"state": s, "metric": m} for s, m in seq))
+    out = analytics.runs(ev, 3, keys=()).collect()
+    assert [(r["state"], r["metric"]) for r in out] == [("4", 5.2)]
+
+
+# -------------------------------------------------------- §predict-linear
+
+def test_predict_linear_vectors(spark):
+    """streams_test.clj:1832-1863 — OLS forecast; single-event windows
+    emit nothing."""
+    ev = events(spark, {"metric": 1.0, "time": 1.0})
+    out = analytics.predict_linear(ev, 10, 600).filter(F.col("predicted").isNotNull())
+    assert out.count() == 0
+
+    ev = events(spark, *({"metric": float(i), "time": float(i)} for i in range(1, 6)))
+    out = (
+        analytics.predict_linear(ev, 5, 60)
+        .filter(F.col("predicted").isNotNull())
+        .orderBy("time")
+        .collect()
+    )
+    assert [(round(r["predicted"], 9), r["time"]) for r in out] == [
+        (62.0, 2.0), (63.0, 3.0), (64.0, 4.0), (65.0, 5.0),
+    ]
+
+    ev = events(
+        spark, {"metric": 100.0, "time": 0.0}, {"metric": 50.0, "time": 43200.0}
+    )
+    out = (
+        analytics.predict_linear(ev, 2, 86400)
+        .filter(F.col("predicted").isNotNull())
+        .collect()
+    )
+    assert [(r["predicted"], r["time"]) for r in out] == [(-50.0, 43200.0)]
+
+    ev = events(spark, {"metric": 100.0, "time": 0.0}, {"metric": 100.0, "time": 1.0})
+    out = (
+        analytics.predict_linear(ev, 2, 60)
+        .filter(F.col("predicted").isNotNull())
+        .collect()
+    )
+    assert [(r["predicted"], r["time"]) for r in out] == [(100.0, 1.0)]
+
+
+# ------------------------------------------------- §expired / not-expired
+
+def test_expired_state_and_ttl(spark):
+    """streams_test.clj:1790-1830 — state="expired" or now past
+    time+ttl (strict); now=10 vectors."""
+    ev = events(
+        spark,
+        {"state": "expired"}, {"state": "ok"}, {"state": "warning"}, {"state": "expired"},
+    )
+    assert stateless.expired(ev, 0.0).count() == 2
+    got = stateless.not_expired(ev, 0.0).orderBy("event_id").collect()
+    assert [r["state"] for r in got] == ["ok", "warning"]
+
+    ev = events(
+        spark,
+        {"time": 0.0, "ttl": 10.0},
+        {"time": 1.0, "ttl": 5.0},
+        {"time": 6.0, "ttl": 2.0},
+        {"time": 10.0, "ttl": 2.0},
+    )
+    live = stateless.not_expired(ev, 10.0).orderBy("event_id").collect()
+    assert [r["time"] for r in live] == [0.0, 10.0]
+    dead = stateless.expired(ev, 10.0).orderBy("event_id").collect()
+    assert [r["time"] for r in dead] == [1.0, 6.0]
+
+
+# -------------------------------------------------------- §with / default
+
+def test_with_and_default(spark):
+    """streams_test.clj:656-716 — with overwrites always; default only
+    fills nil fields."""
+    ev = events(spark, {"service": None}, {"service": "foo"}, {"service": "bar"})
+    got = [
+        r["service"]
+        for r in stateless.with_fields(ev, {"service": "foo"})
+        .orderBy("event_id").collect()
+    ]
+    assert got == ["foo", "foo", "foo"]
+
+    got = [
+        r["service"]
+        for r in stateless.default(ev, {"service": "foo"}).orderBy("event_id").collect()
+    ]
+    assert got == ["foo", "foo", "bar"]
+
+
+def test_adjust(spark):
+    """streams_test.clj:1574-1592 — field-function update."""
+    ev = events(spark, {"state": None}, {"state": "hey", "service": "bar"})
+    out = stateless.adjust(
+        ev, "state", lambda c: F.concat(F.coalesce(c, F.lit("")), F.lit(" 2"))
+    )
+    got = [r["state"] for r in out.orderBy("event_id").collect()]
+    assert got == [" 2", "hey 2"]
+
+    ev = events(spark, {"tags": []}, {"tags": ["foo", "bar"]})
+    out = stateless.smap(
+        ev, "event_id", F.size(F.coalesce(F.col("tags"), F.array())).cast("double").alias("metric")
+    )
+    assert metrics(out) == [0.0, 2.0]
+
+
+# ----------------------------------------------------------------- §folds
+
+def _agg1(df, col):
+    return df.agg(col.alias("v")).collect()[0]["v"]
+
+
+def test_fold_sum_product_vectors(spark):
+    """folds_test.clj sum/product via test-fold: nil metrics are
+    skipped (keep :metric es)."""
+    ev = events(spark, {"metric": 1.0}, {"metric": 2.0}, {"metric": 7.0}, {"metric": 7.0})
+    assert _agg1(ev, folds.dsum()) == 17.0
+    assert _agg1(ev, folds.fproduct()) == pytest.approx(98.0, rel=1e-12)
+
+    ev = events(spark, {"metric": 2.0}, {"metric": None}, {"metric": 7.0})
+    assert _agg1(ev, folds.dsum()) == 9.0
+
+
+def test_fold_difference_quotient_vectors(spark):
+    """folds_test.clj difference/quotient: first op rest, ordered."""
+    ev = events(spark, {"metric": 1.0}, {"metric": 2.0}, {"metric": 7.0})
+    assert _agg1(ev, folds.fdifference()) == -8.0  # 1-2-7
+
+    ev = events(spark, {"metric": 1.0}, {"metric": 2.0}, {"metric": 4.0})
+    assert _agg1(ev, folds.fquotient()) == pytest.approx(0.125, rel=1e-12)
+
+    # divide-by-zero -> nil metric (the reference emits an error event)
+    ev = events(spark, {"metric": 1.0}, {"metric": 2.0}, {"metric": 0.0})
+    assert _agg1(ev, folds.fquotient()) is None
+
+
+def test_fold_mean_stddev_vectors(spark):
+    """folds_test.clj mean/std-dev: nil metrics skipped; floor(std)=147."""
+    ev = events(spark, {"metric": 2.0}, {"metric": 4.0}, {"metric": None}, {"metric": 6.0})
+    assert _agg1(ev, folds.dmean()) == 4.0
+
+    ms = [600.0, None, 470.0, 170.0, 430.0, 300.0]
+    ev = events(spark, *({"metric": m} for m in ms))
+    # reference std-dev divides by n (folds.clj:212-221)
+    got = _agg1(ev, folds.dstddev_pop())
+    assert math.floor(got) == 147.0
+
+
+def test_fold_min_max_mode_vectors(spark):
+    """folds_test.clj minimum/maximum/mode."""
+    ev = events(spark, *({"metric": m} for m in [2.0, 5.0, -4.0, 0.0]))
+    assert _agg1(ev, folds.fmin()) == -4.0
+    assert _agg1(ev, folds.fmax()) == 5.0
+
+    ev = events(spark, *({"metric": m} for m in [1.0, 2.0, 3.0, 4.0, 2.0]))
+    assert _agg1(ev, folds.fmode()) == 2.0
+    # two modes {2,3}: the documented deterministic tie-break picks the
+    # smallest (reference returns an arbitrary member of the set)
+    ev = events(spark, *({"metric": m} for m in [1.0, 2.0, 3.0, 3.0, 4.0, 2.0]))
+    assert _agg1(ev, folds.fmode()) in (2.0, 3.0)

@@ -72,7 +72,8 @@ def test_tag_untag(spark):
     df = events(spark, {"tags": ["a"]}, {"tags": None})
     tagged = stateless.tag(df, ["b", "a"])
     got = [r.tags for r in tagged.orderBy("event_id").collect()]
-    assert got == [["a", "b"], ["b", "a"]]
+    # new tags first, distinct-preserving (streams_test.clj:233-250)
+    assert got == [["b", "a"], ["b", "a"]]
     untagged = stateless.untag(tagged, "a")
     got = [r.tags for r in untagged.orderBy("event_id").collect()]
     assert got == [["b"], ["b"]]
