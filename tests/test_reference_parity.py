@@ -544,3 +544,98 @@ def test_fold_min_max_mode_vectors(spark):
     # smallest (reference returns an arbitrary member of the set)
     ev = events(spark, *({"metric": m} for m in [1.0, 2.0, 3.0, 3.0, 4.0, 2.0]))
     assert _agg1(ev, folds.fmode()) in (2.0, 3.0)
+
+
+# ----------------------------------------------------------------- §index
+
+def _index_set(df):
+    return {
+        (r["host"], r["service"], r["description"])
+        for r in df.select("host", "service", "description").collect()
+    }
+
+
+def test_index_update_latest_wins(spark):
+    """index_test.clj nbhm-update — same-key inserts overwrite; the
+    batch tie-break at equal time is arrival order (event_id)."""
+    from riemann_spark.operators.index import build_index
+
+    ev = events(
+        spark,
+        {"host": "1", "service": None, "time": 0.0},
+        {"host": "2", "service": None, "time": 0.0},
+        {"host": "1", "service": "3", "state": "ok", "time": 0.0},
+        {"host": "1", "service": "3", "description": "new", "time": 0.0},
+    )
+    got = _index_set(build_index(ev))
+    assert got == {("1", None, None), ("2", None, None), ("1", "3", "new")}
+
+
+def test_index_delete_by_field_match(spark):
+    """index_test.clj nhbm-delete — the delete event's [host service]
+    must both match (nil service matches nil)."""
+    from riemann_spark.operators.index import build_index, delete_from_index
+
+    ev = events(
+        spark,
+        {"host": "1", "service": None, "time": 0.0},
+        {"host": "2", "service": None, "time": 0.0},
+    )
+    idx = build_index(ev)
+    idx = delete_from_index(idx, {"host": "1", "service": "1"})
+    idx = delete_from_index(idx, {"host": "2", "service": None})
+    assert _index_set(idx) == {("1", None, None)}
+
+
+def test_index_search_query(spark):
+    """index_test.clj nhbm-search — compound query with a negated
+    wildcard-regex (ported onto the numeric metric field: ordered
+    comparisons are number-guarded in both engines, query.clj:184-189)."""
+    from riemann_spark.operators.index import build_index, search
+
+    ev = events(
+        spark,
+        {"host": "1", "service": None, "metric": 1.0, "time": 0.0},
+        {"host": "2", "service": "meow", "metric": 2.0, "time": 0.0},
+        {"host": "3", "service": "mrrrow", "metric": 3.0, "time": 0.0},
+    )
+    got = search(build_index(ev), 'metric >= 2 and not service =~ "%r%"').collect()
+    assert [(r["host"], r["service"]) for r in got] == [("2", "meow")]
+
+
+def test_index_expire_default_ttl(spark):
+    """index_test.clj nhbm-expire — ttl 0 expired, live within ttl,
+    past-ttl expired; nil ttl falls back to default-ttl (60)."""
+    from riemann_spark.operators.index import build_index, expire
+
+    now = 1000.0
+    ev = events(
+        spark,
+        {"host": "1", "ttl": 0.0, "time": now - 1},
+        {"host": "2", "ttl": 10.0, "time": now},
+        {"host": "3", "ttl": 20.0, "time": now - 21},
+        {"host": "4", "ttl": None, "time": now},
+        {"host": "5", "ttl": None, "time": now - 61},
+    )
+    live, dead = expire(build_index(ev), now)
+    assert {r["host"] for r in dead.collect()} == {"1", "3", "5"}
+    assert {r["host"] for r in live.collect()} == {"2", "4"}
+    assert all(
+        r["state"] == "expired" and r["time"] == now for r in dead.collect()
+    )
+
+
+def test_index_point_lookup(spark):
+    """index_test.clj nbhm-read-index — lookup by [host service]."""
+    from riemann_spark.operators.index import build_index, search
+
+    ev = events(
+        spark,
+        {"host": "1", "service": "1", "metric": 5.0, "time": 0.0},
+        {"host": "1", "service": "2", "metric": 7.0, "time": 0.0},
+    )
+    idx = build_index(ev)
+    got = search(idx, 'host = "1" and service = "1"').collect()
+    assert [r["metric"] for r in got] == [5.0]
+    got = search(idx, 'host = "1" and service = "2"').collect()
+    assert [r["metric"] for r in got] == [7.0]
