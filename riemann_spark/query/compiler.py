@@ -49,15 +49,29 @@ def _kind(field: str) -> str:
 
 def _eq_type_mismatch(field: str, value) -> bool:
     """Clojure `=` semantics: values of different types are unequal
-    (bools are not numbers). None is type-compatible with anything."""
+    (bools are not numbers). None is type-compatible with anything.
+    Attr fields are stringly-stored but may hold numbers (the
+    reference's custom fields are untyped, query_test.clj:252-263
+    ``paws = 4``), so numeric literals compare through a try-cast —
+    see ``_attr_numeric_eq``."""
     if value is None:
         return False
     k = _kind(field)
     if isinstance(value, bool):
         return True  # no boolean-typed event fields
     if isinstance(value, (int, float)):
-        return k in ("string", "attr", "tags")
+        return k in ("string", "tags")
     return k in ("numeric", "tags")  # string literal
+
+
+def _attr_numeric_eq(field: str, value) -> bool:
+    """True when ``field = value`` must compare an attr value
+    numerically (try-cast both engines; uncastable → unequal)."""
+    return (
+        _kind(field) == "attr"
+        and isinstance(value, (int, float))
+        and not isinstance(value, bool)
+    )
 
 
 def _ordered_comparable(field: str, value) -> bool:
@@ -111,10 +125,14 @@ def to_column(ast) -> Column:
     if op == "=":
         if _eq_type_mismatch(field, value):
             return F.lit(False)
+        if _attr_numeric_eq(field, value):
+            return col.try_cast("double").eqNullSafe(F.lit(float(value)))
         return col.eqNullSafe(F.lit(value)) if value is not None else col.isNull()
     if op == "!=":
         if _eq_type_mismatch(field, value):
             return F.lit(True)
+        if _attr_numeric_eq(field, value):
+            return ~col.try_cast("double").eqNullSafe(F.lit(float(value)))
         return ~col.eqNullSafe(F.lit(value)) if value is not None else col.isNotNull()
     if op in _ORDERED:
         if not _ordered_comparable(field, value):
@@ -181,6 +199,8 @@ def to_sql(ast, dialect: str = "duckdb") -> str:
     if op == "=":
         if _eq_type_mismatch(field, value):
             return "FALSE"
+        if _attr_numeric_eq(field, value):
+            col, lit = f"TRY_CAST({col} AS DOUBLE)", _sql_lit(float(value))
         if value is None:
             return f"({col} IS NULL)"
         if dialect == "duckdb":
@@ -189,6 +209,8 @@ def to_sql(ast, dialect: str = "duckdb") -> str:
     if op == "!=":
         if _eq_type_mismatch(field, value):
             return "TRUE"
+        if _attr_numeric_eq(field, value):
+            col, lit = f"TRY_CAST({col} AS DOUBLE)", _sql_lit(float(value))
         if value is None:
             return f"({col} IS NOT NULL)"
         if dialect == "duckdb":
@@ -246,6 +268,17 @@ def to_predicate(ast):
     if op in ("=", "!="):
         if _eq_type_mismatch(field, value):
             return (lambda e: False) if op == "=" else (lambda e: True)
+        if _attr_numeric_eq(field, value):
+            want = float(value)
+
+            def attr_eq(e):
+                v = get(e)
+                try:
+                    return float(v) == want  # mirror TRY_CAST AS DOUBLE
+                except (TypeError, ValueError):
+                    return False
+
+            return attr_eq if op == "=" else (lambda e: not attr_eq(e))
         if op == "=":
             return lambda e: get(e) == value if value is not None else get(e) is None
         return lambda e: get(e) != value if value is not None else get(e) is not None

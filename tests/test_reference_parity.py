@@ -639,3 +639,75 @@ def test_index_point_lookup(spark):
     assert [r["metric"] for r in got] == [5.0]
     got = search(idx, 'host = "1" and service = "2"').collect()
     assert [r["metric"] for r in got] == [7.0]
+
+
+# ------------------------------------------------------ §query predicates
+
+def test_query_predicate_vectors(spark):
+    """query_test.clj:189-263 — the reference's good/evil event vectors
+    per query, through the Column backend. state!=1 is ported onto
+    metric (states are strings in this schema; the reference vector
+    relies on an int-valued state)."""
+    from riemann_spark.query import compile_query
+
+    def f(query, good, evil):
+        rows = [dict(r, metric=r.get("metric")) for r in good + evil]
+        ev = events(spark, *rows)
+        got = {r["event_id"] for r in ev.filter(compile_query(query)).collect()}
+        assert got == set(range(len(good))), f"{query}: {sorted(got)}"
+
+    f("true", [{"state": "foo"}, {}], [])
+    f("false", [], [{"state": "foo"}, {}])
+    f("null", [], [{"state": "foo"}, {}])
+
+    f('state = "foo"', [{"state": "foo"}], [{"state": "bar"}, {"state": None}])
+
+    f("metric != 1", [{"metric": 0.5}, {"metric": None}], [{"metric": 1.0}])
+
+    f(
+        'host =~ "%s."',
+        [{"host": "s."}, {"host": "foos."}],
+        [{"host": "a."}, {"host": "s.murf"}, {"host": None}],
+    )
+
+    f(
+        'host ~= "foo?[1-9]+"',
+        [{"host": "foo19"}, {"host": "foo1"}, {"host": "fo42"}],
+        [{"host": "abc"}, {"host": "foo"}, {"host": "fooo42"}, {"host": None}],
+    )
+
+    f("metric > 10000000000", [{"metric": 1e11}], [{"metric": 1e10}, {}])
+    f("metric >= -1", [{"metric": 0.0}, {"metric": -1.0}], [{"metric": -2.0}, {}])
+    f("metric < 120", [{"metric": 15.0}], [{"metric": 120.0}, {}])
+    f("metric <= 1", [{"metric": 1.0}, {"metric": -20.0}], [{"metric": 2.0}, {}])
+
+    f(
+        'tagged "cat"',
+        [{"tags": ["cat", "dog"]}, {"tags": ["cat"]}],
+        [{"tags": ["dog"]}, {"tags": None}],
+    )
+
+    f(
+        "ttl = null and description != nil",
+        [{"ttl": None, "description": "x"}, {"description": "hey"}],
+        [{"ttl": 2.0, "description": "x"}, {"description": None}],
+    )
+
+    f(
+        'not ((host = "1" or host = "2") and service = "3")',
+        [{"host": "1", "service": None}, {"host": None, "service": "3"}, {}],
+        [{"host": "2", "service": "3"}],
+    )
+
+    f(
+        'paws = 4 and tagged "catz"',
+        [{"attributes": {"paws": "4"}, "tags": ["fuzzy", "catz"]}],
+        [
+            {"attributes": {"paws": "4"}, "tags": ["fuzzy"]},
+            {"attributes": {"paws": "4"}, "tags": []},
+            {"attributes": {"paws": "4"}},
+            {"attributes": {"paws": "3"}, "tags": ["fuzzy", "catz"]},
+            {"attributes": {}, "tags": ["fuzzy", "catz"]},
+            {"tags": ["fuzzy", "catz"]},
+        ],
+    )
