@@ -516,11 +516,14 @@ def streaming_top(
             t = float(row.time)
             ev_state = row.state if isinstance(row.state, str) else None
             if value is None or ev_state == "expired":
-                # expired event: drop the key, forward to BOTH streams
+                # drop the key; the dual view (streams.clj:1063-1066):
+                # already-expired events forward as-is to both streams,
+                # nil-metric live events expire on top, stay real on
+                # bottom (the dual falsy branch, streams.clj:127-152)
                 top.pop(ekey, None)
-                st = ev_state if ev_state is not None else "expired"
-                emit(row.host, row.service, value, t, "top", st)
-                emit(row.host, row.service, value, t, "bottom", st)
+                emit(row.host, row.service, value, t, "top", "expired")
+                bottom_st = ev_state if ev_state is not None else "expired"
+                emit(row.host, row.service, value, t, "bottom", bottom_st)
                 continue
             in_top_before = ekey in top
             smallest = min(top, key=lambda kk: top[kk][0]) if top else None

@@ -323,3 +323,53 @@ def test_streaming_changed_edge_detection(spark, tmpdirs):
     assert [(r.event_id, r.state) for r in sorted(rows, key=lambda r: r.event_id)] == [
         (2, "critical"), (4, "ok"),
     ]
+
+
+def test_streaming_top_reference_vectors(spark, tmpdirs):
+    """top-test (streams_test.clj:1291-1352): repeated services always
+    pass; nil-metric events displace and mirror to both streams;
+    expiring a nonexistent key forwards harmlessly."""
+    src, ckpt = tmpdirs
+    name = f"tv_{uuid.uuid4().hex[:8]}"
+    # "Repeating the same service": a 1, a 2, a 1, a 3 with k=1 all pass
+    batches = [
+        [
+            _mk(0, "a", "x", metric=1.0, t=0.0),
+            _mk(1, "a", "x", metric=2.0, t=1.0),
+            _mk(2, "a", "x", metric=1.0, t=2.0),
+            _mk(3, "a", "x", metric=3.0, t=3.0),
+        ],
+    ]
+    rows = _run_stream(spark, src, ckpt, lambda s: streaming_top(s, 1), name, batches)
+    tops = [(r.metric, r.state) for r in rows if r.stream == "top"]
+    assert tops == [(1.0, "ok"), (2.0, "ok"), (1.0, "ok"), (3.0, "ok")]
+
+
+def test_streaming_top_nil_metric_and_expire(spark, tmpdirs):
+    """top-test: '(b 2) (b nil) (a 1)' — a nil-metric event removes its
+    key and mirrors to both streams; a later event then enters freely.
+    Expiring a key never seen passes through both streams."""
+    src, ckpt = tmpdirs
+    name = f"tn_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [
+            _mk(0, "b", "x", metric=2.0, t=0.0),
+            _mk(1, "b", "x", metric=None, t=1.0),
+            _mk(2, "a", "x", metric=1.0, t=2.0),
+        ],
+        # expire a key that was never in the set
+        [_mk(3, "z", "x", metric=9.0, t=3.0, state="expired")],
+    ]
+    rows = _run_stream(spark, src, ckpt, lambda s: streaming_top(s, 1), name, batches)
+    tops = [(r.host, r.metric, r.state) for r in rows if r.stream == "top"]
+    bottoms = [(r.host, r.metric, r.state) for r in rows if r.stream == "bottom"]
+    assert tops == [
+        ("b", 2.0, "ok"),
+        ("b", None, "expired"),
+        ("a", 1.0, "ok"),
+        ("z", 9.0, "expired"),
+    ]
+    # dual view: the nil-metric removal stays REAL on bottom (state
+    # unchanged); the already-expired inbound forwards as-is
+    assert ("b", None, "ok") in bottoms
+    assert ("z", 9.0, "expired") in bottoms
