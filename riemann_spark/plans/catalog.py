@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from riemann_spark.operators import analytics, index, stateless, windows
 from riemann_spark.operators.folds import _d, dmean, dstddev_pop, dsum, msum
 from riemann_spark.query import parse, to_sql
-from riemann_spark.schema import EVENTS_NORM_SQL, load_events, load_table, normalize_events
+from riemann_spark.schema import (
+    EVENTS_NORM_SQL,
+    load_events,
+    load_table,
+    normalize_events,
+    normalize_ts,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -1083,7 +1089,7 @@ def streaming_index_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = normalize_ts(raw, "ts")
     stream = streaming_index(normalize_events(raw))
     q_ = (
         stream.writeStream.format("memory")
@@ -1239,7 +1245,7 @@ def streaming_ewma_halflife(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = normalize_ts(raw, "ts")
     stream = streaming_ewma(normalize_events(raw), 60.0)
     q_ = (
         stream.writeStream.format("memory")
@@ -1284,7 +1290,7 @@ def streaming_rate_closed(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = normalize_ts(raw, "ts")
     stream = streaming_rate(normalize_events(raw), 3600.0, watermark="10 seconds")
     q_ = (
         stream.writeStream.format("memory")

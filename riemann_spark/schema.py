@@ -60,23 +60,37 @@ TABLES = (
 )
 
 
-#: columns stored as TIMESTAMP(NANOS) in the driver parquet; Spark reads
-#: them as long (nanosAsLong) and we restore microsecond timestamps via
-#: exact integer division — values identical to DuckDB's reading.
-_NANO_TS_COLS = {
+#: timestamp columns in the driver parquet. Generations vary: some
+#: write TIMESTAMP(NANOS) (Spark reads long under nanosAsLong), some
+#: TIMESTAMP_NTZ micros. Normalize every variant to TimestampType
+#: (instant, µs) — with the session timezone pinned to UTC the values
+#: are identical to DuckDB's naive reading in all cases.
+_TS_COLS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
     "orders": ("o_orderdate",),
 }
 
 
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize one timestamp column to TimestampType regardless of the
+    parquet generation's physical type. Works on batch and streaming
+    DataFrames alike."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":  # TIMESTAMP(NANOS) read as long
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dt == "timestamp_ntz":  # session tz is UTC: same wall clock
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-provided parquet table, normalizing nano-precision
-    timestamp columns to TimestampType (microseconds)."""
+    """Load one driver-provided parquet table, normalizing timestamp
+    columns to TimestampType (microsecond instants)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    for c in _TS_COLS.get(name, ()):
+        if c in df.columns:
+            df = normalize_ts(df, c)
     return df
 
 
