@@ -1543,6 +1543,83 @@ def fold_generic_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "fold_quotient",
+    f"""{_EV}, g AS (
+  SELECT service, 1.0 + metric / 1000.0 AS x,
+         ROW_NUMBER() OVER (PARTITION BY service
+                            ORDER BY "time", event_id) AS rn
+  FROM ev WHERE metric IS NOT NULL
+)
+, a AS (
+  SELECT service,
+         MAX(CASE WHEN rn = 1 THEN x END) AS first_x,
+         MAX(CASE WHEN x <= 0 THEN 1 ELSE 0 END) AS any_bad,
+         SUM(CASE WHEN x > 0 THEN ln(x) END) AS sum_ln
+  FROM g WHERE rn <= 5 GROUP BY service
+)
+SELECT service,
+       round(CASE WHEN any_bad = 1 THEN NULL
+             ELSE exp(2 * ln(CASE WHEN any_bad = 0 AND first_x > 0
+                             THEN first_x ELSE 1.0 END) - sum_ln)
+             END, 6) AS quotient
+FROM a""",
+)
+def fold_quotient_q(spark: SparkSession, sf: str) -> DataFrame:
+    """quotient fold (folds.clj:128-154): first ÷ Π(rest) over each
+    service's first five events (riemann folds see small window
+    vectors; the take-5 bounds the product's magnitude). Any
+    non-positive operand nulls the group — the reference routes that
+    divide-by-zero to the exception stream. exp/ln drift between
+    engines is below the 6dp rounding."""
+    from riemann_spark.operators.folds import fquotient
+
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    w = Window.partitionBy("service").orderBy("time", "event_id")
+    five = (
+        ev.withColumn("x", F.lit(1.0) + F.col("metric") / 1000.0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+    )
+    return five.groupBy("service").agg(
+        F.round(fquotient("x"), 6).alias("quotient")
+    )
+
+
+@q(
+    "fold_mode",
+    f"""{_EV}, b AS (
+  SELECT service,
+         CAST(FLOOR("time" / 3600.0) * 3600 AS BIGINT) AS hour,
+         CAST(FLOOR(metric / 10.0) AS BIGINT) AS mb
+  FROM ev WHERE metric IS NOT NULL
+), c AS (
+  SELECT service, hour, mb, COUNT(*) AS n FROM b GROUP BY service, hour, mb
+), r AS (
+  SELECT service, hour, mb,
+         ROW_NUMBER() OVER (PARTITION BY service, hour
+                            ORDER BY n DESC, mb ASC) AS rn
+  FROM c
+)
+SELECT service, hour, mb AS mode_bucket FROM r WHERE rn = 1""",
+)
+def fold_mode_q(spark: SparkSession, sf: str) -> DataFrame:
+    """mode fold (folds.clj:166-184) with the documented deterministic
+    tie rule (ties → smallest value), over metrics quantized to
+    10-wide buckets per (service, hour) window — hourly windows bound
+    the collected vector like the reference's windowed folds. The
+    oracle states the same rule relationally (count-rank)."""
+    from riemann_spark.operators.folds import fmode
+
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    df = ev.select(
+        "service",
+        (F.floor(F.col("time") / 3600.0) * 3600).cast("long").alias("hour"),
+        F.floor(F.col("metric") / 10.0).cast("long").alias("mb"),
+    )
+    return df.groupBy("service", "hour").agg(fmode("mb").alias("mode_bucket"))
+
+
+@q(
     "sreduce_runmax",
     f"""{_EV}
 SELECT host, service, event_id,
