@@ -178,18 +178,33 @@ def encode_event(e: dict) -> bytes:
     return bytes(out)
 
 
+_STR_FIELDS = {2: "state", 3: "service", 4: "host", 5: "description"}
+
+
 def decode_event(buf: bytes) -> dict:
     """Decode ``Event`` wire bytes → event dict (decode-msg semantics:
-    metric precedence sint64 > double > float; time prefers micros)."""
+    metric precedence sint64 > double > float; time prefers micros).
+
+    Hot path: every wire read inlines the one-byte-varint fast case
+    (tags and lengths here are almost always < 128)."""
     e: dict = {"tags": [], "attributes": {}}
     sint = mtrc_d = mtrc_f = None
     t_s = t_us = None
     i, n = 0, len(buf)
+    read_uv, unpack = _read_uvarint, struct.unpack_from
     while i < n:
-        key, i = _read_uvarint(buf, i)
+        key = buf[i]
+        if key < 0x80:
+            i += 1
+        else:
+            key, i = read_uv(buf, i)
         field, wt = key >> 3, key & 7
         if wt == _VARINT:
-            v, i = _read_uvarint(buf, i)
+            v = buf[i]
+            if v < 0x80:
+                i += 1
+            else:
+                v, i = read_uv(buf, i)
             if field == 1:
                 t_s = _to_signed64(v)
             elif field == 10:
@@ -197,25 +212,28 @@ def decode_event(buf: bytes) -> dict:
             elif field == 13:
                 sint = _unzigzag64(v)
         elif wt == _FIX64:
-            (d,) = struct.unpack_from("<d", buf, i)
+            (d,) = unpack("<d", buf, i)
             i += 8
             if field == 14:
                 mtrc_d = d
         elif wt == _FIX32:
-            (f32,) = struct.unpack_from("<f", buf, i)
+            (f32,) = unpack("<f", buf, i)
             i += 4
             if field == 8:
                 e["ttl"] = f32
             elif field == 15:
                 mtrc_f = f32
         elif wt == _LEN:
-            ln, i = _read_uvarint(buf, i)
+            ln = buf[i]
+            if ln < 0x80:
+                i += 1
+            else:
+                ln, i = read_uv(buf, i)
             chunk = buf[i : i + ln]
             i += ln
-            if field in (2, 3, 4, 5):
-                e[{2: "state", 3: "service", 4: "host", 5: "description"}[field]] = (
-                    chunk.decode("utf-8")
-                )
+            name = _STR_FIELDS.get(field)
+            if name is not None:
+                e[name] = chunk.decode("utf-8")
             elif field == 7:
                 e["tags"].append(chunk.decode("utf-8"))
             elif field == 9:
@@ -267,15 +285,24 @@ def decode_msg(buf: bytes) -> dict:
     """Decode ``Msg`` wire bytes → {ok, error, query, events, states}."""
     m: dict = {"ok": None, "error": None, "query": None, "events": [], "states": []}
     i, n = 0, len(buf)
+    read_uv = _read_uvarint
     while i < n:
-        key, i = _read_uvarint(buf, i)
+        key = buf[i]
+        if key < 0x80:
+            i += 1
+        else:
+            key, i = read_uv(buf, i)
         field, wt = key >> 3, key & 7
         if wt == _VARINT:
-            v, i = _read_uvarint(buf, i)
+            v, i = read_uv(buf, i)
             if field == 2:
                 m["ok"] = bool(v)
         elif wt == _LEN:
-            ln, i = _read_uvarint(buf, i)
+            ln = buf[i]
+            if ln < 0x80:
+                i += 1
+            else:
+                ln, i = read_uv(buf, i)
             chunk = buf[i : i + ln]
             i += ln
             if field == 3:
@@ -366,7 +393,9 @@ def msg_binary_to_events(df: DataFrame, bin_col: str = "msg") -> DataFrame:
             # as a single object array, no per-row list boxing
             cols: list[list] = [[] for _ in names]
             for buf in pdf[bin_col]:
-                for e in decode_msg(bytes(buf))["events"]:
+                if type(buf) is not bytes:  # Arrow usually hands bytes already
+                    buf = bytes(buf)
+                for e in decode_msg(buf)["events"]:
                     g = e.get
                     m, t = g("metric"), g("ttl")
                     cols[0].append(g("host"))
