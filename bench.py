@@ -59,6 +59,7 @@ HEADLINE = [
     "hash_split",
     "contamination",
     "distinct_ngrams_kmv",
+    "distinct_ngrams_hll",
     "asof_enrich",
     "sessionize",
     "deps_algebra",

@@ -1,28 +1,42 @@
 """Cardinality sketches for 100 TB distinct-counting.
 
-KMV (k-minimum-values) estimator — Bar-Yossef et al. 2002, the basis
-of the theta-sketch family (Druid/DataSketches): hash every value to
-[0,1), keep the k smallest hashes; if the kth-smallest is R, the
-distinct count ≈ (k−1)/R (k uniform order statistics ⇒ E[R] ≈ k/n).
+Two mergeable sketches with different scale trade-offs:
 
-Two properties make it the right sketch here rather than HLL:
-
-- **mergeable + tiny**: the k smallest of a union is computable from
-  per-partition k-smallest — in Spark that is exactly
-  ``orderBy(h).limit(k)`` → TakeOrderedAndProject (local k-heaps, one
-  k-row merge, no global sort, no full shuffle) — so the same code is
-  the 1000-executor plan.
-- **cross-engine bit-exact**: md5 is identical everywhere; the first
-  13 hex chars are a 52-bit integer, exactly representable in a
-  double; dividing by 2^52 is a power-of-two scale (exact); the final
-  (k−1)/R is one correctly-rounded division. HLL's bias corrections
-  need ln(), whose last ulp is libm-specific — KMV has no
-  transcendental anywhere, so a DuckDB oracle matches to the bit.
-
+**KMV** (k-minimum-values, Bar-Yossef et al. 2002 — the theta-sketch
+family): hash every value to [0,1), keep the k smallest hashes; if
+the kth-smallest is R, distinct ≈ (k−1)/R. In Spark the k-smallest-of
+-union is ``orderBy(h).limit(k)`` → TakeOrderedAndProject (local
+k-heaps, one k-row merge). Cross-engine bit-exact: md5 is identical
+everywhere, the 52-bit hash fraction is a power-of-two scale, and the
+final division is one correctly-rounded op — no transcendentals.
 Error ~ 1/√(k−2): k=1024 ⇒ ~3%.
+
+**HLL** (HyperLogLog, Flajolet et al. 2007 — what Spark's own
+``approx_count_distinct`` runs as HLL++): m registers, register r
+keeps the max leading-zero-run rank ρ of the hashes routed to it.
+Unlike KMV it needs no distinct() pre-pass (max is idempotent —
+duplicates are absorbed for free) and the sketch is a FIXED m-row
+register table: merging two corpora's sketches is an elementwise max,
+i.e. ``groupBy(register).max(rho)`` — the cheapest possible repeated
+incremental merge, which is why HLL is the industry standard for
+stored per-partition sketches. For one-shot production counting use
+the built-in ``approx_count_distinct``; this explicit register
+algebra is for sketches that must be STORED, merged across runs, or
+verified cross-engine.
+
+Determinism note (why the oracle matches): every per-value step is
+integer-exact (md5 → 52-bit int, shift/mask for the register, a
+shift-smear + bit_count for the rank — no log2 anywhere), and the
+register sum Σ 2^(-ρ_r) is computed as an INTEGER sum of
+2^(43-ρ_r) (≤ 1024·2^43 < 2^53, exact in 64 bits, order-independent
+— a double sum would round differently per partition order). Only
+the final α·m²/S estimate and the small-range ln() correction are
+floating point, rounded to 6dp on both sides.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -67,4 +81,67 @@ def kmv_estimate(df: DataFrame, value: Column, k: int = 1024) -> DataFrame:
         .alias("est_distinct"),
         "kth_min",
         F.lit(k).alias("k"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# HyperLogLog
+
+_HLL_B = 10          # register-index bits → m = 1024 registers
+_HLL_M = 1 << _HLL_B
+_HLL_LOW = 52 - _HLL_B   # 42 rank bits below the register index
+#: bias constant α_m for m ≥ 128 (Flajolet et al. 2007, fig. 3)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def hll_registers(df: DataFrame, value: Column) -> DataFrame:
+    """(register, rho) table — the HLL sketch as data.
+
+    register = top b bits of the 52-bit md5 fraction; ρ = position of
+    the first 1-bit in the remaining 42 (1-based; all-zero → 43),
+    computed as 43 − bit_length via a shift-smear + bit_count (pure
+    integer ops, identical in any engine — no float log2). The
+    groupBy(register).max partial-aggregates map-side, so each
+    partition ships ≤ m rows regardless of input size; merging
+    sketches from different corpora is the same max over the union."""
+    h = F.conv(F.substring(F.md5(value.cast("string")), 1, 13), 16, 10).cast("long")
+    low = h.bitwiseAND(F.lit((1 << _HLL_LOW) - 1))
+    # smear low's MSB down, then bit_count = bit_length(low)
+    x = low
+    for s in (1, 2, 4, 8, 16, 32):
+        x = x.bitwiseOR(F.shiftright(x, s))
+    rho = F.lit(_HLL_LOW + 1) - F.bit_count(x)
+    return (
+        df.select(
+            F.shiftright(h, _HLL_LOW).alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(df: DataFrame, value: Column) -> DataFrame:
+    """One-row frame (est_distinct, n_registers_hit, sum_scaled):
+    α·m²/Σ2^(-ρ_r) with empty registers at ρ=0 and the small-range
+    m·ln(m/V) correction. ``sum_scaled`` = Σ 2^(43-ρ) as the exact
+    integer invariant (order-independent — see module docstring)."""
+    regs = hll_registers(df, value)
+    # python wrapper shiftleft() wants a literal count; SQL's doesn't
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_LOW + 1} - rho)")
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("m_hit"),
+        F.sum(scaled).alias("s_present"),
+    )
+    empty = F.lit(_HLL_M).cast("long") - F.col("m_hit")
+    s_total = F.col("s_present") + empty * F.lit(1 << (_HLL_LOW + 1)).cast("long")
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_LOW + 1))) / s_total
+    small = (empty > 0) & (e_raw <= F.lit(2.5 * _HLL_M))
+    corrected = F.when(
+        small, F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / empty)
+    ).otherwise(e_raw)
+    return agg.select(
+        F.round(corrected, 6).alias("est_distinct"),
+        F.col("m_hit").cast("long").alias("n_registers_hit"),
+        F.col("s_present").cast("long").alias("sum_scaled"),
     )

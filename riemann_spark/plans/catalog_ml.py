@@ -709,3 +709,48 @@ def distinct_ngrams_kmv(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     sh = dedup._spread(d).select(F.explode(dedup.shingles("text", 3)).alias("shingle"))
     return sketches.kmv_estimate(sh, F.col("shingle"), 1024)
+
+
+_HLL_A = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 43)
+
+
+@q(
+    "distinct_ngrams_hll",
+    f"""
+WITH {_SHINGLE_SQL},
+hh AS (SELECT ({_NIBBLE_52}) AS h
+       FROM (SELECT substr(md5(shingle), 1, 13) AS h13 FROM sh)),
+rr AS (SELECT h >> 42 AS register,
+              h & 4398046511103 AS low,
+              low | (low >> 1) AS x1, x1 | (x1 >> 2) AS x2,
+              x2 | (x2 >> 4) AS x3, x3 | (x3 >> 8) AS x4,
+              x4 | (x4 >> 16) AS x5, x5 | (x5 >> 32) AS x6,
+              43 - bit_count(CAST(x6 AS BIGINT)) AS rho
+       FROM hh),
+regs AS (SELECT register, MAX(rho) AS rho FROM rr GROUP BY register),
+a AS (SELECT COUNT(*) AS m_hit,
+             SUM(CAST(1 AS BIGINT) << (43 - rho)) AS s_present
+      FROM regs)
+SELECT round(CASE WHEN (1024 - m_hit) > 0
+                   AND {_HLL_A!r} / (s_present + (1024 - m_hit) * 8796093022208)
+                       <= 2560.0
+             THEN 1024.0 * ln(1024.0 / (1024 - m_hit))
+             ELSE {_HLL_A!r} / (s_present + (1024 - m_hit) * 8796093022208)
+             END, 6) AS est_distinct,
+       CAST(m_hit AS BIGINT) AS n_registers_hit,
+       CAST(s_present AS BIGINT) AS sum_scaled
+FROM a""",
+)
+def distinct_ngrams_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus 3-gram vocabulary via HyperLogLog registers
+    (functions/sketches.py hll_estimate): 1024-register sketch with
+    integer-exact rank arithmetic (shift-smear bit_length, no log2)
+    and an integer register sum, so the only floating point is the
+    final α·m²/S estimate — rounded to 6dp on both sides. Unlike the
+    KMV row this needs NO distinct() pre-pass: max-of-rank absorbs
+    duplicate shingles map-side, each partition ships ≤1024 rows."""
+    from riemann_spark.functions import sketches
+
+    d = load_table(spark, sf, "documents")
+    sh = dedup._spread(d).select(F.explode(dedup.shingles("text", 3)).alias("shingle"))
+    return sketches.hll_estimate(sh, F.col("shingle"))

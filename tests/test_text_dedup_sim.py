@@ -295,6 +295,38 @@ def test_kmv_estimate_accuracy_and_exact_path(spark):
     assert est2["est_distinct"] == 57.0
 
 
+def test_hll_estimate_accuracy_and_merge(spark):
+    from riemann_spark.functions import sketches
+
+    # estimation regime: 20k distinct, m=1024 → ~3.25% stderr
+    big = spark.range(20000).select(F.concat(F.lit("v"), "id").alias("v"))
+    est = sketches.hll_estimate(big, F.col("v")).collect()[0]
+    assert abs(est["est_distinct"] - 20000) / 20000 < 0.10
+    # duplicates are absorbed: 10x-replicated input, same sketch
+    dup = spark.range(200000).select(
+        F.concat(F.lit("v"), F.col("id") % 20000).alias("v")
+    )
+    est_dup = sketches.hll_estimate(dup, F.col("v")).collect()[0]
+    assert est_dup["est_distinct"] == est["est_distinct"]
+    assert est_dup["sum_scaled"] == est["sum_scaled"]
+    # small-range regime: few distincts → ln-corrected, near-exact
+    small = spark.range(300).select(F.concat(F.lit("v"), (F.col("id") % 57)).alias("v"))
+    est3 = sketches.hll_estimate(small, F.col("v")).collect()[0]
+    assert abs(est3["est_distinct"] - 57) / 57 < 0.10
+    # mergeability: register tables of two halves max-merge to the whole
+    h1 = spark.range(0, 10000).select(F.concat(F.lit("v"), "id").alias("v"))
+    h2 = spark.range(5000, 20000).select(F.concat(F.lit("v"), "id").alias("v"))
+    merged = (
+        sketches.hll_registers(h1, F.col("v"))
+        .unionByName(sketches.hll_registers(h2, F.col("v")))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = sketches.hll_registers(big, F.col("v"))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_kmeans_centroids_matches_reference_lloyd(spark):
     import random
 
