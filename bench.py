@@ -60,6 +60,9 @@ HEADLINE = [
     "contamination",
     "distinct_ngrams_kmv",
     "distinct_ngrams_hll",
+    "tfidf_top_terms",
+    "unigram_lm_score",
+    "curation_pipeline",
     "asof_enrich",
     "sessionize",
     "deps_algebra",

@@ -14,7 +14,7 @@ columns down to `text` only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # language → stopword votes (tiny embedded profiles; real deployments
@@ -252,4 +252,88 @@ def hash_split(id_col: str | Column = "doc_id", train: int = 230, valid: int = 2
         F.when(b < F.lit(format(train, "02x")), "train")
         .when(b < F.lit(format(valid, "02x")), "valid")
         .otherwise("test")
+    )
+
+
+# ------------------------------------------------------------------ #
+# corpus-level statistics (DataFrame → DataFrame)
+
+def _token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term) with one row per token OCCURRENCE (not distinct)."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-n characteristic terms per document by smoothed tf-idf
+    (sklearn convention: idf = ln((N+1)/(df+1)) + 1, tf = count/len).
+
+    Scale shape: one shuffle builds (doc, term) counts; the document-
+    frequency table aggregates from it (vocab-sized, partial-agg'd
+    map-side) and joins back ON TERM — a shuffle join, deliberately
+    NOT broadcast (a 100 TB corpus's vocabulary is itself huge); the
+    corpus size N is the only broadcast (one row). Ranking is a
+    per-doc window on the ROUNDED score so ordering is engine-exact."""
+    tt = _token_table(df, id_col, text_col)
+    per_doc = tt.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = per_doc.groupBy("doc").agg(F.sum("cnt").alias("len"))
+    df_t = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        per_doc.join(doc_len, "doc")
+        .join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("len"))
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc", "rank", "term", "tfidf")
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram language model — the classic cheap perplexity proxy for
+    quality filtering (docs of rare/garbage tokens score very
+    negative, formulaic boilerplate scores near the top).
+
+    p(t) = count(t)/total over the whole corpus; score = Σ ln p / len.
+    Same scale shape as tf-idf: token-table shuffle, vocab join on
+    term (not broadcast), two one-row broadcasts for the totals.
+    Rounded to 6dp: the Σ ln() is order-sensitive only below 1e-12."""
+    tt = _token_table(df, id_col, text_col)
+    counts = tt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        tt.join(counts, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("total"))) / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("len"),
+        )
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from riemann_spark.functions import dedup, similarity, text
@@ -480,6 +480,164 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
         text.rolling_fingerprint("text").alias("rolling_fp"),
         text.fingerprint("text").alias("norm_fp"),
     )
+
+
+@q(
+    "curation_pipeline",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM corpus),
+rbase AS (SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 length(text) AS n_chars, toks AS tk FROM t),
+grams AS (SELECT doc_id, unnest(CASE WHEN n_tokens >= 2 THEN
+              list_transform(generate_series(1, n_tokens - 1),
+                             i -> tk[i] || ' ' || tk[i+1])
+              ELSE [] END) AS gram FROM rbase),
+gcnts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+gtop AS (SELECT doc_id, MAX(cnt * length(gram)) AS top2_chars FROM gcnts GROUP BY doc_id),
+rep AS (SELECT b.doc_id,
+               CAST(1 AS DOUBLE) - (n_distinct / n_tokens) AS dup_word_frac,
+               COALESCE(top2_chars, 0) / n_chars AS top2_char_frac
+        FROM rbase b LEFT JOIN gtop USING (doc_id)),
+qv AS (SELECT doc_id,
+         0.5 * ({_sw_count('toks', 'en')} / CAST(len(toks) AS DOUBLE))
+         + 0.3 * least(
+             (list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                          (a, b) -> a + b) / len(toks)) / 10.0, 1.0)
+         - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE)) AS quality,
+         {', '.join(f"{_sw_count('toks', lg)} AS v_{lg}" for lg in _LANGS)}
+       FROM t),
+lg AS (SELECT doc_id, quality,
+         CASE WHEN greatest({', '.join('v_' + lg for lg in _LANGS)}) = 0 THEN 'und'
+              {' '.join(f"WHEN v_{lg} = greatest({', '.join('v_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+         END AS lang_pred
+       FROM qv),
+cn AS (SELECT doc_id,
+              MIN(doc_id) OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              ) AS canonical_id
+       FROM corpus),
+j AS (SELECT c.doc_id, canonical_id, lang_pred, quality,
+             dup_word_frac, top2_char_frac
+      FROM cn c JOIN lg USING (doc_id) JOIN rep USING (doc_id)),
+r AS (SELECT doc_id, quality, dup_word_frac,
+             CASE WHEN doc_id != canonical_id THEN 'duplicate'
+                  WHEN lang_pred != 'en' THEN 'lang'
+                  WHEN quality <= 0.15 THEN 'quality'
+                  WHEN dup_word_frac > 0.70 OR top2_char_frac > 0.20
+                       THEN 'repetition'
+             END AS reject_reason
+      FROM j)
+SELECT doc_id, reject_reason,
+       reject_reason IS NULL AS kept,
+       CASE WHEN reject_reason IS NULL THEN
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
+              ELSE 'test' END
+       END AS split,
+       quality, dup_word_frac
+FROM r""",
+)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data curation — the flagship composition:
+    exact-dedup (keep-first canonical) → language gate → quality gate
+    → Gopher repetition gate → deterministic train/valid/test split,
+    with a per-doc verdict row (first failing gate as the reject
+    reason). The fixture has no organic duplicates, so every 50th doc
+    is re-salted in as a true duplicate (mirrored in the oracle).
+
+    Scale shape: two shuffles total (fingerprint window; repetition
+    2-gram counts joined back) — every gate is a pure projection, so
+    a 100 TB corpus streams through with the same plan. Thresholds
+    are fixture-calibrated (quality p10, repetition p97-p99)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups)
+    rep = text.repetition_metrics(corpus)
+    scored = (
+        corpus.withColumn(
+            "canonical_id",
+            F.min("doc_id").over(Window.partitionBy(text.fingerprint("text"))),
+        )
+        .withColumn("quality", text.quality_score("text"))
+        .withColumn("lang_pred", text.lang_id("text"))
+        .join(rep, F.col("doc_id") == F.col("doc"))
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("canonical_id"), "duplicate")
+        .when(F.col("lang_pred") != "en", "lang")
+        .when(F.col("quality") <= 0.15, "quality")
+        .when(
+            (F.col("dup_word_frac") > 0.70) | (F.col("top2_char_frac") > 0.20),
+            "repetition",
+        )
+    )
+    return scored.select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("kept"),
+        F.when(reason.isNull(), text.hash_split("doc_id")).alias("split"),
+        "quality",
+        "dup_word_frac",
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+WITH tt AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
+pd AS (SELECT doc, term, COUNT(*) AS cnt FROM tt GROUP BY doc, term),
+dl AS (SELECT doc, SUM(cnt) AS len FROM pd GROUP BY doc),
+dft AS (SELECT term, COUNT(*) AS df FROM pd GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (SELECT pd.doc, pd.term,
+              round((cnt / CAST(len AS DOUBLE))
+                    * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+       FROM pd JOIN dl USING (doc) JOIN dft USING (term) CROSS JOIN nd),
+r AS (SELECT doc, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM sc)
+SELECT doc, rnk AS "rank", term, tfidf FROM r WHERE rnk <= 3""",
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf
+    (functions/text.py tf_idf_top_terms): keyword extraction for
+    corpus exploration/clustering. The vocabulary join shuffles on
+    term (NOT broadcast — a web-scale vocab is huge); ranking is on
+    the 6dp-rounded score so both engines order identically."""
+    d = load_table(spark, sf, "documents")
+    return text.tf_idf_top_terms(d, 3)
+
+
+@q(
+    "unigram_lm_score",
+    f"""
+WITH tt AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
+c AS (SELECT term, COUNT(*) AS c FROM tt GROUP BY term),
+t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM c)
+SELECT doc,
+       round(SUM(ln(c / total)) / COUNT(*), 6) AS mean_logprob,
+       COUNT(*) AS len
+FROM tt JOIN c USING (term) CROSS JOIN t
+GROUP BY doc""",
+)
+def unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean token log-probability under the corpus's own unigram LM
+    (functions/text.py unigram_lm_scores) — the cheap perplexity
+    proxy used to quality-filter pre-training data (CCNet-style,
+    Wenzek et al. 2020, with the LM degraded to unigrams to stay
+    engine-exact). Rare-token garbage scores very negative."""
+    d = load_table(spark, sf, "documents")
+    return text.unigram_lm_scores(d)
 
 
 # --------------------------------------------- embedding near-dup pairs

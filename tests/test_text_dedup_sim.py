@@ -379,3 +379,25 @@ def test_ivf_with_kmeans_centroids_improves_recall(spark):
     ap = {(r["q_id"], r["n_id"]) for r in approx.collect()}
     # trained cells align with the true blobs: near-total recall
     assert len(ex & ap) / len(ex) >= 0.9
+
+
+def test_tfidf_and_unigram_lm_toy(spark):
+    from riemann_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date date")],
+        ["doc_id", "text"],
+    )
+    top = {
+        (r["doc"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tx.tf_idf_top_terms(docs, 2).collect()
+    }
+    # doc 1: apple tf=2/3 df=1 idf=ln(4/2)+1; banana tf=1/3 df=2 idf=ln(4/3)+1
+    import math
+    exp_apple = round((2 / 3) * (math.log(4 / 2) + 1), 6)
+    assert top[(1, 1)] == ("apple", exp_apple)
+    assert top[(1, 2)][0] == "banana"
+    # unigram LM: 9 corpus tokens; doc 2 = (ln(2/9) + ln(2/9)) / 2
+    lm = {r["doc"]: r for r in tx.unigram_lm_scores(docs).collect()}
+    assert lm[2]["mean_logprob"] == round(math.log(2 / 9), 6)
+    assert lm[3]["len"] == 4
