@@ -33,6 +33,8 @@ ORACLES: dict = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:  # a silent overwrite would shadow a query
+            raise ValueError(f"duplicate catalog query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -1543,7 +1545,7 @@ def fold_generic_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
-    "fold_quotient",
+    "fold_quotient_take5",
     f"""{_EV}, g AS (
   SELECT service, 1.0 + metric / 1000.0 AS x,
          ROW_NUMBER() OVER (PARTITION BY service
@@ -1564,13 +1566,13 @@ SELECT service,
              END, 6) AS quotient
 FROM a""",
 )
-def fold_quotient_q(spark: SparkSession, sf: str) -> DataFrame:
-    """quotient fold (folds.clj:128-154): first ÷ Π(rest) over each
-    service's first five events (riemann folds see small window
-    vectors; the take-5 bounds the product's magnitude). Any
-    non-positive operand nulls the group — the reference routes that
-    divide-by-zero to the exception stream. exp/ln drift between
-    engines is below the 6dp rounding."""
+def fold_quotient_take5_q(spark: SparkSession, sf: str) -> DataFrame:
+    """quotient fold (folds.clj:128-154) exercising folds.fquotient
+    DIRECTLY over each service's first five events — the reference's
+    actual regime (folds see small window vectors), complementing the
+    whole-group relational variant above. Any non-positive operand
+    nulls the group — the reference routes that divide-by-zero to the
+    exception stream. exp/ln drift is below the 6dp rounding."""
     from riemann_spark.operators.folds import fquotient
 
     ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
@@ -1586,7 +1588,7 @@ def fold_quotient_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
-    "fold_mode",
+    "fold_mode_hourly",
     f"""{_EV}, b AS (
   SELECT service,
          CAST(FLOOR("time" / 3600.0) * 3600 AS BIGINT) AS hour,
@@ -1602,12 +1604,13 @@ def fold_quotient_q(spark: SparkSession, sf: str) -> DataFrame:
 )
 SELECT service, hour, mb AS mode_bucket FROM r WHERE rn = 1""",
 )
-def fold_mode_q(spark: SparkSession, sf: str) -> DataFrame:
-    """mode fold (folds.clj:166-184) with the documented deterministic
-    tie rule (ties → smallest value), over metrics quantized to
-    10-wide buckets per (service, hour) window — hourly windows bound
-    the collected vector like the reference's windowed folds. The
-    oracle states the same rule relationally (count-rank)."""
+def fold_mode_hourly_q(spark: SparkSession, sf: str) -> DataFrame:
+    """mode fold (folds.clj:166-184) exercising folds.fmode (the
+    collected-vector fold with the deterministic ties → smallest
+    rule) over metrics quantized to 10-wide buckets per (service,
+    hour) window — hourly windows bound the vector like the
+    reference's windowed folds; the whole-group variant above is the
+    scale path. The oracle states the same rule relationally."""
     from riemann_spark.operators.folds import fmode
 
     ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
