@@ -58,6 +58,8 @@ HEADLINE = [
     "pii_scrub",
     "hash_split",
     "contamination",
+    "contamination_bloom",
+    "stratified_sample",
     "distinct_ngrams_kmv",
     "distinct_ngrams_hll",
     "tfidf_top_terms",

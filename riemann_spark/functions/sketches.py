@@ -145,3 +145,77 @@ def hll_estimate(df: DataFrame, value: Column) -> DataFrame:
         F.col("m_hit").cast("long").alias("n_registers_hit"),
         F.col("s_present").cast("long").alias("sum_scaled"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Bloom filter
+
+_BLOOM_BITS_LOG2 = 20       # m = 2^20 bits (~128 KiB as 32-bit words)
+_BLOOM_K = 4                # hash functions = disjoint md5 hex chunks
+
+
+def _bloom_positions(value: Column) -> list[Column]:
+    """k bit positions in [0, 2^20) — four DISJOINT 5-hex-char (20-bit)
+    chunks of md5(value). No arithmetic hash mixing (h1 + i·h2 would
+    overflow DuckDB's checked BIGINT multiply); chunk independence
+    comes from md5 itself. Integer-exact in any engine."""
+    h = F.md5(value.cast("string"))
+    return [
+        F.conv(F.substring(h, 1 + 5 * i, 5), 16, 10).cast("long")
+        for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_words(df: DataFrame, value: Column) -> DataFrame:
+    """Build a Bloom filter over a value stream as a (word, bits)
+    table: 32-bit words (BIGINT-safe — bit 31 max keeps every mask
+    positive in engines with checked shifts), bit_or-merged.
+
+    Scale: bit_or partial-aggregates map-side, so each partition ships
+    ≤ 32K word rows no matter how many values it saw; merging two
+    corpora's filters is the same bit_or over the union. The whole
+    filter is ≤ 2^15 rows — broadcastable at ~128 KiB where the exact
+    value set would be hundreds of MB. Size m for the expected
+    distinct count: fpr ≈ (1 − e^(−k·n/m))^k; at n = 30K, m = 2^20,
+    k = 4 → ~1e-4."""
+    pos = F.explode(F.array(*_bloom_positions(value))).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, value: Column, bloom: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """Probe: keep rows of ``df`` whose ``value`` hits all k bloom
+    positions. The bloom table broadcasts; each probe row explodes to
+    k (word, mask) lookups, left-joins the filter, and survives iff
+    every mask bit is set (a missing word row = all-zero bits). One
+    broadcast join, no shuffle of the probed stream."""
+    pos = F.explode(F.array(*_bloom_positions(F.col("__v")))).alias("pos")
+    probes = df.select(*id_cols, value.alias("__v")).select(
+        *id_cols,
+        "__v",
+        pos,
+    ).select(
+        *id_cols,
+        "__v",
+        F.shiftright(F.col("pos"), 5).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .groupBy(*id_cols, "__v")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast("int")
+            ).alias("__all_hit")
+        )
+    )
+    return hit.filter(F.col("__all_hit") == 1).drop("__all_hit")

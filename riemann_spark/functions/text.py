@@ -337,3 +337,15 @@ def unigram_lm_scores(
             F.count(F.lit(1)).alias("len"),
         )
     )
+
+
+def hash_sample(rate: Column | float, id_col: str | Column = "doc_id") -> Column:
+    """Deterministic keep/drop for (possibly per-stratum) sampling:
+    md5(id) as a 52-bit fraction < rate. Stable under repartitioning
+    and across engines (same property as hash_split); pass a CASE
+    expression as ``rate`` for stratified designs. Pure projection."""
+    from riemann_spark.functions.sketches import hash_fraction
+
+    r = F.lit(rate) if isinstance(rate, float) else rate
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash_fraction(c) < r

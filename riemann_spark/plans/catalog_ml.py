@@ -839,6 +839,86 @@ _NIBBLE_52 = " + ".join(
     for i in range(13)
 )
 
+_BLOOM_POS = "CAST('0x' || substr(md5(shingle), 1 + 5*i, 5) AS BIGINT)"
+
+
+@q(
+    "contamination_bloom",
+    f"""
+WITH tr AS {_gram4_sql("source != 'src0'")},
+ev AS {_gram4_sql("source = 'src0'")},
+ep AS (SELECT {_BLOOM_POS} AS p
+       FROM (SELECT shingle, unnest([0, 1, 2, 3]) AS i FROM ev)),
+bloom AS (SELECT p >> 5 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+          FROM ep GROUP BY word),
+tp AS (SELECT doc, shingle, {_BLOOM_POS} AS p
+       FROM (SELECT doc, shingle, unnest([0, 1, 2, 3]) AS i FROM tr)),
+probe AS (SELECT doc, shingle, p >> 5 AS word,
+                 CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
+          FROM tp),
+hits AS (SELECT doc, shingle,
+                MIN(CASE WHEN COALESCE(bits, 0) & mask != 0
+                    THEN 1 ELSE 0 END) AS all_hit
+         FROM probe LEFT JOIN bloom USING (word) GROUP BY doc, shingle)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bloom_grams
+FROM hits WHERE all_hit = 1 GROUP BY doc""",
+)
+def contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom-filter prefilter
+    (functions/sketches.py bloom_words/bloom_might_contain): the eval
+    set's 4-gram shingles compress to a ~128 KiB bit_or-merged word
+    table that broadcasts where the exact shingle strings would be
+    hundreds of MB — the 100 TB-side stream is probed with k=4
+    md5-chunk hashes and never shuffles. Counts per train doc include
+    Bloom false positives by design (fpr ~1e-4 at this fill); the
+    exact `contamination` query is the precise variant."""
+    d = load_table(spark, sf, "documents")
+    from riemann_spark.functions import sketches
+
+    ev_sh = dedup._shingle_table(
+        d.filter(F.col("source") == "src0"), "doc_id", "text", 4
+    )
+    tr_sh = dedup._shingle_table(
+        d.filter(F.col("source") != "src0"), "doc_id", "text", 4
+    )
+    bloom = sketches.bloom_words(ev_sh, F.col("shingle"))
+    hits = sketches.bloom_might_contain(tr_sh, F.col("shingle"), bloom, ["doc"])
+    return hits.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_bloom_grams"))
+
+
+_RATE_SQL = """CASE WHEN lang = 'en' THEN 0.85
+     WHEN lang = 'zh' THEN 1.0
+     ELSE 0.5 END"""
+
+
+@q(
+    "stratified_sample",
+    f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         ({_NIBBLE_52}) / 4503599627370496.0 AS frac
+  FROM (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h13
+        FROM documents)
+)
+SELECT doc_id, lang FROM f WHERE frac < {_RATE_SQL}""",
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified down-sampling (functions/text.py
+    hash_sample): per-language keep rates (en 85%, zh 100%, others
+    50%) — the rebalancing pass a multilingual pre-training mix runs.
+    Membership = md5(doc_id) fraction < rate: a pure projection,
+    stable under any repartitioning and identical in every engine —
+    resharding the corpus can never change the sample."""
+    d = load_table(spark, sf, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 0.85)
+        .when(F.col("lang") == "zh", 1.0)
+        .otherwise(0.5)
+    )
+    return d.filter(text.hash_sample(rate, "doc_id")).select("doc_id", "lang")
+
+
 
 @q(
     "distinct_ngrams_kmv",

@@ -401,3 +401,38 @@ def test_tfidf_and_unigram_lm_toy(spark):
     lm = {r["doc"]: r for r in tx.unigram_lm_scores(docs).collect()}
     assert lm[2]["mean_logprob"] == round(math.log(2 / 9), 6)
     assert lm[3]["len"] == 4
+
+
+def test_bloom_filter_membership_and_fp_rate(spark):
+    from riemann_spark.functions import sketches
+
+    vals = spark.range(5000).select(F.concat(F.lit("in"), "id").alias("v"))
+    bloom = sketches.bloom_words(vals, F.col("v"))
+    # every inserted value must hit (no false negatives, ever)
+    hits = sketches.bloom_might_contain(vals, F.col("v"), bloom, ["v"])
+    assert hits.count() == 5000
+    # absent values: false-positive rate stays near the design point
+    absent = spark.range(5000).select(F.concat(F.lit("out"), "id").alias("v"))
+    fp = sketches.bloom_might_contain(absent, F.col("v"), bloom, ["v"]).count()
+    assert fp < 50  # design fpr ~2e-5 at this fill; 1% is the alarm line
+    # merging filters = bit_or over the union of word tables
+    more = spark.range(5000, 10000).select(F.concat(F.lit("in"), "id").alias("v"))
+    merged = (
+        bloom.unionByName(sketches.bloom_words(more, F.col("v")))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    both = vals.unionByName(more)
+    assert sketches.bloom_might_contain(both, F.col("v"), merged, ["v"]).count() == 10000
+
+
+def test_hash_sample_deterministic_rate(spark):
+    from riemann_spark.functions import text as tx
+
+    ids = spark.range(20000).select(F.col("id").alias("doc_id"))
+    kept = ids.filter(tx.hash_sample(0.25, "doc_id"))
+    n = kept.count()
+    assert abs(n - 5000) < 300  # binomial 3σ ≈ 184
+    # stable under repartitioning
+    n2 = ids.repartition(13).filter(tx.hash_sample(0.25, "doc_id")).count()
+    assert n2 == n
