@@ -190,3 +190,35 @@ def test_sessionize_single_exchange(spark):
 
     n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n == 1, p[:2000]
+
+
+def test_hll_partial_aggregates_registers(spark):
+    # the register max must combine map-side: partial_max before the
+    # register shuffle, and no distinct pre-pass anywhere
+    p = plan_of(spark, "distinct_ngrams_hll")
+    assert "partial_max" in p
+    assert "Exchange" in p
+
+
+def test_tfidf_vocab_join_not_hinted_broadcast(spark):
+    # at sf0.001 Catalyst auto-broadcasts the tiny vocab from size
+    # stats — correct, and exactly why the CODE must not pin a
+    # broadcast hint on it: at 100 TB the stats flip the same plan to
+    # a shuffle join. Assert only the one-row corpus count is hinted.
+    df = QUERIES["tfidf_top_terms"](spark, SF)
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert logical.count("ResolvedHint") == 1  # n_docs only
+    assert "CartesianProduct" not in plan_of_df(df)
+
+
+def test_bloom_filter_broadcasts_and_no_cartesian(spark):
+    p = plan_of(spark, "contamination_bloom")
+    assert "BroadcastHashJoin" in p  # the <=32K-word filter is the small side
+    assert "CartesianProduct" not in p
+    # building the filter partial-aggregates the bit_or map-side
+    assert "partial_bit_or" in p
+
+
+def test_stratified_sample_pure_projection(spark):
+    p = plan_of(spark, "stratified_sample")
+    assert "Exchange" not in p  # membership is a projection, no shuffle
