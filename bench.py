@@ -49,6 +49,7 @@ HEADLINE = [
     "customers_without_orders",
     "multimodal_features",
     "multimodal_real_decode",
+    "multimodal_frames",
     "protobuf_roundtrip",
     "json_roundtrip",
     "token_stats",

@@ -147,10 +147,16 @@ def sample_frames(df: DataFrame, every_ms: int, id_col: str = "media_id") -> Dat
             for mid, media, content in zip(pdf[id_col], pdf["media"], pdf["content"]):
                 dur = (media or {}).get("duration_ms") or 0
                 n = max(int(dur // every_ms), 1)
+                payload_hex = (content or b"").hex()
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(hashlib.md5((content or b"") + bytes([i % 256])).digest())
+                    # fake frame = md5 over (payload hex || 2-hex frame
+                    # byte): defined on hex TEXT so any engine (or the
+                    # DuckDB oracle, whose md5 is varchar-only) can
+                    # recompute it without blob hashing
+                    seed = payload_hex + format(i % 256, "02x")
+                    frames.append(hashlib.md5(seed.encode()).digest())
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return _spread(df.select(id_col, "media", "content")).mapInPandas(run, FRAME_SCHEMA)

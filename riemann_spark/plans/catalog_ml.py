@@ -446,6 +446,45 @@ def multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
     return real_decode_features(media)
 
 
+@q(
+    "multimodal_frames",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         lower(hex(encode(text))) AS payload_hex,
+         octet_length(encode(text)) * 10 AS duration_ms
+  FROM documents
+),
+f AS (
+  SELECT media_id, payload_hex,
+         unnest(generate_series(0, CAST(greatest(duration_ms // 1000, 1) AS BIGINT) - 1)) AS frame_idx
+  FROM m
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(payload_hex || printf('%02x', frame_idx % 256)) AS frame_hex
+FROM f""",
+)
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing (functions/multimodal.py
+    sample_frames): one output row per sampled frame at the
+    metadata-declared duration (len·10 ms here, one frame per second)
+    — the row-explosion batch shape real frame extraction uses inside
+    mapInPandas. The stub frame bytes are md5 over hex text, so the
+    oracle recomputes them exactly; the binary frame column crosses
+    no shuffle."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.make_media_frame(
+        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "payload", "video", "doc_id",
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
 # ------------------------------------------- token stats / fingerprints
 
 _BPE_SQL = text.BPE_SPLIT_PATTERN.replace("'", "''")
