@@ -34,6 +34,8 @@ HEADLINE = [
     "predict_linear",
     "fill_in",
     "tpch_q1",
+    "tpch_q4",
+    "tpch_q12",
     "revenue_top10",
     "regional_revenue",
     "text_features",

@@ -680,6 +680,74 @@ def revenue_top10(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tpch_q4",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority""",
+)
+def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS becomes a
+    LEFT SEMI join with a non-equi residual (l_shipdate >
+    o_orderdate) riding the l_orderkey equi-key — one shuffle on
+    orderkey for each side, date filter pushed to the orders scan,
+    then a tiny 5-group aggregate."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@q(
+    "tpch_q12",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag""",
+)
+def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-mode priority classification (TPC-H Q12 shape):
+    conditional aggregation after the orderkey shuffle join — the
+    CASE counters partial-agg map-side, so the join output never
+    materializes beyond its own stage. Ship-date range pushed to the
+    lineitem scan."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@q(
     "regional_revenue",
     """
 SELECT n.n_name, r.r_name,
