@@ -1374,6 +1374,66 @@ def streaming_rate_closed(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+@q(
+    "streaming_sessions_closed",
+    f"""{_EV}, s AS (
+  SELECT host, service, event_id, "time", metric,
+         CASE WHEN "time" - LAG("time") OVER (PARTITION BY host, service
+                                              ORDER BY "time", event_id) > 900.0
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+), g AS (
+  SELECT host, service, event_id, "time", metric,
+         SUM(brk) OVER (PARTITION BY host, service ORDER BY "time", event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), agg AS (
+  SELECT host, service,
+         MIN("time") AS session_start,
+         MAX("time") + 900.0 AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric
+  FROM g GROUP BY host, service, sid
+)
+SELECT * FROM agg
+WHERE session_end <= (SELECT MAX("time") FROM ev) - 10.0""",
+)
+def streaming_sessions_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Native streaming session windows (streaming/ops.py
+    streaming_sessions, F.session_window): gap-900s activity sessions
+    per [host, service] over the events file stream, append mode —
+    each session emitted exactly once when the watermark passes
+    last-event + gap. The oracle is the BATCH sessionization
+    (lag/cumsum gaps-and-islands) filtered to the same closed set, so
+    the merge + close semantics of the session-window state machine
+    are value-checked against relational logic."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.ops import streaming_sessions
+
+    name = f"cat_ssess_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssess_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_sessions(normalize_events(raw), 900.0, watermark="10 seconds")
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
 # ------------------------------------------------- round-2 additions
 
 @q(

@@ -105,3 +105,33 @@ def streaming_dedup_exact(
         .withWatermark("event_ts", watermark)
         .dropDuplicates(["fingerprint"])
     )
+
+
+def streaming_sessions(
+    sdf: DataFrame,
+    gap_seconds: float,
+    keys: Sequence[str] = ("host", "service"),
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Gap-based activity sessions, streaming form: the native
+    ``F.session_window`` state machine (merge-on-overlap, close when
+    the watermark passes last-event + gap) — the streaming twin of
+    operators/windows.py sessionize, which is the batch oracle for
+    the closed-session set. Append mode emits each session exactly
+    once, when it can no longer grow."""
+    sdf = with_event_timestamp(sdf).withWatermark("event_ts", watermark)
+    win = F.session_window("event_ts", f"{int(gap_seconds)} seconds")
+    return (
+        sdf.groupBy(*keys, win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_d("metric")).cast("double").alias("sum_metric"),
+        )
+        .select(
+            *keys,
+            F.col("session_window.start").cast("double").alias("session_start"),
+            F.col("session_window.end").cast("double").alias("session_end"),
+            "n_events",
+            "sum_metric",
+        )
+    )
