@@ -146,6 +146,25 @@ def fmode(col: str | Column = "metric") -> Column:
     return F.array_max(pairs).getField("v")
 
 
+def fmodes(col: str | Column = "metric") -> Column:
+    """modes fold (folds.clj:170-179): ALL values tied at the highest
+    occurrence count, as a sorted array (the reference yields them in
+    frequency-map order; sorting is the deterministic equivalent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lst = F.collect_list(c)
+    counts = F.transform(
+        F.array_distinct(lst),
+        lambda v: F.struct(
+            F.size(F.filter(lst, lambda x: x == v)).alias("n"), v.alias("v")
+        ),
+    )
+    top = F.array_max(counts).getField("n")
+    return F.array_sort(
+        F.transform(F.filter(counts, lambda p: p.getField("n") == top),
+                    lambda p: p.getField("v"))
+    )
+
+
 def _first_by_order(
     col: str | Column, time_col: str = "time", order_col: str = "event_id"
 ) -> Column:

@@ -107,6 +107,14 @@ def test_mode_tie_deterministic(spark):
     assert df.agg(folds.fmode().alias("m")).collect()[0].m == 2.0
 
 
+def test_modes_returns_all_tied(spark):
+    # modes (folds.clj:170-179): every value at the top count, sorted
+    df = _seq(spark, [5, 5, 2, 2, 9])
+    assert df.agg(folds.fmodes().alias("m")).collect()[0].m == [2.0, 5.0]
+    one = _seq(spark, [1, 1, 3])
+    assert one.agg(folds.fmodes().alias("m")).collect()[0].m == [1.0]
+
+
 def test_fold_metrics_generic(spark):
     df = _seq(spark, [1, 2, 3])
     row = df.agg(
