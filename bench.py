@@ -68,6 +68,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "unigram_lm_score",
     "curation_pipeline",
+    "mix_upsample",
+    "sequence_packing",
     "asof_enrich",
     "sessionize",
     "deps_algebra",

@@ -1,6 +1,7 @@
-"""Cardinality sketches for 100 TB distinct-counting.
+"""Mergeable sketches for 100 TB set problems: KMV and HLL for
+distinct-counting, a Bloom filter for membership.
 
-Two mergeable sketches with different scale trade-offs:
+Each is chosen for a different scale trade-off:
 
 **KMV** (k-minimum-values, Bar-Yossef et al. 2002 — the theta-sketch
 family): hash every value to [0,1), keep the k smallest hashes; if

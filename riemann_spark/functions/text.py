@@ -349,3 +349,66 @@ def hash_sample(rate: Column | float, id_col: str | Column = "doc_id") -> Column
     r = F.lit(rate) if isinstance(rate, float) else rate
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return hash_fraction(c) < r
+
+
+def mix_upsample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fractional upsampling for training-mix weights:
+    a doc with weight w yields floor(w) copies plus one more iff its
+    md5 fraction < frac(w) — so a source weighted 2.3 contributes
+    each doc 2 or 3 times, 2.3x in expectation, and EXACTLY the same
+    copies on every run/engine/partitioning (unlike rand()-based
+    sampling). Output adds ``copy_idx``; pure projection + explode,
+    no shuffle."""
+    from riemann_spark.functions.sketches import hash_fraction
+
+    c = F.col(id_col) if isinstance(id_col, str) else F.col(id_col)
+    base = F.floor(weight).cast("long")
+    extra = (hash_fraction(c) < (weight - F.floor(weight))).cast("long")
+    n = (base + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style document packing: concatenate each partition's docs
+    in deterministic (id) order and split the token stream at
+    ``budget``-token boundaries (docs straddle bins — the standard
+    pre-training packing, no padding waste). Emits per doc: its bin,
+    token offset within the bin, and token count.
+
+    One window cumsum per partition key — each key's packing is an
+    independent sorted prefix-sum, so the plan is a single Exchange
+    on ``part_col`` (the 100 TB layout: one pack stream per source
+    shard)."""
+    n_tok = token_count(text_col).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("__n_tok").over(w), F.lit(0)).alias("__off")
+    return (
+        df.select(part_col, id_col, n_tok.alias("__n_tok"))
+        .withColumn("__off", offset)
+        .select(
+            part_col,
+            id_col,
+            (F.col("__off") / budget).cast("long").alias("bin"),
+            (F.col("__off") % budget).alias("bin_offset"),
+            F.col("__n_tok").alias("n_tokens"),
+        )
+    )

@@ -80,6 +80,12 @@ def quality_score_q(spark: SparkSession, sf: str) -> DataFrame:
 
 _LANGS = list(text.LANG_STOPWORDS)  # tie order: en > de > es > fr
 
+#: DuckDB: first 13 md5 hex chars -> 52-bit integer (see sketches.py)
+_NIBBLE_52 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h13, {i + 1}, 1)) - 1) * {16 ** (12 - i)}"
+    for i in range(13)
+)
+
 
 @q(
     "lang_id",
@@ -630,6 +636,69 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "mix_upsample",
+    f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src1' THEN 2.3
+              WHEN source = 'src2' THEN 0.4 ELSE 1.0 END AS wt,
+         ({_NIBBLE_52}) / 4503599627370496.0 AS frac
+  FROM (SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h13
+        FROM documents)
+),
+n AS (SELECT doc_id, source,
+             CAST(FLOOR(wt) AS BIGINT)
+             + CASE WHEN frac < wt - FLOOR(wt) THEN 1 ELSE 0 END AS n
+      FROM w)
+SELECT doc_id, source,
+       unnest(generate_series(0, n - 1)) AS copy_idx
+FROM n WHERE n > 0""",
+)
+def mix_upsample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix reweighting (functions/text.py mix_upsample):
+    fractional source weights (src1 2.3x, src2 0.4x, others 1x)
+    realized as deterministic per-doc copy counts — floor(w) copies
+    plus one iff md5(doc_id) < frac(w). Exactly reproducible across
+    runs, engines, and repartitionings (no rand()); pure projection +
+    explode, zero shuffle at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    wt = (
+        F.when(F.col("source") == "src1", 2.3)
+        .when(F.col("source") == "src2", 0.4)
+        .otherwise(1.0)
+    )
+    up = text.mix_upsample(d.select("doc_id", "source"), wt)
+    return up.select("doc_id", "source", F.col("copy_idx").cast("long"))
+
+
+@q(
+    "sequence_packing",
+    f"""
+WITH t AS (SELECT source, doc_id,
+                  CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
+o AS (SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t)
+SELECT source, doc_id,
+       off // 8192 AS bin,
+       off % 8192 AS bin_offset,
+       n_tok AS n_tokens
+FROM o""",
+)
+def sequence_packing_q(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style document packing (functions/text.py
+    sequence_packing): concatenate each source's docs in id order and
+    split the token stream at 8192-token bin boundaries, docs
+    straddling bins — the zero-padding-waste pre-training layout.
+    One Exchange on source; per-key prefix sums never cross keys."""
+    d = load_table(spark, sf, "documents")
+    return text.sequence_packing(d, 8192)
+
+
+@q(
     "tfidf_top_terms",
     f"""
 WITH tt AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
@@ -873,10 +942,6 @@ def contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_NIBBLE_52 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(h13, {i + 1}, 1)) - 1) * {16 ** (12 - i)}"
-    for i in range(13)
-)
 
 _BLOOM_POS = "CAST('0x' || substr(md5(shingle), 1 + 5*i, 5) AS BIGINT)"
 

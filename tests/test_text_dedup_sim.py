@@ -436,3 +436,30 @@ def test_hash_sample_deterministic_rate(spark):
     # stable under repartitioning
     n2 = ids.repartition(13).filter(tx.hash_sample(0.25, "doc_id")).count()
     assert n2 == n
+
+
+def test_mix_upsample_and_sequence_packing(spark):
+    from riemann_spark.functions import text as tx
+
+    d = spark.createDataFrame(
+        [(i, "s") for i in range(1000)], "doc_id long, source string"
+    )
+    up = tx.mix_upsample(d, F.lit(2.3))
+    n = up.count()
+    assert 2150 < n < 2450  # 2.3x in expectation, deterministic
+    assert up.count() == n  # same every run
+    assert up.filter(F.col("copy_idx") >= 3).count() == 0
+    # zero weight drops everything; integral weight is exact
+    assert tx.mix_upsample(d, F.lit(0.0)).count() == 0
+    assert tx.mix_upsample(d, F.lit(2.0)).count() == 2000
+
+    docs = spark.createDataFrame(
+        [(1, "a", "w " * 10), (2, "a", "w " * 10), (3, "a", "w " * 10), (4, "b", "w")],
+        "doc_id long, source string, text string",
+    )
+    packed = {r.doc_id: r for r in tx.sequence_packing(docs, 16, "source").collect()}
+    # doc1 at offset 0 bin 0; doc2 at 10; doc3 at 20 -> bin 1 offset 4
+    assert (packed[1].bin, packed[1].bin_offset) == (0, 0)
+    assert (packed[2].bin, packed[2].bin_offset) == (0, 10)
+    assert (packed[3].bin, packed[3].bin_offset) == (1, 4)
+    assert (packed[4].bin, packed[4].bin_offset) == (0, 0)  # source b independent
