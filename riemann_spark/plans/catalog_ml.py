@@ -597,10 +597,11 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     reason). The fixture has no organic duplicates, so every 50th doc
     is re-salted in as a true duplicate (mirrored in the oracle).
 
-    Scale shape: two shuffles total (fingerprint window; repetition
-    2-gram counts joined back) — every gate is a pure projection, so
-    a 100 TB corpus streams through with the same plan. Thresholds
-    are fixture-calibrated (quality p10, repetition p97-p99)."""
+    Scale shape: three shuffles (fingerprint window; 2-gram counts;
+    the verdict join back on doc_id) — every gate is a pure
+    projection, so a 100 TB corpus streams through with the same
+    plan. Thresholds are fixture-calibrated (quality p10, repetition
+    p97-p99)."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     dups = d.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
