@@ -169,3 +169,62 @@ def test_sessionize_gap_splitting(spark):
     assert out[("a", 1)] == (3, 0, 150_000_000, 6.0)
     assert out[("a", 2)] == (1, 400_000_000, 400_000_000, 4.0)
     assert out[("b", 1)] == (1, 0, 0, 5.0)
+
+
+def test_folds_match_python_reference_on_random_vectors(spark):
+    """Seeded random vectors, one Spark job: every fold vs a plain
+    Python evaluation of the reference semantics (folds.clj)."""
+    import math
+    import random
+
+    rnd = random.Random(42)
+    groups = {}
+    rows = []
+    for g in range(40):
+        n = rnd.randint(1, 12)
+        xs = [round(rnd.uniform(-5, 50), 3) for _ in range(n)]
+        groups[g] = xs
+        rows += [(g, i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g long, event_id long, metric double")
+    df = df.withColumn("time", F.col("event_id").cast("double"))
+
+    got = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            folds.fmedian().alias("median"),
+            folds.fmode().alias("mode"),
+            folds.fmodes().alias("modes"),
+            folds.fdifference().alias("difference"),
+            folds.fquotient().alias("quotient"),
+            folds.fmin().alias("mn"),
+            folds.fmax().alias("mx"),
+        )
+        .collect()
+    }
+    for g, xs in groups.items():
+        r = got[g]
+        # mode/modes: max count, ties -> smallest
+        from collections import Counter
+        cnt = Counter(xs)
+        top = max(cnt.values())
+        tied = sorted(v for v, c in cnt.items() if c == top)
+        assert r.mode == tied[0], (g, xs)
+        assert r.modes == tied, (g, xs)
+        assert r.mn == min(xs) and r.mx == max(xs)
+        # difference: first - sum(rest)  (folds.clj:115-126)
+        assert r.difference == pytest.approx(xs[0] - sum(xs[1:]), abs=1e-9)
+        # quotient: first / product(rest); any <= 0 -> null
+        if any(x <= 0 for x in xs):
+            assert r.quotient is None, (g, xs)
+        else:
+            want = xs[0]
+            for x in xs[1:]:
+                want /= x
+            assert r.quotient == pytest.approx(want, rel=1e-9), (g, xs)
+        # median: exact element selection parity is covered by the
+        # sorted_sample catalog row; here interpolated percentile
+        s = sorted(xs)
+        k = (len(s) - 1) * 0.5
+        lo, hi = s[math.floor(k)], s[math.ceil(k)]
+        assert r.median == pytest.approx(lo + (hi - lo) * (k - math.floor(k)))
