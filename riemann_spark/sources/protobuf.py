@@ -415,6 +415,81 @@ def msg_binary_to_events(df: DataFrame, bin_col: str = "msg") -> DataFrame:
     return spread_for_python(df.select(bin_col)).mapInPandas(dec, DECODED_SCHEMA)
 
 
+_DEAD_SCHEMA = StructType(
+    [
+        StructField("msg", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def msg_binary_to_events_with_errors(
+    df: DataFrame, bin_col: str = "msg"
+) -> tuple[DataFrame, DataFrame]:
+    """Decode with an exception stream (streams.clj:81-121
+    call-rescue; transport.clj catches codec errors per connection):
+    well-formed frames → events, undecodable frames → a dead-letter
+    frame carrying the raw bytes and the error, instead of poisoning
+    the whole partition. Two passes over the frame stream, each
+    mapInPandas — both sides stay distributed; at 100 TB the dead
+    side is ~empty and costs only the shared decode attempt."""
+
+    def dec_ok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in DECODED_SCHEMA.fields]
+        for pdf in batches:
+            cols: list[list] = [[] for _ in names]
+            for buf in pdf[bin_col]:
+                if type(buf) is not bytes:
+                    buf = bytes(buf)
+                try:
+                    events = decode_msg(buf)["events"]
+                except Exception:
+                    continue
+                for e in events:
+                    g = e.get
+                    m, t = g("metric"), g("ttl")
+                    cols[0].append(g("host"))
+                    cols[1].append(g("service"))
+                    cols[2].append(g("state"))
+                    cols[3].append(g("description"))
+                    cols[4].append(None if m is None else float(m))
+                    cols[5].append(g("tags") or [])
+                    cols[6].append(g("time"))
+                    cols[7].append(g("time_us"))
+                    cols[8].append(None if t is None else float(t))
+                    cols[9].append(g("attributes") or {})
+            # object dtype: an empty batch must not default to float64
+            # (Arrow cannot convert empty float64 -> list<string>)
+            yield pd.DataFrame(
+                {n: pd.Series(c, dtype="object") for n, c in zip(names, cols)}
+            )
+
+    def dec_dead(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad, errs = [], []
+            for buf in pdf[bin_col]:
+                if type(buf) is not bytes:
+                    buf = bytes(buf)
+                try:
+                    decode_msg(buf)
+                except Exception as exc:  # noqa: BLE001 — the dead letter IS the handler
+                    bad.append(buf)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "msg": pd.Series(bad, dtype="object"),
+                    "error": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    from riemann_spark.operators.skew import spread_for_python
+
+    src = spread_for_python(df.select(bin_col))
+    return src.mapInPandas(dec_ok, DECODED_SCHEMA), src.mapInPandas(
+        dec_dead, _DEAD_SCHEMA
+    )
+
+
 def _clean(v):
     """Arrow→Python normalization at the codec boundary: numpy scalars
     to native int/float (isinstance checks in encode_event rely on

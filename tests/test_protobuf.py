@@ -149,3 +149,21 @@ def test_wire_roundtrip_property():
             assert got["ttl"] == struct.unpack("<f", struct.pack("<f", e["ttl"]))[0]
 
     run()
+
+
+def test_decode_dead_letter_split(spark):
+    from riemann_spark.sources.protobuf import (
+        encode_msg,
+        msg_binary_to_events_with_errors,
+    )
+
+    good = encode_msg([{"host": "h1", "service": "s", "metric": 1.5, "time": 10.0}])
+    # wire type 7 is invalid; varint field id 1 → decode raises
+    bad = bytes([0x0F, 0xFF, 0xFF])
+    df = spark.createDataFrame([(good,), (bad,), (good,)], "msg binary")
+    ok, dead = msg_binary_to_events_with_errors(df)
+    assert ok.count() == 2
+    assert {r.host for r in ok.collect()} == {"h1"}
+    dl = dead.collect()
+    assert len(dl) == 1
+    assert bytes(dl[0].msg) == bad and "ValueError" in dl[0].error
