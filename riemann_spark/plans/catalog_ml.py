@@ -176,17 +176,18 @@ _BANDS_SQL = ", ".join(
     f"""
 WITH {_SHINGLE_SQL},
 sigs AS (SELECT doc,
-        {', '.join(f"MIN(md5('{i}:' || shingle)) AS s{i}" for i in range(_N_HASHES))}
+        {', '.join(f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS s{i}" for i in range(_N_HASHES))}
          FROM sh GROUP BY doc),
 bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs)
 SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(8)+LSH(4 bands×2) candidate pairs. Signature = per-row
-    array fold (no shuffle); the only shuffle is the band-bucket join.
-    The Spark side computes signatures without exploding shingles; the
-    oracle uses a grouped MIN — same min over the same distinct set."""
+    """MinHash(8)+LSH(4 bands×2) candidate pairs: one md5 per shingle
+    feeds all 8 sigs as disjoint 16-bit chunks (8× less hash work than
+    per-i salted md5); min() partial-aggs map-side so the shuffle is
+    one signature row per doc, then the band-bucket join — never
+    all-pairs. The oracle takes the same grouped MIN per chunk."""
     d = load_table(spark, sf, "documents")
     return dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
 
@@ -802,7 +803,7 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     f"""
 WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
-        {', '.join(f"MIN(md5('{i}:' || shingle)) AS s{i}" for i in range(_N_HASHES))}
+        {', '.join(f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS s{i}" for i in range(_N_HASHES))}
          FROM sh GROUP BY doc),
 bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
