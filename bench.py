@@ -22,6 +22,7 @@ HEADLINE = [
     "where_filter",
     "transform_fields",
     "rate_per_hour",
+    "rate_zero_fill",
     "window_folds",
     "percentiles_day",
     "moving_event_window",

@@ -211,6 +211,58 @@ def rate_per_hour(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "rate_zero_fill",
+    f"""{_EV}, r AS (
+  SELECT host, service, {_BUCKET_HOUR} AS window_start,
+         CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / 3600.0 AS rate
+  FROM ev GROUP BY host, service, window_start
+), span AS (
+  SELECT host, service, MIN(window_start) AS lo, MAX(window_start) AS hi
+  FROM r GROUP BY host, service
+), grid AS (
+  SELECT host, service,
+         lo + 3600.0 * CAST(i AS DOUBLE) AS window_start
+  FROM span, unnest(generate_series(0,
+         CAST((hi - lo) / 3600.0 AS BIGINT))) AS t(i)
+)
+SELECT g.host, g.service, g.window_start,
+       COALESCE(r.rate, 0.0) AS rate
+FROM grid g LEFT JOIN r
+  ON g.host = r.host AND g.service = r.service
+ AND g.window_start = r.window_start""",
+)
+def rate_zero_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """rate with the reference's emit-zero-while-alive semantics
+    (streams.clj:841-883 — the timer emits rate 0 for intervals with
+    no events until the stream expires; streams_test.clj
+    rate-without-input / rate-expiration): the windowed rate LEFT
+    JOINed against each key's dense hourly grid, empty intervals at
+    0.0. Grid synthesis is sequence+explode per key (the fill_in
+    machinery) — rows grow with key-count × span, never shuffled
+    beyond the one rate aggregation."""
+    ev = load_events(spark, sf)
+    r = analytics.rate(ev, 3600.0)
+    span = r.groupBy("host", "service").agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    grid = span.select(
+        "host",
+        "service",
+        "lo",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), ((F.col("hi") - F.col("lo")) / 3600.0).cast("long"))
+        ).alias("i"),
+    ).select(
+        "host",
+        "service",
+        (F.col("lo") + 3600.0 * F.col("i").cast("double")).alias("window_start"),
+    )
+    return grid.join(r, ["host", "service", "window_start"], "left").select(
+        "host", "service", "window_start", F.coalesce("rate", F.lit(0.0)).alias("rate")
+    )
+
+
+@q(
     "window_folds",
     f"""{_EV}
 SELECT service, {_BUCKET_DAY} AS window_start,
