@@ -1427,6 +1427,60 @@ def streaming_rate_closed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_window_folds_closed",
+    f"""{_EV}
+SELECT service, {_BUCKET_HOUR} AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric,
+       MIN(metric) AS min_metric,
+       MAX(metric) AS max_metric
+FROM ev
+GROUP BY service, window_start
+HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0""",
+)
+def streaming_window_folds_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked streaming fold family (streaming/ops.py
+    streaming_window_folds): hourly tumbling count/sum/min/max per
+    service in append mode — the streaming twin of window_folds,
+    value-checked on the watermark-closed window set like
+    streaming_rate_closed."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming import streaming_window_folds
+
+    name = f"cat_swf_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="swf_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_window_folds(
+        normalize_events(raw), 3600.0, keys=("service",), watermark="10 seconds"
+    )
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).select(
+        "service",
+        "window_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_metric",
+        "min_metric",
+        "max_metric",
+    )
+
+
+@q(
     "streaming_sessions_closed",
     f"""{_EV}, s AS (
   SELECT host, service, event_id, "time", metric,
