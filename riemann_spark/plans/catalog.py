@@ -1481,6 +1481,65 @@ def streaming_window_folds_closed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_percentiles_closed",
+    f"""{_EV}, g AS (
+  SELECT service, {_BUCKET_HOUR} AS window_start,
+         quantile_cont(metric, 0.5) AS p50,
+         quantile_cont(metric, 0.95) AS p95
+  FROM ev GROUP BY service, window_start
+  HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0
+)
+SELECT service, window_start, round(p50, 6) AS p50, round(p95, 6) AS p95
+FROM g""",
+)
+def streaming_percentiles_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming percentiles (streams.clj:885-898 under a watermark):
+    hourly p50/p95 per service in append mode — Spark buffers the
+    window's values in state and computes the exact interpolated
+    percentile at close, matching DuckDB's quantile_cont on the same
+    closed-window set. State is bounded by (keys × live windows ×
+    events-per-window); for heavy-hitter cardinalities switch to
+    approx_percentile and a rows-only check."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.ops import with_event_timestamp
+
+    name = f"cat_spct_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spct_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    sdf = with_event_timestamp(normalize_events(raw)).withWatermark(
+        "event_ts", "10 seconds"
+    )
+    agg = sdf.groupBy("service", F.window("event_ts", "3600 seconds")).agg(
+        F.round(F.percentile("metric", 0.5), 6).alias("p50"),
+        F.round(F.percentile("metric", 0.95), 6).alias("p95"),
+    )
+    out = agg.select(
+        "service",
+        F.col("window.start").cast("double").alias("window_start"),
+        "p50",
+        "p95",
+    )
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
     "streaming_sessions_closed",
     f"""{_EV}, s AS (
   SELECT host, service, event_id, "time", metric,
