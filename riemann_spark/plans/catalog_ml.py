@@ -412,6 +412,23 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(e.filter(F.col("vec_id") < 8), e, 5, _IVF_CELLS)
 
 
+@q("knn_ivf_kmeans")  # iterative trainer -> rows-only driver check
+def knn_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN with the TRAINED coarse quantizer: 5 Lloyd
+    iterations (functions/similarity.py kmeans_centroids — zero
+    corpus shuffle per iteration, centroids inlined as literals),
+    then cell-restricted search as in knn_ivf. K-means is iterative,
+    so there is no single-pass SQL oracle — the driver records the
+    rows-only check; the trainer itself is numpy-parity-tested
+    (test_text_dedup_sim.test_kmeans_centroids_matches_reference_lloyd)
+    and the search path shares knn_ivf's fully oracle-checked code."""
+    e = load_table(spark, sf, "embeddings")
+    cents = similarity.kmeans_centroids(e, _IVF_CELLS, n_iter=5)
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") < 8), e, 5, _IVF_CELLS, centroids=cents
+    )
+
+
 @q(
     "multimodal_real_decode",
     """
