@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # stress shuffle/window/join at scale
 HEADLINE = [
     "index_latest",
+    "canonical_pipeline",
     "index_search",
     "where_filter",
     "transform_fields",

@@ -211,6 +211,48 @@ def rate_per_hour(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "canonical_pipeline",
+    f"""{_EV}, piped AS (
+  SELECT * FROM ev WHERE metric >= 0
+), r AS (
+  SELECT host, service, {_BUCKET_HOUR} AS window_start,
+         CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / 3600.0 AS rate
+  FROM piped GROUP BY host, service, window_start
+), latest AS (
+  SELECT host, service, state AS cur_state, metric AS cur_metric
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY host, service
+          ORDER BY time DESC, event_id DESC) AS rn
+        FROM piped)
+  WHERE rn = 1 AND (state IS DISTINCT FROM 'expired')
+)
+SELECT r.host, r.service, r.window_start, r.rate,
+       l.cur_state, l.cur_metric
+FROM r JOIN latest l ON r.host = l.host AND r.service = l.service""",
+)
+def canonical_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The bench.py throughput pipeline as an oracle-checked query:
+    normalize → where(metric >= 0) → default/tag → per-key hourly
+    rate ⋈ latest-per-key index state — the canonical riemann
+    topology (ingest, filter, transform, windowed analytics, index)
+    value-checked end to end, not just smoke-run. Two shuffles on the
+    same [host, service] key; tag/default are pure projections."""
+    ev = load_events(spark, sf)
+    piped = stateless.tag(
+        stateless.default(stateless.where(ev, "metric >= 0"), {"state": "ok"}),
+        "bench",
+    )
+    r = analytics.rate(piped, 3600.0)
+    latest = index.build_index(piped).select(
+        "host",
+        "service",
+        F.col("state").alias("cur_state"),
+        F.col("metric").alias("cur_metric"),
+    )
+    return r.join(latest, ["host", "service"])
+
+
+@q(
     "rate_zero_fill",
     f"""{_EV}, r AS (
   SELECT host, service, {_BUCKET_HOUR} AS window_start,
