@@ -49,6 +49,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "filter_agg",
+    "salted_agg_by_state",
     "top_suppliers_per_part",
     "customers_without_orders",
     "multimodal_features",

@@ -211,6 +211,35 @@ def rate_per_hour(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "salted_agg_by_state",
+    f"""{_EV}
+SELECT state, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric
+FROM ev GROUP BY state""",
+)
+def salted_agg_by_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py salted_agg) on
+    a DELIBERATELY skewed key — `state` has ~3 values, so a plain
+    groupBy funnels each value through one reducer. The salt splits
+    every hot key 16 ways (phase 1, map-side-combinable), then merges
+    the 16 partials (phase 2, 3×16 rows). The oracle is the plain
+    GROUP BY — identical answers, skew-proof plan. Decimal partials
+    keep the two-phase sum bit-equal to the one-phase sum."""
+    from riemann_spark.operators.skew import salted_agg
+
+    ev = load_events(spark, sf)
+    return salted_agg(
+        ev,
+        ["state"],
+        {"n": F.count(F.lit(1)), "s": F.sum(_d("metric"))},
+        {
+            "n": F.sum(F.col("n")).cast("long"),
+            "sum_metric": F.sum(F.col("s")).cast("double"),
+        },
+    ).select("state", "n", "sum_metric")
+
+
+@q(
     "canonical_pipeline",
     f"""{_EV}, piped AS (
   SELECT * FROM ev WHERE metric >= 0
