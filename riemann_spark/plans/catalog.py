@@ -211,6 +211,51 @@ def rate_per_hour(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "graphite_dead_letter",
+    """
+WITH lines AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0
+              THEN CAST(user_id AS VARCHAR) || '.' || event_type
+                   || ' not-a-number '
+                   || CAST(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS VARCHAR)
+              ELSE CAST(user_id AS VARCHAR) || '.' || event_type || ' '
+                   || CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR) || ' '
+                   || CAST(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS VARCHAR)
+         END AS line
+  FROM events
+), p AS (
+  SELECT line, regexp_split_to_array(trim(line), '\\s+') AS parts FROM lines
+)
+SELECT line, 'unparseable metric or timestamp' AS error
+FROM p
+WHERE TRY_CAST(parts[2] AS DOUBLE) IS NULL
+   OR TRY_CAST(parts[3] AS DOUBLE) IS NULL""",
+)
+def graphite_dead_letter(spark: SparkSession, sf: str) -> DataFrame:
+    """exception-stream / call-rescue (streams.clj:63-121) as a
+    value-checked query: every 7th graphite line is deterministically
+    corrupted (metric → 'not-a-number'); the parser's dead-letter
+    split must route EXACTLY those lines, with the raw line preserved
+    for replay. Both branches stay distributed — the split is two
+    filters over one shared projection, no Python, no shuffle."""
+    from riemann_spark.sources.graphite import graphite_lines_with_errors
+
+    ev = load_events(spark, sf)
+    # same encode as events_to_graphite_lines, with event_id kept for
+    # the deterministic corruption
+    path = F.concat_ws(".", F.col("host"), F.col("service"))
+    metric_s = F.col("metric").cast("decimal(20,2)").cast("string")
+    time_s = F.col("time").cast("long").cast("string")
+    line = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat_ws(" ", path, F.lit("not-a-number"), time_s),
+    ).otherwise(F.concat_ws(" ", path, metric_s, time_s))
+    _ok, dead = graphite_lines_with_errors(ev.select(line.alias("line")))
+    return dead
+
+
+@q(
     "salted_agg_by_state",
     f"""{_EV}
 SELECT state, CAST(COUNT(*) AS BIGINT) AS n,
