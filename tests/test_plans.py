@@ -222,3 +222,25 @@ def test_bloom_filter_broadcasts_and_no_cartesian(spark):
 def test_stratified_sample_pure_projection(spark):
     p = plan_of(spark, "stratified_sample")
     assert "Exchange" not in p  # membership is a projection, no shuffle
+
+
+def test_salted_agg_two_phase(spark):
+    # two HashAggregate pairs (salted partial + merge), no single hot
+    # reducer: the salt column must appear in the first grouping
+    p = plan_of(spark, "salted_agg_by_state")
+    assert p.count("HashAggregate") >= 4  # 2 phases x (partial+final)
+    # Catalyst renames the salt alias to _groupingexpression; the
+    # deterministic hash-mod salt itself is the stable marker
+    assert "pmod(xxhash64" in p
+
+
+def test_canonical_pipeline_no_cartesian(spark):
+    p = plan_of(spark, "canonical_pipeline")
+    assert "CartesianProduct" not in p
+    # both halves key on [host, service]; the join must be keyed too
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_rate_zero_fill_no_cartesian(spark):
+    p = plan_of(spark, "rate_zero_fill")
+    assert "CartesianProduct" not in p
