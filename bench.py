@@ -38,6 +38,7 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q4",
     "tpch_q12",
+    "tpch_q14",
     "revenue_top10",
     "regional_revenue",
     "text_features",

@@ -916,6 +916,45 @@ def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tpch_q14",
+    """
+SELECT round(100.0 *
+         CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)
+              ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE),
+       6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'""",
+)
+def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): one-row conditional
+    revenue ratio over a quarter. The part dim broadcasts (it is
+    partkey-sized, small next to lineitem at any SF); revenue is
+    money-quantized to integer 1e-4 units so the two sums are exact
+    and the final ratio is one correctly-rounded division — no
+    float-sum ordering anywhere."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@q(
     "regional_revenue",
     """
 SELECT n.n_name, r.r_name,
