@@ -1695,6 +1695,73 @@ def streaming_percentiles_closed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_apdex_closed",
+    f"""{_EV}
+SELECT service, {_BUCKET_HOUR} AS window_start,
+       (SUM(CASE WHEN metric < 80.0 THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN NOT COALESCE(metric < 80.0, FALSE)
+                    AND metric < 140.0 THEN 1 ELSE 0 END) / 2.0)
+       / COUNT(*) AS apdex
+FROM ev GROUP BY service, window_start
+HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0""",
+)
+def streaming_apdex_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming apdex (streams.clj:2103-2157 under a watermark):
+    satisfied metric<80, tolerated metric<140, hourly per service in
+    append mode — the conditional-count apdex formula is algebraic,
+    so it streams as an ordinary windowed aggregation; value-checked
+    on the watermark-closed set like the rest of the streaming
+    family."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.query import parse, to_column
+    from riemann_spark.streaming.ops import with_event_timestamp
+
+    name = f"cat_sapx_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sapx_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    sdf = with_event_timestamp(normalize_events(raw)).withWatermark(
+        "event_ts", "10 seconds"
+    )
+    sat = to_column(parse("metric < 80.0"))
+    tol = to_column(parse("metric < 140.0"))
+    agg = sdf.groupBy("service", F.window("event_ts", "3600 seconds")).agg(
+        (
+            (
+                F.sum(F.when(sat, 1).otherwise(0))
+                + F.sum(
+                    F.when(~F.coalesce(sat, F.lit(False)) & tol, 1).otherwise(0)
+                )
+                / 2.0
+            )
+            / F.count(F.lit(1))
+        ).alias("apdex")
+    )
+    out = agg.select(
+        "service",
+        F.col("window.start").cast("double").alias("window_start"),
+        "apdex",
+    )
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
     "streaming_sessions_closed",
     f"""{_EV}, s AS (
   SELECT host, service, event_id, "time", metric,
