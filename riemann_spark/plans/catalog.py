@@ -1695,6 +1695,50 @@ def streaming_percentiles_closed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_changed_edges",
+    f"""{_EV}, s AS (
+  SELECT host, service, event_id, "time", metric, state,
+         LAG(state) OVER (PARTITION BY host, service
+                          ORDER BY "time", event_id) AS prev
+  FROM ev
+)
+SELECT host, service, event_id, "time", metric, state
+FROM s WHERE prev IS NULL OR state IS DISTINCT FROM prev""",
+)
+def streaming_changed_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming changed (streams.clj:1614-1653) value-
+    checked: per-key edge detection through applyInPandasWithState
+    (one string of state per key, batches sorted by event time) must
+    emit exactly the rows the relational lag() predicate selects.
+    init=None → the first event per key always passes."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_changed
+
+    name = f"cat_schg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="schg_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_changed(normalize_events(raw))
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
     "streaming_apdex_closed",
     f"""{_EV}
 SELECT service, {_BUCKET_HOUR} AS window_start,
