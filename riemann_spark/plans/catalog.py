@@ -1739,6 +1739,51 @@ def streaming_changed_edges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_throttle_weekly",
+    f"""{_EV}, t AS (
+  SELECT host, service, event_id, "time", metric,
+         row_number() OVER (
+           PARTITION BY host, service,
+                        CAST(floor("time" / 604800.0) AS BIGINT)
+           ORDER BY "time", event_id) AS rn
+  FROM ev)
+SELECT host, service, event_id, "time", metric FROM t WHERE rn <= 1""",
+)
+def streaming_throttle_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming throttle (streams.clj:1102-1118) value-
+    checked: one event per [host, service] per event-time week (the fixture spans 30 days, so ~⅔ of the stream drops)
+    through applyInPandasWithState (two longs of state per key) must
+    equal the relational first-per-window rank. Late events for
+    closed windows drop — with an in-order file source that branch is
+    vacuous, so the sets match exactly."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_throttle
+
+    name = f"cat_sthr_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sthr_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_throttle(normalize_events(raw), 1, 604800.0)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
     "streaming_apdex_closed",
     f"""{_EV}
 SELECT service, {_BUCKET_HOUR} AS window_start,
