@@ -1695,6 +1695,62 @@ def streaming_percentiles_closed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_count_windows",
+    f"""{_EV}, t AS (
+  SELECT host, service, "time", metric,
+         row_number() OVER (PARTITION BY host, service
+                            ORDER BY "time", event_id) - 1 AS rn
+  FROM ev
+), g AS (
+  SELECT host, service, rn // 5 AS window_id,
+         COUNT(*) AS n,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        array_agg(COALESCE(metric, 0.0) ORDER BY rn)),
+           (a, b) -> a + b) AS sum_metric,
+         MIN("time") AS t_first, MAX("time") AS t_last
+  FROM t GROUP BY host, service, rn // 5
+)
+SELECT host, service, CAST(window_id AS BIGINT) AS window_id,
+       sum_metric, CAST(n AS BIGINT) AS n, t_first, t_last
+FROM g WHERE n = 5""",
+)
+def streaming_count_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming fixed-event-window / batch-by-count flush
+    (streams.clj:305-320, 1158-1185) value-checked: per-key buffers
+    flush every 5 events; only COMPLETE windows emit (partials stay
+    checkpointed). The oracle is the relational rank//5 grouping
+    filtered to full windows, with the sum as a strict left fold over
+    the time-ordered vector — bit-equal to the operator's sequential
+    Python sum."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_fixed_event_window
+
+    name = f"cat_scw_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scw_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_fixed_event_window(normalize_events(raw), 5)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
     "streaming_changed_edges",
     f"""{_EV}, s AS (
   SELECT host, service, event_id, "time", metric, state,
