@@ -1751,6 +1751,59 @@ def streaming_count_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_trailing_window",
+    f"""{_EV}
+SELECT host, service, event_id, "time", metric,
+       round(SUM(metric) OVER w, 6) AS window_sum,
+       CAST(COUNT(metric) OVER w AS BIGINT) AS window_n
+FROM ev
+WINDOW w AS (PARTITION BY host, service ORDER BY "time", event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+)
+def streaming_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming moving-event-window (streams.clj:292-303)
+    value-checked: the per-key last-5 buffer must emit the same
+    trailing sum/count as the relational rows frame at EVERY event.
+    Sums rounded to 6dp on both sides (the buffer's left-fold vs the
+    engine's frame-order sum differ only in the last ulp over ≤5
+    terms). The fixture has no null metrics, so the buffer's
+    null-skip branch is vacuous here (unit-tested separately)."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_moving_event_window
+
+    name = f"cat_stw_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stw_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_moving_event_window(normalize_events(raw), 5)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).select(
+        "host",
+        "service",
+        "event_id",
+        "time",
+        "metric",
+        F.round("window_sum", 6).alias("window_sum"),
+        "window_n",
+    )
+
+
+@q(
     "streaming_changed_edges",
     f"""{_EV}, s AS (
   SELECT host, service, event_id, "time", metric, state,
