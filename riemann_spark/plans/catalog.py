@@ -1804,6 +1804,47 @@ def streaming_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_dedup_fingerprints",
+    f"""{_EV}
+SELECT DISTINCT md5(regexp_replace(lower(trim(description)), '\\s+', ' ', 'g'))
+         AS fingerprint
+FROM ev""",
+)
+def streaming_dedup_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest-time exact dedup (streaming/ops.py
+    streaming_dedup_exact, watermark-bounded dropDuplicates state):
+    exactly ONE event per content fingerprint may pass. Which row
+    represents a fingerprint is engine-arbitrary within a micro-batch,
+    so the value check is at the right granularity — the emitted
+    fingerprint SET, which must equal the batch distinct set."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.ops import streaming_dedup_exact
+
+    name = f"cat_sdd_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sdd_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_dedup_exact(normalize_events(raw))
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).select("fingerprint").distinct()
+
+
+@q(
     "streaming_changed_edges",
     f"""{_EV}, s AS (
   SELECT host, service, event_id, "time", metric, state,
