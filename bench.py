@@ -39,6 +39,7 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q12",
     "tpch_q14",
+    "tpch_q16",
     "revenue_top10",
     "regional_revenue",
     "text_features",
@@ -60,6 +61,7 @@ HEADLINE = [
     "json_roundtrip",
     "token_stats",
     "dedup_embedding",
+    "embedding_quantize",
     "dedup_clusters",
     "repetition_filter",
     "pii_scrub",

@@ -955,6 +955,38 @@ def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tpch_q16",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) bad
+  ON l.l_suppkey = bad.s_suppkey
+WHERE p.p_size <= 15
+GROUP BY p.p_brand, p.p_type, p.p_size""",
+)
+def tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape, lineitem as the
+    part↔supplier link): distinct supplier count per part attribute
+    group, excluding flagged suppliers (negative balance standing in
+    for the complaints predicate) via a BROADCAST anti-join — both
+    dims broadcast, the fact table never reshuffles before the
+    count-distinct's own keyed exchange."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_size") <= 15)
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    j = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+@q(
     "regional_revenue",
     """
 SELECT n.n_name, r.r_name,

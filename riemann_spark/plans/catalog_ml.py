@@ -718,6 +718,40 @@ def sequence_packing_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "embedding_quantize",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS scale
+      FROM e)
+SELECT vec_id, round(scale, 6) AS scale,
+       CASE WHEN scale = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+            ELSE array_to_string(
+              list_transform(v, x -> CAST(round(x * 127.0 / scale) AS BIGINT)), ',')
+       END AS q8_csv
+FROM s""",
+)
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization (per-vector max-abs symmetric
+    scale) — the 4× storage/bandwidth reduction an ANN corpus takes
+    before sharding at 100 TB. Pure projection (zero shuffle);
+    deterministic: scale and codes are exact double arithmetic until
+    one engine-identical round. Dequantize error ≤ scale/254."""
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q8 = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("long"))
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.array_join(q8, ",").alias("q8_csv"),
+    )
+
+
+@q(
     "tfidf_top_terms",
     f"""
 WITH tt AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
