@@ -64,6 +64,7 @@ HEADLINE = [
     "embedding_quantize",
     "dedup_clusters",
     "repetition_filter",
+    "gopher_gates",
     "pii_scrub",
     "hash_split",
     "contamination",

@@ -718,6 +718,69 @@ def sequence_packing_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "gopher_gates",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_words,
+             list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                         (a, b) -> a + b) / CAST(len(toks) AS DOUBLE) AS mean_len,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3)
+               / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             {_sw_count('toks', 'en')} AS n_stop
+      FROM t)
+SELECT doc_id,
+       n_words BETWEEN 20 AND 100000 AS ok_words,
+       mean_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+       symbol_ratio <= 0.1 AS ok_symbols,
+       alpha_frac >= 0.8 AS ok_alpha,
+       n_stop >= 2 AS ok_stopwords,
+       (n_words BETWEEN 20 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+         AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
+         AS gopher_pass
+FROM m""",
+)
+def gopher_gates(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 §A1.1) beyond the
+    repetition signals: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (#/ellipsis), alphabetic-word fraction, and
+    minimum stopword evidence — per-doc booleans plus the combined
+    gate. Pure projections over one tokenization, zero shuffle;
+    thresholds fixture-calibrated where the paper's assume web-scale
+    docs (word floor 20 vs 50)."""
+    d = load_table(spark, sf, "documents")
+    toks = text.tokens("text")
+    n_words = F.size(toks)
+    mean_len = text.mean_token_len("text")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = F.floor(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    )
+    symbol_ratio = (n_hash + n_ell) / n_words.cast("double")
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words.cast(
+        "double"
+    )
+    n_stop = text.stopword_count("text")
+    ok_words = (n_words >= 20) & (n_words <= 100000)
+    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_sym = symbol_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )
+
+
+@q(
     "embedding_quantize",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
