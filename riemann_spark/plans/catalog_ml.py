@@ -781,6 +781,47 @@ def gopher_gates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_keep_list",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {', '.join(f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS s{i}" for i in range(_N_HASHES))}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id, 'unique' AS keep_reason
+FROM documents d ANTI JOIN labels l ON d.doc_id = l.doc
+UNION ALL
+SELECT doc AS doc_id, 'canonical' AS keep_reason
+FROM labels WHERE doc = cluster""",
+)
+def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline's FINAL artifact: the keep-list — every doc
+    in no near-dup cluster ('unique', broadcast anti-join against the
+    cluster labels) plus one canonical doc per cluster (the component
+    minimum). Downstream training jobs join this list; at 100 TB the
+    label table is cluster-members-sized (≪ corpus), so the anti-join
+    broadcasts and the corpus never reshuffles."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs)
+    unique = d.join(
+        F.broadcast(labels), d.doc_id == labels.node, "left_anti"
+    ).select("doc_id", F.lit("unique").alias("keep_reason"))
+    canonical = labels.filter(F.col("node") == F.col("cluster")).select(
+        F.col("node").alias("doc_id"), F.lit("canonical").alias("keep_reason")
+    )
+    return unique.unionByName(canonical)
+
+
+@q(
     "embedding_quantize",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
