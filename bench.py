@@ -63,7 +63,6 @@ HEADLINE = [
     "dedup_embedding",
     "embedding_quantize",
     "dedup_clusters",
-    "dedup_keep_list",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",
