@@ -72,6 +72,7 @@ HEADLINE = [
     "stratified_sample",
     "distinct_ngrams_kmv",
     "distinct_ngrams_hll",
+    "corpus_profile",
     "tfidf_top_terms",
     "unigram_lm_score",
     "curation_pipeline",

@@ -718,6 +718,67 @@ def sequence_packing_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "corpus_profile",
+    f"""
+WITH {_SHINGLE_SQL},
+hh AS (SELECT ({_NIBBLE_52}) AS h
+       FROM (SELECT substr(md5(shingle), 1, 13) AS h13 FROM sh)),
+rr AS (SELECT h >> 42 AS register,
+              h & 4398046511103 AS low,
+              low | (low >> 1) AS x1, x1 | (x1 >> 2) AS x2,
+              x2 | (x2 >> 4) AS x3, x3 | (x3 >> 8) AS x4,
+              x4 | (x4 >> 16) AS x5, x5 | (x5 >> 32) AS x6,
+              43 - bit_count(CAST(x6 AS BIGINT)) AS rho
+       FROM hh),
+regs AS (SELECT register, MAX(rho) AS rho FROM rr GROUP BY register),
+hagg AS (SELECT COUNT(*) AS m_hit,
+                SUM(CAST(1 AS BIGINT) << (43 - rho)) AS s_present
+         FROM regs),
+hll AS (SELECT round(CASE WHEN (1024 - m_hit) > 0
+                    AND {0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 43)!r}
+                        / (s_present + (1024 - m_hit) * 8796093022208) <= 2560.0
+              THEN 1024.0 * ln(1024.0 / (1024 - m_hit))
+              ELSE {0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 43)!r}
+                   / (s_present + (1024 - m_hit) * 8796093022208)
+              END, 6) AS est_hll FROM hagg),
+mins AS (SELECT DISTINCT h / 4503599627370496.0 AS f FROM hh
+         ORDER BY f LIMIT 1024),
+kmv AS (SELECT CASE WHEN COUNT(*) < 1024 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 1023.0 / MAX(f) END AS est_kmv FROM mins),
+ex AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS exact_distinct,
+              CAST(COUNT(*) AS BIGINT) AS n_shingle_rows FROM sh)
+SELECT est_hll, est_kmv, exact_distinct, n_shingle_rows
+FROM hll CROSS JOIN kmv CROSS JOIN ex""",
+)
+def corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass corpus profiling — the SCALING.md amortization lever
+    as a query: the shingle table materializes ONCE (persist) and
+    feeds the HLL estimate, the KMV estimate, and the exact distinct
+    count side by side (the exact count doubles as the in-row
+    accuracy reference for both sketches). At 100 TB the shingle scan
+    is ~95% of any of these queries alone — sharing it makes three
+    profiles cost one."""
+    from riemann_spark.functions import sketches
+
+    d = load_table(spark, sf, "documents")
+    sh = dedup._spread(d).select(
+        F.explode(dedup.shingles("text", 3)).alias("shingle")
+    )
+    sh = sh.persist()
+    hll = sketches.hll_estimate(sh, F.col("shingle")).select(
+        F.col("est_distinct").alias("est_hll")
+    )
+    kmv = sketches.kmv_estimate(sh, F.col("shingle"), 1024).select(
+        F.col("est_distinct").alias("est_kmv")
+    )
+    ex = sh.agg(
+        F.countDistinct("shingle").cast("long").alias("exact_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_shingle_rows"),
+    )
+    return hll.crossJoin(kmv).crossJoin(ex)
+
+
+@q(
     "gopher_gates",
     f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
