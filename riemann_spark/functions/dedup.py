@@ -152,33 +152,51 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of the
-    i-th disjoint 4-hex-char (16-bit) chunk of md5(shingle).
+    (i mod 4)-th disjoint 8-hex-char (32-bit) chunk of the (i div 4)-th
+    salted md5 of the shingle (salt m = ``md5(str(m) || shingle)``,
+    salt 0 unprefixed).
 
-    ONE md5 per (doc, shingle) feeds all n_hashes ≤ 8 "permutations"
-    (disjoint chunks of a strong hash are the standard cheap
-    independent-hash family — same trick as the Bloom filter here);
-    the previous per-i ``md5(i || shingle)`` formulation cost
-    n_hashes× the md5 work, which dominates the whole signature stage
-    at scale. Min over uniform hex strings is the usual order
-    statistic, cross-engine reproducible because md5 is.
+    Disjoint chunks of a strong hash are the standard cheap
+    independent-hash family (same trick as the Bloom filter here), so
+    ceil(n_hashes/4) md5s per (doc, shingle) feed all n_hashes ≤ 8
+    "permutations" — still far cheaper than per-i salted md5s.  Each
+    chunk is kept at 32 bits: a 16-bit chunk saturates on large
+    shingle sets (a doc with ~2^16 distinct shingles hits the all-zero
+    min with high probability), which makes large UNRELATED docs agree
+    on signatures and floods the LSH bands with false candidate pairs
+    exactly in the big-doc regime.  2^32 values keep the min
+    collision-free far past any realistic per-doc shingle count.  Min
+    over uniform fixed-width hex strings is the usual order statistic,
+    cross-engine reproducible because md5 is.
 
-    Shape: explode distinct shingles once, one scalar md5 per row,
+    Shape: explode distinct shingles once, ≤2 scalar md5s per row,
     groupBy(doc) with n_hashes MIN aggregates over substrings.
     min() partial-aggregates map-side, so the shuffle carries one
     signature row per doc regardless of shingle count."""
     if n_hashes > 8:
-        raise ValueError("n_hashes > 8 needs more than one md5 per shingle")
+        raise ValueError("n_hashes > 8 needs more than two md5s per shingle")
+    n_md5 = (n_hashes + 3) // 4
     sh = (
         _spread(df)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(shingles(text_col, k)).alias("shingle"),
         )
-        .select("doc", F.md5("shingle").alias("h"))
+        .select(
+            "doc",
+            *[
+                (
+                    F.md5("shingle")
+                    if m == 0
+                    else F.md5(F.concat(F.lit(str(m)), F.col("shingle")))
+                ).alias(f"h{m}")
+                for m in range(n_md5)
+            ],
+        )
     )
     return sh.groupBy("doc").agg(
         *[
-            F.min(F.substring("h", 4 * i + 1, 4)).alias(f"sig{i}")
+            F.min(F.substring(f"h{i // 4}", 8 * (i % 4) + 1, 8)).alias(f"sig{i}")
             for i in range(n_hashes)
         ]
     )

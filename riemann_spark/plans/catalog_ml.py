@@ -165,6 +165,15 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _N_HASHES, _BAND = 8, 2
+# Mirrors dedup.minhash_signatures: sig_i = MIN over shingles of the
+# (i mod 4)-th 8-hex (32-bit) chunk of md5(shingle) for i < 4, of
+# md5('1' || shingle) for i >= 4.  32-bit chunks, not 16 — see the
+# saturation note in that docstring.
+_SIGS_SQL = ", ".join(
+    f"MIN(substr(md5({'shingle' if i < 4 else chr(39) + '1' + chr(39) + ' || shingle'}),"
+    f" {8 * (i % 4) + 1}, 8)) AS s{i}"
+    for i in range(_N_HASHES)
+)
 _BANDS_SQL = ", ".join(
     "'" + str(b) + "|' || " + " || '|' || ".join(f"s{b * _BAND + j}" for j in range(_BAND))
     for b in range(_N_HASHES // _BAND)
@@ -176,16 +185,17 @@ _BANDS_SQL = ", ".join(
     f"""
 WITH {_SHINGLE_SQL},
 sigs AS (SELECT doc,
-        {', '.join(f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS s{i}" for i in range(_N_HASHES))}
+        {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs)
 SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(8)+LSH(4 bands×2) candidate pairs: one md5 per shingle
-    feeds all 8 sigs as disjoint 16-bit chunks (8× less hash work than
-    per-i salted md5); min() partial-aggs map-side so the shuffle is
+    """MinHash(8)+LSH(4 bands×2) candidate pairs: two salted md5s per
+    shingle feed all 8 sigs as disjoint 32-bit chunks (4× less hash
+    work than per-i salted md5s, and wide enough not to saturate on
+    big shingle sets); min() partial-aggs map-side so the shuffle is
     one signature row per doc, then the band-bucket join — never
     all-pairs. The oracle takes the same grouped MIN per chunk."""
     d = load_table(spark, sf, "documents")
@@ -846,7 +856,7 @@ def gopher_gates(spark: SparkSession, sf: str) -> DataFrame:
     f"""
 WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
-        {', '.join(f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS s{i}" for i in range(_N_HASHES))}
+        {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
@@ -1019,7 +1029,7 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     f"""
 WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
-        {', '.join(f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS s{i}" for i in range(_N_HASHES))}
+        {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
