@@ -132,9 +132,13 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
+    # NO broadcast hint on the sizes frames: one row per document, i.e.
+    # corpus-order at web scale — a forced broadcast would OOM the
+    # driver.  These are narrow keyed joins on doc id; AQE broadcasts
+    # at runtime when a side actually fits.
     return (
-        inter.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),

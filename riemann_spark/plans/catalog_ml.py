@@ -875,16 +875,19 @@ FROM labels WHERE doc = cluster""",
 )
 def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup pipeline's FINAL artifact: the keep-list — every doc
-    in no near-dup cluster ('unique', broadcast anti-join against the
-    cluster labels) plus one canonical doc per cluster (the component
-    minimum). Downstream training jobs join this list; at 100 TB the
-    label table is cluster-members-sized (≪ corpus), so the anti-join
-    broadcasts and the corpus never reshuffles."""
+    in no near-dup cluster ('unique', anti-join against the cluster
+    labels) plus one canonical doc per cluster (the component
+    minimum). Downstream training jobs join this list. The label table
+    is cluster-members-sized — usually ≪ corpus, but on web-scale
+    crawls 30-50% of docs sit in near-dup clusters, making it
+    corpus-order; so no broadcast hint — the anti-join keys on doc_id
+    (one shuffle) and AQE broadcasts at runtime when labels actually
+    fit."""
     d = load_table(spark, sf, "documents")
     pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
     labels = dedup.connected_components(pairs)
     unique = d.join(
-        F.broadcast(labels), d.doc_id == labels.node, "left_anti"
+        labels, d.doc_id == labels.node, "left_anti"
     ).select("doc_id", F.lit("unique").alias("keep_reason"))
     canonical = labels.filter(F.col("node") == F.col("cluster")).select(
         F.col("node").alias("doc_id"), F.lit("canonical").alias("keep_reason")

@@ -244,3 +244,20 @@ def test_canonical_pipeline_no_cartesian(spark):
 def test_rate_zero_fill_no_cartesian(spark):
     p = plan_of(spark, "rate_zero_fill")
     assert "CartesianProduct" not in p
+
+
+def test_jaccard_sizes_join_not_hinted_broadcast(spark):
+    # the per-doc sizes frame is corpus-keyed (one row per document) —
+    # a pinned broadcast hint would OOM the driver at web scale, so
+    # the joins must carry NO hint and let stats/AQE pick the strategy
+    df = QUERIES["dedup_jaccard"](spark, SF)
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in logical
+
+
+def test_keep_list_labels_join_not_hinted_broadcast(spark):
+    # cluster labels are corpus-order on crawls where 30-50% of docs
+    # sit in near-dup clusters; the anti-join must not pin a broadcast
+    df = QUERIES["dedup_keep_list"](spark, SF)
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in logical
