@@ -192,27 +192,37 @@ def bloom_words(df: DataFrame, value: Column) -> DataFrame:
 
 
 def bloom_might_contain(
-    df: DataFrame, value: Column, bloom: DataFrame, id_cols: list[str]
+    df: DataFrame, value: Column, bloom: DataFrame, id_cols: list[str],
+    out_col: str = "value",
 ) -> DataFrame:
-    """Probe: keep rows of ``df`` whose ``value`` hits all k bloom
-    positions. The bloom table broadcasts; each probe row explodes to
-    k (word, mask) lookups, left-joins the filter, and survives iff
+    """Probe: the distinct ``(*id_cols, value)`` combinations of ``df``
+    whose ``value`` hits all k bloom positions, as columns
+    ``(*id_cols, out_col)``.  SET semantics, not row semantics: other
+    columns are dropped and duplicate (id, value) rows collapse (the
+    per-key groupBy that ANDs the k probe bits is also a distinct).
+    Join the result back to ``df`` on (id_cols, value) when the full
+    surviving rows are needed.
+
+    The bloom table broadcasts; each probe row explodes to k
+    (word, mask) lookups, left-joins the filter, and survives iff
     every mask bit is set (a missing word row = all-zero bits). One
     broadcast join, no shuffle of the probed stream."""
-    pos = F.explode(F.array(*_bloom_positions(F.col("__v")))).alias("pos")
-    probes = df.select(*id_cols, value.alias("__v")).select(
+    if out_col in id_cols:
+        raise ValueError(f"out_col {out_col!r} collides with an id column")
+    pos = F.explode(F.array(*_bloom_positions(F.col(out_col)))).alias("pos")
+    probes = df.select(*id_cols, value.alias(out_col)).select(
         *id_cols,
-        "__v",
+        out_col,
         pos,
     ).select(
         *id_cols,
-        "__v",
+        out_col,
         F.shiftright(F.col("pos"), 5).alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
     )
     hit = (
         probes.join(F.broadcast(bloom), "word", "left")
-        .groupBy(*id_cols, "__v")
+        .groupBy(*id_cols, out_col)
         .agg(
             F.min(
                 (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast("int")

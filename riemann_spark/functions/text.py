@@ -354,7 +354,7 @@ def hash_sample(rate: Column | float, id_col: str | Column = "doc_id") -> Column
 def mix_upsample(
     df: DataFrame,
     weight: Column,
-    id_col: str = "doc_id",
+    id_col: str | Column = "doc_id",
 ) -> DataFrame:
     """Deterministic fractional upsampling for training-mix weights:
     a doc with weight w yields floor(w) copies plus one more iff its
@@ -365,7 +365,7 @@ def mix_upsample(
     no shuffle."""
     from riemann_spark.functions.sketches import hash_fraction
 
-    c = F.col(id_col) if isinstance(id_col, str) else F.col(id_col)
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
     base = F.floor(weight).cast("long")
     extra = (hash_fraction(c) < (weight - F.floor(weight))).cast("long")
     n = (base + extra).alias("__n")

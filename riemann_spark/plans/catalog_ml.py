@@ -785,7 +785,16 @@ def corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("shingle").cast("long").alias("exact_distinct"),
         F.count(F.lit(1)).cast("long").alias("n_shingle_rows"),
     )
-    return hll.crossJoin(kmv).crossJoin(ex)
+    result = hll.crossJoin(kmv).crossJoin(ex)
+    # Materialize the one-row profile while the shared shingle scan is
+    # cached, then release the cache — otherwise the exploded shingle
+    # blocks stay pinned in executor storage for the rest of a session
+    # that runs dozens more queries. collect() here is one row.
+    try:
+        rows = result.collect()
+    finally:
+        sh.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 @q(

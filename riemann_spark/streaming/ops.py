@@ -120,7 +120,16 @@ def streaming_sessions(
     the closed-session set. Append mode emits each session exactly
     once, when it can no longer grow."""
     sdf = with_event_timestamp(sdf).withWatermark("event_ts", watermark)
-    win = F.session_window("event_ts", f"{int(gap_seconds)} seconds")
+    # millisecond-resolution gap string: int(gap_seconds) would
+    # truncate fractional gaps (0.5 -> "0 seconds", an invalid window)
+    # and silently diverge from the batch sessionize oracle, which
+    # compares inter-event deltas against the float gap
+    gap_ms = round(gap_seconds * 1000)
+    if gap_ms <= 0 or abs(gap_ms - gap_seconds * 1000) > 1e-6:
+        raise ValueError(
+            f"gap_seconds {gap_seconds!r} must be a positive multiple of 1ms"
+        )
+    win = F.session_window("event_ts", f"{gap_ms} milliseconds")
     return (
         sdf.groupBy(*keys, win)
         .agg(

@@ -179,3 +179,27 @@ def test_streaming_dedup_exact_drops_replays(spark, tmpdirs):
     # arbitrary), beta, gamma; the batch-2 alpha replay must drop
     assert got in ([0, 2, 4], [1, 2, 4])
     assert 3 not in got
+
+
+def test_streaming_sessions_fractional_gap(spark, tmpdirs):
+    """A 0.5 s gap must build a 500 ms session window (int() truncation
+    would make it '0 seconds'), and sub-millisecond gaps are rejected
+    rather than silently rounded."""
+    from riemann_spark.streaming.ops import streaming_sessions
+
+    src, ckpt = tmpdirs
+    batches = [
+        [_mk(1, "h", "s", t=0.0), _mk(2, "h", "s", t=0.4), _mk(3, "h", "s", t=2.0)],
+        [_mk(4, "h", "s", t=100.0)],  # watermark push closes both sessions
+    ]
+    rows = _run_stream(
+        spark, src, ckpt,
+        lambda sdf: streaming_sessions(sdf, 0.5, watermark="0 seconds"),
+        f"sess_{uuid.uuid4().hex[:8]}", batches,
+    )
+    spans = sorted((r.session_start, r.n_events) for r in rows if r.session_start < 50)
+    # events at 0.0 and 0.4 merge (gap < 0.5); 2.0 is its own session
+    assert spans == [(0.0, 2), (2.0, 1)]
+
+    with pytest.raises(ValueError):
+        streaming_sessions(spark.createDataFrame([], FULL_SCHEMA), 0.0004)

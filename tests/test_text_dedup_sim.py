@@ -463,3 +463,13 @@ def test_mix_upsample_and_sequence_packing(spark):
     assert (packed[2].bin, packed[2].bin_offset) == (0, 10)
     assert (packed[3].bin, packed[3].bin_offset) == (1, 4)
     assert (packed[4].bin, packed[4].bin_offset) == (0, 0)  # source b independent
+
+
+def test_mix_upsample_accepts_column_id(spark):
+    from riemann_spark.functions import text as tx
+
+    d = spark.range(100).select(F.col("id").alias("doc_id"))
+    by_str = tx.mix_upsample(d, F.lit(2.3), "doc_id")
+    by_col = tx.mix_upsample(d, F.lit(2.3), F.col("doc_id"))
+    assert by_str.count() == by_col.count()
+    assert 200 <= by_str.count() <= 300  # 2.3x in expectation, deterministic
