@@ -94,3 +94,111 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
     return rate, samples
+
+
+# ------------------------------------------------------------- PNG --
+# Pure-stdlib PNG (ISO/IEC 15948): chunk walk + zlib inflate + the
+# five per-scanline filters. Covers non-interlaced 8-bit gray/RGB/RGBA
+# — the shapes a training-data pipeline actually stores.
+
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    tagged = typ + body
+    return (
+        struct.pack(">I", len(body))
+        + tagged
+        + struct.pack(">I", zlib.crc32(tagged) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit RGB, non-interlaced, filter 0 scanlines. ``pixels`` must
+    be width*height*3 RGB bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(pixels)}")
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse PNG → (width, height, channels, recovered pixel bytes).
+
+    Full decode: CRC-checked chunk walk, multi-IDAT concat, zlib
+    inflate, and per-scanline un-filtering (None/Sub/Up/Average/Paeth).
+    8-bit depth, color types 0/2/6, non-interlaced only — anything
+    else raises rather than guessing."""
+    if data[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG")
+    i, ihdr, idat = len(PNG_SIG), None, b""
+    while i + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, i)
+        typ = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + size]
+        (crc,) = struct.unpack_from(">I", data, i + 8 + size)
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length does not match dimensions")
+    out = bytearray(stride * h)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        base = y * stride
+        for x in range(stride):
+            a = out[base + x - ch] if x >= ch else 0          # left
+            b = out[base + x - stride] if y > 0 else 0        # up
+            c = out[base + x - stride - ch] if (y > 0 and x >= ch) else 0
+            v = line[x]
+            if ftype == 0:
+                pass
+            elif ftype == 1:
+                v = (v + a) & 0xFF
+            elif ftype == 2:
+                v = (v + b) & 0xFF
+            elif ftype == 3:
+                v = (v + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                v = (v + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            out[base + x] = v
+    return w, h, ch, bytes(out)

@@ -179,11 +179,17 @@ REAL_FEATURE_SCHEMA = StructType(
 
 def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """THE REAL DECODE PATH (no stub): dispatch on magic bytes and run
-    the pure-stdlib parsers in functions/media_codecs.py — P6 PPM →
+    the pure-stdlib parsers in functions/media_codecs.py — PNG →
+    full inflate + un-filter → dimensions + pixel stats, P6 PPM →
     dimensions + RGB byte stats, PCM WAV → rate + sample stats.
     Arrow-batched mapInPandas; undecodable payloads yield a NULL-kind
     row (the dead-letter convention) instead of poisoning the batch."""
-    from riemann_spark.functions.media_codecs import decode_ppm, decode_wav
+    from riemann_spark.functions.media_codecs import (
+        PNG_SIG,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,7 +197,14 @@ def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid, content in zip(pdf[id_col], pdf["content"]):
                 b = bytes(content or b"")
                 try:
-                    if b[:2] == b"P6":
+                    if b[: len(PNG_SIG)] == PNG_SIG:
+                        w, h, _ch, px = decode_png(b)
+                        vals = list(px)
+                        rows.append(
+                            [int(mid), "image", w, h, None, len(vals),
+                             sum(vals), min(vals), max(vals)]
+                        )
+                    elif b[:2] == b"P6":
                         w, h, _maxval, px = decode_ppm(b)
                         vals = list(px)
                         rows.append(
@@ -215,12 +228,20 @@ def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
 
 def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic real-format fixtures from an id column: even ids
-    become 8×8 P6 PPMs with pixel(i) = (id·7 + i·13) mod 256, odd ids
-    become 256-sample 8 kHz WAVs with sample(i) = ((id·31 + i·17) mod
-    2001) − 1000 — closed-form generators an oracle can mirror with
-    generate_series, while the Spark side round-trips through the REAL
-    encoders/decoders."""
-    from riemann_spark.functions.media_codecs import encode_ppm, encode_wav
+    become 8×8 RGB images with pixel(i) = (id·7 + i·13) mod 256 —
+    encoded as PNG when id % 4 == 0 (zlib deflate + filter-0
+    scanlines), as P6 PPM otherwise — and odd ids become 256-sample
+    8 kHz WAVs with sample(i) = ((id·31 + i·17) mod 2001) − 1000.
+    Closed-form generators an oracle can mirror with generate_series
+    (the PNG/PPM split is invisible to the oracle: both decode back to
+    the same pixel bytes, which is exactly what makes the round-trip a
+    correctness check on the codecs), while the Spark side goes
+    through the REAL encoders/decoders."""
+    from riemann_spark.functions.media_codecs import (
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -229,7 +250,8 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 d = int(mid)
                 if d % 2 == 0:
                     px = bytes((d * 7 + i * 13) % 256 for i in range(8 * 8 * 3))
-                    blobs.append(encode_ppm(8, 8, px))
+                    enc = encode_png if d % 4 == 0 else encode_ppm
+                    blobs.append(enc(8, 8, px))
                 else:
                     smp = [((d * 31 + i * 17) % 2001) - 1000 for i in range(256)]
                     blobs.append(encode_wav(8000, smp))

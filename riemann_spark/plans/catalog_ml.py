@@ -467,12 +467,16 @@ wav AS (
 SELECT * FROM img UNION ALL SELECT * FROM wav""",
 )
 def multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL in-container decode (no md5 stub): deterministic P6-PPM /
-    PCM-WAV fixtures are byte-encoded then fully parsed back by the
-    pure-stdlib codecs (functions/media_codecs.py) inside Arrow-batched
-    mapInPandas; the oracle mirrors the closed-form generators with
-    generate_series. Exact-integer stats (sum/min/max) — zero float
-    parity risk. The heavy binary column never crosses a shuffle."""
+    """REAL in-container decode (no md5 stub): deterministic PNG /
+    P6-PPM / PCM-WAV fixtures are byte-encoded then fully parsed back
+    by the pure-stdlib codecs (functions/media_codecs.py) inside
+    Arrow-batched mapInPandas; the oracle mirrors the closed-form
+    generators with generate_series. Every 4th doc routes through the
+    full PNG path (zlib deflate → inflate → un-filter), and the oracle
+    only matches if the recovered pixels are byte-identical to the
+    generator — a true codec correctness gate. Exact-integer stats
+    (sum/min/max) — zero float parity risk. The heavy binary column
+    never crosses a shuffle."""
     from riemann_spark.functions.multimodal import real_decode_features, synthetic_media
 
     d = load_table(spark, sf, "documents")
