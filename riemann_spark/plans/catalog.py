@@ -1310,6 +1310,48 @@ def protobuf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "kafka_codec_roundtrip",
+    f"""{_EV}
+SELECT host, service, state, description, metric,
+       array_to_string(tags, ',') AS tags_csv,
+       "time",
+       CAST(CAST(ttl AS FLOAT4) AS DOUBLE) AS ttl
+FROM ev""",
+)
+def kafka_codec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Kafka wire round-trip without a broker (kafka-consumer,
+    kafka.clj:92-119): events → protobuf Msg frames → packed into
+    RecordBatch-v2 byte batches (sources/kafka_codec.py: crc32c-sealed
+    header, zigzag-varint records, gzip'd record section) → batch
+    decode → Msg decode → events. Exercises the exact byte layout a
+    broker would hand ``read_kafka_msg_frames``; the oracle is the
+    same identity fixpoint as protobuf_roundtrip (ttl crosses the
+    proto float32). Batch grouping varies with partitioning; the
+    decoded row multiset does not."""
+    from riemann_spark.sources import events_to_msg_binary, msg_binary_to_events
+    from riemann_spark.sources.kafka_codec import (
+        record_batches_to_rows,
+        rows_to_record_batches,
+    )
+
+    ev = load_events(spark, sf)
+    frames = events_to_msg_binary(ev)
+    batches = rows_to_record_batches(frames, "msg", compression="gzip")
+    records = record_batches_to_rows(batches)
+    back = msg_binary_to_events(records.select(F.col("value").alias("msg")))
+    return back.select(
+        "host",
+        "service",
+        "state",
+        "description",
+        "metric",
+        F.array_join("tags", ",").alias("tags_csv"),
+        "time",
+        "ttl",
+    )
+
+
+@q(
     "json_roundtrip",
     f"""{_EV}
 SELECT host, service, state, description, metric,
