@@ -58,7 +58,7 @@ class PubSub:
         """Wire a subscription to sinks and start it."""
         df = self.subscribe(channel, query)
         q = (
-            df.writeStream.foreachBatch(fan_out(df, sinks))
+            df.writeStream.foreachBatch(fan_out(sinks))
             .option("checkpointLocation", checkpoint)
             .queryName(name or f"{channel}-sub")
             .start()

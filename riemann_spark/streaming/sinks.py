@@ -106,7 +106,7 @@ def _http_sink(url: str, batch_limit: int = 1000) -> SinkFn:
     return write
 
 
-def fan_out(df: DataFrame, sinks: list[SinkFn]) -> Callable[[DataFrame, int], None]:
+def fan_out(sinks: list[SinkFn]) -> Callable[[DataFrame, int], None]:
     """foreachBatch function sending each micro-batch to every sink.
     The batch is persisted once so N sinks don't rescan the source."""
 
@@ -133,7 +133,7 @@ def write_stream(
     """Start a streaming query pushing to the given sinks.
     ``trigger_seconds`` maps the reference's every!-scheduled emission
     cadence (time.clj:129-140) to Trigger.ProcessingTime."""
-    w = df.writeStream.foreachBatch(fan_out(df, sinks)).option(
+    w = df.writeStream.foreachBatch(fan_out(sinks)).option(
         "checkpointLocation", checkpoint
     )
     if trigger_seconds is not None:

@@ -58,14 +58,14 @@ def test_full_topology_with_taps_and_ws_push(spark, tmpdirs):
     piped_rows: list = []
     rate_q = (
         streaming_rate(piped, 60.0, keys=("service",), watermark="0 seconds")
-        .writeStream.foreachBatch(fan_out(None, [make_sink("collect", store=rate_rows)]))
+        .writeStream.foreachBatch(fan_out([make_sink("collect", store=rate_rows)]))
         .outputMode("append")
         .option("checkpointLocation", ck1)
         .start()
     )
     tap_q = (
         piped.writeStream.foreachBatch(
-            fan_out(None, [make_sink("collect", store=piped_rows)])
+            fan_out([make_sink("collect", store=piped_rows)])
         )
         .outputMode("append")
         .start()

@@ -75,7 +75,7 @@ def test_json_roundtrip_with_open_attributes(spark):
 def test_sink_registry_and_fan_out(spark):
     ev = events(spark, {"metric": 1.0}, {"metric": 2.0})
     store_a, store_b = [], []
-    fob = fan_out(ev, [make_sink("collect", store=store_a), make_sink("collect", store=store_b)])
+    fob = fan_out([make_sink("collect", store=store_a), make_sink("collect", store=store_b)])
     fob(ev, 0)
     assert len(store_a) == 2 and len(store_b) == 2
 

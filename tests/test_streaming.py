@@ -203,3 +203,59 @@ def test_streaming_sessions_fractional_gap(spark, tmpdirs):
 
     with pytest.raises(ValueError):
         streaming_sessions(spark.createDataFrame([], FULL_SCHEMA), 0.0004)
+
+
+def test_reinject_feedback_loop(spark, tmpdirs):
+    """config.clj:280-288 reinject across the acyclic-DAG boundary:
+    a critical event is fed back through the file queue, re-enters the
+    SAME running query as a tagged event, and is not fed back again
+    (at-most-once guard) — the loop closes and terminates."""
+    from riemann_spark.streaming.reinject import (
+        REINJECT_TAG,
+        reinject_sink,
+        with_reinjection,
+    )
+    from riemann_spark.streaming.sinks import fan_out, make_sink
+
+    src, ckpt = tmpdirs
+    queue = f"{src}_queue"
+    rows = [
+        _mk(1, "h1", "api", state="ok", t=0.0),
+        _mk(2, "h2", "api", state="critical", t=1.0),
+    ]
+    first = spark.createDataFrame(rows, FULL_SCHEMA)
+    first.coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    sdf = spark.readStream.schema(first.schema).parquet(f"{src}/*")
+
+    store: list = []
+    sinks = fan_out(
+        [
+            make_sink("collect", store=store),
+            make_sink(
+                "reinject", queue_dir=queue, predicate=F.col("state") == "critical"
+            ),
+        ]
+    )
+    q = (
+        with_reinjection(sdf, queue)
+        .writeStream.foreachBatch(sinks)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # the feedback file lands during the previous batch's commit;
+        # one more drain picks it up deterministically
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_id = {}
+    for r in store:
+        by_id.setdefault(r.event_id, []).append(r)
+    assert len(by_id[1]) == 1                      # ok event: once, no feedback
+    crit = sorted(by_id[2], key=lambda r: len(r.tags or []))
+    assert len(crit) == 2                          # original + exactly one re-entry
+    assert REINJECT_TAG not in (crit[0].tags or [])
+    assert REINJECT_TAG in crit[1].tags            # the fed-back copy is marked
