@@ -1613,6 +1613,166 @@ def streaming_ewma_halflife(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_batch_drained",
+    f"""{_EV}, r AS (
+  SELECT host, service, COALESCE(metric, 0.0) AS metric, "time",
+         row_number() OVER (PARTITION BY host, service ORDER BY event_id) - 1 AS rn
+  FROM ev),
+g AS (
+  SELECT host, service, rn // 5 AS batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(list_reduce(list(metric ORDER BY rn), (a, b) -> a + b) AS DOUBLE)
+           AS sum_metric,
+         arg_min("time", rn) AS t_first, arg_max("time", rn) AS t_last
+  FROM r GROUP BY host, service, batch_id)
+SELECT host, service, batch_id, n, sum_metric, t_first, t_last,
+       CASE WHEN n = 5 THEN 'count' ELSE 'time' END AS reason
+FROM g""",
+)
+def streaming_batch_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """The wall-clock ``batch`` op (streams.clj:1158-1185;
+    streaming/stateful_ops.py streaming_batch) value-checked end to
+    end: the flush TIMES are nondeterministic, but every emitted
+    column is event-time-derived, so with the whole file in one
+    micro-batch the drained row set is exact — count-flushes are
+    consecutive event-id groups of n, and the trailing partial buffer
+    flushes by timer with the same deterministic content. The query
+    polls until the timer flushes land (one per key with a remainder),
+    then returns the full set. Oracle: per-key event_id grouping with
+    a sequential-float sum (list_reduce) matching Python's fold
+    order."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_batch
+
+    name = f"cat_sbatch_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sbatch_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_batch(normalize_events(raw), 5, 1.0)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # NO processAllAvailable: the op's processing-time timers
+        # re-arm forever, so the stream never reports "nothing
+        # pending" — poll the sink for the (known) complete row count
+        # instead, exactly like the unit tests for these ops do.
+        counts = [
+            r["cnt"]
+            for r in load_events(spark, sf)
+            .groupBy("host", "service")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ]
+        expected = sum(c // 5 + (1 if c % 5 else 0) for c in counts)
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            _time.sleep(0.5)
+    finally:
+        q_.stop()
+    return spark.table(name)
+
+
+@q(
+    "streaming_fill_in_last_drained",
+    f"""{_EV}, pass AS (
+  SELECT DISTINCT host, service, state, metric, "time",
+         CAST(NULL AS VARCHAR) AS filled
+  FROM ev),
+lastev AS (
+  SELECT host, service, state FROM (
+    SELECT host, service, state,
+           row_number() OVER (PARTITION BY host, service
+                              ORDER BY "time" DESC, event_id DESC) AS rnk
+    FROM ev) WHERE rnk = 1)
+SELECT host, service, state, metric, "time", filled FROM pass
+UNION ALL
+SELECT host, service, state, 0.0 AS metric, CAST(NULL AS DOUBLE) AS "time",
+       'fill' AS filled
+FROM lastev WHERE state IS DISTINCT FROM 'expired'""",
+)
+def streaming_fill_in_last_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """fill-in-last (streams.clj:712-751; stateful_ops.py
+    streaming_fill_in_last) with a relational value oracle: filler
+    CADENCE is wall-clock (every interval, nondeterministic count and
+    timestamps), but the filler CONTENT is a pure function of each
+    key's last event — so nulling the filler timestamp and taking the
+    DISTINCT row set yields exactly {{pass-through events}} ∪ {{one
+    filler per non-expired key}}, which the oracle states directly.
+    Polls until every key's first filler has fired."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_fill_in_last
+
+    name = f"cat_sfill_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sfill_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_fill_in_last(normalize_events(raw), 1.0, {"metric": 0.0})
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # NO processAllAvailable (perpetually re-arming timers — see
+        # streaming_batch_drained); poll until every key's first
+        # filler has landed in the sink.
+        expected_keys = (
+            load_events(spark, sf).select("host", "service").distinct().count()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            fills = (
+                spark.table(name)
+                .filter(F.col("filled") == "fill")
+                .select("host", "service")
+                .distinct()
+                .count()
+            )
+            if fills >= expected_keys:
+                break
+            _time.sleep(0.5)
+    finally:
+        q_.stop()
+    return spark.table(name).select(
+        "host",
+        "service",
+        "state",
+        "metric",
+        F.when(F.col("filled") == "fill", F.lit(None).cast("double"))
+        .otherwise(F.col("time"))
+        .alias("time"),
+        "filled",
+    ).distinct()
+
+
+@q(
     "streaming_rate_closed",
     f"""{_EV}
 SELECT host, service, {_BUCKET_HOUR} AS window_start,
