@@ -12,7 +12,12 @@ import contextlib
 import pytest
 from pyspark.sql import functions as F
 
-from riemann_spark.operators.bucketing import read_bucketed, write_bucketed
+from riemann_spark.operators.bucketing import (
+    index_point_get,
+    read_bucketed,
+    write_bucketed,
+    write_index_bucketed,
+)
 
 
 def _plan(df) -> str:
@@ -71,3 +76,43 @@ def test_unbucketed_join_pays_the_exchange(spark, bucketed_tables):
         assert "Exchange" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.fixture(scope="module")
+def bucketed_index(spark):
+    """A small index table in the point-get layout (index.clj:44-56)."""
+    idx = spark.range(400).selectExpr(
+        "concat('h', id % 40) AS host",
+        "concat('svc-', id % 10) AS service",
+        "cast(id AS double) AS time",
+        "cast(id AS double) AS metric",
+    )
+    write_index_bucketed(idx, "t_index_pointget", n_buckets=8)
+    yield "t_index_pointget"
+    spark.sql("DROP TABLE IF EXISTS t_index_pointget")
+
+
+def test_index_point_get_prunes_to_one_bucket(spark, bucketed_index):
+    """host = X AND service = Y reads 1 of 8 buckets and pushes the
+    service equality into the parquet scan — the reference's O(1)
+    point lookup realized as storage pruning."""
+    q = index_point_get(spark, bucketed_index, "h7", "svc-7")
+    p = _plan(q)
+    assert "SelectedBucketsCount: 1 out of 8" in p
+    assert "PushedFilters" in p and "service" in p
+    rows = q.collect()
+    assert {(r.host, r.service) for r in rows} == {("h7", "svc-7")}
+    assert len(rows) == 10  # ids 7,47,...,367: id%40==7 ∧ id%10==7
+
+
+def test_index_host_filter_prunes_buckets(spark, bucketed_index):
+    """A host-only filter still prunes (the composite-key layout would
+    not); control: an unfiltered scan selects no bucket subset."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        f = spark.table(bucketed_index).filter(F.col("host") == "h3")
+        assert "SelectedBucketsCount: 1 out of 8" in _plan(f)
+        full = spark.table(bucketed_index)
+        assert "SelectedBucketsCount: 8 out of 8" in _plan(full)
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
