@@ -2717,3 +2717,135 @@ def sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
     pass and the session aggregate share the host partitioning."""
     ev = load_events(spark, sf)
     return windows.sessionize(ev, 1800.0)
+
+
+@q(
+    "streaming_coalesce_drained",
+    f"""{_EV}
+SELECT host, service, state, metric, "time" FROM (
+  SELECT host, service, state, metric, "time",
+         row_number() OVER (PARTITION BY host, service
+                            ORDER BY "time" DESC, event_id DESC) AS rn
+  FROM ev) WHERE rn = 1""",
+)
+def streaming_coalesce_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """coalesce (streams.clj:1209-1241; stateful_ops.streaming_coalesce)
+    value-checked: snapshot CADENCE is wall-clock, but snapshot CONTENT
+    is each key's remembered latest event — with the whole file in one
+    micro-batch the state is final before any timer fires, so the
+    DISTINCT drained row set is exactly the latest event per
+    [host, service]. Polls until every key's first snapshot lands."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_coalesce
+
+    name = f"cat_scoal_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scoal_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    stream = streaming_coalesce(normalize_events(normalize_ts(raw, "ts")), 1.0)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        expected_keys = (
+            load_events(spark, sf).select("host", "service").distinct().count()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if (
+                spark.table(name).select("host", "service").distinct().count()
+                >= expected_keys
+            ):
+                break
+            _time.sleep(0.5)
+    finally:
+        q_.stop()
+    return spark.table(name).distinct()
+
+
+@q(
+    "streaming_top_drained",
+    f"""{_EV}, r AS (
+  SELECT host, service, "time", CAST(event_id AS DOUBLE) AS metric,
+         row_number() OVER (ORDER BY event_id) AS pos
+  FROM ev WHERE event_id % 3 = 0),
+n AS (
+  SELECT *, lead(pos) OVER (PARTITION BY host, service ORDER BY pos) AS next_pos
+  FROM r),
+-- last-occurrence-per-key events before each event i: exactly the keys
+-- alive at i, ranked by recency; rnk <= 10 is the top set before i
+c AS (
+  SELECT i.pos AS ipos, i.host AS ih, i.service AS isvc,
+         j.host AS jh, j.service AS jsvc, j.metric AS jm, j."time" AS jt,
+         row_number() OVER (PARTITION BY i.pos ORDER BY j.pos DESC) AS rnk,
+         count(*) OVER (PARTITION BY i.pos) AS n_before
+  FROM n i JOIN n j
+    ON j.pos < i.pos AND (j.next_pos IS NULL OR j.next_pos >= i.pos)),
+intop AS (
+  SELECT DISTINCT ipos FROM c WHERE jh = ih AND jsvc = isvc AND rnk <= 10),
+bump AS (
+  SELECT jh AS host, jsvc AS service, jm AS metric, jt AS "time"
+  FROM c WHERE rnk = 10 AND n_before >= 10
+    AND ipos NOT IN (SELECT ipos FROM intop))
+SELECT host, service, metric, "time", 'top' AS stream, 'ok' AS state FROM r
+UNION ALL
+SELECT host, service, metric, "time", 'bottom', 'expired' FROM r
+UNION ALL
+SELECT host, service, metric, "time", 'top', 'expired' FROM bump
+UNION ALL
+SELECT host, service, metric, "time", 'bottom', 'ok' FROM bump""",
+)
+def streaming_top_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """top k=10 with demotion (streams.clj:1015-1100;
+    stateful_ops.streaming_top) — a FULL value oracle for the dual
+    top/bottom emission log. streaming_top has no wall-clock timers, so
+    with one micro-batch and the per-batch event_id sort its output is
+    a pure function of the event sequence. Metric is remapped to
+    event_id (strictly increasing), under which the sequential top-k
+    admits a closed relational form: every event enters the top set,
+    membership before event i is the 10 most recently seen distinct
+    keys, and the bumped key is the 10th-most-recent — each computable
+    from last-occurrence ranks (the ``c`` self-join in the oracle).
+    Input thinned to event_id % 3 = 0 to stay inside the operator's
+    single-group max_batch_rows contract at bench scale."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_top
+
+    name = f"cat_stop_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stop_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ev = (
+        normalize_events(normalize_ts(raw, "ts"))
+        .filter(F.col("event_id") % 3 == 0)
+        .withColumn("metric", F.col("event_id").cast("double"))
+    )
+    q_ = (
+        streaming_top(ev, 10)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
