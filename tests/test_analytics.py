@@ -18,6 +18,7 @@ def _seq(spark, vals, dt=1.0, **common):
     )
 
 
+@pytest.mark.slow
 def test_counter_running_sum(spark):
     # streams_test.clj:144-166
     df = _seq(spark, [1, 2, 3])

@@ -4,10 +4,14 @@ depends-match, all-match, any-match, real-match)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from riemann_spark.operators import deps
 from tests.conftest import events
+
+pytestmark = pytest.mark.slow  # thorough lane; fast loop: -m 'not slow'
 
 
 def tag(spark, index_rows, event_rows, rule):

@@ -30,6 +30,7 @@ def tmpdirs(tmp_path):
     yield src, str(tmp_path / "ck1"), str(tmp_path / "ck2")
 
 
+@pytest.mark.slow
 def test_full_topology_with_taps_and_ws_push(spark, tmpdirs):
     src, ck1, ck2 = tmpdirs
     batches = [

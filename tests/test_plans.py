@@ -79,6 +79,7 @@ def test_knn_bruteforce_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+@pytest.mark.slow
 def test_no_python_udfs_in_core_paths(spark):
     """The riemann operator surface must stay JVM-side: no
     BatchEvalPython / ArrowEvalPython in any core catalog plan
@@ -255,6 +256,7 @@ def test_jaccard_sizes_join_not_hinted_broadcast(spark):
     assert "ResolvedHint" not in logical
 
 
+@pytest.mark.slow
 def test_keep_list_labels_join_not_hinted_broadcast(spark):
     # cluster labels are corpus-order on crawls where 30-50% of docs
     # sit in near-dup clusters; the anti-join must not pin a broadcast

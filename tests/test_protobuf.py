@@ -3,6 +3,8 @@ common.clj:91-112 decode-msg semantics)."""
 
 from __future__ import annotations
 
+import pytest
+
 import struct
 
 from riemann_spark.sources.protobuf import (
@@ -102,6 +104,7 @@ def test_spark_roundtrip_mapinpandas(spark):
 # ---------------------------------------------------------------- #
 # property: encode→decode is the identity on the event model
 
+@pytest.mark.slow
 def test_wire_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st

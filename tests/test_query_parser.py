@@ -143,6 +143,7 @@ def _hyp_strategies():
     return st.recursive(simple, combine, max_leaves=6)
 
 
+@pytest.mark.slow
 def test_three_backends_agree_on_random_queries(spark):
     """Column (Catalyst), SQL, and python-predicate backends must
     select identical row sets for arbitrary well-formed queries."""

@@ -643,6 +643,7 @@ def test_index_point_lookup(spark):
 
 # ------------------------------------------------------ §query predicates
 
+@pytest.mark.slow
 def test_query_predicate_vectors(spark):
     """query_test.clj:189-263 — the reference's good/evil event vectors
     per query, through the Column backend. state!=1 is ported onto

@@ -16,6 +16,8 @@ from riemann_spark.streaming.stateful_ops import (
 )
 from tests.test_streaming import FULL_SCHEMA, _mk, _run_stream
 
+pytestmark = pytest.mark.slow  # wall-clock streaming lane; fast loop: -m 'not slow'
+
 
 @pytest.fixture()
 def tmpdirs(tmp_path):

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from riemann_spark.operators import stateless
@@ -113,6 +115,7 @@ def test_smapcat_sflatten(spark):
     assert sorted(r.m for r in out.collect()) == [2.0, 20.0]
 
 
+@pytest.mark.slow
 def test_reference_test_stream_golden_cases(spark):
     """Canonical test-stream shapes ported verbatim from
     streams_test.clj (smap/where/over/under/default/adjust/scale)."""

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from riemann_spark.schema import EVENT_SCHEMA
 from riemann_spark.streaming import streaming_index, streaming_rate
 
+pytestmark = pytest.mark.slow  # wall-clock streaming lane; fast loop: -m 'not slow'
+
 FULL_SCHEMA = "event_id long, " + ", ".join(
     f"{f.name} {f.dataType.simpleString()}" for f in EVENT_SCHEMA.fields
 )

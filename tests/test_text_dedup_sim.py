@@ -55,6 +55,7 @@ def test_shingles(spark):
     assert got == [["a b c", "b c d"], []]
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_pairs(spark):
     df = docs(
         spark,
@@ -67,6 +68,7 @@ def test_ngram_jaccard_pairs(spark):
     assert 0.4 < out[0].jaccard < 0.9
 
 
+@pytest.mark.slow
 def test_jaccard_stop_shingle_guard(spark):
     # one hot shingle shared by every doc; with max_shingle_df=2 it is
     # pruned, so otherwise-disjoint docs form no candidate pair at all
@@ -186,6 +188,7 @@ def test_embedding_near_dups_finds_planted_pair(spark):
     assert out[0].cos > 0.99
 
 
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark):
     import random
 
@@ -357,6 +360,7 @@ def test_kmeans_centroids_matches_reference_lloyd(spark):
         assert np.allclose(got_c[j], C[j], atol=1e-9), j
 
 
+@pytest.mark.slow
 def test_ivf_with_kmeans_centroids_improves_recall(spark):
     import random
 
