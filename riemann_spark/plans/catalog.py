@@ -2849,3 +2849,159 @@ def streaming_top_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "tpch_q3",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10""",
+)
+def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-priority (TPC-H Q3 shape): segment dim broadcast into
+    orders, date ranges pushed to both fact scans, one orderkey
+    shuffle, then TakeOrdered for the top 10 — no global sort. The
+    (revenue, date, orderkey) order is a total order, so the LIMIT is
+    deterministic across engines."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(msum(rev, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name""",
+)
+def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 proper, including the
+    customer-nation = supplier-nation locality condition that
+    regional_revenue omits). Star side (supplier⋈nation⋈region,
+    customer) broadcast; the only repartitions are the two fact
+    shuffles (orders⋈lineitem on orderkey) and the final 5-row
+    nation aggregate."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    sd = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(sd),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(msum(rev, 4).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q6",
+    """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 1000000.0)
+                AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24.0""",
+)
+def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6): the pure scan-aggregate —
+    every predicate reaches the parquet scan as a PushedFilter, no
+    join, no shuffle beyond the single-row final agg. The canonical
+    'is pushdown working' probe at 100 TB: the scan should read three
+    row-group-pruned columns and nothing else."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        msum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@q(
+    "tpch_q18",
+    """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey""",
+)
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): the quantity rollup
+    is one map-side-combinable orderkey shuffle whose HAVING filter
+    shrinks it to the ~1% tail BEFORE the orders join, so the join
+    input is tiny (AQE broadcasts it); customer is a broadcast dim.
+    Quantities are small integers — SUM(double) is exact well below
+    2^53 in both engines."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )

@@ -1340,3 +1340,42 @@ def distinct_ngrams_hll(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     sh = dedup._spread(d).select(F.explode(dedup.shingles("text", 3)).alias("shingle"))
     return sketches.hll_estimate(sh, F.col("shingle"))
+
+
+def _nibble_32(h8_expr: str) -> str:
+    """8 hex chars -> 32-bit integer, nibble-by-nibble (matches
+    text.token_value's F.conv(substr(md5, 1, 8), 16, 10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h8_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks,
+             tk -> CAST({_nibble_32("substr(md5(tk), 1, 8)")} AS BIGINT))),
+         (acc, v) -> (acc * {text.ROLLING_BASE} + v) % {text.ROLLING_MOD}
+       ) AS rolling_fp,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp
+FROM t JOIN documents USING (doc_id)""",
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting, both flavors: the order-sensitive
+    Rabin-Karp rolling hash (h = (h·31 + md5_32(token)) mod 1e9+7 —
+    the primitive incremental/windowed fingerprinting builds on) and
+    the order-insensitive md5 content fingerprint dedup keys on. Pure
+    per-row projection: zero shuffle, whole-stage codegen, no UDF —
+    at 100 TB this is a single map pass."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.rolling_fingerprint("text").alias("rolling_fp"),
+        text.fingerprint("text").alias("content_fp"),
+    )

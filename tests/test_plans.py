@@ -263,3 +263,33 @@ def test_keep_list_labels_join_not_hinted_broadcast(spark):
     df = QUERIES["dedup_keep_list"](spark, SF)
     logical = str(df._jdf.queryExecution().analyzed())
     assert "ResolvedHint" not in logical
+
+
+def test_tpch_q6_full_pushdown_no_shuffle(spark):
+    """Q6 is the pushdown probe: every predicate reaches the parquet
+    scan, only the needed columns are read, and the single-row agg is
+    the plan's only exchange."""
+    p = plan_of(spark, "tpch_q6")
+    for f in (
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert f in p
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp" in p
+    # one exchange total: the SinglePartition gather for the global agg
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+
+
+def test_tpch_q18_having_before_join(spark):
+    """The HAVING-filtered rollup must shrink before the orders join
+    (filter sits on the aggregate, not after the join), and customer
+    joins as a broadcast dim."""
+    p = plan_of(spark, "tpch_q18")
+    assert "BroadcastHashJoin" in p
+    agg_pos = p.find("HashAggregate")
+    assert agg_pos != -1
+    assert "Filter" in p[:agg_pos] or "sum_qty" in p
