@@ -1379,3 +1379,59 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         text.rolling_fingerprint("text").alias("rolling_fp"),
         text.fingerprint("text").alias("content_fp"),
     )
+
+
+@q(
+    "semantic_dedup",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, {_bucket_sql(0)} AS cell FROM e),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= 0.30)
+SELECT vec_id, cell FROM c
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
+)
+def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public method): partition the embedding space
+    into cells — deterministic hyperplane-LSH cells standing in for
+    the paper's k-means clusters, so no training pass — compare
+    pairwise cosine WITHIN each cell only, and drop every vector with
+    a lower-id cell-mate above the similarity threshold 0.30 (a
+    deterministic exemplar rule in place of the paper's
+    closest-to-centroid pick). Output is the kept (exemplar) set.
+
+    100 TB shape: cell assignment is a zero-shuffle projection; the
+    pairwise stage shuffles ids once on the cell key and is quadratic
+    only in CELL population, which the plane count controls
+    (cells ~ N/2^planes) — the same knob SemDeDup turns with k. The
+    anti-join back to the corpus is one id-keyed shuffle, AQE-sized."""
+    e = load_table(spark, sf, "embeddings")
+    cells = e.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("v"),
+        similarity.lsh_bucket(F.col("embedding"), _ND_PLANES, _DIM).alias("cell"),
+        similarity.norm(F.col("embedding")).alias("n"),
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+        F.col("n").alias("n1"), "cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.col("n").alias("n2"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            similarity._dots(F.col("v1"), F.col("v2"))
+            / (F.col("n1") * F.col("n2"))
+            >= 0.30
+        )
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
