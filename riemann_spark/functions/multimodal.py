@@ -4,9 +4,12 @@ metadata (BASELINE.json north-star extras).
 Layout: ``content BINARY`` next to a ``media STRUCT<kind, mime, width,
 height, duration_ms, sample_rate>`` metadata column. All Spark-side
 plumbing (schema, partitioning, Arrow batch shapes, UDF signatures) is
-real and tested; the actual codec calls are STUBBED — the container
-has no image/audio libraries — behind ``NotImplementedError`` with a
-deterministic fake (md5-seeded) so pipelines are testable end-to-end.
+real and tested. Codec status: PPM, WAV, PNG, and baseline JPEG have
+REAL in-container codecs (functions/media_codecs.py — pure
+stdlib/numpy) wired into ``real_decode_features``; the remaining
+formats (video containers, exotic image types) stay STUBBED behind
+``NotImplementedError`` with a deterministic fake (md5-seeded) so
+pipelines are testable end-to-end.
 
 At 100 TB: binary payloads dominate storage — these operators use
 ``mapInPandas`` (Arrow-batched, streaming through partitions without
@@ -186,6 +189,7 @@ def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     row (the dead-letter convention) instead of poisoning the batch."""
     from riemann_spark.functions.media_codecs import (
         PNG_SIG,
+        decode_jpeg,
         decode_png,
         decode_ppm,
         decode_wav,
@@ -206,6 +210,13 @@ def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                         )
                     elif b[:2] == b"P6":
                         w, h, _maxval, px = decode_ppm(b)
+                        vals = list(px)
+                        rows.append(
+                            [int(mid), "image", w, h, None, len(vals),
+                             sum(vals), min(vals), max(vals)]
+                        )
+                    elif b[:2] == b"\xff\xd8":
+                        w, h, _ch, px = decode_jpeg(b)
                         vals = list(px)
                         rows.append(
                             [int(mid), "image", w, h, None, len(vals),
@@ -255,6 +266,37 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 else:
                     smp = [((d * 31 + i * 17) % 2001) - 1000 for i in range(256)]
                     blobs.append(encode_wav(8000, smp))
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return _spread(df.select(id_col)).mapInPandas(run, schema)
+
+
+def synthetic_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG fixtures: every id becomes a 16×16
+    RGB image with pixel(y,x,c) = (id·3 + x·5 + y·9 + c·17) mod 256,
+    run through the REAL Annex-K encoder (media_codecs.encode_jpeg).
+    JPEG is lossy, so unlike synthetic_media the pixel VALUES are not
+    oracle-assertable — but the structural outputs (dimensions, unit
+    count, kind) survive the codec exactly, which is what the
+    multimodal_jpeg_decode oracle checks."""
+    from riemann_spark.functions.media_codecs import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                px = bytes(
+                    (d * 3 + x * 5 + y * 9 + c * 17) % 256
+                    for y in range(16)
+                    for x in range(16)
+                    for c in range(3)
+                )
+                blobs.append(encode_jpeg(16, 16, px))
                 ids.append(d)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 

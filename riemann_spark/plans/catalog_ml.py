@@ -1435,3 +1435,30 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+@q(
+    "multimodal_jpeg_decode",
+    """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(768 AS BIGINT) AS n_units
+FROM documents""",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG round trip: deterministic 16×16 RGB fixtures run
+    through the pure-Python/numpy baseline encoder (Annex-K tables,
+    4:4:4) and back through the general baseline decoder — Huffman
+    entropy decode, dequant, IDCT, color conversion — inside
+    mapInPandas. JPEG is lossy, so the oracle pins the codec's exact
+    structural outputs (dimensions, channel count via n_units, kind)
+    rather than pixel values; pixel-value fidelity is asserted in
+    tests/test_media_codecs.py (solid/smooth images decode within
+    quantization error). Closes the image tier's stub gap alongside
+    the exact PNG/PPM/WAV row."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.synthetic_jpeg(d, "doc_id")
+    feats = multimodal.real_decode_features(media)
+    return feats.select("media_id", "kind", "width", "height", "n_units")

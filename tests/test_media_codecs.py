@@ -161,3 +161,65 @@ def test_real_decode_features_png_dispatch(spark):
     r = real_decode_features(df).collect()[0]
     assert (r.kind, r.width, r.height, r.n_units) == ("image", 2, 2, 12)
     assert (r.sum_val, r.min_val, r.max_val) == (108, 9, 9)
+
+
+def test_jpeg_roundtrip_solid_and_smooth():
+    import numpy as np
+
+    from riemann_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    # solid color: only DC terms — recovers to within rounding
+    px = bytes([120, 60, 200]) * (16 * 16)
+    w, h, ch, out = decode_jpeg(encode_jpeg(16, 16, px))
+    assert (w, h, ch) == (16, 16, 3)
+    a = np.frombuffer(px, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert abs(a - b).max() <= 2
+
+    # smooth gradient: within quantization error at Annex-K tables
+    g = np.zeros((32, 48, 3), np.uint8)
+    for y in range(32):
+        for x in range(48):
+            g[y, x] = (x * 3, y * 4, (x + y) * 2)
+    w, h, ch, out = decode_jpeg(encode_jpeg(48, 32, g.tobytes()))
+    assert (w, h, ch) == (48, 32, 3)
+    b = np.frombuffer(out, np.uint8).reshape(32, 48, 3).astype(int)
+    err = abs(g.astype(int) - b)
+    assert err.mean() < 4 and err.max() < 24
+
+
+def test_jpeg_pads_non_multiple_of_8():
+    from riemann_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    px = bytes(((x + y) % 256) for y in range(13) for x in range(21) for _ in range(3))
+    w, h, ch, out = decode_jpeg(encode_jpeg(21, 13, px))
+    assert (w, h, ch, len(out)) == (21, 13, 3, 21 * 13 * 3)
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    import pytest as _pytest
+
+    from riemann_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive): refuse, don't guess
+    blob = bytearray(encode_jpeg(8, 8, bytes(192)))
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+
+
+def test_real_decode_features_jpeg_dispatch(spark):
+    from riemann_spark.functions.media_codecs import encode_jpeg
+    from riemann_spark.functions.multimodal import real_decode_features
+
+    df = spark.createDataFrame(
+        [(11, encode_jpeg(16, 8, bytes([50, 100, 150]) * 128))],
+        "media_id long, content binary",
+    )
+    r = real_decode_features(df).collect()[0]
+    assert (r.kind, r.width, r.height, r.n_units) == ("image", 16, 8, 384)
+    # solid color decodes near-exactly: bounds hold on the stats
+    assert 48 <= r.min_val and r.max_val <= 152
