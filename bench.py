@@ -36,10 +36,14 @@ HEADLINE = [
     "predict_linear",
     "fill_in",
     "tpch_q1",
+    "tpch_q3",
     "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
     "tpch_q12",
     "tpch_q14",
     "tpch_q16",
+    "tpch_q18",
     "revenue_top10",
     "regional_revenue",
     "text_features",
@@ -56,11 +60,15 @@ HEADLINE = [
     "customers_without_orders",
     "multimodal_features",
     "multimodal_real_decode",
+    "multimodal_jpeg_decode",
     "multimodal_frames",
+    "multimodal_video_frames",
     "protobuf_roundtrip",
     "json_roundtrip",
     "token_stats",
+    "doc_fingerprint",
     "dedup_embedding",
+    "semantic_dedup",
     "embedding_quantize",
     "dedup_clusters",
     "repetition_filter",
@@ -119,9 +127,10 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # two passes, per-query minimum: the timed quantity is the plan's
-    # cost, not noisy-neighbor CPU steal (timeit-style min-of-runs)
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # min-of-3 passes: this box's wall times swing up to 4x run-to-run
+    # (verified by isolated re-timing), so the timed quantity must be
+    # the plan's cost, not CPU steal (timeit-style min-of-runs)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for _ in range(n_passes):
         for name in HEADLINE:

@@ -212,8 +212,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 # sampling factors decodes, not just ours), handles byte stuffing and
 # RST markers, and runs dequant -> IDCT -> YCbCr->RGB. Progressive
 # (SOF2), 12-bit, and mixed-subsampling files raise rather than guess.
-
-import numpy as np
+# numpy is imported lazily (_dct_matrix): only the JPEG DCT needs it,
+# and a module-level import would tax every Python worker that touches
+# the stdlib-only codecs (PPM/WAV/PNG/AVI) with numpy startup.
 
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -279,17 +280,29 @@ HUFF_AC_CHROMA = (
 for _bits, _vals in (HUFF_DC_LUMA, HUFF_DC_CHROMA, HUFF_AC_LUMA, HUFF_AC_CHROMA):
     assert sum(_bits) == len(_vals), "inconsistent Huffman spec"
 
-# orthonormal 8-point DCT-II matrix: equals T.81's FDCT normalization
-_C = np.array(
-    [
-        [
-            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
-            * np.cos((2 * x + 1) * u * np.pi / 16)
-            for x in range(8)
-        ]
-        for u in range(8)
-    ]
-)
+_C = None  # lazy orthonormal DCT-II matrix (numpy)
+
+
+def _dct_matrix():
+    """8-point orthonormal DCT-II matrix — equals T.81's FDCT
+    normalization. Lazy so stdlib-only codec users never import
+    numpy."""
+    global _C, np
+    if _C is None:
+        import numpy as np_
+
+        globals()["np"] = np_
+        _C = np_.array(
+            [
+                [
+                    (np_.sqrt(1 / 8) if u == 0 else np_.sqrt(2 / 8))
+                    * np_.cos((2 * x + 1) * u * np_.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+    return _C
 
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -379,6 +392,7 @@ def encode_jpeg(width: int, height: int, pixels: bytes) -> bytes:
     within quantization error, with dimensions exact."""
     if len(pixels) != width * height * 3:
         raise ValueError(f"need {width * height * 3} bytes, got {len(pixels)}")
+    _dct_matrix()
     rgb = np.frombuffer(pixels, np.uint8).reshape(height, width, 3).astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     planes = [
@@ -497,6 +511,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     same sampling factors (4:4:4 or grayscale)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
+    _dct_matrix()
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
@@ -619,3 +634,82 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             i += 0
         # APPn/COM and anything else: skipped via the length walk
     raise ValueError("no scan data found")
+
+
+# ------------------------------------------------------- AVI/MJPEG --
+# Minimal AVI (Microsoft RIFF spec, public) carrying Motion-JPEG: the
+# container is a chunk walk like WAV, and each '00dc' chunk is a whole
+# baseline JPEG — so with decode_jpeg above, VIDEO decode is real too:
+# container parse -> per-frame entropy decode -> pixel stats.
+
+def encode_avi_mjpeg(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Wrap pre-encoded JPEG frames in a minimal spec-shaped AVI:
+    RIFF('AVI ' hdrl(avih strl(strh strf)) movi('00dc'...) idx1)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0, 0
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    movi_items = b"".join(chunk(b"00dc", f) for f in frames)
+    idx, off = b"", 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    body = (
+        b"AVI "
+        + lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", movi_items)
+        + chunk(b"idx1", idx)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse AVI → (width, height, n_frames_declared, JPEG frame
+    payloads). Chunk walk with LIST recursion; frames are the '..dc'
+    (compressed video) chunks of the movi list, unparsed — feed each
+    to decode_jpeg. Validates RIFF/AVI magic and the avih header."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    width = height = declared = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, declared
+        i = lo
+        while i + 8 <= hi:
+            cid = data[i : i + 4]
+            (size,) = struct.unpack_from("<I", data, i + 4)
+            body_lo, body_hi = i + 8, i + 8 + size
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)
+            elif cid == b"avih":
+                fields = struct.unpack_from("<IIIIIIIIII", data, body_lo)
+                declared = fields[4]
+                width, height = fields[8], fields[9]
+            elif cid[2:4] == b"dc":
+                frames.append(data[body_lo:body_hi])
+            i = body_hi + (size & 1)
+
+    walk(12, len(data))
+    if width is None or declared is None:
+        raise ValueError("missing avih header")
+    return width, height, declared, frames

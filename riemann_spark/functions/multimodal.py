@@ -22,6 +22,7 @@ crosses no shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -266,6 +267,73 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 else:
                     smp = [((d * 31 + i * 17) % 2001) - 1000 for i in range(256)]
                     blobs.append(encode_wav(8000, smp))
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return _spread(df.select(id_col)).mapInPandas(run, schema)
+
+
+def real_video_frames(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL video frame extraction: AVI container walk →  per-frame
+    baseline-JPEG entropy decode → one stats row per frame
+    (media_codecs.decode_avi_mjpeg + decode_jpeg, pure stdlib/numpy).
+    Same mapInPandas batch shape as the stubbed sample_frames, but the
+    frames come out of an actual container parse. Undecodable payloads
+    yield a NULL-kind row (dead-letter convention)."""
+    from riemann_spark.functions.media_codecs import decode_avi_mjpeg, decode_jpeg
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_units", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content or b"")
+                try:
+                    _w, _h, _n, frames = decode_avi_mjpeg(b)
+                    for fi, blob in enumerate(frames):
+                        fw, fh, _ch, px = decode_jpeg(blob)
+                        rows.append([int(mid), fi, fw, fh, len(px)])
+                except (ValueError, IndexError, KeyError, struct.error):
+                    rows.append([int(mid), None, None, None, None])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return _spread(df.select(id_col, "content")).mapInPandas(run, schema)
+
+
+def synthetic_avi(df: DataFrame, id_col: str = "doc_id", n_frames: int = 3) -> DataFrame:
+    """Deterministic MJPEG-AVI fixtures: every id becomes an AVI of
+    ``n_frames`` 16×8 RGB frames, frame f's pixels from the smooth
+    generator (id·3 + f·11 + x·5 + y·9 + c·17) mod 256, each frame
+    through the REAL JPEG encoder, the set through the REAL AVI muxer."""
+    from riemann_spark.functions.media_codecs import encode_avi_mjpeg, encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                frames = []
+                for f in range(n_frames):
+                    px = bytes(
+                        (d * 3 + f * 11 + x * 5 + y * 9 + c * 17) % 256
+                        for y in range(8)
+                        for x in range(16)
+                        for c in range(3)
+                    )
+                    frames.append(encode_jpeg(16, 8, px))
+                blobs.append(encode_avi_mjpeg(16, 8, frames))
                 ids.append(d)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 

@@ -1462,3 +1462,32 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.synthetic_jpeg(d, "doc_id")
     feats = multimodal.real_decode_features(media)
     return feats.select("media_id", "kind", "width", "height", "n_units")
+
+
+@q(
+    "multimodal_video_frames",
+    """
+SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(384 AS BIGINT) AS n_units
+FROM documents, generate_series(0, 2) AS t(f)""",
+)
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode end to end: deterministic MJPEG-AVI fixtures
+    (3 JPEG frames per doc through the real encoder + RIFF muxer) are
+    container-parsed and per-frame entropy-decoded back
+    (media_codecs.decode_avi_mjpeg + decode_jpeg) inside mapInPandas —
+    one row per recovered frame. The oracle pins the structural
+    outputs (frame count, per-frame dimensions, channel count via
+    n_units); JPEG pixel fidelity is covered by
+    tests/test_media_codecs.py. Replaces the md5-stub video tier with
+    an actual decode path.
+
+    100 TB shape: identical to any binary-payload scan — Arrow-batched
+    mapInPandas streaming through partitions, one output row per
+    frame, no shuffle."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.synthetic_avi(d, "doc_id")
+    return multimodal.real_video_frames(media)

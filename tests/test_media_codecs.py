@@ -223,3 +223,37 @@ def test_real_decode_features_jpeg_dispatch(spark):
     assert (r.kind, r.width, r.height, r.n_units) == ("image", 16, 8, 384)
     # solid color decodes near-exactly: bounds hold on the stats
     assert 48 <= r.min_val and r.max_val <= 152
+
+
+def test_avi_mjpeg_roundtrip():
+    from riemann_spark.functions.media_codecs import (
+        decode_avi_mjpeg,
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    frames = [
+        encode_jpeg(16, 8, bytes([10 * (f + 1)] * 384)) for f in range(4)
+    ]
+    avi = encode_avi_mjpeg(16, 8, frames, fps=5)
+    w, h, n, out = decode_avi_mjpeg(avi)
+    assert (w, h, n, len(out)) == (16, 8, 4, 4)
+    assert out == frames  # container transport is bit-exact
+    for f, blob in enumerate(out):
+        fw, fh, ch, px = decode_jpeg(blob)
+        assert (fw, fh, ch) == (16, 8, 3)
+        # solid frames recover their level within rounding
+        mid = px[len(px) // 2]
+        assert abs(mid - 10 * (f + 1)) <= 2
+
+
+def test_avi_rejects_garbage():
+    import pytest as _pytest
+
+    from riemann_spark.functions.media_codecs import decode_avi_mjpeg
+
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF....WAVE")
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(b"plainly not a container")
