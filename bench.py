@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_embedding",
     "semantic_dedup",
+    "substring_dedup",
     "embedding_quantize",
     "dedup_clusters",
     "repetition_filter",

@@ -19,7 +19,7 @@ Embedding-cosine near-dup lives in functions/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from riemann_spark.functions.text import fingerprint, tokens
@@ -447,4 +447,47 @@ def ngram_contamination(
             F.countDistinct("shingle").alias("n_shared_grams"),
             F.countDistinct("eval_doc").alias("n_eval_docs"),
         )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Substring-granular dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    public method): a token k-gram occurring at ≥2 positions anywhere
+    in the corpus (another document OR a repeat within the same one)
+    marks a duplicated span, the same property the paper's suffix
+    array extracts for its 50-token threshold. Per-doc output:
+    ``n_spans`` (k-gram positions), ``dup_spans`` (positions whose
+    gram recurs), ``dup_frac``.
+
+    Spark shape instead of a monolithic suffix array: positions are
+    kept (posexplode — NOT the distinct shingle set), the per-gram
+    occurrence count is a window over the gram partitioning, and the
+    doc rollup reuses nothing wider than (doc, flag) — exactly two
+    shuffles (gram, then doc), both map-side combinable at the rollup.
+    No posting-list join-back, so a hot gram costs its row count, not
+    its square."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = _spread(df).select(
+        F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gram")
+    )
+    w = Window.partitionBy("gram")
+    flagged = g.select(
+        "doc", (F.count(F.lit(1)).over(w) >= 2).cast("long").alias("dup")
+    )
+    return flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dup").alias("dup_spans"),
+        (F.sum("dup").cast("double") / F.count(F.lit(1))).alias("dup_frac"),
     )

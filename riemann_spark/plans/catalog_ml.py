@@ -1491,3 +1491,32 @@ def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     media = multimodal.synthetic_avi(d, "doc_id")
     return multimodal.real_video_frames(media)
+
+
+@q(
+    "substring_dedup",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (SELECT doc_id AS doc,
+             unnest(CASE WHEN len(t) >= 8 THEN
+               list_transform(generate_series(1, len(t) - 7),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                   || ' ' || t[i+7])
+               ELSE [] END) AS gram
+      FROM toks),
+f AS (SELECT doc,
+             CAST(COUNT(*) OVER (PARTITION BY gram) >= 2 AS BIGINT) AS dup
+      FROM g)
+SELECT doc, COUNT(*) AS n_spans, SUM(dup) AS dup_spans,
+       CAST(SUM(dup) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM f GROUP BY doc""",
+)
+def substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-granular duplicated-span detection (Lee et al.
+    arXiv:2107.06499): per-doc fraction of token 8-gram positions
+    whose gram recurs anywhere in the corpus — the suffix-array
+    dedup signal re-expressed as two keyed shuffles (see
+    functions/dedup.duplicated_spans for the scale argument)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.duplicated_spans(d, 8)

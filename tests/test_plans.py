@@ -293,3 +293,24 @@ def test_tpch_q18_having_before_join(spark):
     agg_pos = p.find("HashAggregate")
     assert agg_pos != -1
     assert "Filter" in p[:agg_pos] or "sum_qty" in p
+
+
+def test_semantic_dedup_no_cartesian_single_cell_shuffle(spark):
+    """The intra-cell pairwise stage must join on the cell key (never
+    a cartesian), and vectors ride only that one keyed join."""
+    p = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_dedup_two_shuffles_no_join(spark):
+    """duplicated_spans: gram window + doc rollup — exactly two
+    Exchanges, no posting-list join-back."""
+    p = plan_of(spark, "substring_dedup")
+    import re
+
+    # keyed shuffles only — _spread's RoundRobin repartition is the
+    # deliberate small-input fan-out, not part of the algorithm
+    n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    rr = p.count("RoundRobinPartitioning")
+    assert n - rr == 2, p[:1500]
+    assert "Join" not in p
