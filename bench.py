@@ -44,6 +44,15 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q16",
     "tpch_q18",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
     "revenue_top10",
     "regional_revenue",
     "text_features",

@@ -3005,3 +3005,386 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(c), c.c_custkey == o.o_custkey)
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
+
+
+@q(
+    "tpch_q7",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3""",
+)
+def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape): supplier
+    and nation are true dims (broadcast at any SF); the only big-side
+    shuffles are lineitem joining orders on orderkey and orders joining
+    customer on custkey. The nation-pair disjunction is applied after
+    both nation names are attached — Catalyst pushes each equality
+    into the dim scans as an IN (NATION_1, NATION_2) prefilter."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    j = (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(msum(rev, 4).alias("revenue"))
+
+
+@q(
+    "tpch_q8",
+    """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                THEN CAST(round(volume * 10000.0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(round(volume * 10000.0) AS BIGINT)) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) GROUP BY o_year""",
+)
+def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): every dim (part-filtered,
+    supplier, nation, region) broadcasts; the two data-sized shuffles
+    are lineitem joining orders and orders joining customer. The share
+    division happens on quantized integer sums so both engines divide
+    the same exact numerator/denominator. o_year stays INT on the
+    Spark side (driver normalizes int widths)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("n2_key")
+    )
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    j = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+    )
+    vol_q = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(10000.0)
+    ).cast("long")
+    nat = F.when(F.col("supp_nation") == "NATION_3", vol_q).otherwise(F.lit(0))
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (
+            F.sum(nat).cast("decimal(38,0)").cast("double")
+            / F.sum(vol_q).cast("decimal(38,0)").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "tpch_q9",
+    """
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY 1, 2""",
+)
+def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape; no partsupp table in this
+    data, so profit omits supplycost — the plan shape is the point):
+    the selective p_name LIKE prefilter shrinks part before its
+    broadcast; supplier/nation broadcast; lineitem never shuffles at
+    all — the only exchange is the final 2-key aggregate."""
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    li = load_table(spark, sf, "lineitem")
+    j = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+    )
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("long").alias("o_year"),
+    ).agg(msum(profit, 4).alias("sum_profit"))
+
+
+@q(
+    "tpch_q10",
+    """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): returnflag and the
+    quarter filter push into the scans; lineitem joins the filtered
+    orders on orderkey (AQE broadcasts the quarter slice when it
+    fits), customer attaches by custkey, nation broadcasts; the final
+    TopK is TakeOrdered over the grouped revenue — no global sort."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(msum(rev, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q13",
+    """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count""",
+)
+def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): the
+    non-join predicate rides the LEFT JOIN condition (kept customers
+    with zero matching orders still appear with c_count 0). Shuffles:
+    one custkey exchange for the join+count, then a tiny histogram
+    aggregate over at most |distinct counts| groups."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@q(
+    "tpch_q15",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+)
+def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the revenue rollup is one
+    map-side-combinable suppkey shuffle producing |suppliers| rows;
+    the scalar MAX is a one-row aggregate of that tiny frame joined
+    back by value (broadcast both ways) — no window-over-everything,
+    no second scan of lineitem."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        msum(rev, 4).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "tpch_q17",
+    """
+SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, 0.2 * (CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)) AS qty_limit
+      FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_limit""",
+)
+def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    AVG becomes a per-partkey pre-aggregate (map-side combinable,
+    |parts| rows out) joined back to lineitem on partkey — the
+    classic decorrelation; the brand dim filter broadcasts. Average
+    is computed as exact-sum / count so both engines divide identical
+    doubles."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    lim = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * (msum("l_quantity", 2) / F.count(F.lit(1)))).alias("qty_limit")
+    )
+    j = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(lim, F.col("a_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+    )
+    return j.agg((msum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"))
+
+
+@q(
+    "tpch_q19",
+    """
+SELECT CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)""",
+)
+def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Discounted-revenue disjunction (TPC-H Q19 shape): the part side
+    of each disjunct (brand + size) prefilters the broadcast dim to
+    three brands; the mixed part/lineitem residual evaluates after the
+    partkey join inside codegen. Single aggregate row out."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#25")
+    )
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (qty >= 1) & (qty <= 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & (qty >= 10) & (qty <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 35)
+            & (qty >= 20) & (qty <= 40)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.filter(cond).agg(msum(rev, 4).alias("revenue"))
+
+
+@q(
+    "tpch_q22",
+    """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(round(c.c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment""",
+)
+def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape; mktsegment stands in
+    for the absent phone country code; the anti-join side is orders filtered
+    to urgent priority, standing in for the 7-year recency window):
+    the scalar average broadcasts
+    as a one-row frame; NOT EXISTS is a LEFT ANTI join on custkey
+    (one shuffle each side — at 100 TB, orders projects down to the
+    single o_custkey column before the exchange); final aggregate is
+    |segments| rows."""
+    c = load_table(spark, sf, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((msum("c_acctbal", 2) / F.count(F.lit(1))).alias("v"))
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("v"), "inner")
+    no_orders = rich.join(o, o.o_custkey == rich.c_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        msum("c_acctbal", 2).alias("totacctbal"),
+    )

@@ -314,3 +314,39 @@ def test_substring_dedup_two_shuffles_no_join(spark):
     rr = p.count("RoundRobinPartitioning")
     assert n - rr == 2, p[:1500]
     assert "Join" not in p
+
+
+def test_tpch_q9_lineitem_never_shuffles_before_agg(spark):
+    # all dims (filtered part, supplier, nation) broadcast: the only
+    # exchange in the plan is the final 2-key aggregate's
+    p = plan_of(spark, "tpch_q9")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [IsNotNull(p_name), StringStartsWith(p_name,red)" in p
+
+
+def test_tpch_q10_take_ordered_and_pushed_returnflag(spark):
+    p = plan_of(spark, "tpch_q10")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_tpch_q17_decorrelated_preagg(spark):
+    # the correlated AVG must decorrelate into a partial-agg on
+    # partkey (map-side combine), not a per-row subquery
+    p = plan_of(spark, "tpch_q17")
+    assert "partial_sum" in p
+    assert "EqualTo(p_brand,Brand#23)" in p
+
+
+def test_tpch_q19_brand_prefilter_reaches_part_scan(spark):
+    p = plan_of(spark, "tpch_q19")
+    assert "In(p_brand, [Brand#1,Brand#13,Brand#25])" in p
+
+
+def test_tpch_q22_anti_join_projects_orders_to_custkey(spark):
+    # the anti-join side must scan only o_custkey (+ the pushed
+    # priority filter) — at 100 TB the exchange carries one column
+    p = plan_of(spark, "tpch_q22")
+    assert "LeftAnti" in p
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>" in p
