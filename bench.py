@@ -59,6 +59,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "segment_dedup",
+    "quality_classifier",
     "simhash",
     "knn_bruteforce",
     "knn_lsh",

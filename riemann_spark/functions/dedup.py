@@ -491,3 +491,51 @@ def duplicated_spans(
         F.sum("dup").alias("dup_spans"),
         (F.sum("dup").cast("double") / F.count(F.lit(1))).alias("dup_frac"),
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs verified by TRUE shingle Jaccard.
+
+    Band collisions are probabilistic evidence, not proof: a band
+    false positive that flows unverified into connected components
+    merges unrelated clusters, and every doc in the merged cluster
+    except one gets dropped from the corpus. This is the verification
+    stage that makes MinHash dedup safe to act on — candidates whose
+    real Jaccard falls below ``threshold`` are discarded.
+
+    Shape: candidates from the band-bucket join are id-only; each
+    side then picks up its distinct-shingle set (one collect_set
+    shuffle keyed by doc — set size is bounded by document length,
+    never corpus size) and the intersection is computed per-pair with
+    array_intersect inside codegen. No pair x shingle explosion, no
+    second pass over the corpus. Verified-pair output cost is
+    |candidates|, which LSH already bounded."""
+    cand = lsh_candidate_pairs(df, n_hashes, band_size, k, id_col, text_col)
+    sets = (
+        _shingle_table(df, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    a = sets.select(F.col("doc").alias("doc1"), F.col("sset").alias("set1"))
+    b = sets.select(F.col("doc").alias("doc2"), F.col("sset").alias("set2"))
+    n_inter = F.size(F.array_intersect("set1", "set2"))
+    n_union = F.size("set1") + F.size("set2") - n_inter
+    return (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            n_inter.cast("long").alias("n_inter"),
+            (n_inter / n_union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -412,3 +412,102 @@ def sequence_packing(
             F.col("__n_tok").alias("n_tokens"),
         )
     )
+
+
+def segments(col: str | Column = "text", seg_tokens: int = 10) -> Column:
+    """Non-overlapping token chunks of ``seg_tokens`` — the dedup unit
+    for corpora without line structure (a paragraph/line proxy; C4 and
+    CCNet dedup at exactly this granularity when line breaks exist)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    n_segs = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), n_segs),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - 1) * seg_tokens + 1, seg_tokens)
+        ),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-segment removal (CCNet line dedup,
+    arXiv:1911.00359 §3.1, over token-chunk segments): any segment
+    occurring more than ``max_df`` times ACROSS THE CORPUS is cut from
+    every document holding it; surviving segments reassemble in
+    original order. Returns (id, clean_text, n_segs, n_dropped) —
+    docs whose every segment was duplicated stay, with empty text.
+
+    Shape: posexplode segments, ONE shuffle on the segment string for
+    the corpus-wide occurrence count (window partition — segments are
+    ~uniform keys, the hot-key case IS the duplicated content being
+    counted), one shuffle back on doc id to reassemble. The rebuild
+    aggregates sort_array(struct(pos, seg)) per doc — payload bounded
+    by document length. No joins, no driver state."""
+    seg = (
+        df.select(
+            F.col(id_col), F.posexplode(segments(text_col, seg_tokens)).alias("pos", "seg")
+        )
+    )
+    w = Window.partitionBy("seg")
+    seg = seg.withColumn("n_occ", F.count(F.lit(1)).over(w))
+    kept = F.when(F.col("n_occ") <= max_df, F.struct("pos", "seg"))
+    return (
+        seg.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.when(F.col("n_occ") > max_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def hashed_linear_score(
+    col: str | Column = "text", dim: int = 1024, salt: str = "w"
+) -> Column:
+    """fastText-style hashed linear classifier inference (Joulin et
+    al., arXiv:1607.01759: bag of hashed features x learned weight
+    vector): each token hashes to one of ``dim`` buckets, the bucket's
+    weight comes from the weight table, and the document score is the
+    mean bucket weight — exactly the inference shape of a production
+    quality classifier, as a pure projection (zero shuffle, zero UDF,
+    fused with the scan).
+
+    The weight table here is deterministic-pseudorandom in [-1, 1)
+    (md5 of salt||bucket, 52-bit fraction) standing in for trained
+    parameters; a real model drops in by replacing ``_weight`` with a
+    literal array lookup — the plan does not change. The per-doc sum
+    is a sequential left fold (F.aggregate), bit-reproducible and
+    engine-portable — a shuffle-summed double would be neither."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    two52 = float(1 << 52)
+
+    def _weight(tok: Column) -> Column:
+        bucket = token_value(tok) % dim
+        frac = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), bucket.cast("string"))), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(two52)
+        )
+        return frac * 2.0 - 1.0
+
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + _weight(t)
+    )
+    return total / F.size(toks)

@@ -1520,3 +1520,112 @@ def substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     functions/dedup.duplicated_spans for the scale argument)."""
     d = load_table(spark, sf, "documents")
     return dedup.duplicated_spans(d, 8)
+
+
+# ------------------------------------------- verified / segment dedup
+
+def _nibble_52_of(h13_expr: str) -> str:
+    """13 hex chars -> 52-bit integer (parameterized _NIBBLE_52)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h13_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+
+
+@q(
+    "dedup_minhash_verified",
+    f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+sets AS (SELECT doc, list(shingle) AS sset FROM sh GROUP BY doc)
+SELECT doc1, doc2,
+       CAST(len(list_intersect(s1.sset, s2.sset)) AS BIGINT) AS n_inter,
+       len(list_intersect(s1.sset, s2.sset))
+         / CAST(len(s1.sset) + len(s2.sset)
+                - len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) AS jaccard
+FROM cand JOIN sets s1 ON s1.doc = cand.doc1
+          JOIN sets s2 ON s2.doc = cand.doc2
+WHERE len(list_intersect(s1.sset, s2.sset))
+      / CAST(len(s1.sset) + len(s2.sset)
+             - len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) >= 0.5""",
+)
+def dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidates verified by true shingle Jaccard (>= 0.5)
+    before any clustering acts on them: a band false positive that
+    reaches connected components merges unrelated clusters and drops
+    every member but one — this stage makes the dedup pipeline safe.
+    Candidates are id-only; each side picks up its distinct-shingle
+    set (bounded by doc length) and intersects inside codegen."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_verified_pairs(d, 0.5, _N_HASHES, _BAND)
+
+
+_SEG_W = 10
+
+
+@q(
+    "segment_dedup",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+segs AS (SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(1, CAST(ceil(len(t) / {_SEG_W}.0) AS INT)),
+                  i -> {{'pos': i,
+                        'seg': array_to_string(t[(i-1)*{_SEG_W}+1 : i*{_SEG_W}], ' ')}}))
+                  AS u
+         FROM toks),
+cnt AS (SELECT doc_id, u.pos AS pos, u.seg AS seg,
+               COUNT(*) OVER (PARTITION BY u.seg) AS n_occ
+        FROM segs)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY pos)
+                  FILTER (WHERE n_occ <= 1), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM cnt GROUP BY doc_id""",
+)
+def segment_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus-level duplicated-segment removal over
+    10-token chunks (the line/paragraph unit for corpora without
+    newlines): any chunk occurring twice anywhere in the corpus is cut
+    from every holder; survivors reassemble in order. One shuffle to
+    count occurrences (window on the segment), one to rebuild docs."""
+    d = load_table(spark, sf, "documents")
+    return text.segment_dedup(d, _SEG_W, 1)
+
+
+_CLS_DIM = 1024
+_W52 = _nibble_52_of(
+    f"substr(md5('w' || CAST(({_nibble_32('md5(tok)')}) % {_CLS_DIM} AS VARCHAR)), 1, 13)"
+)
+
+
+@q(
+    "quality_classifier",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0.0, list_transform(toks,
+           tok -> ({_W52}) / 4503599627370496.0 * 2.0 - 1.0)),
+         (a, b) -> a + b) / len(toks) AS score
+FROM t""",
+)
+def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-shape hashed linear classifier inference: token ->
+    hash bucket -> weight, document score = mean bucket weight. The
+    exact inference plan of a production quality classifier (hashed
+    bag of features x weight vector) as a pure projection — zero
+    shuffle, zero UDF; trained weights drop in without a plan change.
+    Both engines fold the per-doc sum sequentially, so the double is
+    bit-identical."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", text.hashed_linear_score("text", _CLS_DIM).alias("score")
+    )

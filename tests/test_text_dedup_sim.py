@@ -477,3 +477,83 @@ def test_mix_upsample_accepts_column_id(spark):
     by_col = tx.mix_upsample(d, F.lit(2.3), F.col("doc_id"))
     assert by_str.count() == by_col.count()
     assert 200 <= by_str.count() <= 300  # 2.3x in expectation, deterministic
+
+
+def test_segment_dedup_removes_corpus_duplicated_chunks(spark):
+    from riemann_spark.functions import text as tx
+
+    dup = "a b c d e f g h i j"          # one exact 10-token chunk
+    docs = spark.createDataFrame(
+        [
+            (1, dup + " " + "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+            (2, dup + " " + "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+            (4, dup),                     # every segment duplicated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.segment_dedup(docs, 10, 1).collect()}
+    assert len(out) == 4                  # all-dropped doc still present
+    assert out[1].clean_text == "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    assert out[2].clean_text == "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    assert out[3].clean_text == "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    assert out[4].clean_text == "" and out[4].n_dropped == 1
+    assert (out[1].n_segs, out[1].n_dropped) == (2, 1)
+
+
+def test_segment_dedup_short_tail_segment_kept(spark):
+    from riemann_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 tail")],
+        "doc_id long, text string",
+    )
+    row = tx.segment_dedup(docs, 10, 1).collect()[0]
+    # 11 tokens -> two segments (10 + 1); nothing duplicated
+    assert row.n_segs == 2 and row.n_dropped == 0
+    assert row.clean_text == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 tail"
+
+
+def test_minhash_verified_pairs_subset_of_candidates_and_exact_jaccard(spark):
+    from riemann_spark.functions import dedup as dd
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, " ".join(f"q{i}" for i in range(30))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    cand = {
+        (r.doc1, r.doc2)
+        for r in dd.lsh_candidate_pairs(docs, 8, 2).collect()
+    }
+    ver = dd.minhash_verified_pairs(docs, 0.5, 8, 2).collect()
+    assert {(r.doc1, r.doc2) for r in ver} <= cand
+    assert {(r.doc1, r.doc2) for r in ver} == {(1, 2)}
+    (pair,) = ver
+    # doc1 has 28 shingles, doc2 has 29, 28 shared
+    assert pair.n_inter == 28
+    assert abs(pair.jaccard - 28 / 29) < 1e-12
+    # a threshold above the true jaccard kills the pair
+    assert dd.minhash_verified_pairs(docs, 0.99, 8, 2).count() == 0
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    from riemann_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.score for r in docs.select(
+        "doc_id", tx.hashed_linear_score("text").alias("score")).collect()}
+    assert rows[1] == rows[2]             # deterministic
+    assert all(-1.0 <= s <= 1.0 for s in rows.values())
+    # different dim -> different buckets -> different score
+    other = docs.select(
+        "doc_id", tx.hashed_linear_score("text", dim=64).alias("score")
+    ).collect()[0].score
+    assert other != rows[1]
