@@ -97,6 +97,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "unigram_lm_score",
     "curation_pipeline",
+    "curation_pipeline_cls",
     "mix_upsample",
     "sequence_packing",
     "asof_enrich",

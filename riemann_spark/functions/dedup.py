@@ -515,9 +515,13 @@ def minhash_verified_pairs(
     side then picks up its distinct-shingle set (one collect_set
     shuffle keyed by doc — set size is bounded by document length,
     never corpus size) and the intersection is computed per-pair with
-    array_intersect inside codegen. No pair x shingle explosion, no
-    second pass over the corpus. Verified-pair output cost is
-    |candidates|, which LSH already bounded."""
+    array_intersect inside codegen. No pair x shingle explosion.
+    Catalyst prunes the two consumers into branch-specific aggregates
+    (sigs for banding, sets for verification), so the corpus is read
+    twice — scan-bound and embarrassingly parallel; at deploy scale
+    the shingle explode can be persisted to trade executor storage
+    for the second pass. Verified-pair output cost is |candidates|,
+    which LSH already bounded."""
     cand = lsh_candidate_pairs(df, n_hashes, band_size, k, id_col, text_col)
     sets = (
         _shingle_table(df, id_col, text_col, k)

@@ -1629,3 +1629,57 @@ def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id", text.hashed_linear_score("text", _CLS_DIM).alias("score")
     )
+
+
+@q(
+    "curation_pipeline_cls",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, text,
+       list_reduce(
+         list_prepend(0.0, list_transform(toks,
+           tok -> ({_W52}) / 4503599627370496.0 * 2.0 - 1.0)),
+         (a, b) -> a + b) / len(toks) AS score
+       FROM t),
+keep AS (SELECT doc_id, text, score FROM scored WHERE score > 0.0),
+ktoks AS (SELECT doc_id, {_TOKS} AS t FROM keep),
+segs AS (SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(1, CAST(ceil(len(t) / {_SEG_W}.0) AS INT)),
+                  i -> {{'pos': i,
+                        'seg': array_to_string(t[(i-1)*{_SEG_W}+1 : i*{_SEG_W}], ' ')}}))
+                  AS u
+         FROM ktoks),
+cnt AS (SELECT doc_id, u.pos AS pos, u.seg AS seg,
+               COUNT(*) OVER (PARTITION BY u.seg) AS n_occ
+        FROM segs),
+clean AS (SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY pos)
+                  FILTER (WHERE n_occ <= 1), '') AS clean_text,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       FROM cnt GROUP BY doc_id)
+SELECT c.doc_id, k.score, c.n_dropped,
+       CASE WHEN c.clean_text = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(c.clean_text), '\\s+')) AS BIGINT)
+       END AS n_tokens_clean
+FROM clean c JOIN keep k ON k.doc_id = c.doc_id""",
+)
+def curation_pipeline_cls(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-gated curation pipeline: hashed-linear quality gate
+    (score > 0) -> corpus-level duplicated-segment removal over the
+    SURVIVORS -> clean token counts. Demonstrates the round-3 stages
+    composing end-to-end the way a production curation run chains
+    them; the classifier gate is a pure projection (no shuffle added),
+    so the pipeline still pays only segment_dedup's two shuffles."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "text", text.hashed_linear_score("text", _CLS_DIM).alias("score")
+    )
+    keep = scored.filter(F.col("score") > 0.0)
+    cleaned = text.segment_dedup(keep, _SEG_W, 1)
+    n_clean = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("clean_text"), r"\s+"))
+    )
+    return cleaned.join(keep.select("doc_id", "score"), "doc_id").select(
+        "doc_id", "score", "n_dropped", n_clean.cast("long").alias("n_tokens_clean")
+    )
