@@ -91,6 +91,7 @@ HEADLINE = [
     "contamination",
     "contamination_bloom",
     "stratified_sample",
+    "heavy_hitters_cms",
     "distinct_ngrams_kmv",
     "distinct_ngrams_hll",
     "corpus_profile",
@@ -110,6 +111,7 @@ HEADLINE = [
     "ddt_real",
     "rollup",
     "graphite_roundtrip",
+    "attribute_search",
 ]
 
 

@@ -230,3 +230,72 @@ def bloom_might_contain(
         )
     )
     return hit.filter(F.col("__all_hit") == 1).drop("__all_hit")
+
+
+# ----------------------------------------------------- count-min sketch
+
+def cms_table(
+    df: DataFrame, value: Column, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` counters; every occurrence of a
+    value increments one counter per row; a value's estimate is the MIN
+    of its ``depth`` counters (overestimates only, by at most
+    eN/width with probability 1-exp(-depth)).
+
+    The sketch table is AT MOST depth x width rows no matter how many
+    input rows flow in — the frequency analogue of the HLL/KMV bound:
+    shuffle volume and final state are fixed by the sketch parameters,
+    never by the data. Hash j of v = 32-bit chunk of md5(j || v) mod
+    width — same disjoint-chunk family as MinHash/Bloom here, and
+    bit-identical in any engine.
+
+    Returns (j, b, c): counter value c for hash-row j, bucket b."""
+    bkts = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(str(j)), value)), 1, 8), 16, 10
+            ).cast("long")
+            % width
+        ).alias("b")
+        for j in range(depth)
+    ]
+    pairs = df.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(j).alias("j"), b) for j, b in enumerate(bkts)])
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, key: Column, sketch: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch for each row of ``keys``: attach est =
+    min over the ``depth`` counters the key hashes into. The sketch
+    (<= depth x width rows) broadcasts — one of the few broadcasts
+    that is CORRECT at 100 TB, because its size is a sketch parameter,
+    not a data property."""
+    bkts = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(str(j)), key)), 1, 8), 16, 10
+            ).cast("long")
+            % width
+        )
+        for j in range(depth)
+    ]
+    kb = keys.select(
+        "*",
+        F.explode(
+            F.array(*[F.struct(F.lit(j).alias("j"), b.alias("b")) for j, b in enumerate(bkts)])
+        ).alias("p"),
+    ).select("*", F.col("p.j").alias("j"), F.col("p.b").alias("b")).drop("p")
+    others = [c for c in keys.columns]
+    return (
+        kb.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy(*others)
+        .agg(F.min("c").alias("est"))
+    )

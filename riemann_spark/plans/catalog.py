@@ -3388,3 +3388,35 @@ def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("numcust"),
         msum("c_acctbal", 2).alias("totacctbal"),
     )
+
+
+@q(
+    "attribute_search",
+    f"""{_EV}
+SELECT service, state,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / COUNT(metric) AS mean_metric
+FROM ev
+WHERE CAST(json_extract_string(description, '$.k') AS INT) BETWEEN 40 AND 60
+GROUP BY service, state""",
+)
+def attribute_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom-attribute query (riemann events carry arbitrary
+    key/value attributes, query.clj grammar matches on them; here the
+    open attribute rides the description JSON): parse once into the
+    MapType attributes column, filter on the typed value, aggregate.
+    The JSON parse is a per-row projection fused with the scan — the
+    attribute filter costs zero extra passes and the groupBy is the
+    only shuffle."""
+    from riemann_spark.operators.folds import dmean
+
+    ev = load_events(spark, sf, with_attributes=True)
+    k = F.col("attributes").getItem("k").cast("int")
+    return (
+        ev.filter(k.between(40, 60))
+        .groupBy("service", "state")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dmean("metric").alias("mean_metric"),
+        )
+    )

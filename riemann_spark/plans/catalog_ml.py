@@ -1683,3 +1683,48 @@ def curation_pipeline_cls(spark: SparkSession, sf: str) -> DataFrame:
     return cleaned.join(keep.select("doc_id", "score"), "doc_id").select(
         "doc_id", "score", "n_dropped", n_clean.cast("long").alias("n_tokens_clean")
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket(j_expr: str, key_expr: str) -> str:
+    return (
+        "("
+        + _nibble_32(f"substr(md5(CAST({j_expr} AS VARCHAR) || {key_expr}), 1, 8)")
+        + f") % {_CMS_W}"
+    )
+
+
+@q(
+    "heavy_hitters_cms",
+    f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS host FROM events),
+js AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j),
+pairs AS (SELECT j, {_cms_bucket('j', 'host')} AS b FROM ev CROSS JOIN js),
+sketch AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY j, b),
+hosts AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS exact FROM ev GROUP BY host),
+hb AS (SELECT host, exact, j, {_cms_bucket('j', 'host')} AS b
+       FROM hosts CROSS JOIN js),
+est AS (SELECT host, exact, MIN(c) AS est
+        FROM hb JOIN sketch USING (j, b) GROUP BY host, exact)
+SELECT host, exact, est FROM est ORDER BY est DESC, host LIMIT 20""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter detection via count-min sketch over event hosts:
+    the sketch is AT MOST depth x width counters regardless of input
+    rows (the frequency analogue of the HLL/KMV state bound), point
+    queries broadcast it (one of the few broadcasts CORRECT at 100 TB
+    — its size is a sketch parameter, not a data property), and the
+    exact per-host count rides beside the estimate as the in-row
+    accuracy reference. est >= exact always (count-min overestimates
+    only)."""
+    from riemann_spark.functions import sketches
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("host")
+    )
+    sketch = sketches.cms_table(ev, F.col("host"), _CMS_D, _CMS_W)
+    hosts = ev.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    est = sketches.cms_estimate(hosts, F.col("host"), sketch, _CMS_D, _CMS_W)
+    return est.orderBy(F.desc("est"), "host").limit(20)

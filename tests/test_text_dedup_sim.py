@@ -557,3 +557,27 @@ def test_hashed_linear_score_deterministic_and_bounded(spark):
         "doc_id", tx.hashed_linear_score("text", dim=64).alias("score")
     ).collect()[0].score
     assert other != rows[1]
+
+
+def test_cms_overestimates_only_and_exact_at_wide_width(spark):
+    from riemann_spark.functions import sketches as sk
+
+    vals = [("a",)] * 100 + [("b",)] * 10 + [(f"x{i}",) for i in range(50)]
+    df = spark.createDataFrame(vals, "v string")
+    keys = df.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+
+    sketch = sk.cms_table(df, F.col("v"), 4, 256)
+    est = sk.cms_estimate(keys, F.col("v"), sketch, 4, 256).collect()
+    assert all(r.est >= r.exact for r in est)      # CMS never undercounts
+    # sketch state is bounded by parameters, not input
+    assert sketch.count() <= 4 * 256
+    # heavy hitter ranks first by estimate too
+    top = max(est, key=lambda r: r.est)
+    assert top.v == "a" and top.est >= 100
+
+    # width >> distinct values: no collisions possible to matter ->
+    # estimates collapse to exact counts
+    wide = sk.cms_estimate(
+        keys, F.col("v"), sk.cms_table(df, F.col("v"), 4, 65536), 4, 65536
+    ).collect()
+    assert all(r.est == r.exact for r in wide)
