@@ -26,6 +26,8 @@ HEADLINE = [
     "rate_zero_fill",
     "window_folds",
     "percentiles_day",
+    "percentiles_histogram",
+    "anomaly_zscore",
     "moving_event_window",
     "ddt",
     "counter_running",

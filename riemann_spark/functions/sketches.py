@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -298,4 +298,74 @@ def cms_estimate(
         kb.join(F.broadcast(sketch), ["j", "b"])
         .groupBy(*others)
         .agg(F.min("c").alias("est"))
+    )
+
+
+# ------------------------------------------- histogram quantile sketch
+
+def hist_table(
+    df: DataFrame,
+    value: Column,
+    keys: list[str],
+    n_buckets: int = 256,
+    lo: float = 0.0,
+    hi: float = 512.0,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: per key, at most ``n_buckets``
+    (bucket, count) rows regardless of input size. The mergeable,
+    bounded-state percentile structure — two histograms over the same
+    grid merge by adding counts, so partial aggregation, shuffle
+    volume, and streaming state are all capped by the grid, never the
+    data (the quantile analogue of HLL registers / CMS counters).
+    Values outside [lo, hi) clamp into the edge buckets.
+
+    The bucket index is floor((v-lo) * n / (hi-lo)) — one multiply,
+    one divide, one floor: identical IEEE ops in any engine, so the
+    sketch is bit-reproducible (unlike t-digest, whose centroids
+    depend on merge order, or GK, whose summary is engine-specific)."""
+    b = F.floor((value - F.lit(lo)) * F.lit(float(n_buckets)) / F.lit(hi - lo))
+    b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b)).cast("int")
+    return (
+        df.select(*keys, b.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    n_buckets: int = 256,
+    lo: float = 0.0,
+    hi: float = 512.0,
+) -> DataFrame:
+    """Quantile estimates from a hist_table sketch: per key and per q,
+    the upper edge of the bucket holding the ceil(q*total)-th value
+    (1-based; q=0 maps to the 1st). Error is bounded by one grid step
+    — the histogram trade: fixed error in VALUE space for state
+    independent of data size. Integer thresholds and cumulative
+    counts, so both engines agree exactly.
+
+    Shape: one window cum-sum over <= n_buckets rows per key, explode
+    the q list, keep the first qualifying bucket via min()."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    step = (hi - lo) / float(n_buckets)
+    qarr = F.explode(F.array(*[F.lit(float(p)) for p in qs])).alias("q")
+    hit = cum.select(*keys, "bucket", "cum", "total", qarr).filter(
+        F.col("cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("total")))
+    )
+    return hit.groupBy(*keys, "q").agg(
+        (F.lit(lo) + (F.min("bucket") + 1) * F.lit(step)).alias("est")
     )

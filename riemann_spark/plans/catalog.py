@@ -3420,3 +3420,85 @@ def attribute_search(spark: SparkSession, sf: str) -> DataFrame:
             dmean("metric").alias("mean_metric"),
         )
     )
+
+
+@q(
+    "percentiles_histogram",
+    f"""{_EV},
+hist AS (SELECT service,
+           CAST(greatest(0, least(255, floor(metric * 256.0 / 512.0))) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM ev GROUP BY 1, 2),
+cum AS (SELECT service, bucket,
+               SUM(cnt) OVER (PARTITION BY service ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY service) AS total
+        FROM hist),
+qq AS (SELECT service, bucket, cum, total, unnest([0.5, 0.95, 0.99]) AS q FROM cum)
+SELECT service, q, 0.0 + (MIN(bucket) + 1) * 2.0 AS est
+FROM qq WHERE cum >= greatest(1, CAST(ceil(q * total) AS BIGINT))
+GROUP BY service, q""",
+)
+def percentiles_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles from a fixed-grid histogram sketch
+    (riemann's percentiles over sorted windows, streams.clj:885-898,
+    re-expressed with bounded state): per service the sketch is at
+    most 256 (bucket, count) rows NO MATTER the event volume, merges
+    by adding counts (partial-agg friendly, streaming friendly), and
+    answers p50/p95/p99 within one 2.0-wide grid step. The exact
+    percentile path (percentiles_day) sorts real values; this is the
+    100 TB path when per-key volumes make exact sorting a shuffle
+    problem — and unlike t-digest/GK summaries it is bit-reproducible
+    under any partitioning, so the oracle can check it exactly."""
+    from riemann_spark.functions import sketches
+
+    ev = load_events(spark, sf)
+    hist = sketches.hist_table(ev, F.col("metric"), ["service"], 256, 0.0, 512.0)
+    return sketches.hist_quantiles(hist, ["service"], [0.5, 0.95, 0.99], 256, 0.0, 512.0)
+
+
+@q(
+    "anomaly_zscore",
+    f"""{_EV},
+zz AS (SELECT event_id, host, service, metric,
+              COUNT(metric) OVER w AS n_prior,
+              CAST(SUM(CAST(metric AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+              CAST(SUM(CAST(metric * metric AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+       FROM ev
+       WINDOW w AS (PARTITION BY host, service ORDER BY time, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, host, service, metric,
+       (metric - s1 / n_prior)
+         / sqrt(s2 / n_prior - (s1 / n_prior) * (s1 / n_prior)) AS z
+FROM zz
+WHERE n_prior >= 5
+  AND abs((metric - s1 / n_prior)
+          / sqrt(s2 / n_prior - (s1 / n_prior) * (s1 / n_prior))) > 3.0""",
+)
+def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing z-score anomaly detection — the canonical riemann
+    alerting composite (ewma + stddev threshold configs): each event
+    scored against the mean/stddev of its key's previous 20 events
+    (frame excludes the current row — no self-masking), flagged at
+    |z| > 3 once 5 priors exist. One window over the (host, service)
+    partition, exact decimal sums inside the frame so both engines
+    compute the identical double, sqrt/divide correctly rounded —
+    deterministic at any partitioning."""
+    from riemann_spark.operators.folds import _d
+
+    ev = load_events(spark, sf)
+    w = (
+        Window.partitionBy("host", "service")
+        .orderBy("time", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    m = F.col("metric")
+    n = F.count(m).over(w)
+    s1 = F.sum(_d(m)).over(w).cast("double")
+    s2 = F.sum(_d(m * m)).over(w).cast("double")
+    mean = s1 / n
+    z = (m - mean) / F.sqrt(s2 / n - mean * mean)
+    return (
+        ev.select("event_id", "host", "service", "metric", n.alias("n_prior"), z.alias("z"))
+        .filter((F.col("n_prior") >= 5) & (F.abs("z") > 3.0))
+        .drop("n_prior")
+    )

@@ -581,3 +581,22 @@ def test_cms_overestimates_only_and_exact_at_wide_width(spark):
         keys, F.col("v"), sk.cms_table(df, F.col("v"), 4, 65536), 4, 65536
     ).collect()
     assert all(r.est == r.exact for r in wide)
+
+
+def test_hist_quantiles_bounded_state_and_grid_error(spark):
+    from riemann_spark.functions import sketches as sk
+
+    # 1000 uniform values 0..500 on one key
+    df = spark.range(1000).selectExpr("'k' AS service", "CAST(id % 500 AS DOUBLE) AS v")
+    hist = sk.hist_table(df, F.col("v"), ["service"], 256, 0.0, 512.0)
+    assert hist.count() <= 256                       # state bound
+    est = {r.q: r.est for r in sk.hist_quantiles(
+        hist, ["service"], [0.5, 0.95], 256, 0.0, 512.0).collect()}
+    # grid step is 2.0: estimate within one step of the true quantile
+    assert abs(est[0.5] - 250.0) <= 2.0
+    assert abs(est[0.95] - 475.0) <= 2.0
+    # out-of-range values clamp instead of crashing/dropping
+    wild = spark.range(10).selectExpr("'k' AS service", "CAST(id * 1e6 AS DOUBLE) AS v")
+    h2 = sk.hist_table(wild, F.col("v"), ["service"], 256, 0.0, 512.0)
+    assert h2.agg(F.sum("cnt")).collect()[0][0] == 10
+    assert h2.agg(F.max("bucket")).collect()[0][0] == 255
