@@ -3502,3 +3502,77 @@ def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("n_prior") >= 5) & (F.abs("z") > 3.0))
         .drop("n_prior")
     )
+
+
+@q(
+    "streaming_percentiles_histogram_closed",
+    f"""{_EV},
+hist AS (
+  SELECT service, {_BUCKET_HOUR} AS window_start,
+         CAST(greatest(0, least(255, floor(metric * 256.0 / 512.0))) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2, 3
+  HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0
+),
+cum AS (SELECT service, window_start, bucket,
+               SUM(cnt) OVER (PARTITION BY service, window_start ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY service, window_start) AS total
+        FROM hist),
+qq AS (SELECT service, window_start, bucket, cum, total,
+              unnest([0.5, 0.95, 0.99]) AS q FROM cum)
+SELECT service, window_start, q, 0.0 + (MIN(bucket) + 1) * 2.0 AS est
+FROM qq WHERE cum >= greatest(1, CAST(ceil(q * total) AS BIGINT))
+GROUP BY service, window_start, q""",
+)
+def streaming_percentiles_histogram_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming percentiles at BOUNDED state: the stream maintains
+    only the histogram sketch per (service, hour window) — at most 256
+    counters instead of buffering every raw value the way the exact
+    streaming percentile must (streaming_percentiles_closed docstring
+    flags exactly that cardinality cliff). Watermark closes windows in
+    append mode, the drained sink IS the sketch, and p50/p95/p99
+    extract from it batch-side — the production store-sketch /
+    query-later split. Mergeability (counts add) is what makes the
+    sketch partial-agg and state-store friendly."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.functions import sketches
+    from riemann_spark.streaming.ops import with_event_timestamp
+
+    name = f"cat_shist_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="shist_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    sdf = with_event_timestamp(normalize_events(raw)).withWatermark(
+        "event_ts", "10 seconds"
+    )
+    b = F.floor(F.col("metric") * F.lit(256.0) / F.lit(512.0))
+    b = F.greatest(F.lit(0), F.least(F.lit(255), b)).cast("int")
+    agg = sdf.groupBy(
+        "service", F.window("event_ts", "3600 seconds"), b.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    out = agg.select(
+        "service",
+        F.col("window.start").cast("double").alias("window_start"),
+        "bucket",
+        "cnt",
+    )
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    sketch = spark.table(name)
+    return sketches.hist_quantiles(
+        sketch, ["service", "window_start"], [0.5, 0.95, 0.99], 256, 0.0, 512.0
+    )
