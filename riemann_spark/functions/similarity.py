@@ -301,11 +301,11 @@ def kmeans_centroids(
     Iterations are driver-sequenced (as in any iterative Spark
     algorithm); each pulls only the k centroid rows to the driver.
     Init = first k vectors by id (deterministic); empty cells keep
-    their previous centroid. Means are float sums, so results are
-    reproducible run-to-run only up to summation order — validated
-    against a single-node reference implementation in tests, not the
-    bit-exact oracle gate (the catalog's IVF query keeps its
-    deterministic first-k quantizer for that)."""
+    their previous centroid. Component means use 1e-12-quantized
+    integer sums (see inline note), so the trained centroids are
+    BIT-REPRODUCIBLE under any partitioning — the full 5-iteration
+    trainer replays exactly in the knn_ivf_kmeans SQL oracle, and a
+    single-node numpy Lloyd agrees to 1e-9."""
     vecs = df.select(
         F.col(id_col).alias("v_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -321,12 +321,33 @@ def kmeans_centroids(
             for r in (
                 assigned.select("cell", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cell", "pos")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                # component sums quantized to 1e-12 integers summed in
+                # unbounded decimal: bit-identical under ANY partition
+                # order (a double shuffle-sum is not), which is what
+                # lets the whole 5-iteration trainer be replayed
+                # exactly by the SQL oracle. Components are O(1), so
+                # x*1e12 stays far below 2^53 — the round-trip is
+                # lossless to within the deliberate 1e-12 grid.
+                .agg(
+                    F.sum(
+                        F.round(F.col("x") * F.lit(1e12))
+                        .cast("long")
+                        .cast("decimal(38,0)")
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
                 .groupBy("cell")
                 .agg(
                     F.array_sort(
                         F.collect_list(
-                            F.struct("pos", (F.col("s") / F.col("n")).alias("m"))
+                            F.struct(
+                                "pos",
+                                (
+                                    F.col("s").cast("double")
+                                    / F.lit(1e12)
+                                    / F.col("n")
+                                ).alias("m"),
+                            )
                         )
                     ).alias("pm")
                 )

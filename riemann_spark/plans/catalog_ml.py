@@ -422,16 +422,95 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(e.filter(F.col("vec_id") < 8), e, 5, _IVF_CELLS)
 
 
-@q("knn_ivf_kmeans")  # iterative trainer -> rows-only driver check
+def _l2_sql(a: str, b: str, dim: int = 64) -> str:
+    """Squared L2 as the same left fold the Spark trainer uses
+    (0.0 + t1 + t2 ... == t1 + t2 ... exactly in IEEE)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d])), (x, y) -> x + y)"
+    )
+
+
+def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
+    """Unrolled Lloyd replay: the trainer quantizes component sums to
+    1e-12 integers (similarity.kmeans_centroids), which makes every
+    iteration bit-reproducible — so the 'iterative algorithms cannot
+    be oracle-checked' boundary dissolves into {iters} CTE blocks of
+    assign (L2 argmin, cell tie-break) + re-estimate (quantized mean,
+    empty-cell carryover)."""
+    q12 = "1000000000000.0"
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c"
+        f" FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, v, cell FROM ("
+            f" SELECT e.vec_id, e.v, c.cell,"
+            f" row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {_l2_sql('e.v', 'c.c', dim)}, c.cell) AS r"
+            f" FROM e CROSS JOIN c{i} c) WHERE r = 1)"
+        )
+        parts.append(
+            f"u{i} AS (SELECT cell, d,"
+            f" CAST(SUM(CAST(round(v[d] * {q12}) AS BIGINT)) AS DOUBLE)"
+            f" / {q12} / COUNT(*) AS m"
+            f" FROM a{i} CROSS JOIN generate_series(1, {dim}) AS g(d)"
+            f" GROUP BY cell, d)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT cell, list(m ORDER BY d) AS c FROM u{i} GROUP BY cell)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT p.cell, COALESCE(nn.c, p.c) AS c"
+            f" FROM c{i} p LEFT JOIN n{i} nn ON nn.cell = p.cell)"
+        )
+    cf = f"c{iters}"
+    assign = (
+        "SELECT {idc}, {vecc}, cell FROM ("
+        " SELECT e.vec_id AS {idc}, e.v AS {vecc}, c.cell,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        " ORDER BY {cos} DESC, c.cell) AS r"
+        f" FROM e CROSS JOIN {cf} c) WHERE r = 1"
+    )
+    parts.append(
+        "qa AS ("
+        + assign.format(idc="q_id", vecc="q_vec", cos=_cos_sql("e.v", "c.c"))
+        + ")"
+    )
+    parts.append(
+        "ca AS ("
+        + assign.format(idc="n_id", vecc="n_vec", cos=_cos_sql("e.v", "c.c"))
+        + ")"
+    )
+    body = ",\n".join(parts)
+    return f"""{body},
+scored AS (
+  SELECT qa.q_id, ca.n_id, {_cos_sql('qa.q_vec', 'ca.n_vec')} AS cos
+  FROM qa JOIN ca ON qa.cell = ca.cell
+  WHERE qa.q_id < 8 AND qa.q_id != ca.n_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
+@q("knn_ivf_kmeans", _kmeans_oracle(_IVF_CELLS, 64, 5))
 def knn_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-flat ANN with the TRAINED coarse quantizer: 5 Lloyd
     iterations (functions/similarity.py kmeans_centroids — zero
     corpus shuffle per iteration, centroids inlined as literals),
-    then cell-restricted search as in knn_ivf. K-means is iterative,
-    so there is no single-pass SQL oracle — the driver records the
-    rows-only check; the trainer itself is numpy-parity-tested
-    (test_text_dedup_sim.test_kmeans_centroids_matches_reference_lloyd)
-    and the search path shares knn_ivf's fully oracle-checked code."""
+    then cell-restricted search as in knn_ivf. The trainer quantizes
+    component sums to 1e-12 integers, making every Lloyd iteration
+    bit-reproducible under any partitioning — so the oracle REPLAYS
+    the full 5-iteration training as unrolled SQL (assign by L2
+    argmin, re-estimate with the same quantized means, empty-cell
+    carryover) and the formerly rows-only check became an exact value
+    check. Numpy-parity-tested at 1e-9 besides
+    (test_text_dedup_sim.test_kmeans_centroids_matches_reference_lloyd)."""
     e = load_table(spark, sf, "embeddings")
     cents = similarity.kmeans_centroids(e, _IVF_CELLS, n_iter=5)
     return similarity.ivf_topk(
