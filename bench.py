@@ -75,6 +75,7 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_real_decode",
     "multimodal_jpeg_decode",
+    "audio_features",
     "multimodal_frames",
     "multimodal_video_frames",
     "protobuf_roundtrip",

@@ -388,3 +388,59 @@ def make_media_frame(df: DataFrame, payload_col: str, kind: str, id_col: str) ->
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("media"),
     )
+
+
+def real_audio_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL audio feature extraction over decoded PCM: energy (sum of
+    squared samples), peak (max |sample|), and zero-crossing count —
+    the standard cheap speech/music discriminators — computed from an
+    actual WAV parse (media_codecs.decode_wav), not container
+    metadata. All-integer features, so the closed-form fixture oracle
+    checks them exactly. Non-WAV payloads yield a NULL-kind row
+    (dead-letter convention, same as real_decode_features).
+
+    Scale shape: Arrow-batched mapInPandas over the binary column —
+    decode cost is per-row CPU, embarrassingly parallel, no shuffle;
+    output is one short numeric row per blob (the binary never rides
+    an exchange)."""
+    from riemann_spark.functions.media_codecs import decode_wav
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("energy", LongType()),
+            StructField("peak", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf["content"]):
+                try:
+                    rate, samples = decode_wav(bytes(blob))
+                    zc = sum(
+                        1
+                        for i in range(1, len(samples))
+                        if (samples[i] >= 0) != (samples[i - 1] >= 0)
+                    )
+                    rows.append(
+                        [
+                            int(mid),
+                            "audio",
+                            rate,
+                            len(samples),
+                            sum(s * s for s in samples),
+                            max((abs(s) for s in samples), default=0),
+                            zc,
+                        ]
+                    )
+                except Exception:
+                    rows.append([int(mid), None, None, None, None, None, None])
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.mapInPandas(run, schema)

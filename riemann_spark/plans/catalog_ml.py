@@ -1807,3 +1807,41 @@ def heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
     hosts = ev.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("exact"))
     est = sketches.cms_estimate(hosts, F.col("host"), sketch, _CMS_D, _CMS_W)
     return est.orderBy(F.desc("est"), "host").limit(20)
+
+
+@q(
+    "audio_features",
+    """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+samp AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + i * 17) % 2001) - 1000 AS s
+  FROM ids CROSS JOIN generate_series(0, 255) AS t(i)
+),
+lagged AS (
+  SELECT doc_id, i, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp
+  FROM samp
+)
+SELECT doc_id AS media_id, 'audio' AS kind, 8000 AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(MAX(abs(s)) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagged GROUP BY doc_id""",
+)
+def audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio features from decoded PCM (energy / peak /
+    zero-crossing count — the classic cheap speech/music
+    discriminators): WAV fixtures byte-encode then parse back through
+    the real RIFF codec before the features are computed sample-by-
+    sample; the oracle mirrors the closed-form generator with
+    generate_series + LAG. All-integer features — zero float parity
+    risk; a decoder that drops, pads, or sign-flips even one sample
+    changes energy or the crossing count and fails the gate."""
+    from riemann_spark.functions.multimodal import real_audio_features, synthetic_media
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") % 2 == 1)
+    media = synthetic_media(d, "doc_id")
+    return real_audio_features(media)
