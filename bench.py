@@ -76,6 +76,7 @@ HEADLINE = [
     "multimodal_real_decode",
     "multimodal_jpeg_decode",
     "audio_features",
+    "image_features",
     "multimodal_frames",
     "multimodal_video_frames",
     "protobuf_roundtrip",

@@ -1845,3 +1845,35 @@ def audio_features(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") % 2 == 1)
     media = synthetic_media(d, "doc_id")
     return real_audio_features(media)
+
+
+@q(
+    "image_features",
+    """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+px AS (SELECT doc_id, i, (doc_id * 7 + i * 13) % 256 AS p
+       FROM ids CROSS JOIN generate_series(0, 191) AS t(i))
+SELECT doc_id AS media_id, 'image' AS kind, 8 AS width, 8 AS height,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN p ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN p ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN p ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN (i % 24) <= 20
+                THEN abs(((doc_id * 7 + (i + 3) * 13) % 256) - p)
+                ELSE 0 END) AS BIGINT) AS grad_l1
+FROM px GROUP BY doc_id""",
+)
+def image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image features from decoded pixels (per-channel sums +
+    horizontal gradient L1 — color balance and sharpness/flatness
+    discriminators): fixtures byte-encode as PNG (every 4th doc, full
+    zlib round-trip) or P6 PPM, parse back through the real codecs,
+    then the features walk the recovered pixel buffer. The oracle
+    mirrors the closed-form generator INCLUDING the row-boundary
+    exclusion in the gradient (the last pixel of each row has no right
+    neighbor) — one mangled byte anywhere in decode and the integer
+    features diverge."""
+    from riemann_spark.functions.multimodal import real_image_features, synthetic_media
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = synthetic_media(d, "doc_id")
+    return real_image_features(media)
