@@ -3026,10 +3026,12 @@ WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
 GROUP BY 1, 2, 3""",
 )
 def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
-    """Volume shipping between two nations (TPC-H Q7 shape): supplier
-    and nation are true dims (broadcast at any SF); the only big-side
-    shuffles are lineitem joining orders on orderkey and orders joining
-    customer on custkey. The nation-pair disjunction is applied after
+    """Volume shipping between two nations (TPC-H Q7 shape): only
+    nation carries a broadcast HINT (25 rows at every SF); supplier
+    and customer grow linearly with SF, so their joins are left to
+    AQE — broadcast when the runtime size fits, shuffle when not.
+    The big-side shuffles are lineitem joining orders on orderkey and
+    orders joining customer on custkey. The nation-pair disjunction is applied after
     both nation names are attached — Catalyst pushes each equality
     into the dim scans as an IN (NATION_1, NATION_2) prefilter."""
     li = load_table(spark, sf, "lineitem").filter(
@@ -3049,7 +3051,7 @@ def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     j = (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
@@ -3090,9 +3092,10 @@ FROM (
 ) GROUP BY o_year""",
 )
 def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
-    """National market share (TPC-H Q8 shape): every dim (part-filtered,
-    supplier, nation, region) broadcasts; the two data-sized shuffles
-    are lineitem joining orders and orders joining customer. The share
+    """National market share (TPC-H Q8 shape): nation/region hint
+    broadcast (fixed 25/5 rows); part and supplier scale with SF, so
+    their join strategy is AQE's runtime call. The two data-sized
+    shuffles are lineitem joining orders and orders joining customer. The share
     division happens on quantized integer sums so both engines divide
     the same exact numerator/denominator. o_year stays INT on the
     Spark side (driver normalizes int widths)."""
@@ -3113,8 +3116,8 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     li = load_table(spark, sf, "lineitem")
     j = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
@@ -3147,16 +3150,18 @@ GROUP BY 1, 2""",
 def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     """Product-type profit (TPC-H Q9 shape; no partsupp table in this
     data, so profit omits supplycost — the plan shape is the point):
-    the selective p_name LIKE prefilter shrinks part before its
-    broadcast; supplier/nation broadcast; lineitem never shuffles at
-    all — the only exchange is the final 2-key aggregate."""
+    the selective p_name LIKE prefilter shrinks part before its join
+    (AQE broadcasts the shrunken side when it fits — no hint, because
+    part scales with SF); nation hints broadcast (25 rows forever);
+    at small SF every join resolves to BHJ and lineitem reaches the
+    final 2-key aggregate without shuffling."""
     p = load_table(spark, sf, "part").filter(F.col("p_name").like("red%"))
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation")
     li = load_table(spark, sf, "lineitem")
     j = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
     )
     profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -3254,9 +3259,10 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
 def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     """Top supplier (TPC-H Q15 shape): the revenue rollup is one
     map-side-combinable suppkey shuffle producing |suppliers| rows;
-    the scalar MAX is a one-row aggregate of that tiny frame joined
-    back by value (broadcast both ways) — no window-over-everything,
-    no second scan of lineitem."""
+    the scalar MAX is a one-row aggregate joined back by value (the
+    one-row side hints broadcast; the supplier join is AQE's call —
+    supplier scales with SF) — no window-over-everything, no second
+    scan of lineitem."""
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -3269,7 +3275,7 @@ def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, sf, "supplier")
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))
+        .join(s, s.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -3288,7 +3294,8 @@ def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
     AVG becomes a per-partkey pre-aggregate (map-side combinable,
     |parts| rows out) joined back to lineitem on partkey — the
-    classic decorrelation; the brand dim filter broadcasts. Average
+    classic decorrelation; the brand-filtered part side is AQE's
+    broadcast call (part scales with SF — no hint). Average
     is computed as exact-sum / count so both engines divide identical
     doubles."""
     li = load_table(spark, sf, "lineitem")
@@ -3297,7 +3304,7 @@ def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(0.2) * (msum("l_quantity", 2) / F.count(F.lit(1)))).alias("qty_limit")
     )
     j = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .join(lim, F.col("a_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_limit"))
     )
@@ -3317,15 +3324,16 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity >= 20 AND l.l_quantity <= 40)""",
 )
 def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
-    """Discounted-revenue disjunction (TPC-H Q19 shape): the part side
-    of each disjunct (brand + size) prefilters the broadcast dim to
-    three brands; the mixed part/lineitem residual evaluates after the
-    partkey join inside codegen. Single aggregate row out."""
+    """Discounted-revenue disjunction (TPC-H Q19 shape): the brand
+    IN-filter prefilters part to three brands before the partkey join
+    (AQE broadcasts the shrunken side when it fits; no hint — part
+    scales with SF); the mixed part/lineitem residual evaluates after
+    the join inside codegen. Single aggregate row out."""
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").filter(
         F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#25")
     )
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     qty = F.col("l_quantity")
     cond = (
         (
