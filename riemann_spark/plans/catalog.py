@@ -822,17 +822,20 @@ SELECT o_orderkey, orderdate, revenue FROM (
 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 )
 def revenue_top10(spark: SparkSession, sf: str) -> DataFrame:
-    """Shipping-priority shape (TPC-H Q3): broadcast the customer dim
-    (tiny at any SF relative to lineitem), shuffle only on orderkey."""
+    """Shipping-priority shape (TPC-H Q3): the mktsegment filter
+    shrinks customer before its join (AQE broadcasts when the runtime
+    size fits — no hint, customer scales with SF); the orderkey
+    shuffle joins orders to lineitem."""
     c = load_table(spark, sf, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "FURNITURE")
     )
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
-    # broadcast only the filtered customer dim; lineitem⋈orders shuffles
-    # on orderkey (orders is NOT broadcast-able at production scale)
+    # no broadcast hint anywhere: customer scales with SF (AQE
+    # broadcasts the filtered side at runtime when it fits); orders is
+    # never broadcast-able at production scale
     joined = li.join(
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        o.join(c, o.o_custkey == c.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -930,7 +933,8 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
 )
 def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     """Promotion effect (TPC-H Q14 shape): one-row conditional
-    revenue ratio over a quarter. The part dim broadcasts (it is
+    revenue ratio over a quarter. The part side joins unhinted (AQE
+    decides; part scales with SF even though at fixture SF it is
     partkey-sized, small next to lineitem at any SF); revenue is
     money-quantized to integer 1e-4 units so the two sums are exact
     and the final ratio is one correctly-rounded division — no
@@ -943,7 +947,7 @@ def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.round(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000.0
     ).cast("long")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     return j.agg(
         F.round(
             F.lit(100.0)
@@ -971,7 +975,7 @@ def tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
     part↔supplier link): distinct supplier count per part attribute
     group, excluding flagged suppliers (negative balance standing in
     for the complaints predicate) via a BROADCAST anti-join — both
-    dims broadcast, the fact table never reshuffles before the
+    dims join unhinted (AQE's call), the fact table never reshuffles before the
     count-distinct's own keyed exchange."""
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").filter(F.col("p_size") <= 15)
@@ -979,8 +983,8 @@ def tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey"
     )
     j = li.join(
-        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
-    ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        bad, li.l_suppkey == bad.s_suppkey, "left_anti"
+    ).join(p, F.col("l_partkey") == p.p_partkey)
     return j.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
     )
@@ -999,7 +1003,7 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY n.n_name, r.r_name""",
 )
 def regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-dim star join (TPC-H Q5 shape): all three dims broadcast —
+    """Multi-dim star join (TPC-H Q5 shape): nation/region hinted, the rest AQE —
     zero shuffles before the final one-row-per-nation aggregation."""
     li = load_table(spark, sf, "lineitem")
     s = load_table(spark, sf, "supplier")
@@ -1010,7 +1014,7 @@ def regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == F.col("s_suppkey"))
+        li.join(dims, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("n_name", "r_name")
         .agg(
             msum(rev, 4).alias("revenue"),
@@ -2869,7 +2873,7 @@ ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
 LIMIT 10""",
 )
 def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
-    """Shipping-priority (TPC-H Q3 shape): segment dim broadcast into
+    """Shipping-priority (TPC-H Q3 shape): segment-filtered customer joins into
     orders, date ranges pushed to both fact scans, one orderkey
     shuffle, then TakeOrdered for the top 10 — no global sort. The
     (revenue, date, orderkey) order is a total order, so the LIMIT is
@@ -2883,7 +2887,7 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(msum(rev, 4).alias("revenue"))
@@ -2913,9 +2917,10 @@ GROUP BY n.n_name""",
 def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     """Local-supplier volume (TPC-H Q5 proper, including the
     customer-nation = supplier-nation locality condition that
-    regional_revenue omits). Star side (supplier⋈nation⋈region,
-    customer) broadcast; the only repartitions are the two fact
-    shuffles (orders⋈lineitem on orderkey) and the final 5-row
+    regional_revenue omits). Only nation/region hint broadcast (fixed
+    25/5 rows); supplier and customer scale with SF, so those joins
+    are AQE's runtime call (still broadcast at fixture SF). The fact
+    shuffles are orders⋈lineitem on orderkey, then the final 5-row
     nation aggregate."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders").filter(
@@ -2931,10 +2936,10 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(sd),
+            sd,
             (li.l_suppkey == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -2989,7 +2994,8 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     """Large-volume customers (TPC-H Q18 shape): the quantity rollup
     is one map-side-combinable orderkey shuffle whose HAVING filter
     shrinks it to the ~1% tail BEFORE the orders join, so the join
-    input is tiny (AQE broadcasts it); customer is a broadcast dim.
+    input is tiny (AQE broadcasts it); the customer join is likewise
+    AQE's call (customer scales with SF — no hint).
     Quantities are small integers — SUM(double) is exact well below
     2^53 in both engines."""
     li = load_table(spark, sf, "lineitem")
@@ -3002,7 +3008,7 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     return (
         big.join(o, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
 
