@@ -28,6 +28,7 @@ HEADLINE = [
     "percentiles_day",
     "percentiles_histogram",
     "anomaly_zscore",
+    "flap_rate",
     "moving_event_window",
     "ddt",
     "counter_running",

@@ -3590,3 +3590,137 @@ def streaming_percentiles_histogram_closed(spark: SparkSession, sf: str) -> Data
     return sketches.hist_quantiles(
         sketch, ["service", "window_start"], [0.5, 0.95, 0.99], 256, 0.0, 512.0
     )
+
+
+@q(
+    "flap_rate",
+    f"""{_EV},
+ch AS (SELECT host, service, {_BUCKET_HOUR} AS window_start,
+              CASE WHEN state IS DISTINCT FROM
+                        LAG(state) OVER (PARTITION BY host, service
+                                         ORDER BY time, event_id)
+                   THEN 1 ELSE 0 END AS flip
+       FROM ev)
+SELECT host, service, window_start,
+       CAST(SUM(flip) AS BIGINT) AS n_flips
+FROM ch GROUP BY host, service, window_start
+HAVING SUM(flip) >= 1""",
+)
+def flap_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Flap detection — the monitoring composite riemann users build
+    from changed + rate (a service oscillating ok↔critical pages once
+    per flip unless debounced): per (host, service), count state
+    TRANSITIONS per hour (lag over the full key history, so a flip
+    across a window boundary counts in the window where it lands;
+    the first observation counts as a transition, as in changed's
+    :init). The >= 1 floor keeps the full per-key flip histogram —
+    alert consumers threshold it (>= 2 = genuine flapping); the
+    oracle checks every count. One window function over the
+    key partition + one grouped count — two exchanges total, both on
+    uniform keys."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("host", "service").orderBy("time", "event_id")
+    flip = (
+        ~F.col("state").eqNullSafe(F.lag("state").over(w))
+    ).cast("int")
+    return (
+        ev.select(
+            "host",
+            "service",
+            windows.time_bucket(3600.0).cast("double").alias("window_start"),
+            flip.alias("flip"),
+        )
+        .groupBy("host", "service", "window_start")
+        .agg(F.sum("flip").cast("long").alias("n_flips"))
+        .filter(F.col("n_flips") >= 1)
+    )
+
+
+@q(
+    "streaming_heavy_hitters_closed",
+    f"""{_EV},
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+pairs AS (
+  SELECT host, {_BUCKET_HOUR} AS window_start, j
+  FROM ev CROSS JOIN js
+),
+sketch AS (
+  SELECT window_start, j,
+         (SELECT SUM((strpos('0123456789abcdef',
+                   substr(md5(CAST(p.j AS VARCHAR) || p.host), 1 + n.i, 1)) - 1)
+                   * CAST(pow(16, 7 - n.i) AS BIGINT))
+          FROM (SELECT unnest(generate_series(0, 7)) AS i) n) % 256 AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs p GROUP BY 1, 2, 3
+  HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0
+)
+SELECT window_start, j, b, c FROM sketch""",
+)
+def streaming_heavy_hitters_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-closed streaming count-min sketch: per closed hourly
+    window the stream state is AT MOST depth x width counters (the
+    frequency analogue of the streaming histogram row) — heavy-hitter
+    queries against any window then point-read the drained sketch with
+    cms_estimate. Append mode emits each window's counters exactly
+    once at close; the oracle recomputes the same md5-bucket counters
+    relationally. Counter tables are the artifact here (the estimate
+    extraction is already value-checked batch-side in
+    heavy_hitters_cms)."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.ops import with_event_timestamp
+
+    name = f"cat_scms_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scms_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    sdf = with_event_timestamp(normalize_events(raw)).withWatermark(
+        "event_ts", "10 seconds"
+    )
+    depth, width = 4, 256
+    pairs = sdf.select(
+        "host",
+        "event_ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(str(j)), F.col("host"))), 1, 8
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    agg = pairs.groupBy(
+        F.window("event_ts", "3600 seconds"), F.col("p.j").alias("j"), F.col("p.b").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    out = agg.select(
+        F.col("window.start").cast("double").alias("window_start"), "j", "b", "c"
+    )
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
