@@ -600,3 +600,90 @@ def test_hist_quantiles_bounded_state_and_grid_error(spark):
     h2 = sk.hist_table(wild, F.col("v"), ["service"], 256, 0.0, 512.0)
     assert h2.agg(F.sum("cnt")).collect()[0][0] == 10
     assert h2.agg(F.max("bucket")).collect()[0][0] == 255
+
+
+# properties: one generated dataset per example, few examples (each is
+# a real Spark job) — the slow-lane pattern for distributed properties
+
+@pytest.mark.slow
+def test_cms_never_undercounts_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riemann_spark.functions import sketches as sk
+
+    words = st.lists(
+        st.tuples(st.text("abcdefg", min_size=1, max_size=6),
+                  st.integers(min_value=1, max_value=30)),
+        min_size=1, max_size=25,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(ws=words)
+    def prop(ws):
+        rows = [(w,) for w, n in ws for _ in range(n)]
+        df = spark.createDataFrame(rows, "v string")
+        keys = df.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        est = sk.cms_estimate(keys, F.col("v"), sk.cms_table(df, F.col("v"), 4, 64), 4, 64)
+        assert all(r.est >= r.exact for r in est.collect())
+
+    prop()
+
+
+@pytest.mark.slow
+def test_segment_dedup_identity_on_unique_corpus_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riemann_spark.functions import text as tx
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=35), min_size=1, max_size=8),
+        w=st.integers(min_value=2, max_value=12),
+    )
+    def prop(lens, w):
+        # globally unique tokens -> no duplicated segment -> identity
+        docs, tok = [], 0
+        for d, n in enumerate(lens):
+            toks = [f"t{tok + i}" for i in range(n)]
+            tok += n
+            docs.append((d, " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r for r in tx.segment_dedup(df, w, 1).collect()}
+        for d, txt in docs:
+            assert out[d].clean_text == txt
+            assert out[d].n_dropped == 0
+
+    prop()
+
+
+@pytest.mark.slow
+def test_hist_quantile_within_one_grid_step_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riemann_spark.functions import sketches as sk
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=0.0, max_value=511.0, allow_nan=False,
+                      allow_infinity=False),
+            min_size=1, max_size=60,
+        ),
+        q=st.sampled_from([0.1, 0.5, 0.9, 0.99]),
+    )
+    def prop(vals, q):
+        import math
+
+        df = spark.createDataFrame([("k", float(v)) for v in vals], "service string, v double")
+        hist = sk.hist_table(df, F.col("v"), ["service"], 256, 0.0, 512.0)
+        (row,) = sk.hist_quantiles(hist, ["service"], [q], 256, 0.0, 512.0).collect()
+        # the ceil(q*n)-th smallest value (1-based), the sketch's target
+        target = sorted(vals)[max(1, math.ceil(q * len(vals))) - 1]
+        step = 512.0 / 256
+        assert row.est >= target  # upper-edge estimate never undershoots
+        assert row.est - target <= step * (1 + 1e-9)
+
+    prop()
