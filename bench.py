@@ -115,6 +115,7 @@ HEADLINE = [
     "fixed_time_window",
     "ddt_real",
     "rollup",
+    "retention_rollup",
     "graphite_roundtrip",
     "attribute_search",
 ]

@@ -3724,3 +3724,50 @@ def streaming_heavy_hitters_closed(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "retention_rollup",
+    f"""{_EV},
+b AS (SELECT service,
+             CAST(CAST(floor("time" / 86400.0) AS BIGINT) * 86400 AS DOUBLE) AS day_start,
+             {_BUCKET_HOUR} AS hour_start,
+             metric
+      FROM ev)
+SELECT service, day_start, hour_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sum_metric,
+       MIN(metric) AS min_metric,
+       MAX(metric) AS max_metric
+FROM b
+GROUP BY GROUPING SETS ((service, day_start), (service, day_start, hour_start))""",
+)
+def retention_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution retention ladder in ONE pass (the metrics-store
+    downsampling pattern riemann deployments put in front of graphite:
+    hourly series for recent dashboards, daily for long retention):
+    GROUPING SETS expands both granularities inside a single
+    aggregate — Catalyst plans one scan + one Expand + one shuffle,
+    not a scan per resolution, and the partial aggregation still
+    combines map-side. Day rows carry NULL hour_start (standard
+    grouping-set semantics, identical in both engines)."""
+    ev = load_events(spark, sf)
+    b = ev.select(
+        "service",
+        (F.floor(F.col("time") / 86400.0).cast("long") * 86400).cast("double").alias(
+            "day_start"
+        ),
+        windows.time_bucket(3600.0).cast("double").alias("hour_start"),
+        "metric",
+    )
+    return b.groupingSets(
+        [["service", "day_start"], ["service", "day_start", "hour_start"]],
+        "service",
+        "day_start",
+        "hour_start",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("metric").cast("decimal(38,6)")).cast("double").alias("sum_metric"),
+        F.min("metric").alias("min_metric"),
+        F.max("metric").alias("max_metric"),
+    )
