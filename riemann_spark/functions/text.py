@@ -443,19 +443,23 @@ def segment_dedup(
     original order. Returns (id, clean_text, n_segs, n_dropped) —
     docs whose every segment was duplicated stay, with empty text.
 
-    Shape: posexplode segments, ONE shuffle on the segment string for
-    the corpus-wide occurrence count (window partition — segments are
-    ~uniform keys, the hot-key case IS the duplicated content being
-    counted), one shuffle back on doc id to reassemble. The rebuild
-    aggregates sort_array(struct(pos, seg)) per doc — payload bounded
-    by document length. No joins, no driver state."""
+    Shape: posexplode segments, then the corpus-wide occurrence count
+    as groupBy(seg) + join back — NOT a window partitioned by the
+    segment: the hot key here IS the duplicated content being counted
+    (viral boilerplate can occur millions of times), and a window
+    would materialize every occurrence in one partition, while the
+    groupBy partial-aggregates map-side (one row per distinct segment
+    reaches the shuffle) and AQE's skew-join splits the join's hot
+    partitions. One more shuffle on doc id to reassemble — the
+    rebuild aggregates sort_array(struct(pos, seg)) per doc, payload
+    bounded by document length. No driver state."""
     seg = (
         df.select(
             F.col(id_col), F.posexplode(segments(text_col, seg_tokens)).alias("pos", "seg")
         )
     )
-    w = Window.partitionBy("seg")
-    seg = seg.withColumn("n_occ", F.count(F.lit(1)).over(w))
+    counts = seg.groupBy("seg").agg(F.count(F.lit(1)).alias("n_occ"))
+    seg = seg.join(counts, "seg")
     kept = F.when(F.col("n_occ") <= max_df, F.struct("pos", "seg"))
     return (
         seg.groupBy(id_col)
