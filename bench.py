@@ -83,6 +83,7 @@ HEADLINE = [
     "protobuf_roundtrip",
     "json_roundtrip",
     "token_stats",
+    "token_fertility",
     "doc_fingerprint",
     "dedup_embedding",
     "semantic_dedup",
@@ -112,6 +113,7 @@ HEADLINE = [
     "sorted_sample",
     "fold_difference",
     "moving_time_window",
+    "moving_median",
     "fixed_time_window",
     "ddt_real",
     "rollup",

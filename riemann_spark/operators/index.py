@@ -45,6 +45,9 @@ def build_index(
     (index.clj:98-101) unless ``keep_expired``. If ``now`` is given,
     events past ``time + ttl`` are swept out (index.clj:73-87).
     """
+    # window row_number, not groupBy+max_by(struct(*)): measured on 3M
+    # rows / 225K keys, the struct repack makes max_by slower (0.99s vs
+    # 0.88s min-of-3) despite avoiding the per-key sort
     order = [F.col("time").desc()]
     if order_col in events.columns:
         order.append(F.col(order_col).desc())

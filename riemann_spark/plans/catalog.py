@@ -3771,3 +3771,31 @@ def retention_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.min("metric").alias("min_metric"),
         F.max("metric").alias("max_metric"),
     )
+
+
+@q(
+    "moving_median",
+    f"""{_EV}
+SELECT event_id, host, service, metric,
+       round(quantile_cont(metric, 0.5) OVER (
+         PARTITION BY host, service ORDER BY "time"
+         RANGE BETWEEN 3600.0 PRECEDING AND CURRENT ROW), 6) AS med_1h
+FROM ev""",
+)
+def moving_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window median — the smoothing riemann configs build
+    from moving-time-window + folds/median: per event, the exact
+    interpolated median of its key's trailing hour (range frame on
+    event time, current row included). One exchange on the key; the
+    frame buffer is bounded by events-per-key-per-hour. Rounded to
+    6dp on both sides (interpolation divides — the one place the
+    engines' doubles could differ in the last ulp)."""
+    ev = load_events(spark, sf)
+    w = windows.moving_time_window(3600.0, ["host", "service"])
+    return ev.select(
+        "event_id",
+        "host",
+        "service",
+        "metric",
+        F.round(F.percentile("metric", F.lit(0.5)).over(w), 6).alias("med_1h"),
+    )

@@ -1877,3 +1877,40 @@ def image_features(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") % 2 == 0)
     media = synthetic_media(d, "doc_id")
     return real_image_features(media)
+
+
+@q(
+    "token_fertility",
+    f"""
+WITH t AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE) AS chars_per_token,
+       CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*) AS tokens_per_doc
+FROM t GROUP BY lang""",
+)
+def token_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility by language (chars per BPE-ish token — the
+    standard signal for how well a tokenizer fits each language; high
+    fertility = wasteful segmentation): corpus-level integer sums of
+    per-doc char and token counts, one tiny per-lang aggregate.
+    Integer sums divide once at the end — both engines produce the
+    identical double."""
+    d = load_table(spark, sf, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        text.bpe_token_count("text").cast("long").alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double")).alias(
+            "chars_per_token"
+        ),
+        (F.sum("n_bpe").cast("double") / F.count(F.lit(1))).alias("tokens_per_doc"),
+    )
