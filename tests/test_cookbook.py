@@ -1,0 +1,103 @@
+"""Every docs/COOKBOOK.md snippet must actually run — this file IS the
+cookbook's execution, recipe by recipe (kept in lock-step by hand)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from riemann_spark.operators import analytics, deps, index
+from riemann_spark.plans.topology import Stream
+from riemann_spark.schema import load_events
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_events(spark, SF)
+
+
+def test_recipe_1_shipped_config(spark, events):
+    top = Stream.of(events).default({"ttl": 3.0})
+    dead = top.to_df().filter('state = "expired"')
+    idx = top.where('not (service =~ "riemann %")').index()
+    assert idx.to_df().count() > 0
+    assert dead.count() >= 0
+
+
+def test_recipe_2_changed_stable(spark, events):
+    edges = analytics.changed(events, field="state", init="ok")
+    calm = analytics.stable(events, 60.0, field="state")
+    alerts = analytics.changed(calm, field="state", init="ok")
+    assert 0 < alerts.count() <= edges.count()
+
+
+def test_recipe_3_by_rate_index(spark, events):
+    rated = analytics.rate(events, 5.0, keys=["host", "service"])
+    as_events = rated.select(
+        "host",
+        "service",
+        F.lit("ok").alias("state"),
+        F.col("window_start").alias("time"),
+        F.col("rate").alias("metric"),
+    )
+    idx = index.build_index(as_events)
+    assert idx.count() > 0
+
+
+def test_recipe_4_percentiles(spark, events):
+    p = analytics.percentiles(events, 5.0, [0.5, 0.95, 0.99])
+    assert p.count() > 0
+
+
+def test_recipe_5_throttle_rollup(spark, events):
+    calmed = analytics.throttle(events, 5, 3600.0)
+    digest = analytics.rollup(calmed, 2, 3600.0)
+    assert 0 < digest.count() <= calmed.count()
+
+
+def test_recipe_6_deps(spark, events):
+    index_df = index.build_index(events)
+    rule = deps.depends(
+        {"service": "app"},
+        deps.depends({"service": "db"}, {"service": "disk", "state": "ok"}),
+    )
+    tagged = deps.deps_tag(events, index_df, rule)
+    assert "deps_satisfied" in tagged.columns
+    assert tagged.count() == events.count()
+
+
+def test_recipe_7_wire_formats(spark, events):
+    from riemann_spark.sources import (
+        events_to_graphite_lines,
+        graphite_lines_to_events,
+    )
+
+    lines = events_to_graphite_lines(events)
+    back = graphite_lines_to_events(lines)
+    assert back.count() == events.count()
+
+
+def test_recipe_8_streaming(spark, tmp_path):
+    from riemann_spark.streaming.ops import streaming_rate
+
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    from riemann_spark.schema import normalize_events, normalize_ts
+
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    rated = streaming_rate(normalize_events(normalize_ts(sdf, "ts")), 3600.0)
+    q = (
+        rated.writeStream.format("memory")
+        .queryName("cookbook_rate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table("cookbook_rate").count() > 0
