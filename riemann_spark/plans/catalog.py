@@ -3799,3 +3799,51 @@ def moving_median(spark: SparkSession, sf: str) -> DataFrame:
         "metric",
         F.round(F.percentile("metric", F.lit(0.5)).over(w), 6).alias("med_1h"),
     )
+
+
+@q(
+    "streaming_project_drained",
+    f"""{_EV},
+m AS (
+  SELECT event_id, "time" AS t, metric,
+         service = 'error' AS p0, service = 'purchase' AS p1
+  FROM ev WHERE service IN ('error', 'purchase')
+)
+SELECT event_id, t AS time,
+       last_value(CASE WHEN p0 THEN metric END IGNORE NULLS) OVER w AS slot0,
+       last_value(CASE WHEN p1 THEN metric END IGNORE NULLS) OVER w AS slot1
+FROM m
+WINDOW w AS (ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)""",
+)
+def streaming_project_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming project (streams.clj:2032-2101) value-checked at full
+    emission-log granularity: the drained stream must equal the
+    relational replay — for every matching event in (time, event_id)
+    order, the vector of latest-per-slot metrics at that instant
+    (last_value IGNORE NULLS over the ordered prefix). Closes the one
+    §2.3 operator that had batch-only parity."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_project
+
+    name = f"cat_sproj_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sproj_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    sdf = normalize_events(normalize_ts(raw, "ts"))
+    out = streaming_project(sdf, ['service = "error"', 'service = "purchase"'])
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

@@ -658,3 +658,76 @@ def streaming_changed(
     return sdf.groupBy(*keys).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_project(
+    sdf: DataFrame,
+    preds: Sequence,
+) -> DataFrame:
+    """project / project* (streams.clj:2032-2101), streaming: a fixed
+    basis of N predicates; the state holds the latest matching event
+    per slot (latest by (time, event_id) — a stale out-of-order match
+    never overwrites a newer one), and every matching event emits the
+    current slot vector, exactly the reference's emit-on-any-update.
+
+    Predicates are compiled to Column expressions and evaluated
+    JVM-side BEFORE the state machine (boolean flag columns), so the
+    Python state update reads flags — no per-row predicate
+    interpretation in the slow path. Like the reference (and like
+    streaming_top), project is a GLOBAL stream combinator: one state
+    group holding N (time, id, metric) triples; feed it a
+    pre-filtered stream (the flags filter is applied here), not the
+    raw firehose — matching events serialize through one task by
+    semantic necessity (each emission depends on every prior match)."""
+    from riemann_spark.query import compile_query
+
+    n = len(preds)
+    cols = [
+        (compile_query(p) if isinstance(p, str) else p).alias(f"pm{i}")
+        for i, p in enumerate(preds)
+    ]
+    flagged = sdf.select("event_id", "time", "metric", *cols)
+    any_match = None
+    for i in range(n):
+        c = F.col(f"pm{i}")
+        any_match = c if any_match is None else (any_match | c)
+    flagged = flagged.filter(any_match).withColumn("__g", F.lit(0))
+
+    out_fields = [
+        StructField("event_id", LongType()),
+        StructField("time", DoubleType()),
+    ] + [StructField(f"slot{i}", DoubleType()) for i in range(n)]
+    out_schema = StructType(out_fields)
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(DoubleType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("ms", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ts, ids, ms = state.get
+            ts, ids, ms = list(ts), list(ids), list(ms)
+        else:
+            ts, ids, ms = [None] * n, [None] * n, [None] * n
+        cols_ = ["event_id", "time", "metric"] + [f"pm{i}" for i in range(n)]
+        rows = _sorted_rows(pdfs, cols_)
+        out = []
+        for row in rows.itertuples(index=False):
+            t, eid = float(row.time), int(row.event_id)
+            m = None if pd.isna(row.metric) else float(row.metric)
+            for i in range(n):
+                if getattr(row, f"pm{i}") and (
+                    ts[i] is None or (ts[i], ids[i]) < (t, eid)
+                ):
+                    ts[i], ids[i], ms[i] = t, eid, m
+            out.append((eid, t, *ms))
+        state.update((ts, ids, ms))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return flagged.groupBy("__g").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

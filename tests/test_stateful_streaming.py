@@ -375,3 +375,41 @@ def test_streaming_top_nil_metric_and_expire(spark, tmpdirs):
     # unchanged); the already-expired inbound forwards as-is
     assert ("b", None, "ok") in bottoms
     assert ("z", 9.0, "expired") in bottoms
+
+
+def test_streaming_project_slots_and_stale_ooo_match(spark, tmpdirs):
+    """project (streams.clj:2032-2101): every matching event emits the
+    current latest-per-slot vector; a cross-batch OUT-OF-ORDER match
+    older than the slot's current holder must NOT overwrite it."""
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_project
+
+    src, ckpt = tmpdirs
+    name = f"proj_{_uuid.uuid4().hex[:8]}"
+    batches = [
+        [
+            _mk(0, "a", "error", metric=10.0, t=100.0),
+            _mk(1, "a", "purchase", metric=5.0, t=110.0),
+        ],
+        [
+            _mk(2, "a", "error", metric=20.0, t=200.0),
+            # older than event 0's slot entry: matches slot0 and emits,
+            # but must not displace the newer metric
+            _mk(3, "a", "error", metric=99.0, t=50.0),
+        ],
+    ]
+    rows = _run_stream(
+        spark,
+        src,
+        ckpt,
+        lambda s: streaming_project(s, ['service = "error"', 'service = "purchase"']),
+        name,
+        batches,
+    )
+    got = {r.event_id: (r.slot0, r.slot1) for r in rows}
+    assert got[0] == (10.0, None)     # slot1 not yet seen
+    assert got[1] == (10.0, 5.0)
+    assert got[3] == (10.0, 5.0)      # batch 2 processes t=50 first: stale, no overwrite
+    assert got[2] == (20.0, 5.0)      # then t=200 updates slot0
+    assert len(got) == 4              # non-matching events emit nothing
