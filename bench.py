@@ -29,6 +29,7 @@ HEADLINE = [
     "percentiles_histogram",
     "anomaly_zscore",
     "flap_rate",
+    "streaming_anomaly_drained",
     "moving_event_window",
     "ddt",
     "counter_running",
@@ -69,6 +70,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_nprobe",
     "filter_agg",
     "salted_agg_by_state",
     "top_suppliers_per_part",

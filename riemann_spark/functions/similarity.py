@@ -217,12 +217,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flat: assign every vector to its nearest coarse centroid,
-    search the query's cell only. Default quantizer = first n_cells
-    corpus vectors (deterministic, oracle-mirrorable); pass
-    ``centroids`` (cell, c_vec) — e.g. from ``kmeans_centroids`` — for
-    the trained production quantizer."""
+    search the query's nearest ``nprobe`` cells (the production
+    recall knob — corpus vectors still live in exactly one cell, so
+    raising nprobe multiplies only the QUERY fan-out, never the
+    index size, and a candidate can never be seen twice). Default
+    quantizer = first n_cells corpus vectors (deterministic,
+    oracle-mirrorable); pass ``centroids`` (cell, c_vec) — e.g. from
+    ``kmeans_centroids`` — for the trained production quantizer."""
     if centroids is not None:
         cent_src = centroids.select(
             "cell",
@@ -237,7 +241,7 @@ def ivf_topk(
         )
     cents = F.broadcast(cent_src)
 
-    def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+    def assign(df: DataFrame, idc: str, vecc: str, keep: int = 1) -> DataFrame:
         nc = vecc[0] + "_n"  # q_n / n_n, precomputed by the caller
         scored = df.crossJoin(cents).withColumn(
             "c_cos", _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n"))
@@ -245,7 +249,7 @@ def ivf_topk(
         w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
         return (
             scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+            .filter(F.col("r") <= keep)
             .drop("r", "c_vec", "c_cos", "c_n")
         )
 
@@ -257,6 +261,7 @@ def ivf_topk(
         ),
         "q_id",
         "q_vec",
+        nprobe,
     )
     ca = assign(
         corpus.select(

@@ -3847,3 +3847,56 @@ def streaming_project_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "streaming_anomaly_drained",
+    f"""{_EV},
+zz AS (SELECT event_id, host, service, metric,
+              COUNT(metric) OVER w AS n_prior,
+              CAST(SUM(CAST(metric AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+              CAST(SUM(CAST(metric * metric AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+       FROM ev
+       WINDOW w AS (PARTITION BY host, service ORDER BY time, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, host, service, metric,
+       (metric - s1 / n_prior)
+         / sqrt(s2 / n_prior - (s1 / n_prior) * (s1 / n_prior)) AS z
+FROM zz
+WHERE n_prior >= 5
+  AND abs((metric - s1 / n_prior)
+          / sqrt(s2 / n_prior - (s1 / n_prior) * (s1 / n_prior))) > 3.0""",
+)
+def streaming_anomaly_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming z-score anomaly detection value-checked bit-for-bit
+    against the SAME relational oracle as the batch operator: the
+    stateful buffer (20 doubles per key) must reproduce the batch
+    window's exact decimal arithmetic — the single-rounding int/int
+    division trick in streaming_anomaly_zscore is what makes the two
+    paths emit identical doubles. Batch is the semantics oracle;
+    streaming reuses it unchanged (SURVEY §5)."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_anomaly_zscore
+
+    name = f"cat_sanom_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sanom_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    sdf = normalize_events(normalize_ts(raw, "ts"))
+    out = streaming_anomaly_zscore(sdf, 20, 5, 3.0)
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).select("event_id", "host", "service", "metric", "z")

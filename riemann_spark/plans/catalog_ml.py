@@ -1914,3 +1914,46 @@ def token_fertility(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.sum("n_bpe").cast("double") / F.count(F.lit(1))).alias("tokens_per_doc"),
     )
+
+
+def _assign_nprobe_sql(src: str, idc: str, vecc: str, nprobe: int) -> str:
+    """query-side assignment keeping the nearest ``nprobe`` cells."""
+    return f"""
+  SELECT {idc}, {vecc}, cell FROM (
+    SELECT {src}.vec_id AS {idc}, {src}.v AS {vecc}, cc.vec_id AS cell,
+           row_number() OVER (
+             PARTITION BY {src}.vec_id
+             ORDER BY {_cos_sql(f'{src}.v', 'cc.v')} DESC, cc.vec_id) AS r
+    FROM e {src} JOIN e cc ON cc.vec_id < {_IVF_CELLS}
+  ) WHERE r <= {nprobe}"""
+
+
+@q(
+    "knn_ivf_nprobe",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qa AS ({_assign_nprobe_sql('q0', 'q_id', 'q_vec', 2)}),
+ca AS ({_assign_sql('c0', 'n_id', 'n_vec')}),
+scored AS (
+  SELECT qa.q_id, ca.n_id, {_cos_sql('qa.q_vec', 'ca.n_vec')} AS cos
+  FROM qa JOIN ca ON qa.cell = ca.cell
+  WHERE qa.q_id < 8 AND qa.q_id != ca.n_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+)
+def knn_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat with nprobe=2 — the production recall knob: each query
+    searches its TWO nearest cells (corpus vectors still live in
+    exactly one cell, so the index never grows and a candidate is
+    never scored twice; only query fan-out doubles). The boundary
+    failure mode nprobe exists for — a query near a cell edge whose
+    true neighbors sit across it — is exactly what the single-cell
+    knn_ivf row misses and this row recovers."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") < 8), e, 5, _IVF_CELLS, nprobe=2
+    )

@@ -731,3 +731,82 @@ def streaming_project(
     return flagged.groupBy("__g").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_anomaly_zscore(
+    sdf: DataFrame,
+    n_window: int = 20,
+    min_prior: int = 5,
+    threshold: float = 3.0,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """Trailing z-score anomaly detection, streaming: per key, a
+    bounded buffer of the last ``n_window`` metrics scores each event
+    against its priors' mean/stddev (the frame EXCLUDES the current
+    event — no self-masking) and emits only |z| > threshold once
+    ``min_prior`` priors exist. State is n_window doubles per key —
+    O(1) in stream length.
+
+    The mean/variance use the same quantize-to-1e-6-integers trick as
+    the batch operator's decimal sums (metrics have 2-decimal
+    granularity here; 1e-6 is lossless), so the emitted z equals the
+    batch anomaly_zscore value bit-for-bit and the relational oracle
+    checks the full emission log."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("event_id", LongType()),
+            StructField("time", DoubleType()),
+            StructField("metric", DoubleType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("buf", ArrayType(DoubleType()))])
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        buf = list(state.get[0]) if state.exists else []
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
+        out = []
+        for row in rows.itertuples(index=False):
+            m = None if pd.isna(row.metric) else float(row.metric)
+            if m is None:
+                continue
+            n = len(buf)
+            if n >= min_prior:
+                # exact integer sums, ONE rounding to double via int/int
+                # true division — bit-identical to the batch operator's
+                # DECIMAL(38,6) sums cast to double (both are the
+                # nearest double of the same exact rational)
+                q = [int(round(x * 1e6)) for x in buf]
+                s1 = sum(q) / 10**6
+                s2 = sum(x * x for x in q) / 10**12
+                mean = s1 / n
+                var = s2 / n - mean * mean
+                # IEEE semantics, mirroring the SQL expression exactly:
+                # sqrt(neg) -> nan, x/0 -> +-inf, 0/0 -> nan; SQL treats
+                # nan as greater than any threshold, so nan/inf emit
+                denom = math.sqrt(var) if var >= 0 else float("nan")
+                if denom == 0.0:
+                    z = (
+                        float("nan")
+                        if m == mean
+                        else math.copysign(float("inf"), m - mean)
+                    )
+                else:
+                    z = (m - mean) / denom
+                if (z != z) or abs(z) > threshold:
+                    out.append(
+                        (host, service, int(row.event_id), float(row.time), m, z)
+                    )
+            buf.append(m)
+            if len(buf) > n_window:
+                buf.pop(0)
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

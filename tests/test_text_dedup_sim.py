@@ -687,3 +687,26 @@ def test_hist_quantile_within_one_grid_step_property(spark):
         assert row.est - target <= step * (1 + 1e-9)
 
     prop()
+
+
+def test_ivf_nprobe_improves_boundary_recall(spark):
+    from riemann_spark.functions import similarity
+
+    # two tight clusters; one query sits between them so its true
+    # nearest neighbors straddle the cell boundary
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + 0.1 * i] + [0.0] * 7))           # cluster A
+    for i in range(8, 16):
+        rows.append((i, [0.0] * 7 + [10.0 + 0.1 * (i - 8)]))     # cluster B
+    rows.append((100, [5.0] * 1 + [0.0] * 6 + [5.0]))            # boundary query
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    q = df.filter(F.col("vec_id") == 100)
+    p1 = similarity.ivf_topk(q, df, 6, n_cells=2, nprobe=1).collect()
+    p2 = similarity.ivf_topk(q, df, 6, n_cells=2, nprobe=2).collect()
+    exact = similarity.brute_force_topk(q, df, 6).collect()
+
+    # nprobe=1 can only see one cluster; nprobe=2 must equal exact
+    assert {r.n_id for r in p1} < {r.n_id for r in p2}
+    assert [(r.n_id, r.rank) for r in p2] == [(r.n_id, r.rank) for r in exact]
