@@ -71,6 +71,8 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_nprobe",
+    "knn_pq",
+    "knn_pq_rerank",
     "filter_agg",
     "salted_agg_by_state",
     "top_suppliers_per_part",

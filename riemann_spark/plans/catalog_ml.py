@@ -1957,3 +1957,98 @@ def knn_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(
         e.filter(F.col("vec_id") < 8), e, 5, _IVF_CELLS, nprobe=2
     )
+
+
+_PQ_L2 = (
+    "list_reduce(list_transform(generate_series(1, 8),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+@q(
+    "knn_pq",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*8+1 : m*8+8] AS cw
+       FROM e CROSS JOIN ms WHERE vec_id < 16),
+sl AS (SELECT vec_id AS id, m, v[m*8+1 : m*8+8] AS s
+       FROM e CROSS JOIN ms),
+codes AS (SELECT id, m, code FROM (
+    SELECT sl.id, sl.m, cb.code,
+           row_number() OVER (PARTITION BY sl.id, sl.m ORDER BY
+             {_PQ_L2.format(a='sl.s', b='cb.cw')}, cb.code) AS r
+    FROM sl JOIN cb ON cb.m = sl.m) WHERE r = 1),
+lut AS (SELECT q.vec_id AS q_id, cb.m, cb.code,
+               CAST(round({_PQ_L2.format(a='(q.v[cb.m*8+1 : cb.m*8+8])', b='cb.cw')}
+                          * 1000000.0) AS BIGINT) AS d2q
+        FROM e q CROSS JOIN cb WHERE q.vec_id < 8),
+scored AS (SELECT lut.q_id, codes.id AS n_id,
+                  CAST(SUM(d2q) AS DOUBLE) / 1000000.0 AS adc_d2
+           FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code
+           WHERE lut.q_id != codes.id GROUP BY 1, 2)
+SELECT q_id, n_id, adc_d2, rank FROM (
+  SELECT q_id, n_id, adc_d2,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+)
+def knn_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (the compressed-index tier beside
+    brute-force / LSH / IVF): 64 floats compress to 8 codes, queries
+    score candidates through a per-query lookup table, and the corpus
+    side of the search touches ONLY integer codes — the 32x memory
+    cut that fits billion-vector indexes in executor RAM. LUT entries
+    quantize to 1e-6 integers so the ADC sum is order-free and the
+    oracle replays the whole encode + ADC pipeline relationally."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pq_topk(e.filter(F.col("vec_id") < 8), e, 5)
+
+
+_PQ_L2_64 = (
+    "list_reduce(list_transform(generate_series(1, 64),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+@q(
+    "knn_pq_rerank",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*8+1 : m*8+8] AS cw
+       FROM e CROSS JOIN ms WHERE vec_id < 16),
+sl AS (SELECT vec_id AS id, m, v[m*8+1 : m*8+8] AS s
+       FROM e CROSS JOIN ms),
+codes AS (SELECT id, m, code FROM (
+    SELECT sl.id, sl.m, cb.code,
+           row_number() OVER (PARTITION BY sl.id, sl.m ORDER BY
+             {_PQ_L2.format(a='sl.s', b='cb.cw')}, cb.code) AS r
+    FROM sl JOIN cb ON cb.m = sl.m) WHERE r = 1),
+lut AS (SELECT q.vec_id AS q_id, cb.m, cb.code,
+               CAST(round({_PQ_L2.format(a='(q.v[cb.m*8+1 : cb.m*8+8])', b='cb.cw')}
+                          * 1000000.0) AS BIGINT) AS d2q
+        FROM e q CROSS JOIN cb WHERE q.vec_id < 8),
+short AS (SELECT q_id, n_id FROM (
+    SELECT lut.q_id, codes.id AS n_id,
+           row_number() OVER (PARTITION BY lut.q_id ORDER BY
+             CAST(SUM(d2q) AS DOUBLE) / 1000000.0, codes.id) AS r
+    FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code
+    WHERE lut.q_id != codes.id GROUP BY lut.q_id, codes.id) WHERE r <= 50)
+SELECT q_id, n_id, d2, rank FROM (
+  SELECT s.q_id, s.n_id,
+         {_PQ_L2_64.format(a='qe.v', b='ne.v')} AS d2,
+         row_number() OVER (PARTITION BY s.q_id ORDER BY
+           {_PQ_L2_64.format(a='qe.v', b='ne.v')}, s.n_id) AS rank
+  FROM short s JOIN e qe ON qe.vec_id = s.q_id JOIN e ne ON ne.vec_id = s.n_id
+) WHERE rank <= 5""",
+)
+def knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ search, production shape: ADC over integer codes prunes to a
+    50-candidate shortlist per query, then ONLY those candidates'
+    real vectors are point-read for the exact L2 re-rank — at 100 TB
+    the float store is touched for shortlist x queries rows, never
+    scanned. Both stages replay relationally in the oracle (encode,
+    LUT, shortlist ranking, exact re-rank)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pq_topk_rerank(e.filter(F.col("vec_id") < 8), e, 5, 50)

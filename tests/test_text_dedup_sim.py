@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from riemann_spark.functions import dedup, similarity, text
@@ -710,3 +711,41 @@ def test_ivf_nprobe_improves_boundary_recall(spark):
     # nprobe=1 can only see one cluster; nprobe=2 must equal exact
     assert {r.n_id for r in p1} < {r.n_id for r in p2}
     assert [(r.n_id, r.rank) for r in p2] == [(r.n_id, r.rank) for r in exact]
+
+
+def test_pq_compresses_and_keeps_recall(spark):
+    from riemann_spark.functions import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+
+    codes = similarity.pq_encode(e)
+    n_vecs = e.count()
+    assert codes.count() == n_vecs * 8            # 8 codes per vector
+    assert codes.agg(F.max("code")).collect()[0][0] < 16
+
+    # exact L2 top-5 (ADC approximates L2 — cosine would be a
+    # metric mismatch, not a fair recall baseline)
+    qa = F.broadcast(q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")))
+    ca = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    exact = (ca.crossJoin(qa).filter(F.col("q_id") != F.col("n_id"))
+             .withColumn("d2", d2).withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") <= 5).collect())
+    ex_sets = {}
+    for r in exact:
+        ex_sets.setdefault(r.q_id, set()).add(r.n_id)
+
+    # production shape: ADC shortlist (10% of corpus) + exact re-rank —
+    # recall@5 is the shortlist hit rate (measured 85% on this fixture
+    # with the untrained 4-bit codebook; assert with margin)
+    rr = similarity.pq_topk_rerank(q, e, 5, shortlist=50).collect()
+    rr_sets = {}
+    for r in rr:
+        rr_sets.setdefault(r.q_id, set()).add(r.n_id)
+    hits = sum(len(rr_sets.get(k, set()) & v) for k, v in ex_sets.items())
+    assert hits >= 0.7 * sum(len(v) for v in ex_sets.values())
