@@ -27,6 +27,8 @@ HEADLINE = [
     "window_folds",
     "percentiles_day",
     "percentiles_histogram",
+    "percentiles_histogram_global",
+    "slo_burn_rate",
     "anomaly_zscore",
     "flap_rate",
     "streaming_anomaly_drained",

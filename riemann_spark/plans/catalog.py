@@ -3900,3 +3900,93 @@ def streaming_anomaly_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name).select("event_id", "host", "service", "metric", "z")
+
+
+@q(
+    "slo_burn_rate",
+    f"""{_EV},
+base AS (SELECT host, "time",
+                CASE WHEN state != 'ok' THEN 1 ELSE 0 END AS bad
+         FROM ev),
+fast AS (SELECT host,
+                CAST(CAST(floor("time" / 300.0) AS BIGINT) * 300 AS DOUBLE) AS w5m,
+                CAST(SUM(bad) AS DOUBLE) / COUNT(*) AS err_5m,
+                CAST(COUNT(*) AS BIGINT) AS n_5m
+         FROM base GROUP BY 1, 2),
+slow AS (SELECT host,
+                {_BUCKET_HOUR} AS w1h,
+                CAST(SUM(bad) AS DOUBLE) / COUNT(*) AS err_1h
+         FROM base GROUP BY 1, 2)
+SELECT f.host, f.w5m AS window_start, f.err_5m, s.err_1h, f.n_5m
+FROM fast f JOIN slow s
+  ON s.host = f.host
+ AND s.w1h = CAST(CAST(floor(f.w5m / 3600.0) AS BIGINT) * 3600 AS DOUBLE)
+WHERE f.err_5m > 0.28 AND s.err_1h > 0.28""",
+)
+def slo_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-window SLO burn-rate alert (the SRE-workbook pattern that
+    replaced naive threshold paging, built here from the same windowed
+    aggregates riemann configs compose): page only when BOTH the
+    5-minute and enclosing 1-hour error rates exceed the burn
+    threshold — the short window gives speed, the long window
+    suppresses blips. Two grouped aggregates sharing one scan and a
+    key-and-hour equi-join; the 5m side's hour is derived from its
+    own bucket, so the join needs no range condition."""
+    ev = load_events(spark, sf)
+    bad = F.when(F.col("state") != "ok", 1).otherwise(0)
+    base = ev.select("host", "time", bad.alias("bad"))
+    w5 = windows.time_bucket(300.0).cast("double")
+    fast = base.groupBy("host", w5.alias("w5m")).agg(
+        (F.sum("bad").cast("double") / F.count(F.lit(1))).alias("err_5m"),
+        F.count(F.lit(1)).cast("long").alias("n_5m"),
+    )
+    slow = base.groupBy(
+        "host", windows.time_bucket(3600.0).cast("double").alias("w1h")
+    ).agg((F.sum("bad").cast("double") / F.count(F.lit(1))).alias("err_1h"))
+    hour_of = (F.floor(F.col("w5m") / 3600.0).cast("long") * 3600).cast("double")
+    return (
+        fast.join(
+            slow,
+            (slow.host == fast.host) & (slow.w1h == hour_of),
+        )
+        .filter((F.col("err_5m") > 0.28) & (F.col("err_1h") > 0.28))
+        .select(
+            fast.host, F.col("w5m").alias("window_start"), "err_5m", "err_1h", "n_5m"
+        )
+    )
+
+
+@q(
+    "percentiles_histogram_global",
+    f"""{_EV},
+hist AS (SELECT service,
+           CAST(greatest(0, least(255, floor(metric * 256.0 / 512.0))) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM ev GROUP BY 1, 2),
+merged AS (SELECT bucket, SUM(cnt) AS cnt FROM hist GROUP BY bucket),
+cum AS (SELECT bucket,
+               SUM(cnt) OVER (ORDER BY bucket) AS cum,
+               SUM(cnt) OVER () AS total
+        FROM merged),
+qq AS (SELECT bucket, cum, total, unnest([0.5, 0.95, 0.99]) AS q FROM cum)
+SELECT q, 0.0 + (MIN(bucket) + 1) * 2.0 AS est
+FROM qq WHERE cum >= greatest(1, CAST(ceil(q * total) AS BIGINT))
+GROUP BY q""",
+)
+def percentiles_histogram_global(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch MERGE in action: per-service histograms (the artifact
+    percentiles_histogram stores) roll up to corpus-wide percentiles
+    by ADDING COUNTS — no re-scan of the raw events, the property
+    t-digest only approximates and sorted-value percentiles lack
+    entirely. At 100 TB this is how a fleet dashboard gets global
+    p99 from per-shard sketches. The final cum-sum runs over <= 256
+    rows."""
+    from riemann_spark.functions import sketches
+
+    ev = load_events(spark, sf)
+    per_key = sketches.hist_table(ev, F.col("metric"), ["service"], 256, 0.0, 512.0)
+    merged = per_key.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    out = sketches.hist_quantiles(
+        merged.withColumn("__all", F.lit(1)), ["__all"], [0.5, 0.95, 0.99], 256, 0.0, 512.0
+    )
+    return out.select("q", "est")
