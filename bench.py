@@ -29,6 +29,7 @@ HEADLINE = [
     "percentiles_histogram",
     "percentiles_histogram_global",
     "slo_burn_rate",
+    "streaming_slo_burn_drained",
     "anomaly_zscore",
     "flap_rate",
     "streaming_anomaly_drained",

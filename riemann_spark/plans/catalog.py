@@ -3990,3 +3990,86 @@ def percentiles_histogram_global(spark: SparkSession, sf: str) -> DataFrame:
         merged.withColumn("__all", F.lit(1)), ["__all"], [0.5, 0.95, 0.99], 256, 0.0, 512.0
     )
     return out.select("q", "est")
+
+
+@q(
+    "streaming_slo_burn_drained",
+    f"""{_EV},
+base AS (SELECT host, "time",
+                CASE WHEN state != 'ok' THEN 1 ELSE 0 END AS bad
+         FROM ev),
+fast AS (SELECT host,
+                CAST(CAST(floor("time" / 300.0) AS BIGINT) * 300 AS DOUBLE) AS w5m,
+                CAST(SUM(bad) AS DOUBLE) / COUNT(*) AS err_5m,
+                CAST(COUNT(*) AS BIGINT) AS n_5m
+         FROM base GROUP BY 1, 2),
+slow AS (SELECT host,
+                {_BUCKET_HOUR} AS w1h,
+                CAST(SUM(bad) AS DOUBLE) / COUNT(*) AS err_1h
+         FROM base GROUP BY 1, 2)
+SELECT f.host, f.w5m AS window_start, f.err_5m, s.err_1h, f.n_5m
+FROM fast f JOIN slow s
+  ON s.host = f.host
+ AND s.w1h = CAST(CAST(floor(f.w5m / 3600.0) AS BIGINT) * 3600 AS DOUBLE)
+WHERE f.err_5m > 0.28 AND s.err_1h > 0.28
+  AND s.w1h + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0""",
+)
+def streaming_slo_burn_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """The burn-rate alert as a LIVE multi-stateful streaming topology
+    — two windowed aggregations over one watermarked stream joined
+    stream-to-stream (the chained-stateful-operator capability Spark
+    gained for exactly this class of SRE pipeline): a pair emits once
+    BOTH its windows are watermark-closed, which the oracle expresses
+    as the enclosing hour being closed (an hour closing implies every
+    5m window inside it closed)."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_sburn_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sburn_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    from riemann_spark.streaming.ops import with_event_timestamp
+
+    sdf = with_event_timestamp(normalize_events(normalize_ts(raw, "ts"))).withWatermark(
+        "event_ts", "10 seconds"
+    )
+    bad = F.when(F.col("state") != "ok", 1).otherwise(0)
+    base = sdf.select("host", "event_ts", bad.alias("bad"))
+    fast = base.groupBy("host", F.window("event_ts", "300 seconds").alias("wf")).agg(
+        (F.sum("bad").cast("double") / F.count(F.lit(1))).alias("err_5m"),
+        F.count(F.lit(1)).cast("long").alias("n_5m"),
+    )
+    slow = base.groupBy("host", F.window("event_ts", "3600 seconds").alias("ws")).agg(
+        (F.sum("bad").cast("double") / F.count(F.lit(1))).alias("err_1h")
+    )
+    j = (
+        fast.join(
+            slow.withColumnRenamed("host", "s_host"),
+            (F.col("host") == F.col("s_host"))
+            & (F.col("wf.start") >= F.col("ws.start"))
+            & (F.col("wf.start") < F.col("ws.end")),
+        )
+        .filter((F.col("err_5m") > 0.28) & (F.col("err_1h") > 0.28))
+        .select(
+            "host",
+            F.col("wf.start").cast("double").alias("window_start"),
+            "err_5m",
+            "err_1h",
+            "n_5m",
+        )
+    )
+    q_ = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
