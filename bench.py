@@ -15,7 +15,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline set: one per operator family, weighted toward the plans that
-# stress shuffle/window/join at scale
+# stress shuffle/window/join at scale. The streaming *_drained queries
+# stay OUT of the headline: each run spins a full streaming query whose
+# time is dominated by harness fixed cost (checkpoint, trigger drain),
+# not plan cost — the correctness gate covers them
 HEADLINE = [
     "index_latest",
     "canonical_pipeline",
@@ -29,10 +32,8 @@ HEADLINE = [
     "percentiles_histogram",
     "percentiles_histogram_global",
     "slo_burn_rate",
-    "streaming_slo_burn_drained",
     "anomaly_zscore",
     "flap_rate",
-    "streaming_anomaly_drained",
     "moving_event_window",
     "ddt",
     "counter_running",
