@@ -77,6 +77,7 @@ HEADLINE = [
     "knn_ivf_nprobe",
     "knn_pq",
     "knn_pq_rerank",
+    "knn_pq_trained",
     "filter_agg",
     "salted_agg_by_state",
     "top_suppliers_per_part",

@@ -402,6 +402,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ codes: the vector splits into ``n_sub`` subvectors; each maps
     to its nearest codeword (squared L2 in the subspace) from a
@@ -433,7 +434,11 @@ def pq_encode(
             )
         ).alias("x"),
     ).select("id", "x.m", "x.s")
-    cb = pq_codebook(df, n_sub, n_codes, dim, id_col, vec_col)
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(df, n_sub, n_codes, dim, id_col, vec_col)
+    )
     d2 = F.aggregate(
         F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -489,6 +494,7 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
     lookup table LUT[m, code] = squared L2 between the query's m-th
@@ -502,8 +508,12 @@ def pq_topk(
     per-vector distance SUMS INTEGERS (order-free), so the result is
     bit-identical under any partitioning and the oracle can replay it
     relationally — a plain double sum over a shuffle would not be."""
-    codes = pq_encode(corpus, n_sub, n_codes, dim, id_col, vec_col)
-    cb = pq_codebook(corpus, n_sub, n_codes, dim, id_col, vec_col)
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, n_sub, n_codes, dim, id_col, vec_col)
+    )
+    codes = pq_encode(corpus, n_sub, n_codes, dim, id_col, vec_col, cb)
     sub_w = dim // n_sub
     qs = queries.select(
         F.col(id_col).alias("q_id"),
@@ -592,4 +602,109 @@ def pq_topk_rerank(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "d2", "rank")
+    )
+
+
+def _pq_slices(
+    df: DataFrame, n_sub: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, m, s) subvector rows — shared by encode and the trainer."""
+    sub_w = dim // n_sub
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"), m * sub_w + 1, sub_w
+                        ).alias("s"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", "x.m", "x.s")
+
+
+def pq_kmeans_codebook(
+    df: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED per-subspace PQ codebooks — all ``n_sub`` k-means runs
+    as ONE keyed Lloyd (the subspace rides the grouping key, so the
+    cluster never sequences more than ``n_iter`` jobs regardless of
+    n_sub): assignment joins the model-sized codebook frame
+    (n_sub x n_codes rows, broadcast), re-estimation is a
+    (m, code, d) grouped mean over 1e-12-quantized integer sums —
+    bit-reproducible under any partitioning, so the whole training
+    replays in the knn_pq_trained SQL oracle exactly like the IVF
+    trainer's. Empty codes keep their previous codeword. Per
+    iteration the driver pulls n_sub x n_codes x sub_w doubles (the
+    model), nothing data-sized."""
+    sub_w = dim // n_sub
+    slices = _pq_slices(df, n_sub, dim, id_col, vec_col).localCheckpoint()
+    spark = df.sparkSession
+    cb = pq_codebook(df, n_sub, n_codes, dim, id_col, vec_col)
+    cb_rows = {(r["m"], r["code"]): list(r["cw"]) for r in cb.collect()}
+    d2 = F.aggregate(
+        F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(n_iter):
+        cb_df = spark.createDataFrame(
+            [(m, c, v) for (m, c), v in sorted(cb_rows.items())],
+            "m int, code int, cw array<double>",
+        )
+        w = Window.partitionBy("id", "m").orderBy("d2", "code")
+        assigned = (
+            slices.join(F.broadcast(cb_df), "m")
+            .withColumn("d2", d2)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("id", "m", "code", "s")
+        )
+        means = {
+            (r["m"], r["code"]): list(r["cw"])
+            for r in (
+                assigned.select("m", "code", F.posexplode("s").alias("d", "x"))
+                .groupBy("m", "code", "d")
+                .agg(
+                    F.sum(
+                        F.round(F.col("x") * F.lit(1e12))
+                        .cast("long")
+                        .cast("decimal(38,0)")
+                    ).alias("sx"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .groupBy("m", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "d",
+                                (
+                                    F.col("sx").cast("double")
+                                    / F.lit(1e12)
+                                    / F.col("n")
+                                ).alias("mu"),
+                            )
+                        )
+                    ).alias("pm")
+                )
+                .select("m", "code", F.transform("pm", lambda st: st["mu"]).alias("cw"))
+                .collect()
+            )
+        }
+        cb_rows = {k: means.get(k, v) for k, v in cb_rows.items()}
+    return spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(cb_rows.items())],
+        "m int, code int, cw array<double>",
     )

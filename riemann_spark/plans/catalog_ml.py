@@ -2052,3 +2052,82 @@ def knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     LUT, shortlist ranking, exact re-rank)."""
     e = load_table(spark, sf, "embeddings")
     return similarity.pq_topk_rerank(e.filter(F.col("vec_id") < 8), e, 5, 50)
+
+
+def _pq_trained_oracle(n_codes: int, iters: int) -> str:
+    """Keyed Lloyd replay for per-subspace PQ codebooks: one CTE chain
+    where the subspace m rides every key — n_sub k-means runs replay
+    as a single sequence of {iters} assign/re-estimate blocks, then
+    encode + ADC + top-k with the trained cb{iters}."""
+    q12 = "1000000000000.0"
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "ms AS (SELECT unnest(generate_series(0, 7)) AS m)",
+        f"cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*8+1 : m*8+8] AS cw"
+        f" FROM e CROSS JOIN ms WHERE vec_id < {n_codes})",
+        "sl AS (SELECT vec_id AS id, m, v[m*8+1 : m*8+8] AS s FROM e CROSS JOIN ms)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT id, m, code, s FROM ("
+            f" SELECT sl.id, sl.m, c.code, sl.s,"
+            f" row_number() OVER (PARTITION BY sl.id, sl.m"
+            f" ORDER BY {_PQ_L2.format(a='sl.s', b='c.cw')}, c.code) AS r"
+            f" FROM sl JOIN cb{i} c ON c.m = sl.m) WHERE r = 1)"
+        )
+        parts.append(
+            f"u{i} AS (SELECT m, code, d,"
+            f" CAST(SUM(CAST(round(s[d] * {q12}) AS BIGINT)) AS DOUBLE)"
+            f" / {q12} / COUNT(*) AS mu"
+            f" FROM a{i} CROSS JOIN generate_series(1, 8) AS g(d)"
+            f" GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT m, code, list(mu ORDER BY d) AS cw"
+            f" FROM u{i} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"cb{i + 1} AS (SELECT p.m, p.code, COALESCE(nn.cw, p.cw) AS cw"
+            f" FROM cb{i} p LEFT JOIN n{i} nn ON nn.m = p.m AND nn.code = p.code)"
+        )
+    cbf = f"cb{iters}"
+    parts.append(
+        f"codes AS (SELECT id, m, code FROM ("
+        f" SELECT sl.id, sl.m, c.code,"
+        f" row_number() OVER (PARTITION BY sl.id, sl.m"
+        f" ORDER BY {_PQ_L2.format(a='sl.s', b='c.cw')}, c.code) AS r"
+        f" FROM sl JOIN {cbf} c ON c.m = sl.m) WHERE r = 1)"
+    )
+    parts.append(
+        f"lut AS (SELECT q.vec_id AS q_id, c.m, c.code,"
+        f" CAST(round({_PQ_L2.format(a='(q.v[c.m*8+1 : c.m*8+8])', b='c.cw')}"
+        f" * 1000000.0) AS BIGINT) AS d2q"
+        f" FROM e q CROSS JOIN {cbf} c WHERE q.vec_id < 8)"
+    )
+    parts.append(
+        "scored AS (SELECT lut.q_id, codes.id AS n_id,"
+        " CAST(SUM(d2q) AS DOUBLE) / 1000000.0 AS adc_d2"
+        " FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code"
+        " WHERE lut.q_id != codes.id GROUP BY 1, 2)"
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT q_id, n_id, adc_d2, rank FROM (
+  SELECT q_id, n_id, adc_d2,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
+@q("knn_pq_trained", _pq_trained_oracle(16, 5))
+def knn_pq_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ with TRAINED per-subspace codebooks: all 8 subspace k-means
+    runs execute as one keyed Lloyd (the subspace rides the grouping
+    key — n_iter cluster jobs total, not n_sub x n_iter), and because
+    re-estimation uses 1e-12-quantized integer means, the entire
+    5-iteration training replays in this oracle exactly as the IVF
+    trainer's does. The trained codebook drops into the same ADC
+    search plan — production offline training, identical query path."""
+    e = load_table(spark, sf, "embeddings")
+    cb = similarity.pq_kmeans_codebook(e, n_iter=5)
+    return similarity.pq_topk(e.filter(F.col("vec_id") < 8), e, 5, codebook=cb)

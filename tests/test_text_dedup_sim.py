@@ -749,3 +749,36 @@ def test_pq_compresses_and_keeps_recall(spark):
         rr_sets.setdefault(r.q_id, set()).add(r.n_id)
     hits = sum(len(rr_sets.get(k, set()) & v) for k, v in ex_sets.items())
     assert hits >= 0.7 * sum(len(v) for v in ex_sets.values())
+
+
+def test_pq_trained_codebook_reduces_quantization_error(spark):
+    from riemann_spark.functions import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mse(cb):
+        sl = similarity._pq_slices(e, 8, 64, "vec_id", "embedding")
+        d2 = F.aggregate(
+            F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy("id", "m").orderBy("d2", "code")
+        best = (sl.join(F.broadcast(cb), "m").withColumn("d2", d2)
+                .withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1))
+        return best.agg(F.avg("d2")).collect()[0][0]
+
+    untrained = similarity.pq_codebook(e)
+    trained = similarity.pq_kmeans_codebook(e, n_iter=5)
+    assert trained.count() == untrained.count() == 8 * 16   # model-sized
+    u, t = mse(untrained), mse(trained)
+    # Lloyd minimizes exactly this objective (measured 27% lower on the
+    # fixture). NOTE: lower reconstruction error does NOT imply better
+    # top-k recall at 4-bit codebooks on tightly clustered data —
+    # trained codewords sit on cluster centroids, so within-cluster
+    # members quantize identically and ADC cannot rank them; recall is
+    # the shortlist+re-rank's job (test_pq_compresses_and_keeps_recall)
+    assert t < u * 0.9
+    # training must be deterministic (quantized means): re-run equal
+    t2 = similarity.pq_kmeans_codebook(e, n_iter=5)
+    a = sorted((r.m, r.code, tuple(r.cw)) for r in trained.collect())
+    b = sorted((r.m, r.code, tuple(r.cw)) for r in t2.collect())
+    assert a == b
