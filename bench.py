@@ -42,6 +42,7 @@ HEADLINE = [
     "stable_2h",
     "top10",
     "predict_linear",
+    "holt_forecast",
     "fill_in",
     "tpch_q1",
     "tpch_q3",

@@ -638,3 +638,80 @@ def fill_in(
 
 
 interpolate_constant = fill_in  # streams.clj:753-774 — same grid-fill shape
+
+
+def holt_forecast(
+    df: DataFrame,
+    h_steps: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    last_n: int = 100,
+    keys: Sequence[str] = KEY,
+    time_col: str = "time",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Holt's linear exponential smoothing per key — the classic next
+    step beyond predict-linear's OLS (streams.clj:2103-2162 predicts
+    by regression; Holt tracks level+trend recursively, weighting
+    recent observations): level' = α·x + (1-α)·(level+trend),
+    trend' = β·(level'-level) + (1-β)·trend, forecast = level' +
+    trend'·h where h counts OBSERVATION STEPS (the honest unit on an
+    irregular series — a per-second trend would pretend the gaps are
+    uniform). α/β are dyadic rationals by default, so every update is
+    exact-in-double and both engines fold identically.
+
+    A recursive filter has no window-function form (the recursion is
+    nonlinear in position) — it IS expressible as a sequential fold
+    over the key's ordered tail: collect the last ``last_n``
+    (time, metric) pairs per key (state bounded by last_n, NOT stream
+    length — the same contract as moving-event-window) and F.aggregate
+    the recursion in one pass. One shuffle on the key."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(time_col).desc(), F.col(order_col).desc()
+    )
+    tail = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= last_n)
+        .drop("__rn")
+    )
+    series = tail.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(order_col).alias("o"), F.col("metric").alias("x")))
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    a, b = float(alpha), float(beta)
+    # state: (level, trend, started) — the first observation seeds the
+    # level, the second seeds the trend (standard initialization)
+    init = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"), F.lit(0).alias("k")
+    )
+
+    def step(acc, e):
+        x = e["x"]
+        first = acc["k"] == 0
+        second = acc["k"] == 1
+        l_new = (
+            F.when(first, x)
+            .when(second, F.lit(a) * x + F.lit(1 - a) * acc["l"])
+            .otherwise(F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"]))
+        )
+        b_new = (
+            F.when(first, F.lit(0.0))
+            .when(second, x - acc["l"])
+            .otherwise(
+                F.lit(b) * (l_new - acc["l"]) + F.lit(1 - b) * acc["b"]
+            )
+        )
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"), (acc["k"] + 1).alias("k")
+        )
+
+    st = F.aggregate(F.col("xs"), init, step)
+    return series.select(
+        *keys,
+        "n_obs",
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"] * F.lit(float(h_steps))).alias("forecast"),
+    )

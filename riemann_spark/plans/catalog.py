@@ -4073,3 +4073,52 @@ def streaming_slo_burn_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+_HOLT_LNEW = """CASE WHEN acc[3] = 0.0 THEN e[1]
+             WHEN acc[3] = 1.0 THEN 0.5 * e[1] + 0.5 * acc[1]
+             ELSE 0.5 * e[1] + 0.5 * (acc[1] + acc[2]) END"""
+
+
+@q(
+    "holt_forecast",
+    f"""{_EV},
+tail AS (SELECT host, service, "time" AS t, event_id AS o, metric AS x FROM (
+  SELECT host, service, "time", event_id, metric,
+         row_number() OVER (PARTITION BY host, service
+                            ORDER BY "time" DESC, event_id DESC) AS rn
+  FROM ev) WHERE rn <= 100),
+series AS (SELECT host, service,
+                  CAST(COUNT(*) AS BIGINT) AS n_obs,
+                  list_prepend([0.0, 0.0, 0.0]::DOUBLE[],
+                    list_transform(list(x ORDER BY t, o), v -> [v, 0.0, -1.0]))
+                    AS xs
+           FROM tail GROUP BY host, service),
+-- state = DOUBLE[3] [level, trend, step] — NOT a struct: DuckDB's
+-- list_reduce assigns struct fields with aliasing semantics (later
+-- field expressions can observe already-updated acc fields), while
+-- list construction snapshots acc; the trend slot recomputes the
+-- level expression inline, which is IEEE-identical to slot 1's
+folded AS (SELECT host, service, n_obs,
+                  list_reduce(xs, (acc, e) -> [
+                    {_HOLT_LNEW},
+                    CASE WHEN acc[3] = 0.0 THEN 0.0
+                         WHEN acc[3] = 1.0 THEN e[1] - acc[1]
+                         ELSE 0.25 * (({_HOLT_LNEW}) - acc[1]) + 0.75 * acc[2] END,
+                    acc[3] + 1.0]) AS s
+           FROM series)
+SELECT host, service, n_obs, s[1] AS level, s[2] AS trend,
+       s[1] + s[2] * 10.0 AS forecast
+FROM folded""",
+)
+def holt_forecast_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear exponential smoothing per key (the trend-aware
+    next step beyond predict-linear's OLS): level/trend recursion over
+    the key's last-100 tail, forecast 10 observation steps out. A
+    recursive filter has no window-function form — it IS a sequential
+    fold, and because alpha/beta are dyadic (0.5, 0.25) every update
+    is an exact double op, so Spark's F.aggregate and DuckDB's
+    list_reduce walk identical IEEE sequences. State bounded by the
+    tail length, one shuffle on the key."""
+    ev = load_events(spark, sf)
+    return analytics.holt_forecast(ev, 10, 0.5, 0.25, 100)

@@ -275,3 +275,32 @@ def test_asof_enrich_edges(spark):
     assert rows[10] == (7.0, 100)
     assert rows[11] == (9.0, 150)
     assert rows[12] == (None, None)
+
+
+def test_holt_forecast_matches_reference_recursion(spark):
+    from riemann_spark.operators import analytics
+
+    xs = [3.1, 7.2, 31.1, 0.23, 19.04]
+    rows = [(i, "h", "s", float(i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, host string, service string, time double, metric double"
+    )
+    (out,) = analytics.holt_forecast(df, 10, 0.5, 0.25, 100).collect()
+
+    l = b = 0.0
+    for k, x in enumerate(xs):
+        if k == 0:
+            l, b = x, 0.0
+        elif k == 1:
+            l, b = 0.5 * x + 0.5 * l, x - l
+        else:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (l_new - l) + 0.75 * b
+            l = l_new
+    assert out.level == l and out.trend == b          # bit-exact fold
+    assert out.forecast == l + b * 10.0
+    assert out.n_obs == 5
+
+    # last_n tail: only the newest 3 observations feed the recursion
+    (t3,) = analytics.holt_forecast(df, 10, 0.5, 0.25, 3).collect()
+    assert t3.n_obs == 3 and t3.level != out.level
