@@ -79,6 +79,7 @@ HEADLINE = [
     "knn_pq",
     "knn_pq_rerank",
     "knn_pq_trained",
+    "ann_recall_report",
     "filter_agg",
     "salted_agg_by_state",
     "top_suppliers_per_part",

@@ -2131,3 +2131,73 @@ def knn_pq_trained(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     cb = similarity.pq_kmeans_codebook(e, n_iter=5)
     return similarity.pq_topk(e.filter(F.col("vec_id") < 8), e, 5, codebook=cb)
+
+
+@q(
+    "ann_recall_report",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bf AS (SELECT q_id, n_id FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id) AS rank
+  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id
+) WHERE rank <= 5),
+b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+lsh AS (SELECT q_id, n_id FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id) AS rank
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id != c.vec_id
+) WHERE rank <= 5),
+qa1 AS ({_assign_sql('q0', 'q_id', 'q_vec')}),
+ca1 AS ({_assign_sql('c0', 'n_id', 'n_vec')}),
+ivf AS (SELECT q_id, n_id FROM (
+  SELECT qa1.q_id, ca1.n_id,
+         row_number() OVER (PARTITION BY qa1.q_id
+           ORDER BY {_cos_sql('qa1.q_vec', 'ca1.n_vec')} DESC, ca1.n_id) AS rank
+  FROM qa1 JOIN ca1 ON qa1.cell = ca1.cell
+  WHERE qa1.q_id < 8 AND qa1.q_id != ca1.n_id
+) WHERE rank <= 5),
+qa2 AS ({_assign_nprobe_sql('q0', 'q_id', 'q_vec', 2)}),
+ivf2 AS (SELECT q_id, n_id FROM (
+  SELECT qa2.q_id, ca1.n_id,
+         row_number() OVER (PARTITION BY qa2.q_id
+           ORDER BY {_cos_sql('qa2.q_vec', 'ca1.n_vec')} DESC, ca1.n_id) AS rank
+  FROM qa2 JOIN ca1 ON qa2.cell = ca1.cell
+  WHERE qa2.q_id < 8 AND qa2.q_id != ca1.n_id
+) WHERE rank <= 5),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bf)
+SELECT method, hits, CAST(hits AS DOUBLE) / tot.n AS recall_at_5 FROM (
+  SELECT 'lsh' AS method,
+         CAST((SELECT COUNT(*) FROM lsh JOIN bf USING (q_id, n_id)) AS BIGINT) AS hits
+  UNION ALL
+  SELECT 'ivf', CAST((SELECT COUNT(*) FROM ivf JOIN bf USING (q_id, n_id)) AS BIGINT)
+  UNION ALL
+  SELECT 'ivf_nprobe2',
+         CAST((SELECT COUNT(*) FROM ivf2 JOIN bf USING (q_id, n_id)) AS BIGINT)
+) CROSS JOIN tot""",
+)
+def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality monitoring as a query: recall@5 of each cosine
+    ANN tier against the exact brute-force answer, in one report —
+    the continuous-evaluation job a production vector store runs
+    beside its index builds (recall regressions from drifting data
+    distributions are silent otherwise). Integer hit counts divided
+    once — exact; every method reuses its catalog query's own plan."""
+    from riemann_spark.functions import similarity
+
+    e = load_table(spark, sf, "embeddings")
+    q_ = e.filter(F.col("vec_id") < 8)
+    bf = similarity.brute_force_topk(q_, e, 5).select("q_id", "n_id")
+    methods = {
+        "lsh": similarity.lsh_topk(q_, e, 5, _N_PLANES, _DIM),
+        "ivf": similarity.ivf_topk(q_, e, 5, _IVF_CELLS),
+        "ivf_nprobe2": similarity.ivf_topk(q_, e, 5, _IVF_CELLS, nprobe=2),
+    }
+    total = bf.count()
+    rows = []
+    for name, df in methods.items():
+        hits = df.select("q_id", "n_id").join(bf, ["q_id", "n_id"]).count()
+        rows.append((name, hits, hits / total))
+    return spark.createDataFrame(rows, "method string, hits long, recall_at_5 double")
