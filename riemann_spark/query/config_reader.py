@@ -268,12 +268,20 @@ def _compile_stream(df: DataFrame, form, topo: Topology) -> None:
         topo._add_index(df)
         return
     if head == "where":
-        pred, children = args[0], args[1:]
-        kept = stateless.where(df, compile_pred(pred))
+        pred, children = args[0], list(args[1:])
+        # (else child...) clause (streams.clj:1790-1810): non-matching
+        # events INCLUDING null comparisons, where_else's contract
+        elses = [c for c in children
+                 if isinstance(c, tuple) and c and isinstance(c[0], Sym)
+                 and c[0].name == "else"]
+        children = [c for c in children if c not in elses]
+        kept, other = stateless.where_else(df, compile_pred(pred))
         if children:
             _compile_children(kept, children, topo)
         else:
             topo._add_sink("where", kept)
+        for e in elses:
+            _compile_children(other, e[1:], topo)
     elif head == "default":
         kw, val, children = args[0], args[1], args[2:]
         out = stateless.default(df, {kw.name: float(val) if isinstance(val, int) and kw.name == "ttl" else val})

@@ -96,3 +96,18 @@ def test_unsupported_forms_raise_loudly(spark, events):
         load_config('(streams (exception-stream index))', events)
     with pytest.raises(ValueError, match="unsupported predicate"):
         load_config('(streams (where (fancy-fn 1) index))', events)
+
+
+def test_where_else_clause(spark, events):
+    cfg = """
+(streams
+  (where (= state "critical")
+    (email "page")
+    (else (email "archive"))))
+"""
+    topo = load_config(cfg, events)
+    page = [v for k, v in topo.sinks.items() if k.startswith("email")][0]
+    arch = [v for k, v in topo.sinks.items() if k.startswith("email")][1]
+    n_crit = events.filter(F.col("state") == "critical").count()
+    assert page.count() == n_crit > 0
+    assert arch.count() == events.count() - n_crit
