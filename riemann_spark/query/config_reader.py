@@ -337,6 +337,45 @@ def _compile_stream(df: DataFrame, form, topo: Topology) -> None:
         n, dt, children = int(args[0]), float(args[1]), args[2:]
         out = analytics.rollup(df, n, dt)
         _compile_leafish(out, children, topo, "rollup")
+    elif head == "over":
+        out = stateless.over(df, float(args[0]))
+        _compile_leafish(out, args[1:], topo, "over")
+    elif head == "under":
+        out = stateless.under(df, float(args[0]))
+        _compile_leafish(out, args[1:], topo, "under")
+    elif head == "percentiles":
+        interval, vec, children = float(args[0]), args[1], args[2:]
+        points = [float(p) for p in vec[1]]
+        out = analytics.percentiles(df, interval, points)
+        # percentile rows carry service+window_start+metric; re-shape
+        # to the event model the same way rate does
+        out = out.select(
+            F.lit(None).cast("string").alias("host"),
+            "service",
+            F.lit("ok").alias("state"),
+            F.col("window_start").alias("time"),
+            "metric",
+        )
+        _compile_leafish(out, children, topo, "percentiles")
+    elif head == "splitp":
+        # (splitp < metric t1 child1 t2 child2 default) — the cond
+        # split (streams.clj:1812-1916): first matching branch wins
+        cmp_sym, field_sym = args[0], args[1]
+        rest = list(args[2:])
+        default_child = rest.pop() if len(rest) % 2 == 1 else None
+        ops = {"<": "lt", ">": "gt", "<=": "leq", ">=": "geq"}
+        if cmp_sym.name not in ops:
+            raise ValueError(f"config reader: unsupported splitp op {cmp_sym}")
+        col = F.col(field_sym.name)
+        taken = F.lit(False)
+        for thresh, child in zip(rest[0::2], rest[1::2]):
+            c = {"lt": col < thresh, "gt": col > thresh,
+                 "leq": col <= thresh, "geq": col >= thresh}[ops[cmp_sym.name]]
+            branch = df.filter(~taken & F.coalesce(c, F.lit(False)))
+            _compile_children(branch, [child], topo)
+            taken = taken | F.coalesce(c, F.lit(False))
+        if default_child is not None:
+            _compile_children(df.filter(~taken), [default_child], topo)
     elif head == "tap":
         name_kw, children = args[0], args[1:]
         topo.taps[name_kw.name] = df

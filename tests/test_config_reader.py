@@ -111,3 +111,25 @@ def test_where_else_clause(spark, events):
     n_crit = events.filter(F.col("state") == "critical").count()
     assert page.count() == n_crit > 0
     assert arch.count() == events.count() - n_crit
+
+
+def test_over_under_percentiles_splitp(spark, events):
+    cfg = """
+(streams
+  (over 300 (email "big"))
+  (percentiles 86400 [0.5 0.95] index)
+  (splitp < metric
+    50  (email "low")
+    150 (email "mid")
+    (email "high")))
+"""
+    topo = load_config(cfg, events)
+    emails = [v for k, v in sorted(topo.sinks.items()) if k.startswith("email")]
+    big, low, mid, high = emails
+    assert big.count() == events.filter(F.col("metric") > 300).count() > 0
+    assert low.count() == events.filter(F.col("metric") < 50).count()
+    assert mid.count() == events.filter(
+        (F.col("metric") >= 50) & (F.col("metric") < 150)).count()
+    assert high.count() == events.filter(F.col("metric") >= 150).count()
+    assert low.count() + mid.count() + high.count() == events.count()
+    assert topo.index.count() > 0    # percentile events indexed per point
