@@ -376,6 +376,14 @@ def _compile_stream(df: DataFrame, form, topo: Topology) -> None:
             taken = taken | F.coalesce(c, F.lit(False))
         if default_child is not None:
             _compile_children(df.filter(~taken), [default_child], topo)
+    elif head == "ewma-timeless":
+        r_, children = float(args[0]), args[1:]
+        out = analytics.ewma_timeless(df, r_)
+        _compile_leafish(out, children, topo, "ewma")
+    elif head == "coalesce":
+        children = args[1:] if args and not isinstance(args[0], (tuple, Sym)) else args
+        out = analytics.coalesce_snapshot(df)
+        _compile_leafish(out, children, topo, "coalesce")
     elif head == "tap":
         name_kw, children = args[0], args[1:]
         topo.taps[name_kw.name] = df

@@ -133,3 +133,17 @@ def test_over_under_percentiles_splitp(spark, events):
     assert high.count() == events.filter(F.col("metric") >= 150).count()
     assert low.count() + mid.count() + high.count() == events.count()
     assert topo.index.count() > 0    # percentile events indexed per point
+
+
+def test_ewma_and_coalesce(spark, events):
+    cfg = """
+(streams
+  (ewma-timeless 0.5 (email "smoothed"))
+  (coalesce 5 (email "latest")))
+"""
+    topo = load_config(cfg, events)
+    sm = [v for k, v in sorted(topo.sinks.items()) if k.startswith("email")][0]
+    la = [v for k, v in sorted(topo.sinks.items()) if k.startswith("email")][1]
+    assert sm.count() == events.count()       # ewma re-emits every event
+    n_keys = events.select("host", "service").distinct().count()
+    assert la.count() == n_keys               # coalesce snapshot: one/key
