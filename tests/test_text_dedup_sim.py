@@ -751,6 +751,7 @@ def test_pq_compresses_and_keeps_recall(spark):
     assert hits >= 0.7 * sum(len(v) for v in ex_sets.values())
 
 
+@pytest.mark.slow
 def test_pq_trained_codebook_reduces_quantization_error(spark):
     from riemann_spark.functions import similarity
 
