@@ -357,6 +357,18 @@ def _compile_stream(df: DataFrame, form, topo: Topology) -> None:
             "metric",
         )
         _compile_leafish(out, children, topo, "percentiles")
+    elif head == "split":
+        # (split pred1 child1 pred2 child2 ... default?) — first
+        # matching predicate wins (streams.clj:1812-1916)
+        rest = list(args)
+        default_child = rest.pop() if len(rest) % 2 == 1 else None
+        taken = F.lit(False)
+        for pred, child in zip(rest[0::2], rest[1::2]):
+            c = F.coalesce(compile_pred(pred), F.lit(False))
+            _compile_children(df.filter(~taken & c), [child], topo)
+            taken = taken | c
+        if default_child is not None:
+            _compile_children(df.filter(~taken), [default_child], topo)
     elif head == "splitp":
         # (splitp < metric t1 child1 t2 child2 default) — the cond
         # split (streams.clj:1812-1916): first matching branch wins

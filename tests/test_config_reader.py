@@ -147,3 +147,21 @@ def test_ewma_and_coalesce(spark, events):
     assert sm.count() == events.count()       # ewma re-emits every event
     n_keys = events.select("host", "service").distinct().count()
     assert la.count() == n_keys               # coalesce snapshot: one/key
+
+
+def test_split_general_predicates(spark, events):
+    cfg = """
+(streams
+  (split
+    (= state "critical") (email "page")
+    (> metric 150)       (email "warn")
+    (email "rest")))
+"""
+    topo = load_config(cfg, events)
+    page, warn, rest = [v for k, v in sorted(topo.sinks.items())]
+    n_crit = events.filter(F.col("state") == "critical").count()
+    n_warn = events.filter(
+        (F.col("state") != "critical") & (F.col("metric") > 150)).count()
+    assert page.count() == n_crit
+    assert warn.count() == n_warn     # first-match-wins: critical excluded
+    assert page.count() + warn.count() + rest.count() == events.count()
