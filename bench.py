@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
+    "dedup_pair_provenance",
     "segment_dedup",
     "quality_classifier",
     "simhash",

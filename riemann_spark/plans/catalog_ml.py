@@ -2201,3 +2201,51 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         hits = df.select("q_id", "n_id").join(bf, ["q_id", "n_id"]).count()
         rows.append((name, hits, hits / total))
     return spark.createDataFrame(rows, "method string, hits long, recall_at_5 double")
+
+
+@q(
+    "dedup_pair_provenance",
+    f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+sets AS (SELECT doc, list(shingle) AS sset FROM sh GROUP BY doc),
+ver AS (SELECT doc1, doc2
+        FROM cand JOIN sets s1 ON s1.doc = cand.doc1
+                  JOIN sets s2 ON s2.doc = cand.doc2
+        WHERE len(list_intersect(s1.sset, s2.sset))
+              / CAST(len(s1.sset) + len(s2.sset)
+                     - len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) >= 0.5)
+SELECT least(d1.source, d2.source) AS source_a,
+       greatest(d1.source, d2.source) AS source_b,
+       d1.source = d2.source AS same_source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ver JOIN documents d1 ON d1.doc_id = ver.doc1
+         JOIN documents d2 ON d2.doc_id = ver.doc2
+GROUP BY 1, 2, 3""",
+)
+def dedup_pair_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pair provenance: verified MinHash pairs broken down by
+    source pair (order-normalized) — the report that surfaces mirror
+    sites and intra-source boilerplate separately, which decide
+    DIFFERENT actions (drop one mirror wholesale vs clean the
+    boilerplate). Pairs are id-only until the final provenance join;
+    sources attach by doc id — two narrow keyed joins."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_verified_pairs(d, 0.5, _N_HASHES, _BAND)
+    s1 = d.select(F.col("doc_id").alias("doc1"), F.col("source").alias("src1"))
+    s2 = d.select(F.col("doc_id").alias("doc2"), F.col("source").alias("src2"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .groupBy(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+            (F.col("src1") == F.col("src2")).alias("same_source"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
