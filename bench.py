@@ -102,6 +102,7 @@ HEADLINE = [
     "substring_dedup",
     "embedding_quantize",
     "dedup_clusters",
+    "dedup_cluster_sizes",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

@@ -2249,3 +2249,44 @@ def dedup_pair_provenance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@q(
+    "dedup_cluster_sizes",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id),
+sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize
+          FROM labels GROUP BY cluster)
+SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY csize""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-size histogram — the dedup capacity-planning number: how
+    much of the corpus sits in pairs vs big near-dup families decides
+    the keep-list's yield BEFORE running removal (n_docs - n_clusters
+    documents would drop at keep-one-per-cluster). Two tiny grouped
+    aggregates on top of connected components; at 100 TB the histogram
+    has at most |distinct sizes| rows."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs, "doc1", "doc2")
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("csize") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
