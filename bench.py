@@ -96,6 +96,7 @@ HEADLINE = [
     "json_roundtrip",
     "token_stats",
     "token_fertility",
+    "token_budget",
     "doc_fingerprint",
     "dedup_embedding",
     "semantic_dedup",

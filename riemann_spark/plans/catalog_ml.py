@@ -2290,3 +2290,39 @@ def dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.col("csize") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+@q(
+    "token_budget",
+    f"""
+WITH t AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
+              ELSE 'test' END AS split,
+         source,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens
+FROM t GROUP BY split, source""",
+)
+def token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """THE dataset question — how many training tokens, by split and
+    source: the held-out assignment (hash_split, repartition-stable)
+    crossed with BPE-ish token counts, one grouped sum. What every
+    run's data card and every mixture-weight decision reads first."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            text.hash_split("doc_id").alias("split"),
+            "source",
+            text.bpe_token_count("text").cast("long").alias("n_bpe"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_tokens"),
+        )
+    )
