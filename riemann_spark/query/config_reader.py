@@ -294,9 +294,17 @@ def _compile_stream(df: DataFrame, form, topo: Topology) -> None:
         out = stateless.scale(df, float(args[0]))
         _compile_children(out, args[1:], topo)
     elif head == "adjust":
-        (vec,) = args[:1]
-        _tag, field, fn, amount = None, vec[1][0], vec[1][1], vec[1][2]
-        raise ValueError("config reader: adjust with fn vectors not supported")
+        # (adjust [:field op arg] children) with arithmetic ops — the
+        # common config shape; arbitrary clojure fns stay unsupported
+        vec, children = args[0], args[1:]
+        items = vec[1]
+        if len(items) != 3 or not isinstance(items[1], Sym) or items[1].name not in "*+-/":
+            raise ValueError(f"config reader: unsupported adjust fn {items[1:] or items!r}")
+        field_kw, op_sym, amount = items
+        ops = {"*": lambda c: c * amount, "+": lambda c: c + amount,
+               "-": lambda c: c - amount, "/": lambda c: c / amount}
+        out = stateless.adjust(df, field_kw.name, ops[op_sym.name])
+        _compile_children(out, children, topo)
     elif head == "tag":
         out = stateless.tag(df, args[0])
         _compile_children(out, args[1:], topo)

@@ -165,3 +165,16 @@ def test_split_general_predicates(spark, events):
     assert page.count() == n_crit
     assert warn.count() == n_warn     # first-match-wins: critical excluded
     assert page.count() + warn.count() + rest.count() == events.count()
+
+
+def test_adjust_arithmetic(spark, events):
+    cfg = '(streams (adjust [:metric * 2.0] (email "doubled")))'
+    topo = load_config(cfg, events)
+    (sink,) = topo.sinks.values()
+    got = sink.agg(F.sum(F.col("metric").cast("decimal(38,6)")).cast("double")).collect()[0][0]
+    want = events.agg(
+        F.sum((F.col("metric") * 2.0).cast("decimal(38,6)")).cast("double")
+    ).collect()[0][0]
+    assert got == want
+    with pytest.raises(ValueError, match="unsupported adjust fn"):
+        load_config('(streams (adjust [:metric log] index))', events)
