@@ -110,6 +110,7 @@ HEADLINE = [
     "hash_split",
     "contamination",
     "contamination_bloom",
+    "contamination_report",
     "stratified_sample",
     "heavy_hitters_cms",
     "distinct_ngrams_kmv",

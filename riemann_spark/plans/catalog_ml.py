@@ -2326,3 +2326,45 @@ def token_budget(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_bpe").cast("long").alias("n_tokens"),
         )
     )
+
+
+@q(
+    "contamination_report",
+    f"""
+WITH tr AS {_gram4_sql("source != 'src0'")},
+ev AS (SELECT doc AS eval_doc, shingle FROM {_gram4_sql("source = 'src0'")} e),
+hit AS (SELECT DISTINCT tr.doc FROM tr JOIN ev ON tr.shingle = ev.shingle),
+docs AS (SELECT doc_id, source FROM documents WHERE source != 'src0')
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(h.doc) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(h.doc) AS DOUBLE) / COUNT(*) AS contamination_rate
+FROM docs d LEFT JOIN hit h ON h.doc = d.doc_id
+GROUP BY d.source""",
+)
+def contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source contamination rate — WHICH sources leak eval data
+    decides whether to drop the source or scrub the docs (a crawl
+    snapshot with 40% contamination is a different problem from a
+    curated source with 0.1%). One distinct-hit set joined back to the
+    per-source doc counts; rates are integer counts divided once."""
+    d = load_table(spark, sf, "documents")
+    train = d.filter(F.col("source") != "src0")
+    hits = (
+        dedup.ngram_contamination(train, d.filter(F.col("source") == "src0"), 4)
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("__hit").cast("long").alias("n_contaminated"),
+            (F.count("__hit").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+        )
+    )

@@ -283,12 +283,27 @@ def _compile_stream(df: DataFrame, form, topo: Topology) -> None:
         for e in elses:
             _compile_children(other, e[1:], topo)
     elif head == "default":
-        kw, val, children = args[0], args[1], args[2:]
-        out = stateless.default(df, {kw.name: float(val) if isinstance(val, int) and kw.name == "ttl" else val})
+        if isinstance(args[0], dict):
+            fields = {k.name: v for k, v in args[0].items()}
+            children = args[1:]
+        else:
+            fields = {args[0].name: args[1]}
+            children = args[2:]
+        fields = {
+            k: (float(v) if k == "ttl" and isinstance(v, int) else v)
+            for k, v in fields.items()
+        }
+        out = stateless.default(df, fields)
         _compile_children(out, children, topo)
     elif head == "with":
-        kw, val, children = args[0], args[1], args[2:]
-        out = stateless.with_fields(df, {kw.name: val})
+        # (with :field v children) or (with {:f1 v1 :f2 v2} children)
+        if isinstance(args[0], dict):
+            fields = {k.name: v for k, v in args[0].items()}
+            children = args[1:]
+        else:
+            fields = {args[0].name: args[1]}
+            children = args[2:]
+        out = stateless.with_fields(df, fields)
         _compile_children(out, children, topo)
     elif head == "scale":
         out = stateless.scale(df, float(args[0]))

@@ -178,3 +178,18 @@ def test_adjust_arithmetic(spark, events):
     assert got == want
     with pytest.raises(ValueError, match="unsupported adjust fn"):
         load_config('(streams (adjust [:metric log] index))', events)
+
+
+def test_with_and_default_map_forms(spark, events):
+    cfg = """
+(streams
+  (with {:state "forced" :description "note"} (email "w"))
+  (default {:ttl 9} (email "d")))
+"""
+    topo = load_config(cfg, events)
+    w = [v for k, v in sorted(topo.sinks.items()) if k.startswith("email")][0]
+    d = [v for k, v in sorted(topo.sinks.items()) if k.startswith("email")][1]
+    assert w.select("state").distinct().collect()[0][0] == "forced"
+    assert w.select("description").distinct().collect()[0][0] == "note"
+    # default only fills nulls; events carry ttl, so unchanged
+    assert d.filter(F.col("ttl") == 9.0).count() == 0
