@@ -97,6 +97,7 @@ HEADLINE = [
     "token_stats",
     "token_fertility",
     "token_budget",
+    "source_quality_matrix",
     "doc_fingerprint",
     "dedup_embedding",
     "semantic_dedup",
@@ -135,6 +136,7 @@ HEADLINE = [
     "retention_rollup",
     "graphite_roundtrip",
     "attribute_search",
+    "events_heatmap",
 ]
 
 

@@ -4122,3 +4122,34 @@ def holt_forecast_q(spark: SparkSession, sf: str) -> DataFrame:
     tail length, one shuffle on the key."""
     ev = load_events(spark, sf)
     return analytics.holt_forecast(ev, 10, 0.5, 0.25, 100)
+
+
+@q(
+    "events_heatmap",
+    f"""{_EV}
+SELECT CAST(dayofweek(to_timestamp("time")) + 1 AS INT) AS dow,
+       CAST(hour(to_timestamp("time")) AS INT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / COUNT(metric) AS mean_metric
+FROM ev GROUP BY dow, hod""",
+)
+def events_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the capacity/
+    seasonality profile every ops dashboard opens with (when do
+    errors spike, when is the quiet deploy window). At most 7×24
+    groups out of any volume; UTC on both engines by session conf.
+    DuckDB numbers Sunday 0, Spark numbers it 1 — the oracle adds 1."""
+    ev = load_events(spark, sf)
+    ts = F.timestamp_seconds(F.col("time"))
+    from riemann_spark.operators.folds import dmean
+
+    return (
+        ev.groupBy(
+            F.dayofweek(ts).cast("int").alias("dow"),
+            F.hour(ts).cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dmean("metric").alias("mean_metric"),
+        )
+    )

@@ -2368,3 +2368,50 @@ def contamination_report(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "source_quality_matrix",
+    f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+q_ AS (SELECT doc_id, source,
+         0.5 * ({_sw_count('toks', 'en')} / CAST(len(toks) AS DOUBLE))
+         + 0.3 * least(
+             (list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                          (a, b) -> a + b) / len(toks)) / 10.0, 1.0)
+         - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE)) AS quality,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+       FROM t)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(round(quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_quality,
+       CAST(SUM(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_length_ok
+FROM q_ GROUP BY source""",
+)
+def source_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality matrix — the data-card row mixture decisions
+    read beside token_budget: mean composite quality and the
+    length-gate pass count per source (a low-quality high-volume
+    source gets downweighted, not dropped). Quality sums quantize to
+    1e-6 integers so the mean is engine-exact."""
+    d = load_table(spark, sf, "documents")
+    q_ = d.select(
+        "source",
+        text.quality_score("text").alias("quality"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return q_.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.round(F.col("quality") * F.lit(1e6)).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("n_tokens") >= 20, 1).otherwise(0))
+        .cast("long")
+        .alias("n_length_ok"),
+    )
