@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "index_latest",
     "canonical_pipeline",
+    "config_topology",
     "index_search",
     "where_filter",
     "transform_fields",

@@ -4153,3 +4153,56 @@ def events_heatmap(spark: SparkSession, sf: str) -> DataFrame:
             dmean("metric").alias("mean_metric"),
         )
     )
+
+
+_TOPO_CONFIG = """
+(streams
+  (where (and (> metric 10) (not (service #"^riemann")))
+    (scale 0.001
+      (tag "scaled"
+        index))))
+"""
+
+
+@q(
+    "config_topology",
+    f"""{_EV},
+routed AS (
+  SELECT event_id, host, service, state,
+         metric * 0.001 AS metric,
+         list_prepend('scaled', tags) AS tags,
+         "time", ttl
+  FROM ev
+  WHERE metric > 10 AND NOT coalesce(regexp_matches(service, '^riemann'), false)
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY host, service ORDER BY "time" DESC, event_id DESC) AS rn
+    FROM routed
+  ) WHERE rn = 1 AND (state IS DISTINCT FROM 'expired')
+)
+SELECT host, service, state, metric, array_to_string(tags, ',') AS tags,
+       "time", event_id
+FROM latest""",
+)
+def config_topology(spark: SparkSession, sf: str) -> DataFrame:
+    """The config READER on the oracle surface: an embedded config
+    (where + predicate sub-language, scale, tag, index) compiles to a
+    topology whose index must equal the relational replay — parser,
+    predicate compiler, combinator mapping, and index semantics all
+    gated in one row (the shipped-config parity test covers the same
+    path structurally; this row value-checks it against DuckDB)."""
+    from riemann_spark.query.config_reader import load_config
+
+    ev = load_events(spark, sf)
+    topo = load_config(_TOPO_CONFIG, ev)
+    return topo.index.select(
+        "host",
+        "service",
+        "state",
+        "metric",
+        F.array_join("tags", ",").alias("tags"),
+        "time",
+        "event_id",
+    )
