@@ -20,68 +20,88 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # streaming watermark-closed family (round-2 additions)
-    "streaming_window_folds_closed",
-    "streaming_percentiles_closed",
-    "streaming_count_windows",
-    "streaming_trailing_window",
-    "streaming_dedup_fingerprints",
-    "streaming_changed_edges",
-    "streaming_throttle_weekly",
-    "streaming_apdex_closed",
-    "streaming_sessions_closed",
-    # round-2 fold / stateless / index additions
-    "fold_quotient",
-    "fold_quotient_take5",
-    "fold_mode",
-    "fold_mode_hourly",
-    "fold_generic",
-    "sreduce_runmax",
-    "smapcat_tags",
-    "sflatten_regroup",
-    "opentsdb_roundtrip",
-    "deps_algebra",
-    "index_delete_cohort",
-    "ewma_r01",
-    "asof_enrich",
+    # ---- ROUND-4 WINDOW (positions 1-50) -------------------------------
+    # Rotation goal: every catalog entry driver-hash-verified by round 5.
+    # 62 candidates this round (59 never-gated + 2 round-3 red rows fixed
+    # by BIGINT casts + dedup_minhash_lsh re-gated under the 32-bit chunk
+    # fix); the 12-entry overflow is the committed round-5 prefix below.
+    #
+    # The two round-3 red rows, re-gated first to prove the dtype fix:
     "sessionize",
-    # LLM-pipeline tier (catalog_ml) — dedup / similarity
-    "simhash",
-    "simhash_candidates",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
-    "dedup_embedding",
-    "dedup_clusters",
-    "dedup_keep_list",
-    "contamination",
-    "contamination_bloom",
-    # text analysis / curation
-    "token_stats",
-    "repetition_filter",
-    "gopher_gates",
-    "pii_scrub",
-    "hash_split",
-    "stratified_sample",
-    "mix_upsample",
     "sequence_packing",
-    "curation_pipeline",
-    "tfidf_top_terms",
-    "unigram_lm_score",
-    "embedding_quantize",
-    # sketches
-    "distinct_ngrams_kmv",
-    "distinct_ngrams_hll",
-    "corpus_profile",
-    # multimodal (real-codec path)
-    "multimodal_real_decode",
-    "multimodal_frames",
-    # position 51 — first in line for the round-4 window, re-gating
-    # minhash under the round-3 hash-width fix
+    # minhash re-gate under the round-3 hash-width fix:
     "dedup_minhash_lsh",
-    # deferred to round 4: knn_ivf_kmeans (rows-only by design),
-    # multimodal_features (md5-stub features; the real-decode row
-    # above is the meaningful one).
+    # TPC-H shapes never inside a driver window:
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    # dedup / similarity ML tier:
+    "dedup_minhash_verified",
+    "segment_dedup",
+    "semantic_dedup",
+    "substring_dedup",
+    "doc_fingerprint",
+    "dedup_pair_provenance",
+    "dedup_cluster_sizes",
+    # quality / curation:
+    "quality_classifier",
+    "curation_pipeline_cls",
+    "token_fertility",
+    "token_budget",
+    # ANN tier:
+    "knn_ivf_nprobe",
+    "knn_pq",
+    "knn_pq_rerank",
+    "knn_pq_trained",
+    "ann_recall_report",
+    # sketches / reports:
+    "heavy_hitters_cms",
+    "contamination_report",
+    "source_quality_matrix",
+    "events_heatmap",
+    # multimodal:
+    "audio_features",
+    "image_features",
+    "multimodal_jpeg_decode",
+    "multimodal_video_frames",
+    # analytics never gated:
+    "percentiles_histogram",
+    "percentiles_histogram_global",
+    "anomaly_zscore",
+    "flap_rate",
+    "slo_burn_rate",
+    "moving_median",
+    "retention_rollup",
+    "attribute_search",
+    "config_topology",
+    # wire codec:
+    "kafka_codec_roundtrip",
+    # ---- ROUND-5 PREFIX (positions 51+) --------------------------------
+    # The committed overflow: gate these first in round 5 (plus any
+    # round-4 catalog additions appended after them) to reach 169/169
+    # cumulative driver-verified coverage.
+    "streaming_percentiles_histogram_closed",
+    "streaming_heavy_hitters_closed",
+    "streaming_anomaly_drained",
+    "streaming_slo_burn_drained",
+    "streaming_batch_drained",
+    "streaming_fill_in_last_drained",
+    "streaming_coalesce_drained",
+    "streaming_top_drained",
+    "streaming_project_drained",
+    "holt_forecast",
+    "multimodal_features",
+    "knn_ivf_kmeans",
 ]
 
 

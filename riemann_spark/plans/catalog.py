@@ -2042,6 +2042,54 @@ def streaming_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_moving_time_drained",
+    f"""{_EV}
+SELECT a.host, a.service,
+       a.event_id AS trigger_event_id,
+       b.event_id, b."time", b.metric
+FROM ev a JOIN ev b
+  ON a.host = b.host AND a.service = b.service
+ AND (b."time" < a."time" OR (b."time" = a."time" AND b.event_id <= a.event_id))
+ AND b."time" > a."time" - 1800""",
+)
+def streaming_moving_time_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming moving-time-window (streams.clj:322-353;
+    stateful_ops.streaming_moving_time_window) value-checked EXACTLY:
+    the per-key horizon buffer re-emitted at every event must equal the
+    relational per-key range self-join (events within 1800s at or
+    before the trigger, max-event-time cutoff). No wall-clock timers,
+    so with one micro-batch and the per-batch (time, event_id) sort the
+    drained output is a pure function of the event sequence: in sorted
+    order the ratcheted cutoff at trigger i is exactly time_i - 1800,
+    which is what the oracle's range predicate states."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_moving_time_window
+
+    name = f"cat_smtw_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="smtw_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_moving_time_window(normalize_events(raw), 1800.0)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
     "streaming_dedup_fingerprints",
     f"""{_EV}
 SELECT DISTINCT md5(regexp_replace(lower(trim(description)), '\\s+', ' ', 'g'))
@@ -2706,8 +2754,8 @@ s AS (SELECT host, event_id, time_us, metric,
                   OR time_us - lag(time_us) OVER w > 1800000000
              THEN 1 ELSE 0 END AS nw
       FROM ev WINDOW w AS (PARTITION BY host ORDER BY time_us, event_id)),
-sid AS (SELECT *, SUM(nw) OVER (PARTITION BY host ORDER BY time_us, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+sid AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY host ORDER BY time_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM s)
 SELECT host, session_id,
        MIN(time_us) AS t_start, MAX(time_us) AS t_end,
@@ -3646,10 +3694,11 @@ pairs AS (
 ),
 sketch AS (
   SELECT window_start, j,
-         (SELECT SUM((strpos('0123456789abcdef',
+         CAST((SELECT SUM((strpos('0123456789abcdef',
                    substr(md5(CAST(p.j AS VARCHAR) || p.host), 1 + n.i, 1)) - 1)
                    * CAST(pow(16, 7 - n.i) AS BIGINT))
-          FROM (SELECT unnest(generate_series(0, 7)) AS i) n) % 256 AS b,
+          FROM (SELECT unnest(generate_series(0, 7)) AS i) n) % 256
+          AS BIGINT) AS b,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM pairs p GROUP BY 1, 2, 3
   HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0

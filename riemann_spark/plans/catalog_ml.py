@@ -790,9 +790,9 @@ def mix_upsample_q(spark: SparkSession, sf: str) -> DataFrame:
 WITH t AS (SELECT source, doc_id,
                   CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
 o AS (SELECT source, doc_id, n_tok,
-             COALESCE(SUM(n_tok) OVER (
+             CAST(COALESCE(SUM(n_tok) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
       FROM t)
 SELECT source, doc_id,
        off // 8192 AS bin,
@@ -1587,7 +1587,7 @@ g AS (SELECT doc_id AS doc,
 f AS (SELECT doc,
              CAST(COUNT(*) OVER (PARTITION BY gram) >= 2 AS BIGINT) AS dup
       FROM g)
-SELECT doc, COUNT(*) AS n_spans, SUM(dup) AS dup_spans,
+SELECT doc, COUNT(*) AS n_spans, CAST(SUM(dup) AS BIGINT) AS dup_spans,
        CAST(SUM(dup) AS DOUBLE) / COUNT(*) AS dup_frac
 FROM f GROUP BY doc""",
 )

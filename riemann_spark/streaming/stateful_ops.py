@@ -141,6 +141,92 @@ def streaming_moving_event_window(
     )
 
 
+# ----------------------------------------------- time sliding window --
+
+def streaming_moving_time_window(
+    sdf: DataFrame, n_seconds: float, keys: Sequence[str] = ("host", "service")
+) -> DataFrame:
+    """moving-time-window n, streaming EXACT port (streams.clj:322-353):
+    a sliding window of all events with times within the last n seconds,
+    using the maximum event time seen so far as the present-time
+    horizon. Every event that lands inside the window re-emits the
+    ENTIRE buffer — one output row per (trigger event, buffered event),
+    the flattened form of the reference's vector-of-events emission.
+
+    Reference semantics preserved exactly:
+    - the cutoff RATCHETS (``max cutoff (t - n)``) — a late event never
+      moves the horizon backwards;
+    - an event at or before the cutoff is dropped without emitting
+      (``send?`` false);
+    - events without times accrue in every window and always emit.
+
+    State is the per-key horizon buffer: O(events in the last n
+    seconds) per key, the same bound as the reference's atom. Within a
+    micro-batch rows are processed in (time, event_id) order, so a
+    drained single-batch run is a pure function of the event sequence
+    and admits a relational oracle (per-key range self-join).
+    """
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("trigger_event_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("time", DoubleType()),
+            StructField("metric", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cutoff", DoubleType()),
+            StructField("eids", ArrayType(LongType())),
+            StructField("times", ArrayType(DoubleType())),
+            StructField("metrics", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        if state.exists:
+            cutoff, eids, times, metrics = state.get
+            buf = list(zip(eids, times, metrics))
+        else:
+            cutoff, buf = 0.0, []
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
+        out = []
+        for row in rows.itertuples(index=False):
+            t = None if pd.isna(row.time) else float(row.time)
+            cutoff = max(cutoff, (t if t is not None else 0.0) - n_seconds)
+            send = t is None or t > cutoff
+            if send:
+                buf.append(
+                    (
+                        int(row.event_id),
+                        t,
+                        None if pd.isna(row.metric) else float(row.metric),
+                    )
+                )
+                buf = [e for e in buf if e[1] is None or e[1] > cutoff]
+                out.extend(
+                    (host, service, int(row.event_id), eid, et, em)
+                    for eid, et, em in buf
+                )
+        state.update(
+            (
+                cutoff,
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                [e[2] for e in buf],
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 # ---------------------------------------------------------- coalesce --
 
 def streaming_coalesce(

@@ -61,6 +61,35 @@ def test_streaming_moving_event_window(spark, tmpdirs):
     assert got == {0: (1.0, 1), 1: (3.0, 2), 2: (6.0, 3), 3: (9.0, 3)}
 
 
+def test_streaming_moving_time_window_exact(spark, tmpdirs):
+    """streams.clj:322-353 semantics across batches: horizon buffer
+    re-emitted per event, ratcheted cutoff, late-event drop."""
+    from riemann_spark.streaming.stateful_ops import streaming_moving_time_window
+
+    src, ckpt = tmpdirs
+    name = f"mtw_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [_mk(0, "a", "x", metric=1.0, t=100.0), _mk(1, "a", "x", metric=2.0, t=105.0)],
+        # t=120 pushes cutoff to 110 -> event 0 (t=100) ages out of the buffer
+        [_mk(2, "a", "x", metric=3.0, t=120.0)],
+        # LATE event at t=108 <= cutoff 110: dropped, no emission at all
+        [_mk(3, "a", "x", metric=9.0, t=108.0)],
+        # late-but-inside at t=115 > cutoff: emits {2, 3(no: dropped), 115}
+        [_mk(4, "a", "x", metric=4.0, t=115.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, lambda s: streaming_moving_time_window(s, 10.0), name, batches
+    )
+    emitted = {}
+    for r in rows:
+        emitted.setdefault(r.trigger_event_id, set()).add(r.event_id)
+    assert emitted[0] == {0}
+    assert emitted[1] == {0, 1}  # both inside 10s of t=105
+    assert emitted[2] == {2}  # cutoff 110 evicted 0 and 1
+    assert 3 not in emitted  # late event silently dropped
+    assert emitted[4] == {2, 4}  # in-window late event joins the buffer
+
+
 def test_streaming_top_demotion(spark, tmpdirs):
     src, ckpt = tmpdirs
     name = f"tp_{uuid.uuid4().hex[:8]}"

@@ -47,6 +47,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for the strictness check.
+
+    The driver's value hash is representation-sensitive: a BIGINT 1 and
+    a DOUBLE 1.0 hash differently even though they compare equal. So a
+    value-level match with an int-vs-float column mismatch is a latent
+    driver red row (round-3 sessionize/sequence_packing). Widths within
+    a family (int32 vs int64, float32 vs float64) are fine — the driver
+    canonicalizes those — but cross-family is a hard FAIL here.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
@@ -54,6 +75,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
         )
         return problems
+    for c in sorted(spark_pdf.columns):
+        fa, fb = dtype_family(spark_pdf[c]), dtype_family(duck_pdf[c])
+        if fa != fb:
+            problems.append(
+                f"dtype[{c}]: spark={spark_pdf[c].dtype} ({fa}) vs "
+                f"duck={duck_pdf[c].dtype} ({fb}) — driver hash would mismatch"
+            )
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
