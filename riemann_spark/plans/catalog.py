@@ -1280,6 +1280,71 @@ def graphite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "influx_line_roundtrip",
+    f"""{_EV},
+lines AS (
+  SELECT host, service,
+         CAST(CAST(metric AS DECIMAL(24,6)) AS VARCHAR) AS ms,
+         CAST(CAST(floor("time") AS BIGINT) AS VARCHAR) AS tss
+  FROM ev)
+SELECT host, service,
+       TRY_CAST(ms AS DOUBLE) AS metric,
+       TRY_CAST(tss AS DOUBLE) AS time
+FROM lines""",
+)
+def influx_line_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """InfluxDB line-protocol sink+source round-trip (influxdb.clj
+    event->point-9 :134-150): events encoded to
+    ``service,host=h value=1.5 ts`` lines (sources/tsdb_lines.py),
+    parsed back through the Column-only parser. The oracle replays the
+    same string pipeline (decimal-quantized metric, floored seconds) so
+    both engines parse identical strings — the graphite_roundtrip
+    discipline. Proves the vendor-sink formatter without a server."""
+    from riemann_spark.sources import events_to_influx_lines, influx_lines_to_events
+
+    ev = load_events(spark, sf)
+    lines = events_to_influx_lines(ev)
+    return influx_lines_to_events(lines).select("host", "service", "metric", "time")
+
+
+@q(
+    "prometheus_text_roundtrip",
+    f"""{_EV},
+lines AS (
+  SELECT regexp_replace(regexp_replace(service, '[^a-zA-Z0-9_]', '_', 'g'),
+                        '_{{2,}}', '_', 'g') AS name,
+         host,
+         array_to_string(tags, ',') AS tags_label,
+         CAST(CAST(metric AS DECIMAL(24,6)) AS VARCHAR) AS ms
+  FROM ev WHERE service IS NOT NULL AND metric IS NOT NULL)
+SELECT name, host, tags_label, TRY_CAST(ms AS DOUBLE) AS value
+FROM lines""",
+)
+def prometheus_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Prometheus exposition-text sink round-trip (prometheus.clj
+    generate-datapoint-with-labels :43-47, sanitization :12-15):
+    events encoded to ``name{{host="h",tags="a,b"}} 1.5`` lines and
+    parsed back (label values with embedded commas survive — the
+    splitter only breaks before ``key=`` boundaries). Name arrives
+    pre-sanitized on both sides; metric via the shared quantize-then-
+    parse discipline."""
+    from riemann_spark.sources import (
+        events_to_prometheus_text,
+        prometheus_text_to_samples,
+    )
+
+    ev = load_events(spark, sf)
+    lines = events_to_prometheus_text(ev)
+    s = prometheus_text_to_samples(lines)
+    return s.select(
+        "name",
+        F.col("labels")["host"].alias("host"),
+        F.col("labels")["tags"].alias("tags_label"),
+        "value",
+    )
+
+
+@q(
     "protobuf_roundtrip",
     f"""{_EV}
 SELECT host, service, state, description, metric,

@@ -24,4 +24,10 @@ from riemann_spark.sources.servers import (
     send_events_udp,
 )
 from riemann_spark.sources.sse import SseEventServer
+from riemann_spark.sources.tsdb_lines import (
+    events_to_influx_lines,
+    events_to_prometheus_text,
+    influx_lines_to_events,
+    prometheus_text_to_samples,
+)
 from riemann_spark.sources.websockets import WsClient, WsEventServer

@@ -143,6 +143,76 @@ def write_stream(
     return w.start()
 
 
+@register_sink("influxdb")
+def _influxdb_sink(
+    url: str,
+    tag_fields: tuple[str, ...] = ("host",),
+    precision: str = "seconds",
+    batch_limit: int = 10000,
+) -> SinkFn:
+    """InfluxDB sink (influxdb.clj:271): events encoded JVM-side to the
+    line protocol (sources/tsdb_lines.py), POSTed newline-joined to the
+    /write endpoint. Only the encoded LINES are collected (capped at
+    batch_limit), never event objects — the formatting stays
+    distributed; route raw-volume egress to kafka/parquet."""
+    import urllib.request
+
+    from riemann_spark.sources.tsdb_lines import events_to_influx_lines
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        lines = [
+            r["line"]
+            for r in events_to_influx_lines(
+                df, tag_fields=tag_fields, precision=precision
+            )
+            .limit(batch_limit)
+            .collect()
+        ]
+        if not lines:
+            return
+        req = urllib.request.Request(
+            url,
+            data=("\n".join(lines) + "\n").encode(),
+            headers={"Content-Type": "text/plain; charset=utf-8"},
+        )
+        urllib.request.urlopen(req, timeout=10)
+
+    return write
+
+
+@register_sink("prometheus")
+def _prometheus_sink(
+    url: str,
+    label_fields: tuple[str, ...] = ("host",),
+    batch_limit: int = 10000,
+) -> SinkFn:
+    """Prometheus pushgateway sink (prometheus.clj:118-145): events
+    encoded JVM-side to exposition text (sources/tsdb_lines.py) and
+    POSTed as one body per micro-batch — the reference's
+    prometheus-batch shape."""
+    import urllib.request
+
+    from riemann_spark.sources.tsdb_lines import events_to_prometheus_text
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        lines = [
+            r["line"]
+            for r in events_to_prometheus_text(df, label_fields=label_fields)
+            .limit(batch_limit)
+            .collect()
+        ]
+        if not lines:
+            return
+        req = urllib.request.Request(
+            url,
+            data=("\n".join(lines) + "\n").encode(),
+            headers={"Content-Type": "text/plain; version=0.0.4"},
+        )
+        urllib.request.urlopen(req, timeout=10)
+
+    return write
+
+
 @register_sink("riemann")
 def _riemann_forward_sink(host: str, port: int, batch_limit: int = 5000) -> SinkFn:
     """``forward`` (streams.clj:1255-1261): push events to another

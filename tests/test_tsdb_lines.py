@@ -1,0 +1,129 @@
+"""InfluxDB line protocol + Prometheus exposition formatters
+(sources/tsdb_lines.py): escaping edge cases the parquet fixture never
+hits, plus the sink registry wiring over a live HTTP endpoint."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from riemann_spark.sources import (
+    events_to_influx_lines,
+    events_to_prometheus_text,
+    influx_lines_to_events,
+    prometheus_text_to_samples,
+)
+
+EV_COLS = "host string, service string, metric double, time double, tags array<string>"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_COLS)
+
+
+def test_influx_escaping_roundtrip(spark):
+    rows = [
+        ("web 1", "api,latency p99", 1.5, 100.0, []),
+        ("h=2", "cpu idle", -3.25, 200.0, []),
+        ("plain", "mem", 0.000001, 300.5, []),
+    ]
+    lines = events_to_influx_lines(_ev(spark, rows))
+    got_lines = [r.line for r in lines.collect()]
+    # spaces/commas/equals escaped in identifiers
+    assert r"api\,latency\ p99,host=web\ 1 value=1.500000 100" in got_lines
+    assert r"cpu\ idle,host=h\=2 value=-3.250000 200" in got_lines
+    back = influx_lines_to_events(lines).orderBy("time").collect()
+    assert [(r.host, r.service, r.metric, r.time) for r in back] == [
+        ("web 1", "api,latency p99", 1.5, 100.0),
+        ("h=2", "cpu idle", -3.25, 200.0),
+        ("plain", "mem", 0.000001, 300.0),  # seconds precision floors time
+    ]
+
+
+def test_influx_null_and_empty_tags_dropped(spark):
+    rows = [(None, "svc", 1.0, 10.0, []), ("", "svc2", 2.0, 20.0, [])]
+    lines = [r.line for r in events_to_influx_lines(_ev(spark, rows)).collect()]
+    assert lines == ["svc value=1.000000 10", "svc2 value=2.000000 20"]
+
+
+def test_influx_precision_and_malformed(spark):
+    rows = [("h", "s", 1.0, 1.5, [])]
+    ms = events_to_influx_lines(_ev(spark, rows), precision="milliseconds")
+    assert ms.collect()[0].line.endswith(" 1500")
+    back = influx_lines_to_events(ms, precision="milliseconds").collect()[0]
+    assert back.time == 1.5
+    bad = spark.createDataFrame([("svc value=notanum 10",)], "line string")
+    parsed = influx_lines_to_events(bad).collect()[0]
+    assert parsed.metric is None and parsed.service == "svc"
+
+
+def test_prometheus_text_roundtrip_with_commas(spark):
+    rows = [("h1", "disk used %", 42.5, 1.0, ["a", "b"])]
+    lines = events_to_prometheus_text(_ev(spark, rows))
+    line = lines.collect()[0].line
+    assert line == 'disk_used_{host="h1",tags="a,b"} 42.500000'
+    s = prometheus_text_to_samples(lines).collect()[0]
+    assert s.name == "disk_used_"
+    assert s.labels["host"] == "h1"
+    assert s.labels["tags"] == "a,b"  # embedded comma survives the split
+    assert s.value == 42.5
+
+
+def test_prometheus_nil_guard_and_unquoted_parity(spark):
+    rows = [("h1", None, 1.0, 1.0, []), ("h2", "ok", None, 1.0, [])]
+    assert events_to_prometheus_text(_ev(spark, rows)).count() == 0
+    # bug-for-bug parity mode: unquoted label values (prometheus.clj:43-47)
+    rows2 = [("h1", "up", 1.0, 1.0, [])]
+    line = events_to_prometheus_text(
+        _ev(spark, rows2), quote_values=False
+    ).collect()[0].line
+    assert line == "up{host=h1} 1.000000"
+
+
+def test_prometheus_no_labels(spark):
+    rows = [(None, "up", 1.0, 1.0, [])]
+    line = events_to_prometheus_text(_ev(spark, rows)).collect()[0].line
+    assert line == "up{} 1.000000"
+    s = prometheus_text_to_samples(
+        spark.createDataFrame([(line,)], "line string")
+    ).collect()[0]
+    assert s.name == "up" and s.value == 1.0 and s.labels == {}
+
+
+class _Capture(http.server.BaseHTTPRequestHandler):
+    bodies: list[tuple[str, bytes]] = []
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        _Capture.bodies.append((self.path, self.rfile.read(n)))
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+def test_influx_and_prometheus_sinks_post_lines(spark):
+    from riemann_spark.streaming.sinks import make_sink
+
+    _Capture.bodies = []
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _Capture)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        df = _ev(spark, [("h1", "cpu", 1.5, 100.0, [])])
+        make_sink("influxdb", url=f"http://127.0.0.1:{port}/write?db=riemann")(df, 0)
+        make_sink(
+            "prometheus", url=f"http://127.0.0.1:{port}/metrics/job/riemann"
+        )(df, 0)
+        paths = [p for p, _ in _Capture.bodies]
+        assert "/write?db=riemann" in paths[0]
+        assert _Capture.bodies[0][1] == b"cpu,host=h1 value=1.500000 100\n"
+        assert _Capture.bodies[1][1] == b'cpu{host="h1"} 1.500000\n'
+    finally:
+        srv.shutdown()
