@@ -117,13 +117,12 @@ def streaming_index(sdf: DataFrame, watermark: str = "0 seconds") -> DataFrame:
     ``state="expired"`` rows when TTLs lapse. Feed the output back to a
     source topic for the reference's reinject loop (SURVEY §2.7 —
     Spark DAGs are acyclic, so feedback is a Kafka round-trip)."""
+    from riemann_spark.streaming.state_api import apply_with_state
+
     sdf = with_event_timestamp(sdf).withWatermark("event_ts", watermark)
-    return sdf.groupBy("host", "service").applyInPandasWithState(
-        _update,
-        OUTPUT_SCHEMA,
-        STATE_SCHEMA,
-        "append",
-        GroupStateTimeout.EventTimeTimeout,
+    return apply_with_state(
+        sdf, ("host", "service"), _update, OUTPUT_SCHEMA, STATE_SCHEMA,
+        timeout=GroupStateTimeout.EventTimeTimeout,
     )
 
 

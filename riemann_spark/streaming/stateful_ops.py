@@ -1,11 +1,16 @@
 """Custom stateful streaming operators (SURVEY §4 items 3-4 — the
 pieces with no Catalyst/built-in equivalent).
 
-All are ``applyInPandasWithState`` per-key state machines. Within a
-micro-batch, rows are processed in (time, event_id) order — the
-deterministic stand-in for the reference's arrival order; cross-batch
-disorder is handled by each operator's own semantics (ewma's negative
-Δt branch, the index's max-by-time).
+All are per-key state machines written against the
+``applyInPandasWithState`` contract and routed through
+``state_api.apply_with_state`` — the single seam where the Spark 4
+``transformWithStateInPandas`` API plugs in once ``google.protobuf``
+is available (see state_api.STATE_TABLE for each operator's state
+contract). Within a micro-batch, rows are processed in
+(time, event_id) order — the deterministic stand-in for the
+reference's arrival order; cross-batch disorder is handled by each
+operator's own semantics (ewma's negative Δt branch, the index's
+max-by-time).
 
 - ``streaming_ewma``: half-life EWMA (streams.clj:979-1013) — exact
   port of the three Δt branches: decay r^Δt forward, back-decayed
@@ -38,6 +43,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from riemann_spark.streaming.state_api import apply_with_state
 
 _EV_OUT = StructType(
     [
@@ -93,9 +100,10 @@ def streaming_ewma(sdf: DataFrame, halflife: float, keys: Sequence[str] = ("host
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in _EV_OUT.fields])
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, _EV_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, _EV_OUT, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 # ---------------------------------------------- count sliding window --
@@ -136,9 +144,10 @@ def streaming_moving_event_window(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 # ----------------------------------------------- time sliding window --
@@ -222,9 +231,10 @@ def streaming_moving_time_window(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 # ---------------------------------------------------------- coalesce --
@@ -301,9 +311,10 @@ def streaming_coalesce(
         return
         yield  # pragma: no cover — make this a generator
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )
 
 
 # ------------------------------------------------ fixed event window --
@@ -354,9 +365,10 @@ def streaming_fixed_event_window(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 # ---------------------------------------------------------- fill-in --
@@ -434,9 +446,10 @@ def streaming_fill_in_last(
         if out:
             yield pd.DataFrame(out, columns=cols)
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        upd, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
-    )
+    return apply_with_state(
+        sdf, keys, upd, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )
 
 
 # ------------------------------------------------------ batch n|dt --
@@ -527,9 +540,10 @@ def streaming_batch(
         if out:
             yield pd.DataFrame(out, columns=cols)
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )
 
 
 # -------------------------------------------------------------- top --
@@ -649,9 +663,10 @@ def streaming_top(
             yield pd.DataFrame(out, columns=[f.name for f in TOP_OUT.fields])
 
     one = sdf.withColumn("__g", F.lit(1))
-    return one.groupBy("__g").applyInPandasWithState(
-        update, TOP_OUT, _TOP_STATE, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        one, ("__g",), update, TOP_OUT, _TOP_STATE,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 # --------------------------------------------------------- throttle --
@@ -692,9 +707,10 @@ def streaming_throttle(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in _EV_OUT.fields])
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, _EV_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, _EV_OUT, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 # ---------------------------------------------------------- changed --
@@ -741,9 +757,10 @@ def streaming_changed(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 def streaming_project(
@@ -814,9 +831,10 @@ def streaming_project(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return flagged.groupBy("__g").applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        flagged, ("__g",), update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
 
 
 def streaming_anomaly_zscore(
@@ -893,6 +911,7 @@ def streaming_anomaly_zscore(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
