@@ -72,6 +72,12 @@ HEADLINE = [
     "dedup_minhash_verified",
     "dedup_pair_provenance",
     "segment_dedup",
+    "segment_dedup_keep_first",
+    "shuffle_shards",
+    "mix_temperature",
+    "knn_hamming",
+    "influx_line_roundtrip",
+    "prometheus_text_roundtrip",
     "quality_classifier",
     "simhash",
     "knn_bruteforce",

@@ -414,6 +414,117 @@ def sequence_packing(
     )
 
 
+def segment_dedup_keep_first(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-first duplicated-segment removal: where ``segment_dedup``
+    cuts EVERY occurrence of an over-represented chunk, this keeps the
+    canonical first occurrence — min (doc id, position) across the
+    corpus — and cuts only the repeats, so no content is lost entirely
+    (the RefinedWeb/MassiveText dedup posture: one copy survives).
+
+    Shape: posexplode segments; the canonical owner per segment is a
+    groupBy(seg) min_by aggregate (map-side combinable, one row per
+    distinct segment into the shuffle — same skew argument as
+    segment_dedup: never a window partitioned by content); join back,
+    keep rows matching the canonical (doc,pos) or unique; rebuild per
+    doc. Returns (id, clean_text, n_segs, n_dropped)."""
+    seg = df.select(
+        F.col(id_col), F.posexplode(segments(text_col, seg_tokens)).alias("pos", "seg")
+    )
+    canon = seg.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_at")
+    )
+    seg = seg.join(canon, "seg").withColumn(
+        "__keep",
+        (F.col("first_at")[id_col] == F.col(id_col))
+        & (F.col("first_at")["pos"] == F.col("pos")),
+    )
+    kept = F.when(F.col("__keep"), F.struct("pos", "seg"))
+    return seg.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["seg"])
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    (shard, pos) — shard by md5-prefix bucket, position by md5 order
+    within the shard. The pre-training data-layout primitive: the
+    order is pseudo-random w.r.t. any content attribute, yet EXACTLY
+    reproducible across runs, engines, and repartitionings (no
+    rand(), no monotonically_increasing_id partition dependence).
+
+    Scale shape: one Exchange on shard (uniform by construction — md5
+    prefixes don't skew), one sort per shard; at 100 TB this is the
+    write-side layout job (shard = output file), and the sort is
+    within-partition only."""
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.select(F.col(id_col), shard, h.alias("__h"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def mix_temperature(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixing weights (the multilingual-sampling
+    rule of arXiv:1901.07291 §3.1, standard for corpus mixing):
+    p_s ∝ n_s^α flattens source imbalance — α=1 is proportional,
+    α→0 uniform. Returns per source: n_docs, the raw and tempered
+    sampling probabilities, and the boost factor (p_temp/p_raw) to
+    feed ``mix_upsample``.
+
+    Two tiny aggregates (per-source counts, then a one-row broadcast
+    of the normalizers) — key-cardinality-sized at any corpus size.
+    Probabilities rounded to 6dp: pow(x, α) is the one expression
+    here with engine-dependent last-ulp behavior."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("pow_total"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("p_raw"),
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                / F.col("pow_total"),
+                6,
+            ).alias("p_temp"),
+            F.round(
+                (
+                    F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                    / F.col("pow_total")
+                )
+                / (F.col("n_docs") / F.col("n_total")),
+                6,
+            ).alias("boost"),
+        )
+    )
+
+
 def segments(col: str | Column = "text", seg_tokens: int = 10) -> Column:
     """Non-overlapping token chunks of ``seg_tokens`` — the dedup unit
     for corpora without line structure (a paragraph/line proxy; C4 and

@@ -1679,6 +1679,123 @@ def segment_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     return text.segment_dedup(d, _SEG_W, 1)
 
 
+@q(
+    "segment_dedup_keep_first",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+segs AS (SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(1, CAST(ceil(len(t) / {_SEG_W}.0) AS INT)),
+                  i -> {{'pos': i,
+                        'seg': array_to_string(t[(i-1)*{_SEG_W}+1 : i*{_SEG_W}], ' ')}}))
+                  AS u
+         FROM toks),
+canon AS (SELECT doc_id, u.pos AS pos, u.seg AS seg,
+                 min(struct_pack(d := doc_id, p := u.pos))
+                   OVER (PARTITION BY u.seg) AS first_at
+          FROM segs)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY pos)
+                  FILTER (WHERE first_at.d = doc_id AND first_at.p = pos),
+                '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN first_at.d = doc_id AND first_at.p = pos
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM canon GROUP BY doc_id""",
+)
+def segment_dedup_keep_first_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first segment dedup (RefinedWeb posture, arXiv:2306.01116
+    §G vs the cut-all CCNet form above): the corpus-wide FIRST
+    occurrence — min (doc_id, pos) — of each 10-token chunk survives;
+    repeats are cut. min_by groupBy on the segment (skew-safe like
+    segment_dedup), join back, one rebuild shuffle."""
+    d = load_table(spark, sf, "documents")
+    return text.segment_dedup_keep_first(d, _SEG_W)
+
+
+@q(
+    "shuffle_shards",
+    """
+WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+s AS (SELECT doc_id, hh,
+             CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8
+               AS BIGINT) AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+         AS BIGINT) AS pos
+FROM s""",
+)
+def shuffle_shards_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle into 8 shards
+    (text.shuffle_shards): md5-prefix shard + md5-order position —
+    reproducible pseudo-random layout, no rand(). One uniform
+    Exchange + per-shard sort; the 100 TB write-layout job."""
+    d = load_table(spark, sf, "documents")
+    return text.shuffle_shards(d, 8)
+
+
+@q(
+    "mix_temperature",
+    """
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+             SUM(pow(CAST(n_docs AS DOUBLE), 0.7)) AS pow_total
+      FROM c)
+SELECT source, n_docs,
+       round(n_docs / n_total, 6) AS p_raw,
+       round(pow(CAST(n_docs AS DOUBLE), 0.7) / pow_total, 6) AS p_temp,
+       round((pow(CAST(n_docs AS DOUBLE), 0.7) / pow_total)
+             / (n_docs / n_total), 6) AS boost
+FROM c, t""",
+)
+def mix_temperature_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based mixing weights, α=0.7 (arXiv:1901.07291
+    §3.1): p_s ∝ n_s^0.7 flattens source imbalance; boost = the
+    upsample factor to feed mix_upsample. Key-cardinality-sized
+    aggregates only."""
+    d = load_table(spark, sf, "documents")
+    return text.mix_temperature(d, 0.7)
+
+
+@q(
+    "knn_hamming",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id,
+  CAST(list_sum(list_transform(generate_series(0, 31),
+    i -> CASE WHEN v[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))
+    AS BIGINT) AS b_lo,
+  CAST(list_sum(list_transform(generate_series(0, 31),
+    i -> CASE WHEN v[i+33] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))
+    AS BIGINT) AS b_hi
+  FROM e),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(bit_count(xor(q.b_lo, c.b_lo))
+            + bit_count(xor(q.b_hi, c.b_hi)) AS BIGINT) AS hamming
+  FROM b q JOIN b c ON q.vec_id < 8 AND q.vec_id != c.vec_id
+)
+SELECT q_id, n_id, hamming, rank FROM (
+  SELECT q_id, n_id, hamming,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY hamming, n_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+)
+def knn_hamming_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-quantized ANN: 1 bit/component sign codes (two 32-bit
+    words per 64-dim vector, 256x smaller than float32), top-5 by
+    XOR+popcount Hamming distance — the integer-ALU search tier under
+    the int8 embedding_quantize row. Same broadcast-scan plan as
+    knn_bruteforce; the quantized code table is the 100 TB
+    materialization story."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.hamming_topk(e.filter(F.col("vec_id") < 8), e, 5)
+
+
 _CLS_DIM = 1024
 _W52 = _nibble_52_of(
     f"substr(md5('w' || CAST(({_nibble_32('md5(tok)')}) % {_CLS_DIM} AS VARCHAR)), 1, 13)"

@@ -783,3 +783,72 @@ def test_pq_trained_codebook_reduces_quantization_error(spark):
     a = sorted((r.m, r.code, tuple(r.cw)) for r in trained.collect())
     b = sorted((r.m, r.code, tuple(r.cw)) for r in t2.collect())
     assert a == b
+
+
+def test_segment_dedup_keep_first_retains_canonical_copy(spark):
+    from riemann_spark.functions import text as tx
+
+    dup = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, dup + " " + "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+            (2, dup + " " + "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+            (3, dup),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.segment_dedup_keep_first(docs, 10).collect()}
+    # doc 1 holds the canonical (min doc_id, pos) copy — it KEEPS it
+    assert out[1].clean_text == dup + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    assert out[1].n_dropped == 0
+    # later holders lose the repeat
+    assert out[2].clean_text == "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    assert out[2].n_dropped == 1
+    assert out[3].clean_text == "" and out[3].n_dropped == 1
+
+
+def test_shuffle_shards_deterministic_partition_of_all_docs(spark):
+    from riemann_spark.functions import text as tx
+
+    docs = spark.createDataFrame([(i, "t") for i in range(200)], "doc_id long, text string")
+    a = {r.doc_id: (r.shard, r.pos) for r in tx.shuffle_shards(docs, 4).collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in tx.shuffle_shards(docs.repartition(7), 4).collect()}
+    assert a == b  # stable under repartitioning
+    assert set(s for s, _ in a.values()) == {0, 1, 2, 3}
+    # positions are 1..n within each shard, no gaps or ties
+    for s in range(4):
+        ps = sorted(p for sh, p in a.values() if sh == s)
+        assert ps == list(range(1, len(ps) + 1))
+
+
+def test_mix_temperature_flattens_and_sums_to_one(spark):
+    from riemann_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = {r.source: r for r in tx.mix_temperature(docs, 0.5).collect()}
+    assert abs(out["big"].p_temp + out["small"].p_temp - 1.0) < 1e-6
+    # temperature boosts the minority source, shrinks the majority
+    assert out["small"].boost > 1.0 > out["big"].boost
+    assert out["small"].p_temp > out["small"].p_raw
+
+
+def test_sign_quantize_and_hamming_topk(spark):
+    from riemann_spark.functions import similarity as sim
+
+    # v0/v1 identical signs; v2 differs in exactly 3 components
+    base = [1.0] * 32 + [-1.0] * 32
+    v1 = list(base)
+    v2 = list(base)
+    v2[0], v2[40], v2[63] = -1.0, 1.0, 1.0
+    df = spark.createDataFrame(
+        [(0, base), (1, v1), (2, v2)], "vec_id long, embedding array<float>"
+    )
+    q = sim.sign_quantize(df)
+    rows = {r.vec_id: (r.b_lo, r.b_hi) for r in q.collect()}
+    assert rows[0] == rows[1]
+    got = sim.hamming_topk(df.filter("vec_id = 0"), df, 2).collect()
+    assert [(r.n_id, r.hamming) for r in got] == [(1, 0), (2, 3)]
