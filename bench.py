@@ -63,6 +63,10 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
     "revenue_top10",
     "regional_revenue",
     "text_features",

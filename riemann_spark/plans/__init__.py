@@ -102,6 +102,18 @@ _GATE_PRIORITY = [
     "holt_forecast",
     "multimodal_features",
     "knn_ivf_kmeans",
+    # round-4 catalog additions (never gated yet):
+    "streaming_moving_time_drained",
+    "influx_line_roundtrip",
+    "prometheus_text_roundtrip",
+    "segment_dedup_keep_first",
+    "shuffle_shards",
+    "mix_temperature",
+    "knn_hamming",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
 ]
 
 

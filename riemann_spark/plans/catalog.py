@@ -3518,6 +3518,248 @@ def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tpch_q2",
+    """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(CAST(round(l_extendedprice / l_quantity * 10000.0) AS BIGINT))
+           AS DOUBLE) / 10000.0 AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+cand AS (
+  SELECT c.l_partkey AS pk, e.s_name, e.s_acctbal, e.n_name, c.unit_cost,
+         row_number() OVER (PARTITION BY c.l_partkey
+                            ORDER BY c.unit_cost, c.l_suppkey) AS rn
+  FROM cost c JOIN eu e ON c.l_suppkey = e.s_suppkey)
+SELECT cand.s_acctbal, cand.s_name, cand.n_name,
+       p.p_partkey, p.p_type, cand.unit_cost
+FROM cand JOIN part p ON cand.pk = p.p_partkey AND p.p_size = 15
+WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""",
+)
+def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-cost-supplier (TPC-H Q2 shape; lineitem stands in for
+    the absent partsupp as the part↔supplier link, min unit price for
+    supplycost): the correlated MIN subquery realized as a per-part
+    window over EUROPEAN candidates — rank computed BEFORE the part-dim
+    join, so the window input is the (part,supplier) aggregate, never
+    the fact table. Unit costs quantized to 10^-4 so the MIN and the
+    tie-break are bit-identical across engines; total order on the
+    output makes the LIMIT deterministic."""
+    li = load_table(spark, sf, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000.0)
+                .cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("unit_cost")
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    cand = (
+        cost.join(eu, cost.l_suppkey == eu.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_size") == 15)
+    return (
+        cand.join(p, cand.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q11",
+    """
+WITH eu_li AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS value
+  FROM eu_li GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total
+  FROM eu_li)
+SELECT v.l_partkey AS p_partkey, v.value
+FROM v, t
+WHERE v.value > t.total * 0.001
+ORDER BY v.value DESC, p_partkey""",
+)
+def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Important-stock (TPC-H Q11 shape; lineitem value per part from
+    European suppliers stands in for ps_supplycost*ps_availqty): the
+    HAVING-against-scalar-subquery realized as a one-row broadcast
+    joined into the per-part aggregate. Both the per-part values and
+    the grand total sum exact cent-quantized integers, so the
+    threshold comparison is engine-exact. One lineitem shuffle on
+    partkey; the supplier/nation/region chain broadcasts."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_li = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    v = eu_li.groupBy("l_partkey").agg(msum("l_extendedprice", 2).alias("value"))
+    t = eu_li.agg(msum("l_extendedprice", 2).alias("total"))
+    return (
+        v.join(F.broadcast(t))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@q(
+    "tpch_q20",
+    """
+WITH qty AS (
+  SELECT l.l_suppkey,
+         CAST(SUM(CAST(round(l.l_quantity * 100.0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1)
+SELECT s.s_name, s.s_acctbal, q.total_qty
+FROM supplier s
+JOIN qty q ON s.s_suppkey = q.l_suppkey AND q.total_qty > 100.0
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+ORDER BY s_name""",
+)
+def tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Excess-stock suppliers (TPC-H Q20 shape; shipped quantity of
+    'small%' parts in 1997 stands in for the availqty threshold): the
+    nested-IN chain realized as filter-pushdown joins — part name
+    filter broadcasts into the lineitem scan, date range pushed to the
+    parquet scan, one suppkey aggregate, then the supplier/nation/
+    region semi-chain over the (tiny) qualifying-supplier set."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    qty = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(msum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 100.0)
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(qty, s.s_suppkey == qty.l_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "s_acctbal", "total_qty")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "tpch_q21",
+    """
+WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+lo AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                         AND o.o_orderstatus = 'F'
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  GROUP BY 1, 2),
+late_cnt AS (SELECT l_orderkey, COUNT(*) AS n_late FROM lo GROUP BY 1),
+sup_cnt AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_sup
+            FROM li GROUP BY 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lo
+JOIN late_cnt USING (l_orderkey)
+JOIN sup_cnt USING (l_orderkey)
+JOIN supplier s ON lo.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+WHERE n_late = 1 AND n_sup >= 2
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100""",
+)
+def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape; 'late' =
+    shipped >60 days after the order date, standing in for the absent
+    receipt/commit dates): the EXISTS realized as a LEFT SEMI join
+    against multi-supplier orders and the NOT EXISTS as a LEFT ANTI
+    join against other-supplier late pairs — a genuinely different
+    algorithm from the oracle's count-based formulation (n_late = 1 ∧
+    n_sup ≥ 2), same fixpoint. All joins shuffle on orderkey before
+    the supplier rollup; the supplier/nation/region chain broadcasts."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    # EXISTS another supplier on the order → semi join
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_sup"))
+        .filter(F.col("n_sup") >= 2)
+        .select("l_orderkey")
+    )
+    waiting = lo.join(multi, "l_orderkey", "left_semi")
+    # NOT EXISTS another LATE supplier → anti join on the pair table
+    others = lo.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    sole = waiting.join(
+        others,
+        (waiting.l_orderkey == others.o_ok) & (waiting.l_suppkey != others.o_sk),
+        "left_anti",
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@q(
     "attribute_search",
     f"""{_EV}
 SELECT service, state,
