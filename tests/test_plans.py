@@ -350,3 +350,67 @@ def test_tpch_q22_anti_join_projects_orders_to_custkey(spark):
     p = plan_of(spark, "tpch_q22")
     assert "LeftAnti" in p
     assert "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>" in p
+
+
+def test_tpch_q2_window_over_aggregate_not_fact(spark):
+    """The correlated-min window must run over the (part, supplier)
+    aggregate — a Window whose child is the lineitem scan would
+    materialize the fact table per-part."""
+    p = plan_of(spark, "tpch_q2")
+    import re
+
+    # plan node ids are post-order (children execute first): the cost
+    # HashAggregate's id must be smaller than the Window's id
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    win_ids = [int(m) for m in re.findall(r"\bWindow \((\d+)\)", p)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids), p[:1500]
+    # rn = 1 gets the group-limit pushdown (no full per-part sort kept)
+    assert "WindowGroupLimit" in p
+
+
+def test_tpch_q11_scalar_total_broadcasts(spark):
+    p = plan_of(spark, "tpch_q11")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p  # cent sums combine map-side
+
+
+def test_tpch_q20_filters_push_to_scans(spark):
+    p = plan_of(spark, "tpch_q20")
+    assert "StringStartsWith(p_name,small)" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+
+
+def test_tpch_q21_semi_and_anti_joins(spark):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, and the status
+    filter reaches the orders scan."""
+    p = plan_of(spark, "tpch_q21")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "EqualTo(o_orderstatus,F)" in p
+
+
+def test_knn_hamming_broadcast_and_group_limit(spark):
+    """Binary ANN: queries broadcast; the per-query top-k must get the
+    WindowGroupLimit map-side pushdown (local k-heaps, no full sort of
+    the scored stream)."""
+    p = plan_of(spark, "knn_hamming")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "EvalPython" not in p  # XOR+popcount stays JVM-side
+
+
+def test_shuffle_shards_single_exchange(spark):
+    p = plan_of(spark, "shuffle_shards")
+    import re
+
+    n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n == 1, p[:1500]
+
+
+def test_segment_dedup_keep_first_no_content_window(spark):
+    """The canonical-owner pass must be a groupBy on the segment (skew
+    -safe partial agg), never a Window partitioned by segment content."""
+    p = plan_of(spark, "segment_dedup_keep_first")
+    assert "Window" not in p
+    assert "partial_min" in p
