@@ -78,6 +78,20 @@ def test_recipe_7_wire_formats(spark, events):
     back = graphite_lines_to_events(lines)
     assert back.count() == events.count()
 
+    from riemann_spark.sources import (
+        events_to_influx_lines,
+        events_to_prometheus_text,
+        influx_lines_to_events,
+    )
+    from riemann_spark.streaming.sinks import make_sink
+
+    ilines = events_to_influx_lines(events)
+    iback = influx_lines_to_events(ilines)
+    assert iback.count() == events.count()
+    prom = events_to_prometheus_text(events)
+    assert prom.count() == events.filter("metric is not null").count()
+    assert callable(make_sink("influxdb", url="http://influx:8086/write?db=riemann"))
+
 
 def test_recipe_8_streaming(spark, tmp_path):
     from riemann_spark.streaming.ops import streaming_rate
