@@ -76,3 +76,89 @@ def read_events_range(
         & (F.col(time_col) >= t_from)
         & (F.col(time_col) < t_to)
     )
+
+
+def partition_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition file census for the lake: (event_date, n_files,
+    bytes, mean_file_bytes). Streaming ingest with frequent triggers
+    fragments partitions into thousands of tiny parquet files — the
+    listing/open overhead wall at 100 TB — and this is the signal that
+    drives compaction. Metadata-only: reads the file index, never the
+    data (input_file_name over a 0-column projection would still open
+    footers; the Hadoop listing does not)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    rows = []
+    for part in fs.listStatus(p):
+        if not part.isDirectory():
+            continue
+        name = part.getPath().getName()
+        if "=" not in name:
+            continue
+        date = name.split("=", 1)[1]
+        files = [
+            f
+            for f in fs.listStatus(part.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        total = sum(f.getLen() for f in files)
+        rows.append((date, len(files), total))
+    return spark.createDataFrame(
+        rows, "event_date string, n_files long, bytes long"
+    ).withColumn(
+        "mean_file_bytes",
+        (F.col("bytes") / F.greatest(F.col("n_files"), F.lit(1))).cast("long"),
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+    sort_keys: tuple[str, ...] = ("host", "service", "time"),
+) -> DataFrame:
+    """Bin-pack fragmented partitions into ~``target_file_bytes``
+    files (the OPTIMIZE/compaction maintenance job every streaming
+    lake needs). Only partitions with ≥ ``min_files_to_compact`` files
+    are rewritten — each independently, via coalesce(ceil(bytes/
+    target)) so compaction is a narrow, shuffle-free rewrite — and
+    re-sorted on ``sort_keys`` to restore parquet min/max stat
+    skipping that interleaved micro-batch files destroy. Readers are
+    never blocked: parquet overwrite per partition directory is the
+    lake's atomic unit. Returns the before/after census of the
+    partitions it rewrote."""
+    import math
+
+    stats = partition_file_stats(spark, path).filter(
+        F.col("n_files") >= min_files_to_compact
+    )
+    todo = [(r.event_date, r.n_files, r.bytes) for r in stats.collect()]
+    out = []
+    for date, n_files, nbytes in todo:
+        part_path = f"{path}/event_date={date}"
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        if n_target >= n_files:
+            continue
+        df = spark.read.parquet(part_path)
+        keys = [k for k in sort_keys if k in df.columns]
+        compacted = df.coalesce(n_target)
+        if keys:
+            compacted = compacted.sortWithinPartitions(*keys)
+        # stage-then-swap: never read and overwrite the same dir in one job
+        staging = f"{path}/.compact_tmp_event_date={date}"
+        compacted.write.mode("overwrite").parquet(staging)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(part_path), True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(staging),
+            jvm.org.apache.hadoop.fs.Path(part_path),
+        )
+        out.append((date, n_files, n_target, nbytes))
+    return spark.createDataFrame(
+        out, "event_date string, files_before long, files_after long, bytes long"
+    )

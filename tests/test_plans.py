@@ -414,3 +414,43 @@ def test_segment_dedup_keep_first_no_content_window(spark):
     p = plan_of(spark, "segment_dedup_keep_first")
     assert "Window" not in p
     assert "partial_min" in p
+
+
+def test_compaction_bin_packs_and_preserves_data(spark, tmp_path):
+    """Small-file compaction: a fragmented partition collapses to the
+    bin-packed file count, data and row-group sort order survive, and
+    untouched partitions stay untouched."""
+    from riemann_spark.operators.storage import (
+        compact_partitions,
+        partition_file_stats,
+        write_events_partitioned,
+    )
+
+    rows = [
+        (i, f"h{i % 5}", "svc", float(i), 86400.0 * (i % 2) + (i % 97))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, host string, service string, metric double, time double"
+    )
+    path = str(tmp_path / "lake")
+    # fragment: 12 writer tasks per partition
+    write_events_partitioned(df.repartition(12), path)
+    before = {r.event_date: r.n_files for r in partition_file_stats(spark, path).collect()}
+    assert all(n >= 4 for n in before.values())
+
+    report = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    got = {r.event_date: (r.files_before, r.files_after) for r in report.collect()}
+    assert set(got) == set(before)
+    after = {r.event_date: r.n_files for r in partition_file_stats(spark, path).collect()}
+    assert all(n == 1 for n in after.values())  # 1 GiB target → 1 file each
+
+    back = spark.read.parquet(path)
+    assert back.count() == 600
+    assert back.select("event_id").distinct().count() == 600
+    # compaction restored the (host, service, time) sort for stat skipping
+    point = back.filter("host = 'h1'")
+    assert "EqualTo(host,h1)" in plan_of_df(point)
+
+    # idempotent: nothing left above the threshold
+    assert compact_partitions(spark, path, target_file_bytes=1 << 30).count() == 0
