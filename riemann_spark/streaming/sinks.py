@@ -52,6 +52,36 @@ def _parquet_sink(path: str, partition_by: tuple[str, ...] = ()) -> SinkFn:
     return write
 
 
+@register_sink("parquet_exactly_once")
+def _parquet_idempotent_sink(path: str, partition_by: tuple[str, ...] = ()) -> SinkFn:
+    """Exactly-once parquet landing under foreachBatch's at-least-once
+    contract: a micro-batch REPLAYED after a crash (same batch_id)
+    must not double-append. Each batch writes to a batch_id-named
+    subdirectory with a _COMMIT marker written last; a replay that
+    finds the marker skips, a replay over a torn write (dir without
+    marker) overwrites it. Readers take ``{path}/batch_id=*`` hive
+    layout and see only committed batches if they filter on the
+    marker-listed ids — or simply read all, since torn dirs are
+    overwritten in place before the marker lands."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        batch_dir = f"{path}/batch_id={batch_id}"
+        marker = jvm.org.apache.hadoop.fs.Path(f"{batch_dir}/_COMMIT")
+        fs = marker.getFileSystem(conf)
+        if fs.exists(marker):
+            return  # replay of a committed batch: exactly-once no-op
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(batch_dir)
+        fs.create(marker, True).close()
+
+    return write
+
+
 @register_sink("console")
 def _console_sink(limit: int = 20) -> SinkFn:
     def write(df: DataFrame, batch_id: int) -> None:

@@ -124,3 +124,28 @@ def test_multimodal_plumbing(spark):
     per_id = {r.media_id for r in frames}
     assert per_id == {1, 2}
     assert len(frames) == (11 * 10 // 50) + (18 * 10 // 50)
+
+
+def test_parquet_exactly_once_sink_replay_safe(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch_id must land
+    exactly once; a torn write (no _COMMIT marker) must be repaired by
+    the replay, not duplicated."""
+    import os
+
+    from riemann_spark.streaming.sinks import make_sink
+
+    path = str(tmp_path / "lake")
+    sink = make_sink("parquet_exactly_once", path=path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "event_id long, host string")
+
+    sink(df, 0)
+    sink(df, 0)  # crash-replay of the same batch
+    sink(df, 1)
+    got = spark.read.parquet(f"{path}/batch_id=*").count()
+    assert got == 4  # 2 rows x 2 batches, no duplicates from the replay
+
+    # torn write: batch dir exists but no marker -> replay overwrites
+    os.remove(f"{path}/batch_id=1/_COMMIT")
+    sink(spark.createDataFrame([(9, "z")], "event_id long, host string"), 1)
+    rows = {r.event_id for r in spark.read.parquet(f"{path}/batch_id=1").collect()}
+    assert rows == {9}
