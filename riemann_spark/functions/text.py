@@ -626,3 +626,89 @@ def hashed_linear_score(
         toks, F.lit(0.0), lambda acc, t: acc + _weight(t)
     )
     return total / F.size(toks)
+
+
+# ------------------------------------------------------------------ #
+# BPE tokenizer (trained merges, corpus-derived)
+
+def bpe_char_seq(col: str | Column) -> Column:
+    """Word → sentinel-delimited symbol sequence: ``'abc'`` →
+    ``' a b c '``. The leading/trailing spaces make a merge a LITERAL
+    left-to-right replace of ``' p1 p2 '`` with ``' p1p2 '`` — the
+    sentinel prevents mid-symbol matches ('xa b' never matches pair
+    (a,b)), and consecutive pairs share separators exactly the way
+    non-overlapping replace consumes them ('a a a' merges to 'aa a',
+    the BPE left-to-right scan). replace() semantics are identical in
+    Spark and DuckDB, so trained merges replay bit-exactly in SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(" "), F.trim(F.regexp_replace(c, "(.)", "$1 ")), F.lit(" "))
+
+
+def _bpe_merge_col(seq: Column, p1: str, p2: str) -> Column:
+    return F.replace(seq, F.lit(f" {p1} {p2} "), F.lit(f" {p1}{p2} "))
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus (Sennrich et al.
+    arXiv:1508.07909 alg. 1): repeatedly count adjacent symbol pairs
+    across all word occurrences and merge the most frequent, ties
+    broken lexicographically so training is deterministic across
+    engines and partitionings.
+
+    Spark shape mirrors the keyed-Lloyd trainer (similarity.py): each
+    iteration is one distributed pair-count aggregation; only the
+    single winning pair (one row — model-sized) ever reaches the
+    driver. The word table persists across iterations; iteration k
+    applies the k learned literal replaces inside the scan."""
+    words = df.select(F.explode(tokens(text_col)).alias("w")).persist()
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            seq = bpe_char_seq("w")
+            for p1, p2 in merges:
+                seq = _bpe_merge_col(seq, p1, p2)
+            arr = F.split(F.trim(seq), " ")
+            n = F.size(arr)
+            pairs = F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.struct(a.alias("p1"), b.alias("p2")),
+            )
+            top = (
+                words.select(F.explode(pairs).alias("p"))
+                .groupBy("p.p1", "p.p2")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), "p1", "p2")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            merges.append((top[0].p1, top[0].p2))
+        return merges
+    finally:
+        words.unpersist()
+
+
+def bpe_trained_token_count(
+    col: str | Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Total BPE tokens per document under a trained merge list: each
+    whitespace word is segmented by replaying the merges (chained
+    literal replaces — pure Column work fused into the scan), then the
+    per-word symbol counts sum. No UDF, no shuffle."""
+
+    def seg_count(w: Column) -> Column:
+        seq = bpe_char_seq(w)
+        for p1, p2 in merges:
+            seq = _bpe_merge_col(seq, p1, p2)
+        return F.size(F.split(F.trim(seq), " "))
+
+    toks = tokens(col)
+    return F.aggregate(
+        F.transform(toks, seg_count), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")

@@ -114,6 +114,7 @@ _GATE_PRIORITY = [
     "tpch_q11",
     "tpch_q20",
     "tpch_q21",
+    "bpe_tokenize",
 ]
 
 

@@ -607,6 +607,61 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 _BPE_SQL = text.BPE_SPLIT_PATTERN.replace("'", "''")
 
 
+_N_BPE_MERGES = 6
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled replay of BPE training (the kmeans-trainer precedent:
+    every driver-side iteration replays as one more CTE layer). Merge
+    i is a 1-row scalar CTE (top pair by count, ties lexicographic);
+    w_i applies it as the same sentinel-delimited literal replace the
+    Spark side uses — replace() is left-to-right non-overlapping in
+    both engines, so the training trajectories are bit-identical."""
+    ctes = [
+        f"t0 AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)",
+        "w0 AS (SELECT doc_id, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+        " || ' ' AS s FROM t0)",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT p[1] AS p1, p[2] AS p2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                  j -> [arr[j], arr[j+1]])) AS p
+    FROM (SELECT string_split(trim(s), ' ') AS arr FROM w{i-1}))
+  GROUP BY 1, 2 ORDER BY COUNT(*) DESC, p1, p2 LIMIT 1)"""
+        )
+        ctes.append(
+            f"w{i} AS (SELECT doc_id, replace(s, ' ' || m{i}.p1 || ' ' || m{i}.p2"
+            f" || ' ', ' ' || m{i}.p1 || m{i}.p2 || ' ') AS s FROM w{i-1}, m{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+       CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens_bpe
+FROM w{n_merges} GROUP BY doc_id"""
+    )
+
+
+@q("bpe_tokenize", _bpe_oracle_sql(_N_BPE_MERGES))
+def bpe_tokenize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained byte-pair encoding (Sennrich et al. arXiv:1508.07909):
+    learn the corpus's top-6 merges (one distributed pair-count
+    aggregation per merge, only the 1-row winner collected — the
+    keyed-Lloyd trainer shape) and segment every document with them,
+    reporting whitespace vs BPE token counts. The oracle replays the
+    full training trajectory as unrolled SQL, so this checks the
+    LEARNED merges, not just the application."""
+    d = load_table(spark, sf, "documents")
+    merges = text.bpe_train(d, _N_BPE_MERGES)
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens_ws"),
+        text.bpe_trained_token_count("text", merges).alias("n_tokens_bpe"),
+    )
+
+
 @q(
     "token_stats",
     f"""

@@ -852,3 +852,37 @@ def test_sign_quantize_and_hamming_topk(spark):
     assert rows[0] == rows[1]
     got = sim.hamming_topk(df.filter("vec_id = 0"), df, 2).collect()
     assert [(r.n_id, r.hamming) for r in got] == [(1, 0), (2, 3)]
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Sennrich toy corpus: merges must follow pair frequency with
+    lexicographic tie-breaks, and segmentation counts must match a
+    hand derivation."""
+    from riemann_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = tx.bpe_train(docs, 4)
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew")]
+    out = {r.doc_id: r.n for r in docs.select(
+        "doc_id", tx.bpe_trained_token_count("text", merges).alias("n")
+    ).collect()}
+    # low=1, low=1, low+e+r=3, low+e+s+t=4 -> 9 ; new=1, new+e+r=3,
+    # new+e+s+t=4, low=1 -> 9
+    assert out == {1: 9, 2: 9}
+
+
+def test_bpe_segmentation_sentinel_blocks_cross_token_merge(spark):
+    """The pair (a,b) must never merge inside 'xa b' (symbol 'xa' ends
+    in 'a' but is not 'a') — the sentinel-delimited replace guarantee."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.functions import text as tx
+
+    df = spark.createDataFrame([(" x a b ",), (" xa b ",)], "s string")
+    merged = df.select(
+        F.replace("s", F.lit(" a b "), F.lit(" ab ")).alias("m")
+    ).collect()
+    assert [r.m for r in merged] == [" x ab ", " xa b "]
