@@ -442,3 +442,61 @@ def test_streaming_project_slots_and_stale_ooo_match(spark, tmpdirs):
     assert got[3] == (10.0, 5.0)      # batch 2 processes t=50 first: stale, no overwrite
     assert got[2] == (20.0, 5.0)      # then t=200 updates slot0
     assert len(got) == 4              # non-matching events emit nothing
+
+
+def test_streaming_moving_time_window_survives_restart(spark, tmpdirs):
+    """Checkpoint recovery: kill the query mid-stream, start a new one
+    on the same checkpoint — the horizon buffer and ratcheted cutoff
+    must carry over (event 0 still in the buffer after restart; the
+    pre-restart cutoff still drops a late event)."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.streaming.stateful_ops import streaming_moving_time_window
+
+    src, ckpt = tmpdirs
+    got: list = []
+
+    def start():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        first = spark.read.parquet(f"{src}/b0")
+        stream = spark.readStream.schema(first.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{src}/*")
+        return (
+            streaming_moving_time_window(stream, 50.0)
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    df0 = spark.createDataFrame(
+        [_mk(0, "a", "x", metric=1.0, t=100.0), _mk(1, "a", "x", metric=2.0, t=130.0)],
+        FULL_SCHEMA,
+    )
+    df0.coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # crash point: state checkpointed, stream gone
+    got.clear()  # keep only post-restart emissions
+
+    # two batches arrive while "down" (separate files = separate
+    # micro-batches under maxFilesPerTrigger=1, preserving order):
+    # event 2 (t=160) keeps 1 (t=130 > cutoff 110), evicts 0 (t=100);
+    # then event 3 (t=105 <= cutoff 110) must be DROPPED by the
+    # RECOVERED-and-advanced cutoff
+    spark.createDataFrame(
+        [_mk(2, "a", "x", metric=3.0, t=160.0)], FULL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [_mk(3, "a", "x", metric=9.0, t=105.0)], FULL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    emitted = {}
+    for r in got:
+        emitted.setdefault(r.trigger_event_id, set()).add(r.event_id)
+    assert emitted[2] == {1, 2}  # buffer (event 1) survived the restart
+    assert 3 not in emitted  # recovered cutoff still drops the late event
