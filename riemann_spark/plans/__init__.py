@@ -115,6 +115,7 @@ _GATE_PRIORITY = [
     "tpch_q20",
     "tpch_q21",
     "bpe_tokenize",
+    "curation_funnel",
 ]
 
 

@@ -802,6 +802,71 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _curation_funnel_sql() -> str:
+    """Wrap the full curation_pipeline oracle as a CTE (DuckDB allows
+    a nested WITH inside a CTE body) and roll its per-doc verdicts up
+    into the per-source survivor funnel."""
+    verdict = ORACLES["curation_pipeline"]
+    return f"""
+WITH v AS ({verdict}),
+src AS (SELECT v.doc_id, v.reject_reason,
+               d.source
+        FROM v JOIN documents d
+          ON (CASE WHEN v.doc_id >= 1000000 THEN v.doc_id - 1000000
+                   ELSE v.doc_id END) = d.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN reject_reason IS DISTINCT FROM 'duplicate'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN reject_reason IS DISTINCT FROM 'duplicate'
+                      AND reject_reason IS DISTINCT FROM 'lang'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+       CAST(SUM(CASE WHEN reject_reason IS DISTINCT FROM 'duplicate'
+                      AND reject_reason IS DISTINCT FROM 'lang'
+                      AND reject_reason IS DISTINCT FROM 'quality'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+       CAST(SUM(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       round(CAST(SUM(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM src GROUP BY source"""
+
+
+@q("curation_funnel", _curation_funnel_sql())
+def curation_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source curation funnel: survivors after each sequential
+    gate (dedup → language → quality → repetition) — the report a
+    pipeline operator actually watches to see WHERE each source's
+    documents die. Because reject_reason records the FIRST failing
+    gate, the funnel is conditional counts over the existing verdict
+    frame: one extra doc_id join (for source) and one
+    key-cardinality-sized rollup on top of curation_pipeline's plan."""
+    verdicts = QUERIES["curation_pipeline"](spark, sf)
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    base_id = F.when(
+        F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000
+    ).otherwise(F.col("doc_id"))
+    joined = verdicts.withColumn("base_id", base_id).join(
+        d.withColumnRenamed("doc_id", "base_id"), "base_id"
+    )
+    r = F.col("reject_reason")
+    surv = lambda *gone: F.sum(  # noqa: E731 — local closure, not exported
+        F.when(~F.coalesce(r.isin(*gone), F.lit(False)), 1).otherwise(0)
+    ).cast("long")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        surv("duplicate").alias("n_after_dedup"),
+        surv("duplicate", "lang").alias("n_after_lang"),
+        surv("duplicate", "lang", "quality").alias("n_after_quality"),
+        F.sum(F.when(r.isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.when(r.isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 @q(
     "mix_upsample",
     f"""
