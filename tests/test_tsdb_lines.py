@@ -127,3 +127,39 @@ def test_influx_and_prometheus_sinks_post_lines(spark):
         assert _Capture.bodies[1][1] == b'cpu{host="h1"} 1.500000\n'
     finally:
         srv.shutdown()
+
+
+@pytest.mark.slow
+def test_influx_roundtrip_property(spark):
+    """Arbitrary printable host/service strings (spaces, commas,
+    equals included) must survive encode → parse exactly. Backslash is
+    excluded: the line protocol itself is ambiguous for identifiers
+    ENDING in a backslash (the escape and the delimiter collide),
+    which the public spec leaves undefined."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # codepoint 32 = space, so interior spaces are exercised; strip()
+    # removes leading/trailing ones (the parser trims the line)
+    ident = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=126, exclude_characters="\\\""
+        ),
+        min_size=1,
+        max_size=12,
+    ).map(lambda s: s.strip()).filter(lambda s: s)
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(host=ident, service=ident, metric=st.integers(-10**6, 10**6))
+    def run(host, service, metric):
+        df = spark.createDataFrame(
+            [(host, service, float(metric), 100.0, [])], EV_COLS
+        )
+        back = influx_lines_to_events(events_to_influx_lines(df)).collect()[0]
+        assert (back.host, back.service, back.metric) == (host, service, float(metric))
+
+    run()
