@@ -712,3 +712,69 @@ def bpe_trained_token_count(
     return F.aggregate(
         F.transform(toks, seg_count), F.lit(0), lambda acc, x: acc + x
     ).cast("long")
+
+
+# ------------------------------------------------------------------ #
+# DSIR-style importance weighting (hashed n-gram domain selection)
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.
+    arXiv:2302.03169): score every document by how target-domain-like
+    it is under hashed-bigram unigram models — weight(x) = Σ over x's
+    bigram occurrences of ln p_target(b) − ln p_raw(b), with add-one
+    smoothing over ``n_buckets`` hash buckets. Positive weight =
+    more target-like than the raw pool; resample/top-k on it.
+
+    Scale shape: one bigram explode feeds BOTH model estimates
+    (count aggregations over a fixed 1024-bucket key space — tiny,
+    broadcast back) and the per-doc scoring rollup (one doc-keyed
+    shuffle). The models are parameter-sized regardless of corpus
+    size, exactly like the sketch family. All-integer counts; the
+    only floats are the final ln() terms, rounded for the oracle."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bt = df.select(
+        F.col(id_col).alias("doc"),
+        target_pred.alias("is_target"),
+        F.explode(bigrams).alias("bg"),
+    ).withColumn("b", token_value(F.col("bg")) % n_buckets)
+    raw_counts = bt.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = (
+        bt.filter("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = bt.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("is_target").cast("long")).alias("n_tgt"),
+    )
+    model = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .na.fill({"c_tgt": 0})
+        .join(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("c_tgt") + 1).cast("double") / (F.col("n_tgt") + n_buckets))
+                - F.log((F.col("c_raw") + 1).cast("double") / (F.col("n_raw") + n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    per_doc = (
+        bt.join(F.broadcast(model), "b")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum("log_ratio"), 6).alias("weight"),
+        )
+    )
+    return per_doc

@@ -116,6 +116,7 @@ _GATE_PRIORITY = [
     "tpch_q21",
     "bpe_tokenize",
     "curation_funnel",
+    "dsir_selection",
 ]
 
 

@@ -802,6 +802,52 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _nibble_32_early(h8_expr: str) -> str:
+    """Same mapping as _nibble_32 (defined later in this module);
+    needed at decorator-eval time here."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h8_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@q(
+    "dsir_selection",
+    f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, source = 'src1' AS is_target,
+              unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS g
+       FROM t),
+bt AS (SELECT doc_id, is_target,
+              ({_nibble_32_early("substr(md5(g), 1, 8)")}) % 1024 AS b FROM bg),
+rawc AS (SELECT b, COUNT(*) AS c_raw FROM bt GROUP BY b),
+tgtc AS (SELECT b, COUNT(*) AS c_tgt FROM bt WHERE is_target GROUP BY b),
+tot AS (SELECT COUNT(*) AS n_raw,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt FROM bt),
+model AS (SELECT rawc.b,
+                 ln((COALESCE(c_tgt, 0) + 1) / CAST(n_tgt + 1024 AS DOUBLE))
+               - ln((c_raw + 1) / CAST(n_raw + 1024 AS DOUBLE)) AS log_ratio
+          FROM rawc LEFT JOIN tgtc USING (b), tot)
+SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(log_ratio), 6) AS weight
+FROM bt JOIN model USING (b)
+GROUP BY doc_id""",
+)
+def dsir_selection_q(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. arXiv:2302.03169): every
+    document scored by Σ ln p_target(b) − ln p_raw(b) over its hashed
+    bigrams (1024 buckets, add-one smoothing), target domain = src1.
+    The two n-gram models are 1024-row parameter tables built from one
+    bigram explode and broadcast back — corpus-size-invariant, the
+    sketch-family scale shape."""
+    d = load_table(spark, sf, "documents")
+    return text.dsir_weights(d, F.col("source") == "src1")
+
+
 def _curation_funnel_sql() -> str:
     """Wrap the full curation_pipeline oracle as a CTE (DuckDB allows
     a nested WITH inside a CTE body) and roll its per-doc verdicts up

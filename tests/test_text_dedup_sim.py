@@ -886,3 +886,24 @@ def test_bpe_segmentation_sentinel_blocks_cross_token_merge(spark):
         F.replace("s", F.lit(" a b "), F.lit(" ab ")).alias("m")
     ).collect()
     assert [r.m for r in merged] == [" x ab ", " xa b "]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR: a doc sharing the target domain's bigrams must out-score
+    one made of raw-pool-only bigrams."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.functions import text as tx
+
+    rows = (
+        [(i, "tgt", "alpha beta alpha beta alpha beta") for i in range(5)]
+        + [(100, "pool", "alpha beta alpha beta")]        # target-like
+        + [(101, "pool", "gamma delta gamma delta")]      # pool-only
+        + [(i + 200, "pool", "misc filler words here") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {r.doc: r.weight for r in tx.dsir_weights(
+        df, F.col("source") == "tgt", n_buckets=64
+    ).collect()}
+    assert w[100] > w[101]
+    assert w[100] > 0 > w[101]
