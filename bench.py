@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_frames",
     "multimodal_video_frames",
     "protobuf_roundtrip",
+    "prometheus_rw_roundtrip",
     "json_roundtrip",
     "token_stats",
     "token_fertility",

@@ -117,6 +117,7 @@ _GATE_PRIORITY = [
     "bpe_tokenize",
     "curation_funnel",
     "dsir_selection",
+    "prometheus_rw_roundtrip",
 ]
 
 

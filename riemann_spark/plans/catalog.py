@@ -1345,6 +1345,31 @@ def prometheus_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "prometheus_rw_roundtrip",
+    f"""{_EV}
+SELECT regexp_replace(regexp_replace(service, '[^a-zA-Z0-9_]', '_', 'g'),
+                      '_{{2,}}', '_', 'g') AS name,
+       host,
+       array_to_string(tags, ',') AS tags_label,
+       metric AS value,
+       CAST(floor("time" * 1000) AS BIGINT) AS timestamp_ms
+FROM ev WHERE service IS NOT NULL AND metric IS NOT NULL""",
+)
+def prometheus_rw_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Prometheus remote-write wire round-trip: events packed into
+    snappy-compressed prompb WriteRequest bodies (per Arrow batch) and
+    decoded back through the receiver-side parser — both halves the
+    hand-rolled pure-Python codec (sources/prometheus_rw.py; snappy
+    block format + prompb from the public specs). Value crosses the
+    wire as fixed64 — LOSSLESS — so the oracle is plain identity with
+    the sanitized name and millisecond timestamp."""
+    from riemann_spark.sources import events_to_remote_write, remote_write_to_samples
+
+    ev = load_events(spark, sf)
+    return remote_write_to_samples(events_to_remote_write(ev))
+
+
+@q(
     "protobuf_roundtrip",
     f"""{_EV}
 SELECT host, service, state, description, metric,

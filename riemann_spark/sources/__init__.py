@@ -24,6 +24,14 @@ from riemann_spark.sources.servers import (
     send_events_udp,
 )
 from riemann_spark.sources.sse import SseEventServer
+from riemann_spark.sources.prometheus_rw import (
+    decode_write_request,
+    encode_write_request,
+    events_to_remote_write,
+    remote_write_to_samples,
+    snappy_compress,
+    snappy_decompress,
+)
 from riemann_spark.sources.tsdb_lines import (
     events_to_influx_lines,
     events_to_prometheus_text,

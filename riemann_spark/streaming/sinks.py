@@ -243,6 +243,42 @@ def _prometheus_sink(
     return write
 
 
+@register_sink("prometheus_remote_write")
+def _prometheus_remote_write_sink(url: str, batch_limit: int = 10000) -> SinkFn:
+    """Prometheus remote-write sink: snappy-compressed prompb
+    WriteRequest POSTed with the remote-write headers — what a modern
+    Prometheus/Mimir/Thanos receiver speaks (the exposition-text
+    'prometheus' sink above is the pushgateway-era path). Rows are
+    collected capped at batch_limit; the codec itself is pure Python
+    (sources/prometheus_rw.py), no snappy/protobuf packages needed."""
+    import urllib.request
+
+    from riemann_spark.sources.prometheus_rw import (
+        encode_write_request,
+        snappy_compress,
+    )
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        cols = [c for c in ("host", "service", "metric", "tags", "time")
+                if c in df.columns]
+        rows = [r.asDict() for r in df.select(*cols).limit(batch_limit).collect()]
+        body = encode_write_request(rows)
+        if not body:
+            return
+        req = urllib.request.Request(
+            url,
+            data=snappy_compress(body),
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+                "X-Prometheus-Remote-Write-Version": "0.1.0",
+            },
+        )
+        urllib.request.urlopen(req, timeout=10)
+
+    return write
+
+
 @register_sink("riemann")
 def _riemann_forward_sink(host: str, port: int, batch_limit: int = 5000) -> SinkFn:
     """``forward`` (streams.clj:1255-1261): push events to another

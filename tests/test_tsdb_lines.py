@@ -163,3 +163,74 @@ def test_influx_roundtrip_property(spark):
         assert (back.host, back.service, back.metric) == (host, service, float(metric))
 
     run()
+
+
+def test_snappy_known_vectors_and_rle():
+    """Block-format basics: empty input, incompressible bytes,
+    RLE-style overlapping copy (offset < length)."""
+    from riemann_spark.sources.prometheus_rw import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    assert snappy_decompress(snappy_compress(b"")) == b""
+    blob = bytes(range(256)) * 3
+    assert snappy_decompress(snappy_compress(blob)) == blob
+    # run of a single byte must decode through the overlap path
+    run = b"\x07" * 4096
+    c = snappy_compress(run)
+    assert len(c) < 200 and snappy_decompress(c) == run
+    # corrupt offset must raise, not return garbage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snappy_decompress(b"\x05" + bytes([2 << 2 | 2, 0x00, 0x00]) + b"ab")
+
+
+@pytest.mark.slow
+def test_snappy_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riemann_spark.sources.prometheus_rw import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.binary(max_size=4096))
+    def run(data):
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    run()
+
+
+def test_remote_write_sink_posts_snappy_protobuf(spark):
+    from riemann_spark.sources.prometheus_rw import (
+        decode_write_request,
+        snappy_decompress,
+    )
+    from riemann_spark.streaming.sinks import make_sink
+
+    _Capture.bodies = []
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _Capture)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        df = _ev(spark, [("h1", "cpu load", 1.5, 100.25, ["a", "b"])])
+        make_sink(
+            "prometheus_remote_write",
+            url=f"http://127.0.0.1:{port}/api/v1/write",
+        )(df, 0)
+        _path, body = _Capture.bodies[0]
+        series = decode_write_request(snappy_decompress(body))
+        assert series == [
+            {
+                "name": "cpu_load",
+                "labels": {"host": "h1", "tags": "a,b"},
+                "value": 1.5,
+                "timestamp_ms": 100250,
+            }
+        ]
+    finally:
+        srv.shutdown()
