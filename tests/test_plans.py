@@ -454,3 +454,25 @@ def test_compaction_bin_packs_and_preserves_data(spark, tmp_path):
 
     # idempotent: nothing left above the threshold
     assert compact_partitions(spark, path, target_file_bytes=1 << 30).count() == 0
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must exist in the catalog — a typo
+    here breaks the driver's per-round bench run."""
+    import bench
+
+    from riemann_spark.plans import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
+
+
+def test_gate_priority_names_resolve():
+    """_GATE_PRIORITY names must exist (a stale name silently shrinks
+    the driver's 50-query window composition)."""
+    from riemann_spark import plans
+    from riemann_spark.plans import QUERIES
+
+    stale = [n for n in plans._GATE_PRIORITY if n not in QUERIES]
+    assert not stale, stale
