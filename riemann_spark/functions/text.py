@@ -59,6 +59,12 @@ def bpe_token_count(col: str | Column = "text") -> Column:
 ROLLING_BASE = 31
 ROLLING_MOD = 1_000_000_007
 
+#: Synthetic-duplicate id offset: curation fixtures re-salt upsampled
+#: copies as doc_id + UPSAMPLE_ID_OFFSET; anything unmapping a salted
+#: id back to its base doc must use THIS constant (never a literal) so
+#: Spark builders and SQL oracles cannot drift.
+UPSAMPLE_ID_OFFSET = 1_000_000
+
 
 def token_value(tok: Column) -> Column:
     """Deterministic 32-bit integer per token: first 8 hex chars of
@@ -465,12 +471,13 @@ def shuffle_shards(
     reproducible across runs, engines, and repartitionings (no
     rand(), no monotonically_increasing_id partition dependence).
 
-    Scale shape: one Exchange on shard (uniform by construction — md5
-    prefixes don't skew), one sort per shard; at 100 TB this is the
-    write-side layout job (shard = output file), and the sort is
-    within-partition only."""
+    Scale shape: one Exchange on shard (uniform by construction — the
+    shard comes from a 32-bit md5 prefix, so modulo bias is <=
+    n_shards/2^32 and thousands of output shards stay balanced), one
+    sort per shard; at 100 TB this is the write-side layout job
+    (shard = output file), and the sort is within-partition only."""
     h = F.md5(F.col(id_col).cast("string"))
-    shard = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_shards).alias(
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
         "shard"
     )
     w = Window.partitionBy("shard").orderBy("__h", id_col)

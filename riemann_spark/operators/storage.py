@@ -126,39 +126,70 @@ def compact_partitions(
     are rewritten — each independently, via coalesce(ceil(bytes/
     target)) so compaction is a narrow, shuffle-free rewrite — and
     re-sorted on ``sort_keys`` to restore parquet min/max stat
-    skipping that interleaved micro-batch files destroy. Readers are
-    never blocked: parquet overwrite per partition directory is the
-    lake's atomic unit. Returns the before/after census of the
-    partitions it rewrote."""
+    skipping that interleaved micro-batch files destroy.
+
+    Swap discipline (snapshot-then-replace, not dir-overwrite): the
+    input file list is SNAPSHOTTED first and only those exact files
+    are read, so parquet files a streaming sink appends between
+    snapshot and swap are untouched and survive. The staged outputs
+    are renamed INTO the live directory (unique ``compacted-`` names)
+    and then exactly the snapshotted originals are deleted — the
+    partition directory itself never disappears, so readers are never
+    blocked and never see an empty partition. Without a manifest
+    layer (Delta/Iceberg) the move-in→delete window is not atomic: a
+    reader listing mid-swap can observe the compacted rows
+    DUPLICATED with the originals for a moment. Run compaction when
+    momentary read duplication is tolerable (metrics rollups) or
+    schedule it against partitions past the ingest watermark;
+    concurrent compactors on the same partition are not supported.
+    Returns the before/after census of the partitions it rewrote."""
     import math
+    import uuid
 
     stats = partition_file_stats(spark, path).filter(
         F.col("n_files") >= min_files_to_compact
     )
     todo = [(r.event_date, r.n_files, r.bytes) for r in stats.collect()]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
     out = []
     for date, n_files, nbytes in todo:
         part_path = f"{path}/event_date={date}"
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
         if n_target >= n_files:
             continue
-        df = spark.read.parquet(part_path)
+        # snapshot the exact input files; later appends are not ours
+        snapshot = [
+            f.getPath()
+            for f in fs.listStatus(hpath(part_path))
+            if f.getPath().getName().endswith(".parquet")
+            and not f.getPath().getName().startswith("compacted-")
+        ]
+        if len(snapshot) < min_files_to_compact:
+            continue
+        df = spark.read.parquet(*[p.toString() for p in snapshot])
         keys = [k for k in sort_keys if k in df.columns]
         compacted = df.coalesce(n_target)
         if keys:
             compacted = compacted.sortWithinPartitions(*keys)
-        # stage-then-swap: never read and overwrite the same dir in one job
         staging = f"{path}/.compact_tmp_event_date={date}"
         compacted.write.mode("overwrite").parquet(staging)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(part_path), True)
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(staging),
-            jvm.org.apache.hadoop.fs.Path(part_path),
-        )
-        out.append((date, n_files, n_target, nbytes))
+        staged = [
+            f.getPath()
+            for f in fs.listStatus(hpath(staging))
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        # move staged files into the live dir, then delete exactly the
+        # snapshotted originals (never the whole directory)
+        run_id = uuid.uuid4().hex[:8]
+        for i, sp in enumerate(staged):
+            fs.rename(sp, hpath(f"{part_path}/compacted-{run_id}-{i:05d}.parquet"))
+        for orig in snapshot:
+            fs.delete(orig, False)
+        fs.delete(hpath(staging), True)
+        out.append((date, len(snapshot), len(staged), nbytes))
     return spark.createDataFrame(
         out, "event_date string, files_before long, files_after long, bytes long"
     )

@@ -20,76 +20,14 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-4 WINDOW (positions 1-50) -------------------------------
-    # Rotation goal: every catalog entry driver-hash-verified by round 5.
-    # 62 candidates this round (59 never-gated + 2 round-3 red rows fixed
-    # by BIGINT casts + dedup_minhash_lsh re-gated under the 32-bit chunk
-    # fix); the 12-entry overflow is the committed round-5 prefix below.
+    # ---- ROUND-5 WINDOW (positions 1-50) -------------------------------
+    # Rotation goal reached this round: the 27 entries below are the
+    # only catalog rows without a driver CORRECTNESS record
+    # (r01∪r02∪r03∪r04); gating them makes cumulative driver-verified
+    # coverage 184/184. They are exactly the committed round-4
+    # overflow prefix, executed as planned.
     #
-    # The two round-3 red rows, re-gated first to prove the dtype fix:
-    "sessionize",
-    "sequence_packing",
-    # minhash re-gate under the round-3 hash-width fix:
-    "dedup_minhash_lsh",
-    # TPC-H shapes never inside a driver window:
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    # dedup / similarity ML tier:
-    "dedup_minhash_verified",
-    "segment_dedup",
-    "semantic_dedup",
-    "substring_dedup",
-    "doc_fingerprint",
-    "dedup_pair_provenance",
-    "dedup_cluster_sizes",
-    # quality / curation:
-    "quality_classifier",
-    "curation_pipeline_cls",
-    "token_fertility",
-    "token_budget",
-    # ANN tier:
-    "knn_ivf_nprobe",
-    "knn_pq",
-    "knn_pq_rerank",
-    "knn_pq_trained",
-    "ann_recall_report",
-    # sketches / reports:
-    "heavy_hitters_cms",
-    "contamination_report",
-    "source_quality_matrix",
-    "events_heatmap",
-    # multimodal:
-    "audio_features",
-    "image_features",
-    "multimodal_jpeg_decode",
-    "multimodal_video_frames",
-    # analytics never gated:
-    "percentiles_histogram",
-    "percentiles_histogram_global",
-    "anomaly_zscore",
-    "flap_rate",
-    "slo_burn_rate",
-    "moving_median",
-    "retention_rollup",
-    "attribute_search",
-    "config_topology",
-    # wire codec:
-    "kafka_codec_roundtrip",
-    # ---- ROUND-5 PREFIX (positions 51+) --------------------------------
-    # The committed overflow: gate these first in round 5 (plus any
-    # round-4 catalog additions appended after them) to reach 169/169
-    # cumulative driver-verified coverage.
+    # streaming drained/closed family (value oracles):
     "streaming_percentiles_histogram_closed",
     "streaming_heavy_hitters_closed",
     "streaming_anomaly_drained",
@@ -99,25 +37,64 @@ _GATE_PRIORITY = [
     "streaming_coalesce_drained",
     "streaming_top_drained",
     "streaming_project_drained",
+    "streaming_moving_time_drained",
+    # analytics / ML never gated:
     "holt_forecast",
     "multimodal_features",
     "knn_ivf_kmeans",
-    # round-4 catalog additions (never gated yet):
-    "streaming_moving_time_drained",
-    "influx_line_roundtrip",
-    "prometheus_text_roundtrip",
+    "knn_hamming",
     "segment_dedup_keep_first",
     "shuffle_shards",
     "mix_temperature",
-    "knn_hamming",
+    "bpe_tokenize",
+    "curation_funnel",
+    "dsir_selection",
+    # codec round-trips (round-4 additions):
+    "influx_line_roundtrip",
+    "prometheus_text_roundtrip",
+    "prometheus_rw_roundtrip",
+    # TPC-H round-4 additions:
     "tpch_q2",
     "tpch_q11",
     "tpch_q20",
     "tpch_q21",
-    "bpe_tokenize",
-    "curation_funnel",
-    "dsir_selection",
-    "prometheus_rw_roundtrip",
+    # -- new round-5 catalog entries (gate immediately on landing;
+    #    uncommented the moment the query exists) ----------------------
+    # "streaming_dedup_minhash_drained",
+    # "webhook_roundtrip",
+    # -- backfill: stalest green rows, rotated for freshness ------------
+    # last gated in r01:
+    "top_suppliers_per_part",
+    "customers_without_orders",
+    "streaming_ewma_halflife",
+    "streaming_rate_closed",
+    "text_features",
+    "quality_score",
+    "lang_id",
+    "dedup_exact",
+    "dedup_jaccard",
+    # last gated in r02 (oldest first by catalog order):
+    "index_latest",
+    "index_search",
+    "index_expired",
+    "where_filter",
+    "tagged_filter",
+    "transform_fields",
+    "split_route",
+    "rate_per_hour",
+    "graphite_dead_letter",
+    "salted_agg_by_state",
+    "canonical_pipeline",
+    "rate_zero_fill",
+    "window_folds",
+    "percentiles_day",
+    # ---- overflow (positions 51+): next-round backfill continues ------
+    "fixed_event_window",
+    "moving_event_window",
+    "ddt",
+    "counter_running",
+    "ewma",
+    "changed_state",
 ]
 
 

@@ -1286,7 +1286,8 @@ lines AS (
   SELECT host, service,
          CAST(CAST(metric AS DECIMAL(24,6)) AS VARCHAR) AS ms,
          CAST(CAST(floor("time") AS BIGINT) AS VARCHAR) AS tss
-  FROM ev)
+  FROM ev
+  WHERE service IS NOT NULL AND metric IS NOT NULL AND "time" IS NOT NULL)
 SELECT host, service,
        TRY_CAST(ms AS DOUBLE) AS metric,
        TRY_CAST(tss AS DOUBLE) AS time
@@ -1314,7 +1315,7 @@ lines AS (
   SELECT regexp_replace(regexp_replace(service, '[^a-zA-Z0-9_]', '_', 'g'),
                         '_{{2,}}', '_', 'g') AS name,
          host,
-         array_to_string(tags, ',') AS tags_label,
+         NULLIF(array_to_string(tags, ','), '') AS tags_label,
          CAST(CAST(metric AS DECIMAL(24,6)) AS VARCHAR) AS ms
   FROM ev WHERE service IS NOT NULL AND metric IS NOT NULL)
 SELECT name, host, tags_label, TRY_CAST(ms AS DOUBLE) AS value
@@ -1350,7 +1351,7 @@ def prometheus_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 SELECT regexp_replace(regexp_replace(service, '[^a-zA-Z0-9_]', '_', 'g'),
                       '_{{2,}}', '_', 'g') AS name,
        host,
-       array_to_string(tags, ',') AS tags_label,
+       NULLIF(array_to_string(tags, ','), '') AS tags_label,
        metric AS value,
        CAST(floor("time" * 1000) AS BIGINT) AS timestamp_ms
 FROM ev WHERE service IS NOT NULL AND metric IS NOT NULL""",

@@ -699,7 +699,8 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  SELECT doc_id + {text.UPSAMPLE_ID_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
 ),
 t AS (SELECT doc_id, text, {_TOKS} AS toks FROM corpus),
 rbase AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -770,7 +771,7 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     p97-p99)."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     dups = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + text.UPSAMPLE_ID_OFFSET).alias("doc_id"), "text"
     )
     corpus = d.unionByName(dups)
     rep = text.repetition_metrics(corpus)
@@ -858,7 +859,8 @@ WITH v AS ({verdict}),
 src AS (SELECT v.doc_id, v.reject_reason,
                d.source
         FROM v JOIN documents d
-          ON (CASE WHEN v.doc_id >= 1000000 THEN v.doc_id - 1000000
+          ON (CASE WHEN v.doc_id >= {text.UPSAMPLE_ID_OFFSET}
+                   THEN v.doc_id - {text.UPSAMPLE_ID_OFFSET}
                    ELSE v.doc_id END) = d.doc_id)
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_raw,
@@ -890,7 +892,8 @@ def curation_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
     verdicts = QUERIES["curation_pipeline"](spark, sf)
     d = load_table(spark, sf, "documents").select("doc_id", "source")
     base_id = F.when(
-        F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000
+        F.col("doc_id") >= text.UPSAMPLE_ID_OFFSET,
+        F.col("doc_id") - text.UPSAMPLE_ID_OFFSET,
     ).otherwise(F.col("doc_id"))
     joined = verdicts.withColumn("base_id", base_id).join(
         d.withColumnRenamed("doc_id", "base_id"), "base_id"
@@ -1881,11 +1884,10 @@ def segment_dedup_keep_first_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "shuffle_shards",
-    """
+    f"""
 WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
 s AS (SELECT doc_id, hh,
-             CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
-                 + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8
+             CAST(({_nibble_32("hh")}) % 8
                AS BIGINT) AS shard
       FROM h)
 SELECT doc_id, shard,

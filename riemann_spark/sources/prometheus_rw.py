@@ -207,14 +207,20 @@ def decode_write_request(buf: bytes) -> list[dict]:
         ts_ms = None
         for g, wt, payload in fields(ts_bytes):
             if g == 1:  # Label
+                # kv.get defaults: a foreign sender may omit name or
+                # value (proto3 default "" is not serialized).
                 kv = {h: p for h, _, p in fields(payload)}
-                labels[kv[1].decode()] = kv[2].decode()
+                labels[kv.get(1, b"").decode()] = kv.get(2, b"").decode()
             elif g == 2:  # Sample
                 for h, swt, p in fields(payload):
                     if h == 1:
                         value = struct.unpack("<d", p)[0]
                     elif h == 2:
+                        # int64 on the wire is a two's-complement
+                        # uvarint: sign-convert negative timestamps.
                         ts_ms = p if isinstance(p, int) else None
+                        if ts_ms is not None and ts_ms >= 1 << 63:
+                            ts_ms -= 1 << 64
         series.append(
             {
                 "name": labels.get("__name__"),

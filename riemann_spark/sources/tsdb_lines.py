@@ -48,11 +48,19 @@ def events_to_influx_lines(
 
     Tags are sorted by key (the line-protocol canonical form), null or
     empty tag values dropped (nil-or-empty-str, influxdb.clj:29-30).
-    Metric is formatted at fixed decimal precision so the round trip is
-    engine-portable; time converted per ``precision`` like
-    convert-time (influxdb.clj:113-124).
+    Rows missing service, metric, or time are dropped — the
+    reference's nil-metric guard (influxdb.clj event->point-9 returns
+    nil without a metric and the sink filters nils) — so no NULL line
+    ever reaches a sink's join/write. Metric is formatted at fixed
+    decimal precision so the round trip is engine-portable; time
+    converted per ``precision`` like convert-time (influxdb.clj:113-124).
     """
     mult = {"seconds": 1, "milliseconds": 1000, "microseconds": 1_000_000}[precision]
+    df = df.filter(
+        F.col("service").isNotNull()
+        & F.col("metric").isNotNull()
+        & F.col("time").isNotNull()
+    )
     tag_cols = [
         F.when(
             F.col(t).isNotNull() & (F.col(t).cast("string") != ""),
@@ -188,9 +196,20 @@ def events_to_prometheus_text(
     )
 
 
-def prometheus_text_to_samples(df: DataFrame, line_col: str = "line") -> DataFrame:
+def prometheus_text_to_samples(
+    df: DataFrame, line_col: str = "line", quoted: bool = True
+) -> DataFrame:
     """Parse exposition lines back to (name, labels map, value) — the
-    ingest direction for scrape-format payloads. Column-only regex."""
+    ingest direction for scrape-format payloads. Column-only regex.
+
+    ``quoted=True`` (matching the encoder's spec-valid default) splits
+    label pairs only at ``,key="`` boundaries, so a label VALUE
+    containing ``=`` (e.g. ``tags="a,b=c"``) does not reparse as a
+    spurious label. ``quoted=False`` pairs with the reference's
+    unquoted parity mode and keeps the laxer ``,key=`` boundary (an
+    unquoted value containing ``=`` is ambiguous by construction
+    there, as in the reference)."""
+    boundary = ',(?=[a-zA-Z_][a-zA-Z0-9_]*=")' if quoted else ",(?=[a-zA-Z_][a-zA-Z0-9_]*=)"
     line = F.trim(F.col(line_col))
     name = F.regexp_extract(line, r"^([a-zA-Z_][a-zA-Z0-9_]*)", 1)
     body = F.regexp_extract(line, r"\{(.*)\}", 1)
@@ -200,7 +219,7 @@ def prometheus_text_to_samples(df: DataFrame, line_col: str = "line") -> DataFra
         map_from_entries(
           transform(
             filter(split(regexp_extract(trim({line_col}), '\\\\{{(.*)\\\\}}', 1),
-                         ',(?=[a-zA-Z_][a-zA-Z0-9_]*=)'),
+                         '{boundary}'),
                    s -> s != ''),
             s -> struct(split(s, '=', 2)[0] AS key,
                         regexp_replace(split(s, '=', 2)[1], '^"|"$', '') AS value)))

@@ -174,7 +174,19 @@ def streaming_moving_time_window(
     micro-batch rows are processed in (time, event_id) order, so a
     drained single-batch run is a pure function of the event sequence
     and admits a relational oracle (per-key range self-join).
-    """
+
+    DEPLOY CAVEAT — output volume, not state, is the bound that bites
+    at scale: the contract re-emits the whole horizon buffer per
+    event, so output is O(events x window density) — a key doing
+    1k events/s through a 60 s window emits ~60M rows/s. That is
+    faithful to the reference (each downstream child receives the full
+    vector per event) but at 100x scale use this form ONLY when the
+    full per-event vector is genuinely consumed (e.g. a per-event
+    percentile over the raw window). If a fold is applied to the
+    window, use the windowed-aggregate forms instead
+    (operators/windows.py moving_time_window + a fold, or
+    streaming groupBy over F.window) — those emit one row per
+    (key, trigger) and keep output linear in events."""
     out_schema = StructType(
         [
             StructField("host", StringType()),
