@@ -58,10 +58,9 @@ _GATE_PRIORITY = [
     "tpch_q11",
     "tpch_q20",
     "tpch_q21",
-    # -- new round-5 catalog entries (gate immediately on landing;
-    #    uncommented the moment the query exists) ----------------------
-    # "streaming_dedup_minhash_drained",
-    # "webhook_roundtrip",
+    # -- new round-5 catalog entry (webhook sink is pytest-verified
+    #    infra like the other sinks — no natural oracle row) -----------
+    "streaming_dedup_minhash_drained",
     # -- backfill: stalest green rows, rotated for freshness ------------
     # last gated in r01:
     "top_suppliers_per_part",

@@ -2700,3 +2700,62 @@ def source_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_length_ok"),
     )
+
+
+@q(
+    "streaming_dedup_minhash_drained",
+    f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+claim AS (SELECT band, MIN(doc) AS claimant FROM bands GROUP BY band)
+SELECT b.doc AS doc_id,
+       CAST(MIN(c.claimant) AS BIGINT) AS canonical_id,
+       MIN(c.claimant) = b.doc AS kept
+FROM bands b JOIN claim c USING (band)
+GROUP BY b.doc""",
+)
+def streaming_dedup_minhash_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time MinHash-LSH near-dup dedup, drained VALUE oracle
+    (streaming/stateful_ops.streaming_dedup_minhash): documents stream
+    through the band-bucket keep-first state machine; each (doc, band)
+    row emits its bucket's claimant-so-far, and the post-drain rollup
+    takes min(claimant) per doc — kept iff a doc is the keeper of
+    every... no: iff NO band of its collides with an earlier doc,
+    i.e. its min claimant is itself. A drained single-batch run in
+    doc-id order equals batch groupBy(band).min(doc), which is the
+    oracle: the per-band minimum claims the bucket, a doc is a
+    near-duplicate iff any of its bands was claimed earlier.
+
+    The streaming signature is a pure projection (array_min over the
+    shingle array), so the state machine's only state is one long per
+    distinct band hash — bounded by corpus novelty, not size."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_dedup_minhash
+
+    name = f"cat_sdm_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sdm_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    stream = streaming_dedup_minhash(raw, _N_HASHES, _BAND)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).groupBy("doc_id").agg(
+        F.min("claimant").alias("canonical_id"),
+        (F.min("claimant") == F.col("doc_id")).alias("kept"),
+    )

@@ -136,6 +136,66 @@ def _http_sink(url: str, batch_limit: int = 1000) -> SinkFn:
     return write
 
 
+def _render_template(obj: Any, row: dict) -> Any:
+    """Recursively substitute ``{field}`` placeholders in string leaves
+    of a JSON-shaped template with event values (missing/None → '')."""
+
+    class _Safe(dict):
+        def __missing__(self, k):  # tolerate fields absent from the row
+            return ""
+
+    vals = _Safe({k: ("" if v is None else v) for k, v in row.items()})
+    if isinstance(obj, str):
+        return obj.format_map(vals)
+    if isinstance(obj, dict):
+        return {k: _render_template(v, row) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_render_template(v, row) for v in obj]
+    return obj
+
+
+@register_sink("webhook")
+def _webhook_sink(
+    url: str,
+    template: dict,
+    headers: dict | None = None,
+    batch_limit: int = 1000,
+) -> SinkFn:
+    """Generic templated-webhook sink — ONE registration covering the
+    reference's webhook-vendor family (pagerduty.clj:91 format-event,
+    slack.clj:71 slack-formatter, and every client in config.clj:7-56
+    that is 'POST a JSON body per event'): ``template`` is a
+    JSON-shaped dict whose string leaves carry ``{field}``
+    placeholders, rendered per event and POSTed one request per event
+    (the vendors' per-alert contract).
+
+    Shapes (see docs/QUERIES.md cookbook):
+      slack     → {"text": "{host} {service} is {state} ({metric})"}
+      pagerduty → {"routing_key": "KEY", "event_action": "trigger",
+                   "payload": {"summary": "{service} on {host}",
+                               "source": "{host}", "severity": "critical"}}
+      msteams   → {"@type": "MessageCard", "title": "{service}",
+                   "text": "{state} on {host}"}
+
+    Alert-volume streams only: collects at most ``batch_limit`` rows
+    per micro-batch to the driver, like the http sink — never the raw
+    firehose."""
+    import urllib.request
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        rows = df.limit(batch_limit).collect()
+        for row in rows:
+            body = json.dumps(_render_template(template, row.asDict())).encode()
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            )
+            urllib.request.urlopen(req, timeout=10)
+
+    return write
+
+
 def fan_out(sinks: list[SinkFn]) -> Callable[[DataFrame, int], None]:
     """foreachBatch function sending each micro-batch to every sink.
     The batch is persisted once so N sinks don't rescan the source."""

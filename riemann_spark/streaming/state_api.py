@@ -122,6 +122,12 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "per event with running z",
     },
+    "streaming_dedup_minhash": {
+        "keys": ("band",),
+        "state": "(claimant long)  # min doc_id ever seen in bucket",
+        "timeout": "none",
+        "emission": "per (doc, band) row with claimant-so-far",
+    },
     "index_stream (expire reaper)": {
         "keys": ("host", "service"),
         "state": "(latest event + ttl deadline)",

@@ -927,3 +927,109 @@ def streaming_anomaly_zscore(
         sdf, keys, update, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
         )
+
+
+# ---------------------------------------- ingest-time minhash dedup --
+
+def streaming_dedup_minhash(
+    sdf: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time MinHash-LSH near-dup dedup — the streaming form of
+    functions/dedup.lsh_candidate_pairs, keep-first within each band
+    bucket (the RefinedWeb posture of segment_dedup_keep_first applied
+    at the document level).
+
+    The MinHash signature is a PURE PROJECTION here (array_min over
+    transform of the shingle array — no groupBy), because an
+    aggregation upstream of a stateful operator would break append
+    mode; batch and streaming share the identical chunked-md5 hash
+    family (see minhash_signatures: sig_i = min over shingles of the
+    (i mod 4)-th 32-bit chunk of the (i div 4)-th salted md5). Each
+    doc explodes into n_hashes/band_size band rows; state per band
+    bucket is ONE long — the minimum doc id ever seen in that bucket
+    (the bucket's keeper). Every arriving row emits its bucket's
+    claimant-so-far, so a doc is a near-duplicate iff any of its
+    bands' claimants is an earlier doc: roll up downstream with
+    min(claimant) per doc (kept iff it equals the doc's own id).
+
+    100 TB shape: state is O(distinct band hashes) longs — bounded by
+    corpus novelty, not corpus size — and the only shuffle is the
+    band-key exchange the stateful op needs anyway. Docs shorter than
+    k tokens carry no shingles and bypass dedup (dropped here,
+    mirroring the batch form where they never enter the sigs table).
+    Within a micro-batch rows are processed in doc-id order, so a
+    drained single-batch run equals the batch groupBy(band).min(doc)
+    and admits a relational oracle.
+    """
+    from riemann_spark.functions.dedup import shingles
+
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 needs more than two md5s per shingle")
+    n_md5 = (n_hashes + 3) // 4
+    sh = shingles(text_col, k)
+    hs = F.transform(
+        sh,
+        lambda s: F.concat(
+            *[
+                F.md5(s) if m == 0 else F.md5(F.concat(F.lit(str(m)), s))
+                for m in range(n_md5)
+            ]
+        ),
+    )
+    sigs = [
+        F.array_min(
+            F.transform(hs, lambda h: F.substring(h, 32 * (i // 4) + 8 * (i % 4) + 1, 8))
+        )
+        for i in range(n_hashes)
+    ]
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            "|", F.lit(str(b)), *[sigs[b * band_size + j] for j in range(band_size)]
+        )
+        for b in range(n_bands)
+    ]
+    exploded = (
+        sdf.filter(F.size(sh) > 0)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.array(*band_cols)).alias("band"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("band", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("claimant", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("claimant", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        (band,) = key
+        claimant = int(state.get[0]) if state.exists else None
+        parts = [pdf[["doc_id"]] for pdf in pdfs]
+        rows = (
+            pd.concat(parts, ignore_index=True).sort_values("doc_id")
+            if parts
+            else pd.DataFrame(columns=["doc_id"])
+        )
+        out = []
+        for d in rows["doc_id"]:
+            d = int(d)
+            claimant = d if claimant is None else min(claimant, d)
+            out.append((band, d, claimant))
+        state.update((claimant,))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return apply_with_state(
+        exploded, ["band"], update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )

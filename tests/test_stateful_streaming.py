@@ -500,3 +500,39 @@ def test_streaming_moving_time_window_survives_restart(spark, tmpdirs):
         emitted.setdefault(r.trigger_event_id, set()).add(r.event_id)
     assert emitted[2] == {1, 2}  # buffer (event 1) survived the restart
     assert 3 not in emitted  # recovered cutoff still drops the late event
+
+
+def test_streaming_dedup_minhash_keep_first_across_batches(spark, tmpdirs):
+    """Band-bucket keep-first: an identical doc in a LATER batch is
+    claimed by the batch-0 keeper (state carries the bucket minimum
+    across micro-batches); intra-batch duplicates resolve to the
+    smallest doc id; sub-k-token docs bypass dedup entirely."""
+    from riemann_spark.streaming.stateful_ops import streaming_dedup_minhash
+
+    src, ckpt = tmpdirs
+    name = f"sdm_{uuid.uuid4().hex[:8]}"
+    doc_schema = "doc_id long, text string"
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "pack my box with five dozen liquor jugs right now"
+    c = "sphinx of black quartz judge my vow immediately please friend"
+    batches = [
+        [(1, a), (2, b), (6, "hi")],          # 6: 1 token < k=3 -> no shingles
+        [(3, a), (4, c), (5, c)],             # 3 dups batch-0's 1; 5 dups 4
+    ]
+    rows = _run_stream(
+        spark, src, ckpt,
+        lambda sdf: streaming_dedup_minhash(sdf),
+        name, batches, spark_rows_schema=doc_schema,
+    )
+    import collections
+
+    claim = collections.defaultdict(list)
+    for r in rows:
+        claim[r.doc_id].append(r.claimant)
+    canonical = {d: min(cs) for d, cs in claim.items()}
+    assert 6 not in canonical  # shingle-less doc never enters
+    assert canonical[1] == 1 and canonical[2] == 2 and canonical[4] == 4
+    assert canonical[3] == 1  # cross-batch keep-first
+    assert canonical[5] == 4  # intra-batch keep-first
+    # every band row of a duplicate doc is claimed by the keeper
+    assert all(cl == 1 for cl in claim[3])

@@ -234,3 +234,60 @@ def test_remote_write_sink_posts_snappy_protobuf(spark):
         ]
     finally:
         srv.shutdown()
+
+
+def test_webhook_sink_templated_shapes(spark):
+    """Templated webhook sink round-trip against a loopback HTTP
+    server: slack and pagerduty payload shapes render per event with
+    field substitution; missing fields degrade to '' not KeyError."""
+    import json
+
+    from riemann_spark.streaming.sinks import make_sink
+
+    _Capture.bodies = []
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _Capture)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        df = _ev(spark, [("h1", "cpu", 1.5, 100.0, []), ("h2", "mem", 0.25, 101.0, [])])
+        slack = make_sink(
+            "webhook",
+            url=f"http://127.0.0.1:{port}/slack",
+            template={"text": "{host} {service} is {state} ({metric})"},
+        )
+        slack(df, 0)
+        pd_sink = make_sink(
+            "webhook",
+            url=f"http://127.0.0.1:{port}/pagerduty",
+            template={
+                "routing_key": "KEY",
+                "event_action": "trigger",
+                "payload": {
+                    "summary": "{service} on {host}",
+                    "source": "{host}",
+                    "severity": "critical",
+                },
+            },
+            headers={"Authorization": "Token token=T"},
+        )
+        pd_sink(df.limit(1), 1)
+        slack_bodies = [json.loads(b) for p, b in _Capture.bodies if p == "/slack"]
+        assert {b["text"] for b in slack_bodies} == {
+            "h1 cpu is  (1.5)",  # no state column in EV_COLS -> ''
+            "h2 mem is  (0.25)",
+        }
+        pd_bodies = [json.loads(b) for p, b in _Capture.bodies if p == "/pagerduty"]
+        assert pd_bodies == [
+            {
+                "routing_key": "KEY",
+                "event_action": "trigger",
+                "payload": {
+                    "summary": "cpu on h1",
+                    "source": "h1",
+                    "severity": "critical",
+                },
+            }
+        ]
+    finally:
+        srv.shutdown()
