@@ -191,14 +191,41 @@ def fdifference(
 def fquotient(
     col: str | Column = "metric", time_col: str = "time", order_col: str = "event_id"
 ) -> Column:
-    """quotient fold (folds.clj:128-154): first ÷ Π(rest) =
-    exp(2·ln(first) − Σ ln) for positive metrics; null (→ the
-    exception stream in the reference) when any metric ≤ 0."""
+    """quotient fold (folds.clj:128-154): first ÷ Π(rest).
+
+    Magnitude via exp(2·ln|first| − Σ ln|x|), sign via the parity of
+    the group's negative count (sign(first)/sign(Πrest) ==
+    (−1)^#negatives — division and multiplication share sign algebra),
+    so NEGATIVE metrics divide exactly like the reference's rational
+    arithmetic (folds_test.clj quotient-test: (2,−3) → −2/3). A zero
+    anywhere in the REST is the reference's ArithmeticException →
+    null metric ("Can't divide by zero"); a zero FIRST over a nonzero
+    rest is plain 0."""
     c = F.col(col) if isinstance(col, str) else col
-    any_bad = F.max(F.when(c <= 0, 1).otherwise(0)) == 1
     first = _first_by_order(c, time_col, order_col)
-    val = F.exp(F.lit(2.0) * F.log(first) - F.sum(F.log(c)))
-    return F.when(any_bad, F.lit(None)).otherwise(val)
+    n_zero = F.sum(F.when(c == 0, 1).otherwise(0))
+    zero_in_rest = (n_zero - F.when(first == 0, 1).otherwise(0)) > 0
+    sign = F.when(F.sum(F.when(c < 0, 1).otherwise(0)) % 2 == 1, -1.0).otherwise(1.0)
+    mag = F.exp(F.lit(2.0) * F.log(F.abs(first)) - F.sum(F.log(F.abs(c))))
+    return (
+        F.when(zero_in_rest, F.lit(None).cast("double"))
+        .when(first == 0, F.lit(0.0))
+        .otherwise(sign * mag)
+    )
+
+
+def fquotient_sloppy(
+    col: str | Column = "metric", time_col: str = "time", order_col: str = "event_id"
+) -> Column:
+    """quotient-sloppy (folds.clj:147-154): like quotient, but ANY
+    zero metric in the group short-circuits to 0 — "considers
+    0/0 = 0. Useful for relative rates, when you want the ratio of
+    two constant values to be zero"."""
+    c = F.col(col) if isinstance(col, str) else col
+    any_zero = F.max(F.when(c == 0, 1).otherwise(0)) == 1
+    return F.when(any_zero, F.lit(0.0)).otherwise(
+        fquotient(c, time_col, order_col)
+    )
 
 
 def sorted_sample_points(col: str | Column, points: list[float]) -> Column:

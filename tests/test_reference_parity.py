@@ -712,3 +712,117 @@ def test_query_predicate_vectors(spark):
             {"tags": ["fuzzy", "catz"]},
         ],
     )
+
+
+# --------------------------------------------- §folds (round-5 widening)
+
+def test_fold_quotient_negative_and_zero_vectors(spark):
+    """folds_test.clj quotient-test/quotient-sloppy-test, the full
+    table: negative metrics divide with rational-arithmetic signs
+    ((2,−3) → −2/3); a zero divisor is the reference's
+    ArithmeticException → nil metric; quotient-sloppy short-circuits
+    ANY zero to 0 (folds.clj:147-154 "considers 0/0 = 0")."""
+
+    def q(vals, fold=folds.fquotient):
+        ev = events(spark, *({"metric": m} for m in vals))
+        return ev.agg(fold().alias("v")).collect()[0]["v"]
+
+    # quotient [1 2 0] -> "Can't divide by zero" -> nil
+    assert q([1.0, 2.0, 0.0]) is None
+    # (/ 2 -3) = -2/3 exactly in IEEE via sign*exp(ln) within 1 ulp
+    assert q([2.0, -3.0]) == pytest.approx(-2.0 / 3.0, rel=1e-12)
+    # sign parity: 1 / (-2 * -2) = 0.25
+    assert q([1.0, -2.0, -2.0]) == pytest.approx(0.25, rel=1e-12)
+    # zero FIRST over nonzero rest is plain 0
+    assert q([0.0, 2.0]) == 0.0
+    # quotient-sloppy-test vectors
+    assert q([2.0, -3.0], folds.fquotient_sloppy) == pytest.approx(-2.0 / 3.0, rel=1e-12)
+    assert q([0.0, 0.0], folds.fquotient_sloppy) == 0.0
+    assert q([1.0, 0.0], folds.fquotient_sloppy) == 0.0
+
+
+def _sorted_sample_exact(spark, vals, points):
+    """The reference's sorted-sample-extract selection (folds.clj:16-49):
+    element at floor(p·n) clamped to n−1 in metric order — the same
+    expressions as the sorted_sample catalog builder, single group."""
+    from pyspark.sql import Window
+
+    ev = events(spark, *({"metric": m} for m in vals)).filter(
+        F.col("metric").isNotNull()
+    )
+    if ev.count() == 0:
+        return []
+    w = Window.orderBy(F.col("metric"), F.col("event_id"))
+    r = ev.select(
+        "metric",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    out = []
+    for p in points:
+        idx = F.least(F.floor(F.lit(p) * F.col("n")), F.col("n") - 1) + 1
+        out.append(
+            r.agg(F.max(F.when(F.col("rn") == idx, F.col("metric"))).alias("v"))
+            .collect()[0]["v"]
+        )
+    return out
+
+
+def test_fold_sorted_sample_extract_vectors(spark):
+    """folds_test.clj sorted-sample-extract-test — the full are-table
+    at points [0 0.5 1]: empty and all-nil inputs sample to nothing;
+    otherwise the floor-index element (NOT interpolation) at each
+    point, duplicates preserved."""
+    pts = [0.0, 0.5, 1.0]
+    assert _sorted_sample_exact(spark, [], pts) == []
+    assert _sorted_sample_exact(spark, [None], pts) == []
+    assert _sorted_sample_exact(spark, [1.0], pts) == [1.0, 1.0, 1.0]
+    assert _sorted_sample_exact(spark, [2.0, 1.0], pts) == [1.0, 2.0, 2.0]
+    assert _sorted_sample_exact(spark, [3.0, 1.0, 2.0], pts) == [1.0, 2.0, 3.0]
+    assert _sorted_sample_exact(spark, [6.0, 1.0, 2.0, 1.0, 1.0], pts) == [
+        1.0, 1.0, 6.0,
+    ]
+
+
+def test_fold_count_vectors(spark):
+    """folds_test.clj count-test: count tallies EVENTS (expired and
+    nil-metric rows included), merged into the first event's fields —
+    c2 [{2} {3}] → 2; c3 [{2} {3 expired} {4}] → 3."""
+    ev = events(spark, {"metric": 2.0}, {"metric": 3.0})
+    assert ev.agg(folds.fcount().alias("n")).collect()[0]["n"] == 2
+    ev = events(
+        spark,
+        {"metric": 2.0},
+        {"metric": 3.0, "state": "expired"},
+        {"metric": 4.0, "ttl": 1.0, "time": -3.0},
+    )
+    assert ev.agg(folds.fcount().alias("n")).collect()[0]["n"] == 3
+    # nil metrics still count as events (metric-keyed folds skip them,
+    # count does not)
+    ev = events(spark, {"metric": None}, {"metric": 5.0})
+    assert ev.agg(folds.fcount().alias("n")).collect()[0]["n"] == 2
+
+
+def test_fold_modes_full_table(spark):
+    """folds_test.clj modes-test: the multi-mode SET {2,3}, the single
+    mode [2], and empty → empty."""
+    ev = events(spark, *({"metric": m} for m in [1.0, 2.0, 3.0, 4.0, 2.0]))
+    assert ev.agg(folds.fmodes().alias("m")).collect()[0]["m"] == [2.0]
+    ev = events(spark, *({"metric": m} for m in [1.0, 2.0, 3.0, 3.0, 4.0, 2.0]))
+    assert sorted(ev.agg(folds.fmodes().alias("m")).collect()[0]["m"]) == [2.0, 3.0]
+
+
+# ----------------------------------------- §smap nil semantics (:30-44)
+
+def test_smap_star_passes_null_results_smap_drops(spark):
+    """streams_test.clj:30-43 — (smap* identity) passes nil values
+    through; (smap identity) drops them. Columnar analogue: the
+    all-null projection row survives smap* and is filtered by smap's
+    trailing where (the documented contract in stateless.smap)."""
+    ev = events(spark, {"metric": 1.0}, {"metric": None}, {"metric": 3.0})
+    mapped = stateless.smap(ev, F.col("event_id"), F.col("metric"))
+    # smap* semantics: nothing dropped
+    assert mapped.count() == 3
+    # smap semantics: nil results filtered by the trailing where
+    kept = mapped.filter(F.col("metric").isNotNull())
+    assert [r["metric"] for r in kept.orderBy("event_id").collect()] == [1.0, 3.0]

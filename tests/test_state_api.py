@@ -78,3 +78,165 @@ def test_tws_lane_smoke(spark, tmp_path):
         assert len(rows) >= 1
     finally:
         sa._tws_available = old
+
+
+# ------------------------------------------- shim vs legacy (in-container)
+
+class _FakeValueState:
+    """TWS ValueState surface the shim maps onto."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.timers = []
+
+    def registerTimer(self, ts):
+        self.timers.append(int(ts))
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms=0, wm_ms=0):
+        self._now, self._wm = now_ms, wm_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+class _FakeLegacyState:
+    """The applyInPandasWithState GroupState subset our operators use."""
+
+    def __init__(self, now_ms=0):
+        self._v = None
+        self._now = now_ms
+        self.hasTimedOut = False
+        self.timeout_set_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentProcessingTimeMs(self):
+        return self._now
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = int(ms)
+
+
+def _capture_update(monkeypatch, build):
+    """Invoke an operator builder with apply_with_state stubbed out,
+    returning the REAL update closure it registered."""
+    import riemann_spark.streaming.stateful_ops as so
+
+    cap = {}
+
+    def fake_apply(sdf, keys, update, out_schema, state_schema, **kw):
+        cap["update"] = update
+        return sdf
+
+    monkeypatch.setattr(so, "apply_with_state", fake_apply)
+    build()
+    return cap["update"]
+
+
+def test_tws_shim_matches_legacy_for_streaming_ewma(monkeypatch):
+    """The 1:1 GroupState→TWS mapping, executable without
+    google.protobuf: the REAL streaming_ewma update fn produces
+    identical emissions and identical final state through
+    TwsGroupStateShim (over fake ValueState/handle/timers) as through
+    the legacy GroupState surface — two batches, state carried."""
+    import pandas as pd
+
+    from riemann_spark.streaming.state_api import TwsGroupStateShim
+    from riemann_spark.streaming.stateful_ops import streaming_ewma
+
+    update = _capture_update(monkeypatch, lambda: streaming_ewma(None, 10.0))
+    key = ("h1", "svc")
+    b1 = pd.DataFrame({"event_id": [0, 1], "time": [0.0, 5.0], "metric": [1.0, 2.0]})
+    b2 = pd.DataFrame({"event_id": [2], "time": [15.0], "metric": [4.0]})
+
+    legacy = _FakeLegacyState()
+    out_legacy = [
+        df for batch in (b1, b2) for df in update(key, iter([batch.copy()]), legacy)
+    ]
+
+    vs, handle = _FakeValueState(), _FakeHandle()
+    shim = TwsGroupStateShim(vs, handle, _FakeTimerValues())
+    out_shim = [
+        df for batch in (b1, b2) for df in update(key, iter([batch.copy()]), shim)
+    ]
+
+    assert len(out_legacy) == len(out_shim) == 2
+    for a, b in zip(out_legacy, out_shim):
+        pd.testing.assert_frame_equal(a, b)
+    assert legacy.get == vs.get()  # identical checkpointed state
+
+
+def test_tws_shim_timer_lane_streaming_coalesce(monkeypatch):
+    """Timer surface through the shim with the REAL streaming_coalesce
+    update fn: a data invocation arms exactly one processing-time
+    timer (stale timers deleted), a timed-out invocation emits the
+    snapshot row and re-arms; the 'expired' tombstone removes state."""
+    import pandas as pd
+
+    from riemann_spark.streaming.state_api import TwsGroupStateShim
+    from riemann_spark.streaming.stateful_ops import streaming_coalesce
+
+    update = _capture_update(monkeypatch, lambda: streaming_coalesce(None, 2.0))
+    key = ("h1", "svc")
+    vs, handle = _FakeValueState(), _FakeHandle()
+    handle.timers = [111, 222]  # stale timers a re-arm must clear
+
+    rows = pd.DataFrame(
+        {"event_id": [0], "time": [1.0], "metric": [5.0], "state": ["ok"]}
+    )
+    out = list(update(key, iter([rows]), TwsGroupStateShim(vs, handle, _FakeTimerValues(1000))))
+    assert out == []  # data invocations buffer, emission is timer-driven
+    assert vs.exists() and vs.get()[:3] == ("ok", 5.0, 1.0)
+    assert handle.listTimers() == [1000 + 2000]  # stale ones deleted
+
+    # timer fires: snapshot emitted, deadline re-armed from 'now'
+    shim = TwsGroupStateShim(vs, handle, _FakeTimerValues(3000), has_timed_out=True)
+    out = list(update(key, iter(()), shim))
+    assert len(out) == 1 and out[0].iloc[0]["metric"] == 5.0
+    assert handle.listTimers() == [3000 + 2000]
+
+    # expired tombstone: emitted once, then state removed
+    vs.update(("expired", 5.0, 1.0, 0, 5000))
+    shim = TwsGroupStateShim(vs, handle, _FakeTimerValues(5000), has_timed_out=True)
+    out = list(update(key, iter(()), shim))
+    assert len(out) == 1 and out[0].iloc[0]["state"] == "expired"
+    assert not vs.exists()
