@@ -227,12 +227,16 @@ def main() -> None:
         stateless.default(stateless.where(big, "metric >= 0"), {"state": "ok"}),
         "bench",
     )
-    pipeline_sec = float("inf")
+    # record every pass, not just the min: this box's wall clocks swing
+    # up to 4x, and the per-pass vector is the observability that lets a
+    # reader separate plan regressions from clock noise (VERDICT r4 #9)
+    pipeline_passes = []
     for _ in range(n_passes):
         t0 = time.time()
         analytics.rate(piped, 3600.0).write.format("noop").mode("overwrite").save()
         index.build_index(piped).write.format("noop").mode("overwrite").save()
-        pipeline_sec = min(pipeline_sec, time.time() - t0)
+        pipeline_passes.append(round(time.time() - t0, 3))
+    pipeline_sec = min(pipeline_passes)
     events_per_sec = int(n_events / pipeline_sec)
     big.unpersist()
 
@@ -252,6 +256,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "events_per_sec": events_per_sec,
                 "throughput_events": n_events,
+                "pipeline_pass_sec": pipeline_passes,
             }
         )
     )

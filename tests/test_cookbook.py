@@ -91,6 +91,13 @@ def test_recipe_7_wire_formats(spark, events):
     prom = events_to_prometheus_text(events)
     assert prom.count() == events.filter("metric is not null").count()
     assert callable(make_sink("influxdb", url="http://influx:8086/write?db=riemann"))
+    assert callable(
+        make_sink(
+            "webhook",
+            url="https://hooks.slack.com/services/T/B/X",
+            template={"text": "{host} {service} is {state} ({metric})"},
+        )
+    )
 
 
 def test_recipe_8_streaming(spark, tmp_path):

@@ -907,3 +907,19 @@ def test_dsir_weights_favor_target_like_docs(spark):
     ).collect()}
     assert w[100] > w[101]
     assert w[100] > 0 > w[101]
+
+
+def test_shuffle_shards_wide_shard_space(spark):
+    """ADVICE r4: shard ids come from a 32-bit md5 prefix — with
+    n_shards=512 (> 256) the high shards must be populated and the
+    layout stays deterministic across invocations."""
+    from riemann_spark.functions.text import shuffle_shards
+
+    d = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(d, 512)
+    shards = [r.shard for r in out.select("shard").distinct().collect()]
+    assert max(shards) >= 256  # old 8-bit hash left these empty forever
+    assert min(shards) >= 0 and max(shards) < 512
+    a = {(r.doc_id, r.shard, r.pos) for r in out.collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(d, 512).collect()}
+    assert a == b

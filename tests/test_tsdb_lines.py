@@ -291,3 +291,53 @@ def test_webhook_sink_templated_shapes(spark):
         ]
     finally:
         srv.shutdown()
+
+
+def test_influx_encoder_drops_null_metric_rows(spark):
+    """ADVICE r4: a metric-less event must never become a NULL line
+    (the influxdb.clj nil-metric guard) — the '\\n'.join in the sink
+    would raise TypeError on None."""
+    rows = [
+        ("h1", "cpu", 1.5, 100.0, []),
+        ("h2", "cpu", None, 100.0, []),   # nil metric
+        ("h3", None, 2.0, 100.0, []),     # nil service
+        ("h4", "cpu", 3.0, None, []),     # nil time
+    ]
+    lines = [r.line for r in events_to_influx_lines(_ev(spark, rows)).collect()]
+    assert lines == ["cpu,host=h1 value=1.500000 100"]
+    assert all(line is not None for line in lines)
+
+
+def test_prometheus_label_value_with_equals_no_spurious_label(spark):
+    """ADVICE r4: a quoted label VALUE containing '=' (tags='a,b=c')
+    must not reparse as a spurious label in the quote-aware default
+    parse mode."""
+    rows = [("h1", "cpu", 1.5, 100.0, ["a", "b=c"])]
+    lines = events_to_prometheus_text(_ev(spark, rows))
+    s = prometheus_text_to_samples(lines).collect()[0]
+    assert s.labels == {"host": "h1", "tags": "a,b=c"}
+    assert s.value == 1.5
+
+
+def test_remote_write_negative_timestamp_and_partial_label():
+    """ADVICE r4: negative int64 Sample timestamps round-trip via
+    two's-complement sign conversion; a foreign Label missing its
+    value field decodes as '' instead of KeyError."""
+    from riemann_spark.sources.prometheus_rw import (
+        _msg_field,
+        _str_field,
+        decode_write_request,
+        encode_write_request,
+    )
+
+    body = encode_write_request(
+        [{"service": "up", "host": "h1", "metric": 1.0, "time": -3.5}]
+    )
+    out = decode_write_request(body)
+    assert out[0]["timestamp_ms"] == -3500
+
+    # hand-build a TimeSeries whose label has a name but NO value
+    ts = _msg_field(1, _str_field(1, "orphan"))
+    buf = _msg_field(1, bytes(ts))
+    out = decode_write_request(buf)
+    assert out[0]["labels"].get("orphan", out[0]["name"]) in ("", None)
