@@ -214,8 +214,11 @@ def test_folds_match_python_reference_on_random_vectors(spark):
         assert r.mn == min(xs) and r.mx == max(xs)
         # difference: first - sum(rest)  (folds.clj:115-126)
         assert r.difference == pytest.approx(xs[0] - sum(xs[1:]), abs=1e-9)
-        # quotient: first / product(rest); any <= 0 -> null
-        if any(x <= 0 for x in xs):
+        # quotient: first / product(rest); zero DIVISOR -> null
+        # (folds.clj:128-145 catches the ArithmeticException); zero
+        # first over nonzero rest is plain 0; negatives divide with
+        # rational-arithmetic signs (folds_test.clj quotient-test)
+        if any(x == 0 for x in xs[1:]):
             assert r.quotient is None, (g, xs)
         else:
             want = xs[0]
