@@ -826,3 +826,122 @@ def test_smap_star_passes_null_results_smap_drops(spark):
     # smap semantics: nil results filtered by the trailing where
     kept = mapped.filter(F.col("metric").isNotNull())
     assert [r["metric"] for r in kept.orderBy("event_id").collect()] == [1.0, 3.0]
+
+
+# -------------------------------- §where edge cases (streams_test.clj:462-655)
+
+def _svc_set(df):
+    return [r["service"] for r in df.orderBy("event_id").collect()]
+
+
+def test_where_field_or_vectors(spark):
+    """streams_test.clj:463-476 "field" — (or (state "ok" "good")
+    (= "weird" state)): set-membership OR equality on a field."""
+    ev = events(
+        spark, {"state": "ok"}, {"state": "good"}, {"state": "weird"}, {"state": "error"}
+    )
+    got = stateless.where(
+        ev, F.col("state").isin("ok", "good") | (F.col("state") == "weird")
+    )
+    assert [r["state"] for r in got.orderBy("event_id").collect()] == [
+        "ok", "good", "weird",
+    ]
+
+
+def test_where_regex_vectors(spark):
+    """streams_test.clj:484-490 "regex" — (service #"^foo"): a nil
+    service does not match (rlike on null is null → dropped)."""
+    ev = events(spark, {"service": None}, {"service": "foo"}, {"service": "food"})
+    got = stateless.where(ev, F.col("service").rlike("^foo"))
+    assert _svc_set(got) == ["foo", "food"]
+
+
+def test_where_function_predicate_vectors(spark):
+    """streams_test.clj:492-505 "functions" — (and metric (even?
+    metric)): the nil-metric event is dropped by the conjunction."""
+    ev = events(spark, {"metric": None}, {"metric": 1.0}, {"metric": 2.0})
+    got = stateless.where(
+        ev, F.col("metric").isNotNull() & (F.col("metric") % 2 == 0)
+    )
+    assert [r["metric"] for r in got.collect()] == [2.0]
+
+
+def test_where_set_predicate_vectors(spark):
+    """streams_test.clj:507-513 "using sets as predicates"."""
+    ev = events(
+        spark,
+        {"service": "service1"},
+        {"service": "service2"},
+        {"service": "service-doesnt-match"},
+    )
+    got = stateless.match(ev, "service", {"service1", "service2"})
+    assert sorted(_svc_set(got)) == ["service1", "service2"]
+
+
+def test_where_tagged_vectors_single_and_multi(spark):
+    """streams_test.clj:527-600 — the tagged / tagged-all / tagged-any
+    tables: nil-tags and empty-tags events never match; multi-tag
+    tagged-all needs every tag, tagged-any any one."""
+    rows = [
+        {"tags": None},
+        {"tags": []},
+        {"tags": ["blah"]},
+        {"tags": ["foo"]},
+        {"tags": ["foo", "bar"]},
+        {"tags": ["baz", "bar"]},
+    ]
+    ev = events(spark, *rows)
+
+    def tags_of(df):
+        return [tuple(r["tags"]) for r in df.orderBy("event_id").collect()]
+
+    assert tags_of(stateless.tagged_all(ev, ["foo"])) == [("foo",), ("foo", "bar")]
+    assert tags_of(stateless.tagged_any(ev, ["foo"])) == [("foo",), ("foo", "bar")]
+    assert tags_of(stateless.tagged_all(ev, ["foo", "bar"])) == [("foo", "bar")]
+    assert tags_of(stateless.tagged_any(ev, ["foo", "bar"])) == [
+        ("foo",), ("foo", "bar"), ("baz", "bar"),
+    ]
+
+
+def test_where_else_vectors(spark):
+    """streams_test.clj:602-616 "else" — (where (service #"a") ...
+    (else ...)): match ["cat" "badger"], else ["dog" nil] — the
+    nil-service event goes to the ELSE branch (two-valued closure:
+    null predicate results are not matches)."""
+    ev = events(
+        spark,
+        {"service": "cat"},
+        {"service": "dog"},
+        {"service": None},
+        {"service": "badger"},
+    )
+    hit, miss = stateless.where_else(ev, F.col("service").rlike("a"))
+    assert _svc_set(hit) == ["cat", "badger"]
+    assert _svc_set(miss) == ["dog", None]
+
+
+def test_splitp_three_branch_vectors(spark):
+    """streams_test.clj:372-389 splitp "basics" — (splitp <= metric
+    10 crit 5 warn ok): first matching threshold wins, default
+    catches the rest. Also :331-338 split* without a default: the
+    unmatched event is DROPPED."""
+    ev = events(spark, {"metric": 15.0}, {"metric": 8.0}, {"metric": 2.0})
+    routed = stateless.split_by(
+        ev,
+        [(F.col("metric") >= 10, "crit"), (F.col("metric") >= 5, "warn")],
+        default_value="ok",
+        alias="state",
+    )
+    got = {r["metric"]: r["state"] for r in routed.collect()}
+    assert got == {15.0: "crit", 8.0: "warn", 2.0: "ok"}
+
+    # without a default: unmatched rows drop (split*-test :326-338)
+    routed = stateless.split_by(
+        ev,
+        [(F.col("metric") >= 10, "crit"), (F.col("metric") >= 5, "warn")],
+        alias="state",
+    )
+    got = {
+        r["metric"]: r["state"] for r in routed.filter(F.col("state").isNotNull()).collect()
+    }
+    assert got == {15.0: "crit", 8.0: "warn"}
