@@ -77,26 +77,37 @@ def streaming_ewma(sdf: DataFrame, halflife: float, keys: Sequence[str] = ("host
     )
 
     def update(key, pdfs, state: GroupState):
+        # Reference emission contract (streams.clj:1012 merge event
+        # m-new): the emitted event carries the STATE's time — the
+        # ratcheted time-old for the negative/zero Δt branches, never
+        # the out-of-order event's own earlier time (streams_test.clj:
+        # 1283-1290 expects {:metric 0.875 :time 2} for the t=1
+        # straggler) — and a nil-metric event passes through UNCHANGED
+        # (m-new nil ⇒ merge is identity, state untouched).
         host, service = key
-        m, t_old = state.get if state.exists else (0.0, None)
+        m, t_state = state.get if state.exists else (0.0, None)
         rows = _sorted_rows(pdfs, ["event_id", "time", "metric"])
         out = []
         for row in rows.itertuples(index=False):
-            t_new = float(row.time) if not pd.isna(row.time) else 0.0
-            if t_old is None:
-                t_old = t_new
+            t_event = None if pd.isna(row.time) else float(row.time)
+            if pd.isna(row.metric):
+                out.append((host, service, int(row.event_id), t_event, None))
+                continue
+            t_new = t_event if t_event is not None else 0.0
+            t_old = t_state if t_state is not None else t_new
             dt = t_new - t_old
-            if not pd.isna(row.metric):
-                x = float(row.metric)
-                if dt > 0:
-                    m = c_new * x + m * (r ** dt)
-                    t_old = t_new
-                elif dt < 0:
-                    m = m + c_new * x * (r ** abs(dt))
-                else:
-                    m = m + c_new * x
-            out.append((host, service, int(row.event_id), t_new, m))
-        state.update((m, t_old if t_old is not None else 0.0))
+            x = float(row.metric)
+            if dt > 0:
+                m = c_new * x + m * (r ** dt)
+                t_state = t_new
+            elif dt < 0:
+                m = m + c_new * x * (r ** abs(dt))
+                t_state = t_old
+            else:
+                m = m + c_new * x
+                t_state = t_old
+            out.append((host, service, int(row.event_id), t_state, m))
+        state.update((m, t_state if t_state is not None else 0.0))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in _EV_OUT.fields])
 

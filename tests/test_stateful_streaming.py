@@ -536,3 +536,26 @@ def test_streaming_dedup_minhash_keep_first_across_batches(spark, tmpdirs):
     assert canonical[5] == 4  # intra-batch keep-first
     # every band row of a duplicate doc is claimed by the keeper
     assert all(cl == 1 for cl in claim[3])
+
+
+def test_streaming_ewma_out_of_order_reference_vector(spark, tmpdirs):
+    """streams_test.clj:1283-1290 — (ewma 1) over metrics 1 at times
+    [0, 2, 1]: [0.5, 0.625, 0.875], and the out-of-order event emits
+    the RATCHETED time 2, not its own time 1 (merge event m-new keeps
+    the state's time-old in the negative-Δt branch)."""
+    src, ckpt = tmpdirs
+    name = f"ewoo_{uuid.uuid4().hex[:8]}"
+    batches = [
+        [_mk(0, "a", "x", metric=1.0, t=0.0)],
+        [_mk(1, "a", "x", metric=1.0, t=2.0)],
+        [_mk(2, "a", "x", metric=1.0, t=1.0)],  # straggler
+    ]
+    rows = _run_stream(spark, src, ckpt, lambda s: streaming_ewma(s, 1.0), name, batches)
+    got = {r.event_id: (r.metric, r.time) for r in rows}
+    import pytest as _pytest
+
+    assert got[0][0] == _pytest.approx(0.5)
+    assert got[1][0] == _pytest.approx(0.625)
+    assert got[2][0] == _pytest.approx(0.875)
+    assert got[0][1] == 0.0 and got[1][1] == 2.0
+    assert got[2][1] == 2.0  # ratcheted, not 1.0
