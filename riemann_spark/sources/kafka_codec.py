@@ -91,7 +91,40 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
 
 # ------------------------------------------------------ batch codec
 
-_CODEC_NONE, _CODEC_GZIP = 0, 1
+_CODEC_NONE, _CODEC_GZIP, _CODEC_SNAPPY = 0, 1, 2
+
+# Kafka's snappy codec uses snappy-java's XERIAL stream framing, not
+# bare blocks: an 8-byte magic + two int32 version fields, then
+# [int32 length][raw snappy block] chunks (32 KB input per chunk).
+# The raw blocks are the same snappy block format our hand-rolled
+# codec in sources/prometheus_rw.py speaks.
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+_XERIAL_BLOCK = 32 * 1024
+
+
+def _xerial_compress(data: bytes) -> bytes:
+    from riemann_spark.sources.prometheus_rw import snappy_compress
+
+    out = bytearray(_XERIAL_MAGIC + struct.pack(">ii", 1, 1))
+    for i in range(0, len(data), _XERIAL_BLOCK):
+        blk = snappy_compress(data[i : i + _XERIAL_BLOCK])
+        out += struct.pack(">i", len(blk)) + blk
+    return bytes(out)
+
+
+def _xerial_decompress(data: bytes) -> bytes:
+    from riemann_spark.sources.prometheus_rw import snappy_decompress
+
+    if not data.startswith(_XERIAL_MAGIC):
+        # some producers ship bare snappy blocks; accept those too
+        return snappy_decompress(data)
+    i, out = 16, bytearray()
+    while i + 4 <= len(data):
+        (n,) = struct.unpack_from(">i", data, i)
+        i += 4
+        out += snappy_decompress(bytes(data[i : i + n]))
+        i += n
+    return bytes(out)
 
 
 def _encode_record(
@@ -145,6 +178,9 @@ def encode_record_batch(
     if compression == "gzip":
         attrs = _CODEC_GZIP
         payload = gzip.compress(payload, mtime=0)  # mtime=0: deterministic
+    elif compression == "snappy":
+        attrs = _CODEC_SNAPPY
+        payload = _xerial_compress(payload)
     elif compression == "none":
         attrs = _CODEC_NONE
     else:
@@ -190,6 +226,8 @@ def decode_record_batches(data: bytes) -> list[dict[str, Any]]:
         payload = data[pos + 61 : end]
         if attrs & 0x07 == _CODEC_GZIP:
             payload = gzip.decompress(payload)
+        elif attrs & 0x07 == _CODEC_SNAPPY:
+            payload = _xerial_decompress(payload)
         elif attrs & 0x07 != _CODEC_NONE:
             raise ValueError(f"unsupported compression codec {attrs & 0x07}")
         i = 0

