@@ -339,6 +339,41 @@ def _prometheus_remote_write_sink(url: str, batch_limit: int = 10000) -> SinkFn:
     return write
 
 
+@register_sink("rabbitmq")
+def _rabbitmq_sink(
+    host: str = "127.0.0.1",
+    port: int = 5672,
+    exchange: str = "riemann",
+    exchange_type: str = "topic",
+    routing_key: str | Callable[[dict], str] = "riemann.events",
+    batch_limit: int = 5000,
+) -> SinkFn:
+    """rabbitmq forwarder (rabbitmq.clj:1-76): one JSON message per
+    event published to a declared topic exchange over the pure-stdlib
+    AMQP 0-9-1 client (sources/amqp.py). ``routing_key`` may be a
+    string or a function of the event dict, like the reference's
+    fn-or-string option (:routing-key, rabbitmq.clj:33). Alert-volume
+    streams only (driver-collected, batch_limit-capped) — raw-volume
+    egress belongs on the kafka/parquet sinks."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        from riemann_spark.sources.amqp import AmqpPublisher
+
+        cols = [c for c in ("host", "service", "state", "description",
+                            "metric", "tags", "time", "ttl") if c in df.columns]
+        rows = df.select(*cols).limit(batch_limit).collect()
+        if not rows:
+            return
+        with AmqpPublisher(host, port, exchange=exchange,
+                           exchange_type=exchange_type) as pub:
+            for row in rows:
+                ev = {k: v for k, v in row.asDict().items() if v is not None}
+                rk = routing_key(ev) if callable(routing_key) else routing_key
+                pub.publish_event(ev, rk)
+
+    return write
+
+
 @register_sink("riemann")
 def _riemann_forward_sink(host: str, port: int, batch_limit: int = 5000) -> SinkFn:
     """``forward`` (streams.clj:1255-1261): push events to another
