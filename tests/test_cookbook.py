@@ -98,6 +98,13 @@ def test_recipe_7_wire_formats(spark, events):
             template={"text": "{host} {service} is {state} ({metric})"},
         )
     )
+    assert callable(
+        make_sink(
+            "rabbitmq",
+            host="rabbit.local",
+            routing_key=lambda ev: f"riemann.events.{ev['service']}",
+        )
+    )
 
 
 def test_recipe_8_streaming(spark, tmp_path):
