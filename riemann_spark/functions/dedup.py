@@ -543,3 +543,81 @@ def minhash_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band) rows from a PURE-PROJECTION MinHash — no groupBy,
+    so it composes under streaming (an aggregation upstream of a
+    stateful operator breaks append mode) and in any per-row context.
+    Same chunked-md5 hash family as ``minhash_signatures``: sig_i =
+    min over shingles of the (i mod 4)-th 32-bit hex chunk of the
+    (i div 4)-th salted md5.
+
+    Shape discipline, learned from a ×20 probe: all n_hashes minima
+    come from ONE ``F.aggregate`` pass over the shingle array
+    (zip_with/least over the chunks of each shingle's concatenated
+    salted md5s — chunk i lives at hex offset 8i since
+    32*(i//4) + 8*(i%4) == 8i), because Catalyst does NOT
+    common-subexpression-eliminate across higher-order functions
+    (they fall outside whole-stage codegen): one array_min(transform)
+    per signature re-hashed every shingle n_hashes×2 times. The
+    signature array is then materialized behind a Generate boundary
+    (explode over the band-index sequence) so the per-band projection
+    reads it as a bound attribute instead of re-evaluating the
+    aggregate per band — tests assert the optimized plan carries
+    exactly 2 md5 calls. Docs with fewer than k tokens have no
+    shingles and are dropped, mirroring the batch sigs table."""
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 needs more than two md5s per shingle")
+    n_md5 = (n_hashes + 3) // 4
+    sh = shingles(text_col, k)
+    hs = F.transform(
+        sh,
+        lambda s: F.concat(
+            *[
+                F.md5(s) if m == 0 else F.md5(F.concat(F.lit(str(m)), s))
+                for m in range(n_md5)
+            ]
+        ),
+    )
+    chunk_idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    sig_arr = F.aggregate(
+        hs,
+        F.array_repeat(F.lit("g" * 8), n_hashes),  # 'g' sorts above hex
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(chunk_idx, lambda i: h.substr(i * 8 + 1, F.lit(8))),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    n_bands = n_hashes // band_size
+    return (
+        df.filter(F.size(sh) > 0)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            sig_arr.alias("__sigs"),
+        )
+        .select(
+            "doc_id",
+            "__sigs",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("__b"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "|",
+                F.col("__b").cast("string"),
+                *[
+                    F.get(F.col("__sigs"), F.col("__b") * band_size + j)
+                    for j in range(band_size)
+                ],
+            ).alias("band"),
+        )
+    )

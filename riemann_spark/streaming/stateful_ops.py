@@ -955,24 +955,17 @@ def streaming_dedup_minhash(
     bucket (the RefinedWeb posture of segment_dedup_keep_first applied
     at the document level).
 
-    The MinHash signature is a PURE PROJECTION here (no groupBy),
-    because an aggregation upstream of a stateful operator would
-    break append mode; batch and streaming share the identical
-    chunked-md5 hash family (see minhash_signatures: sig_i = min over
-    shingles of the (i mod 4)-th 32-bit chunk of the (i div 4)-th
-    salted md5). All n_hashes minima come from ONE ``F.aggregate``
-    pass over the shingle array (zip_with/least over the 8 chunks of
-    each shingle's concatenated salted md5s) — 2 md5s per shingle
-    total. The first cut used one array_min(transform(...)) per
-    signature; Catalyst does NOT common-subexpression the md5
-    transform across those 8 projections, so it hashed every shingle
-    16 times and the ×20 probe ran minutes-long single-task. Each
-    doc explodes into n_hashes/band_size band rows; state per band
-    bucket is ONE long — the minimum doc id ever seen in that bucket
-    (the bucket's keeper). Every arriving row emits its bucket's
-    claimant-so-far, so a doc is a near-duplicate iff any of its
-    bands' claimants is an earlier doc: roll up downstream with
-    min(claimant) per doc (kept iff it equals the doc's own id).
+    The MinHash signature is a PURE PROJECTION
+    (dedup.minhash_band_rows — see its docstring for the
+    one-aggregate-pass shape discipline a ×20 probe forced), because
+    an aggregation upstream of a stateful operator would break append
+    mode; batch and streaming share the identical chunked-md5 hash
+    family. Each doc explodes into n_hashes/band_size band rows;
+    state per band bucket is ONE long — the minimum doc id ever seen
+    in that bucket (the bucket's keeper). Every arriving row emits
+    its bucket's claimant-so-far, so a doc is a near-duplicate iff
+    any of its bands' claimants is an earlier doc: roll up downstream
+    with min(claimant) per doc (kept iff it equals the doc's own id).
 
     Parallelism note: the signature projection runs in the SOURCE
     stage — its task count is the source's (Kafka partitions, file
@@ -988,62 +981,9 @@ def streaming_dedup_minhash(
     drained single-batch run equals the batch groupBy(band).min(doc)
     and admits a relational oracle.
     """
-    from riemann_spark.functions.dedup import shingles
+    from riemann_spark.functions.dedup import minhash_band_rows
 
-    if n_hashes > 8:
-        raise ValueError("n_hashes > 8 needs more than two md5s per shingle")
-    n_md5 = (n_hashes + 3) // 4
-    sh = shingles(text_col, k)
-    # one pass over the shingles: per shingle concat the n_md5 salted
-    # md5s (chunk i lives at hex offset 8i because 32*(i//4)+8*(i%4)
-    # == 8i), then fold elementwise minima of all 8 chunks at once
-    hs = F.transform(
-        sh,
-        lambda s: F.concat(
-            *[
-                F.md5(s) if m == 0 else F.md5(F.concat(F.lit(str(m)), s))
-                for m in range(n_md5)
-            ]
-        ),
-    )
-    chunk_idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    sig_arr = F.aggregate(
-        hs,
-        F.array_repeat(F.lit("g" * 8), n_hashes),  # 'g' sorts above hex
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(chunk_idx, lambda i: h.substr(i * 8 + 1, F.lit(8))),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    n_bands = n_hashes // band_size
-    # materialize __sigs once, THEN fan out to band rows: the explode
-    # over a band-index sequence forces a Generate boundary, so the
-    # per-band projection reads __sigs as a bound attribute instead of
-    # re-evaluating the aggregate per band
-    exploded = (
-        sdf.filter(F.size(sh) > 0)
-        .select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            sig_arr.alias("__sigs"),
-        )
-        .select(
-            "doc_id",
-            "__sigs",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("__b"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                "|",
-                F.col("__b").cast("string"),
-                *[
-                    F.get(F.col("__sigs"), F.col("__b") * band_size + j)
-                    for j in range(band_size)
-                ],
-            ).alias("band"),
-        )
-    )
+    exploded = minhash_band_rows(sdf, n_hashes, band_size, k, id_col, text_col)
 
     out_schema = StructType(
         [

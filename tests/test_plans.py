@@ -476,3 +476,22 @@ def test_gate_priority_names_resolve():
 
     stale = [n for n in plans._GATE_PRIORITY if n not in QUERIES]
     assert not stale, stale
+
+
+def test_minhash_band_rows_hashes_each_shingle_twice(spark):
+    """Plan-shape guard for the x20-probe finding: Catalyst does not
+    CSE across higher-order functions, so the MinHash signature must
+    be ONE aggregate pass (2 md5 calls in the whole plan — one per
+    salt), with the signature array materialized behind the Generate
+    boundary rather than re-evaluated per band."""
+    from riemann_spark.functions.dedup import minhash_band_rows
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    plan = (
+        minhash_band_rows(d)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("md5(") == 2, plan
+    assert plan.count("aggregate(") == 1, plan
+    assert "Generate explode" in plan
