@@ -87,13 +87,64 @@ _GATE_PRIORITY = [
     "rate_zero_fill",
     "window_folds",
     "percentiles_day",
-    # ---- overflow (positions 51+): next-round backfill continues ------
+    # ---- ROUND-6 WINDOW (committed; positions 51+ this round) ---------
+    # After r05's gating, every catalog row has a driver hash record;
+    # round 6 keeps cumulative coverage FRESH by re-gating the stalest
+    # rows: the remaining r02-gated set, then the oldest r03 rows —
+    # computed from CORRECTNESS_r01-04 + the r05 window, staleness
+    # order (last_gated_round, catalog order). Any round-6 catalog
+    # additions go in FRONT of this list.
+    "percentiles_day",
     "fixed_event_window",
     "moving_event_window",
     "ddt",
     "counter_running",
     "ewma",
     "changed_state",
+    "runs3",
+    "stable_2h",
+    "top10",
+    "throttle",
+    "apdex",
+    "clock_skew",
+    "predict_linear",
+    "project2",
+    "fill_in",
+    "tpch_q1",
+    "revenue_top10",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "regional_revenue",
+    "fixed_time_window",
+    "moving_time_window",
+    "rollup",
+    "ddt_real",
+    "sorted_sample",
+    "fold_product",
+    "deps_suppression",
+    "by_derived_key",
+    "graphite_roundtrip",
+    "protobuf_roundtrip",
+    "json_roundtrip",
+    "fold_difference",
+    "streaming_index_snapshot",
+    "filter_agg",
+    # oldest r03 rows fill the remaining slots:
+    "streaming_window_folds_closed",
+    "streaming_percentiles_closed",
+    "streaming_count_windows",
+    "streaming_trailing_window",
+    "streaming_dedup_fingerprints",
+    "streaming_changed_edges",
+    "streaming_throttle_weekly",
+    "streaming_apdex_closed",
+    "streaming_sessions_closed",
+    "fold_quotient",
+    "fold_mode",
+    "smapcat_tags",
+    "sflatten_regroup",
 ]
 
 
