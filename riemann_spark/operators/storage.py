@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 
 _TRUNC = {"day": "dd", "hour": "HH"}
 
+#: Test seam: called as hook(event_date, part_path) after the staging
+#: write and BEFORE the swap — lets tests inject a "concurrent" ingest
+#: append into the live partition to prove the snapshot discipline
+#: (tests/test_plans.py). Always None in production.
+_compaction_test_hook = None
+
 
 def with_event_date(df: DataFrame, granularity: str = "day", time_col: str = "time") -> DataFrame:
     """Derive the partition column from epoch-seconds ``time``."""
@@ -176,6 +182,8 @@ def compact_partitions(
             compacted = compacted.sortWithinPartitions(*keys)
         staging = f"{path}/.compact_tmp_event_date={date}"
         compacted.write.mode("overwrite").parquet(staging)
+        if _compaction_test_hook is not None:
+            _compaction_test_hook(date, part_path)
         staged = [
             f.getPath()
             for f in fs.listStatus(hpath(staging))

@@ -495,3 +495,45 @@ def test_minhash_band_rows_hashes_each_shingle_twice(spark):
     assert plan.count("md5(") == 2, plan
     assert plan.count("aggregate(") == 1, plan
     assert "Generate explode" in plan
+
+
+def test_compaction_concurrent_append_survives(spark, tmp_path):
+    """ADVICE r4: the snapshot-then-replace swap must not destroy
+    parquet files a streaming sink appends between the input snapshot
+    and the swap, and the partition directory must never disappear.
+    The test seam injects an 'ingest append' after the staging write;
+    its rows must survive compaction."""
+    from riemann_spark.operators import storage
+    from riemann_spark.operators.storage import (
+        compact_partitions,
+        write_events_partitioned,
+    )
+
+    rows = [(i, f"h{i % 3}", "svc", float(i), float(i % 97)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, host string, service string, metric double, time double"
+    )
+    path = str(tmp_path / "lake")
+    write_events_partitioned(df.repartition(8), path)
+
+    extra = spark.createDataFrame(
+        [(9001, "late", "svc", 1.0, 1.0)],
+        "event_id long, host string, service string, metric double, time double",
+    )
+
+    def inject(date, part_path):
+        # a concurrent micro-batch lands one more file in the LIVE dir
+        extra.coalesce(1).write.mode("append").parquet(part_path)
+
+    storage._compaction_test_hook = inject
+    try:
+        compact_partitions(spark, path, target_file_bytes=1 << 30)
+    finally:
+        storage._compaction_test_hook = None
+
+    back = spark.read.parquet(path)
+    assert back.count() == 301  # original 300 + the concurrent append
+    assert back.filter("host = 'late'").count() == 1
+    # re-running compaction is idempotent over its own output + append
+    report2 = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 301
