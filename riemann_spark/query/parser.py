@@ -71,7 +71,10 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 def _unescape(raw: str) -> str:
     # raw includes the surrounding quotes
     body = raw[1:-1]
-    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)), body)
+    # the reference grammar's escape set (query_test.clj:40-41):
+    # \b \t \n \f \r plus pass-through for \" and \\
+    esc = {"n": "\n", "t": "\t", "b": "\b", "f": "\f", "r": "\r"}
+    return re.sub(r"\\(.)", lambda m: esc.get(m.group(1), m.group(1)), body)
 
 
 class _Parser:

@@ -37,6 +37,9 @@ AST_CASES = [
     ),
     # unicode string (query_test.clj:42)
     ('host = "ş"', ("=", "host", "ş")),
+    # full escape set (query_test.clj:40-41)
+    ('state = "\\b\\t\\n\\f\\r"', ("=", "state", "\b\t\n\f\r")),
+    ('state = " \\" \\\\ "', ("=", "state", ' " \\ ')),
     # custom attribute field
     ('custom_key = "v"', ("=", "custom_key", "v")),
 ]
