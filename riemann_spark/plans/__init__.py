@@ -58,9 +58,10 @@ _GATE_PRIORITY = [
     "tpch_q11",
     "tpch_q20",
     "tpch_q21",
-    # -- new round-5 catalog entry (webhook sink is pytest-verified
-    #    infra like the other sinks — no natural oracle row) -----------
+    # -- new round-5 catalog entries (webhook + rabbitmq sinks are
+    #    pytest-verified infra like the other sinks — no oracle row) ---
     "streaming_dedup_minhash_drained",
+    "dedup_embedding_keeplist",
     # -- backfill: stalest green rows, rotated for freshness ------------
     # last gated in r01:
     "top_suppliers_per_part",

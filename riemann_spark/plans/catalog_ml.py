@@ -2759,3 +2759,62 @@ def streaming_dedup_minhash_drained(spark: SparkSession, sf: str) -> DataFrame:
         F.min("claimant").alias("canonical_id"),
         (F.min("claimant") == F.col("doc_id")).alias("kept"),
     )
+
+
+@q(
+    "dedup_embedding_keeplist",
+    f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  {_ND_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+  FROM b a JOIN b c
+    ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+pairs AS (
+  SELECT id1, id2 FROM cand
+  JOIN e v1 ON v1.vec_id = id1
+  JOIN e v2 ON v2.vec_id = id2
+  WHERE {_cos_sql('v1.v', 'v2.v')} >= 0.4
+),
+edges AS (SELECT id1 AS u, id2 AS v FROM pairs UNION SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT eg.u, reach.r FROM edges eg JOIN reach ON eg.v = reach.id),
+labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT e.vec_id,
+       CAST(coalesce(l.cluster, e.vec_id) AS BIGINT) AS cluster,
+       coalesce(l.cluster, e.vec_id) = e.vec_id AS kept
+FROM e LEFT JOIN labels l ON l.id = e.vec_id""",
+)
+def dedup_embedding_keeplist(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup KEEP-LIST — the deploy path that closes
+    dedup_embedding's documented caveat: the quadratic candidate-pair
+    frame stays INSIDE the plan (LSH buckets → cosine gate →
+    connected components), and the user-facing output is one row per
+    vector (cluster id = component min, kept iff the vector is its
+    cluster's canonical). Vectors with no near-duplicate are their
+    own singleton cluster. This is the "keep one per cluster" filter
+    a 100 TB multimodal dedup actually materializes — linear output,
+    same CC machinery as dedup_clusters (large-star/small-star,
+    lineage-truncated). Oracle: DuckDB recursive transitive closure
+    over the same gated pair set."""
+    e = load_table(spark, sf, "embeddings")
+    pairs = similarity.embedding_near_dups(e, 0.4, _ND_TABLES, _ND_PLANES, _DIM)
+    labels = dedup.connected_components(
+        pairs.select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2"))
+    )
+    return (
+        e.select("vec_id")
+        .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.col("vec_id")).cast("long").alias("cluster"),
+            (F.coalesce(F.col("cluster"), F.col("vec_id")) == F.col("vec_id")).alias(
+                "kept"
+            ),
+        )
+    )
