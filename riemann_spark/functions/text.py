@@ -785,3 +785,43 @@ def dsir_weights(
         )
     )
     return per_doc
+
+
+def sample_fixed_k(
+    df: DataFrame,
+    k: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    safety: float = 4.0,
+) -> DataFrame:
+    """EXACTLY-k-per-key deterministic sample (eval-set carving: "take
+    k docs per source"): rank docs within each key by md5(id) order
+    and keep rank <= k — stable under any repartitioning/engine, no
+    rand().
+
+    Scale shape: a bare window partitioned by ``key_col`` is the skew
+    trap (one partition per source = the whole source through one
+    task), so the rank only runs over a HASH-PREFILTERED candidate
+    set: per-key counts (key-cardinality aggregate, broadcast back)
+    bound the md5-fraction threshold at safety*k/n, so the window
+    partition holds ~safety*k rows per key regardless of corpus size.
+    P(a key with n >> k yields < k candidates) is negligible at
+    safety=4 (Chernoff); keys with n <= safety*k skip the prefilter
+    entirely (threshold clamps to 1)."""
+    from riemann_spark.functions.sketches import hash_fraction
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    thresh = F.least(F.lit(1.0), F.lit(float(safety * k)) / F.col("__n"))
+    cand = (
+        df.join(F.broadcast(counts), key_col)
+        .filter(hash_fraction(F.col(id_col)) < thresh)
+        .drop("__n")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

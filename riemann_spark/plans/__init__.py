@@ -62,6 +62,8 @@ _GATE_PRIORITY = [
     #    pytest-verified infra like the other sinks — no oracle row) ---
     "streaming_dedup_minhash_drained",
     "dedup_embedding_keeplist",
+    "sample_per_source",
+    "dedup_token_savings",
     # -- backfill: stalest green rows, rotated for freshness ------------
     # last gated in r01:
     "top_suppliers_per_part",

@@ -2818,3 +2818,98 @@ def dedup_embedding_keeplist(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "sample_per_source",
+    f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+f AS (SELECT d.doc_id, d.source,
+             md5(CAST(d.doc_id AS VARCHAR)) AS hh,
+             ({_nibble_52_of("substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)")})
+               / 4503599627370496.0 AS frac,
+             least(1.0, 40.0 / c.n) AS thresh
+      FROM documents d JOIN c USING (source)),
+cand AS (SELECT doc_id, source, hh FROM f WHERE frac < thresh)
+SELECT doc_id, source, rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hh, doc_id) AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= 10""",
+)
+def sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-10-per-source deterministic sample (text.sample_fixed_k)
+    — the eval-set carving every pipeline does ("hold out k docs per
+    source"), reproducible under any repartitioning (md5 order, no
+    rand()). Scale shape: the per-source rank runs only over a
+    hash-prefiltered candidate set bounded at ~safety*k rows per key
+    (per-source counts broadcast back), so the window partition never
+    sees the whole source — the skew-trap-free form of top-k-per-key
+    sampling."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        text.sample_fixed_k(d.select("doc_id", "source"), 10)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "rank")
+    )
+
+
+@q(
+    "dedup_token_savings",
+    f"""
+WITH t AS (SELECT doc_id, source,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    AS fp,
+                  CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+canon AS (SELECT fp, MIN(doc_id) AS keeper FROM t GROUP BY fp)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.doc_id != c.keeper THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dup_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN t.doc_id != c.keeper THEN n_tokens ELSE 0 END)
+         AS BIGINT) AS tokens_dropped,
+       round(CAST(SUM(CASE WHEN t.doc_id != c.keeper THEN n_tokens
+                           ELSE 0 END) AS DOUBLE)
+             / SUM(n_tokens), 6) AS savings_rate
+FROM t JOIN canon c USING (fp)
+GROUP BY source""",
+)
+def dedup_token_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dedup TOKEN-savings report — the number a pipeline
+    owner actually budgets with: how many training tokens exact dedup
+    removes from each source (keep-first canonical, md5 fingerprint).
+    One fingerprint groupBy + one key-cardinality rollup; token counts
+    are the whitespace tokenizer's, summed as exact integers."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        text.fingerprint("text").alias("fp"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+    )
+    canon = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dup = F.col("doc_id") != F.col("keeper")
+    return (
+        t.join(canon, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_dropped"),
+            F.round(
+                F.sum(F.when(dup, F.col("n_tokens")).otherwise(0)).cast("double")
+                / F.sum("n_tokens"),
+                6,
+            ).alias("savings_rate"),
+        )
+    )
