@@ -923,3 +923,23 @@ def test_shuffle_shards_wide_shard_space(spark):
     a = {(r.doc_id, r.shard, r.pos) for r in out.collect()}
     b = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(d, 512).collect()}
     assert a == b
+
+
+def test_sample_fixed_k_exact_and_stable(spark):
+    """Exactly-k-per-key sample: k rows per key when the key has >= k
+    members, all rows when it has fewer; identical sample under a
+    different partitioning (no rand(), md5 order)."""
+    from riemann_spark.functions.text import sample_fixed_k
+
+    rows = [(i, "big" if i < 400 else "tiny") for i in range(405)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    s = sample_fixed_k(d, 10, "source")
+    got = {r.source: set() for r in s.collect()}
+    for r in s.collect():
+        got[r.source].add(r.doc_id)
+    assert len(got["big"]) == 10
+    assert got["tiny"] == set(range(400, 405))  # n < k: keep all
+    again = sample_fixed_k(d.repartition(13), 10, "source")
+    assert {(r.source, r.doc_id) for r in again.collect()} == {
+        (s_, i) for s_, ids in got.items() for i in ids
+    }
