@@ -559,3 +559,25 @@ def test_streaming_ewma_out_of_order_reference_vector(spark, tmpdirs):
     assert got[2][0] == _pytest.approx(0.875)
     assert got[0][1] == 0.0 and got[1][1] == 2.0
     assert got[2][1] == 2.0  # ratcheted, not 1.0
+
+
+def test_streaming_throttle_reference_vector(spark, tmpdirs):
+    """streams_test.clj:1354-1373 throttle-test — (throttle 3 2) over
+    states 1..5 + four expireds at times [0,0,0,1,2,3,3,3,5]:
+    [1,2,3,5,expired,expired,expired]. Expired events consume budget
+    like any event; the 4th in-window event drops. (The vector's
+    windows start at t=0, so the reference's first-event-anchored
+    window and this op's epoch buckets agree on it.)"""
+    from riemann_spark.streaming.stateful_ops import streaming_throttle
+
+    src, ckpt = tmpdirs
+    name = f"thr_{uuid.uuid4().hex[:8]}"
+    seq = [("1", 0.0), ("2", 0.0), ("3", 0.0), ("4", 1.0), ("5", 2.0),
+           ("expired", 3.0), ("expired", 3.0), ("expired", 3.0), ("expired", 5.0)]
+    batches = [[_mk(i, "a", "x", state=st, t=t) for i, (st, t) in enumerate(seq)]]
+    rows = _run_stream(
+        spark, src, ckpt, lambda s: streaming_throttle(s, 3, 2.0), name, batches
+    )
+    got = sorted(r.event_id for r in rows)
+    # emitted: 1,2,3 (ids 0-2), 5 (id 4), expired ids 5,6 (7 dropped), 8
+    assert got == [0, 1, 2, 4, 5, 6, 8]
