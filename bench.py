@@ -122,6 +122,9 @@ HEADLINE = [
     "embedding_quantize",
     "dedup_clusters",
     "dedup_cluster_sizes",
+    "dedup_embedding_keeplist",
+    "dedup_token_savings",
+    "sample_per_source",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",
