@@ -148,30 +148,50 @@ def compact_partitions(
     momentary read duplication is tolerable (metrics rollups) or
     schedule it against partitions past the ingest watermark;
     concurrent compactors on the same partition are not supported.
-    Returns the before/after census of the partitions it rewrote."""
+
+    Crash safety: before the rename loop a hidden per-run manifest
+    (``.compact-manifest-<run>``, listing originals + staged names) is
+    written into the partition. On entry every partition is first
+    RECOVERED from any leftover manifest: if all staged files landed,
+    the swap rolls FORWARD (delete the originals the crash left
+    behind); otherwise it rolls BACK (delete the partial
+    ``compacted-<run>-*`` files). Either way rows are never
+    permanently duplicated by a crash + rerun. Prior runs'
+    ``compacted-*`` outputs are eligible snapshot inputs (only the
+    live run's names are excluded by manifest recovery), so repeated
+    compaction of a partition with ongoing ingest CONVERGES to
+    ~n_target files instead of ratcheting up one immutable file set
+    per run. Returns the before/after census of the partitions it
+    rewrote."""
     import math
     import uuid
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    # recovery sweep FIRST so the census never counts crash leftovers
+    for part in fs.listStatus(hpath(path)):
+        if part.isDirectory() and "=" in part.getPath().getName():
+            _recover_partition(jvm, fs, hpath, part.getPath().toString())
 
     stats = partition_file_stats(spark, path).filter(
         F.col("n_files") >= min_files_to_compact
     )
     todo = [(r.event_date, r.n_files, r.bytes) for r in stats.collect()]
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(conf)
     out = []
     for date, n_files, nbytes in todo:
         part_path = f"{path}/event_date={date}"
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
         if n_target >= n_files:
             continue
-        # snapshot the exact input files; later appends are not ours
+        # snapshot the exact input files; later appends are not ours.
+        # Prior-run compacted-* files ARE inputs (convergence); this
+        # run's own outputs don't exist yet so they can't self-join.
         snapshot = [
             f.getPath()
             for f in fs.listStatus(hpath(part_path))
             if f.getPath().getName().endswith(".parquet")
-            and not f.getPath().getName().startswith("compacted-")
         ]
         if len(snapshot) < min_files_to_compact:
             continue
@@ -189,15 +209,71 @@ def compact_partitions(
             for f in fs.listStatus(hpath(staging))
             if f.getPath().getName().endswith(".parquet")
         ]
+        run_id = uuid.uuid4().hex[:8]
+        targets = [f"compacted-{run_id}-{i:05d}.parquet" for i in range(len(staged))]
+        # manifest BEFORE the swap: a crash at any later point is
+        # recoverable (all targets present → roll forward, else back)
+        _write_manifest(jvm, fs, hpath, part_path, run_id,
+                        [p.getName() for p in snapshot], targets)
         # move staged files into the live dir, then delete exactly the
         # snapshotted originals (never the whole directory)
-        run_id = uuid.uuid4().hex[:8]
-        for i, sp in enumerate(staged):
-            fs.rename(sp, hpath(f"{part_path}/compacted-{run_id}-{i:05d}.parquet"))
+        for sp, tname in zip(staged, targets):
+            fs.rename(sp, hpath(f"{part_path}/{tname}"))
         for orig in snapshot:
             fs.delete(orig, False)
+        fs.delete(hpath(f"{part_path}/.compact-manifest-{run_id}"), False)
         fs.delete(hpath(staging), True)
         out.append((date, len(snapshot), len(staged), nbytes))
     return spark.createDataFrame(
         out, "event_date string, files_before long, files_after long, bytes long"
     )
+
+
+def _write_manifest(jvm, fs, hpath, part_path: str, run_id: str,
+                    originals: list[str], staged: list[str]) -> None:
+    import json
+
+    body = json.dumps({"run": run_id, "originals": originals,
+                       "staged": staged}).encode()
+    stream = fs.create(hpath(f"{part_path}/.compact-manifest-{run_id}"), True)
+    try:
+        stream.write(bytearray(body))
+    finally:
+        stream.close()
+
+
+def _read_small_file(jvm, fs, p) -> bytes:
+    stream = fs.open(p)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _recover_partition(jvm, fs, hpath, part_path: str) -> None:
+    """Finish or undo an interrupted swap from its manifest: roll
+    FORWARD (delete leftover originals) when every staged
+    ``compacted-<run>-*`` file landed, roll BACK (delete the partial
+    staged set) otherwise; then drop the manifest. Idempotent."""
+    import json
+
+    manifests = [
+        f.getPath()
+        for f in fs.listStatus(hpath(part_path))
+        if f.getPath().getName().startswith(".compact-manifest-")
+    ]
+    for mp in manifests:
+        try:
+            m = json.loads(_read_small_file(jvm, fs, mp).decode())
+        except Exception:
+            fs.delete(mp, False)
+            continue
+        staged = [hpath(f"{part_path}/{n}") for n in m.get("staged", [])]
+        originals = [hpath(f"{part_path}/{n}") for n in m.get("originals", [])]
+        if staged and all(fs.exists(p) for p in staged):
+            for orig in originals:  # roll forward: finish the delete
+                fs.delete(orig, False)
+        else:
+            for sp in staged:  # roll back: drop the partial swap
+                fs.delete(sp, False)
+        fs.delete(mp, False)

@@ -130,7 +130,10 @@ def content_frames(
     step = max(frame_max - 8, 1)
     for i in range(0, len(body), step):
         out += _frame(FRAME_BODY, channel, body[i : i + step])
-    return out if body else out + _frame(FRAME_BODY, channel, b"")
+    # body-size 0 → header frame only: spec peers send NO body frame,
+    # and a stray empty FRAME_BODY would sit in the peer's reader
+    # buffer and corrupt its next read_method.
+    return out
 
 
 class _FrameReader:
@@ -182,6 +185,8 @@ class AmqpPublisher:
         exchange: str = "riemann",
         exchange_type: str = "topic",
         durable: bool = False,
+        username: str = "guest",
+        password: str = "guest",
     ):
         self.exchange = exchange
         self._sock = socket.create_connection((host, port), timeout=10)
@@ -191,10 +196,11 @@ class AmqpPublisher:
         if cm != CONN_START:
             raise ValueError(f"expected connection.start, got {cm}")
         props = encode_table({"product": "riemann-spark", "platform": "python"})
+        sasl = b"\x00" + username.encode() + b"\x00" + password.encode()
         self._sock.sendall(
             method_frame(
                 0, CONN_START_OK,
-                props + _shortstr("PLAIN") + _longstr(b"\x00guest\x00guest")
+                props + _shortstr("PLAIN") + _longstr(sasl)
                 + _shortstr("en_US"),
             )
         )
@@ -355,6 +361,7 @@ class LoopbackAmqpBroker:
 
     def __init__(self):
         self.published: list[dict[str, Any]] = []
+        self.auth: list[tuple[str, str]] = []  # (username, password) per conn
         self.queues: dict[str, deque] = {}
         self.bindings: list[tuple[str, str, str]] = []  # (exchange, pattern, queue)
         self._consumers: dict[str, tuple[Any, int, str]] = {}  # queue -> (wfile, chan, tag)
@@ -416,6 +423,18 @@ class LoopbackAmqpBroker:
                 cm = struct.unpack_from(">HH", payload, 0)
                 args = payload[4:]
                 if cm == CONN_START_OK:
+                    # record the PLAIN credentials so auth tests can
+                    # assert what the publisher actually sent
+                    _props, p = decode_table(args, 0)
+                    _mech, p = self._read_shortstr(args, p)
+                    (rn,) = struct.unpack_from(">I", args, p)
+                    resp = args[p + 4 : p + 4 + rn]
+                    parts = resp.split(b"\x00")
+                    if len(parts) == 3:
+                        with self._lock:
+                            self.auth.append(
+                                (parts[1].decode(), parts[2].decode())
+                            )
                     sock.sendall(
                         method_frame(0, CONN_TUNE, struct.pack(">HIH", 2047, 131072, 0))
                     )

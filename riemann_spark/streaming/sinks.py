@@ -347,6 +347,9 @@ def _rabbitmq_sink(
     exchange_type: str = "topic",
     routing_key: str | Callable[[dict], str] = "riemann.events",
     batch_limit: int = 5000,
+    vhost: str = "/",
+    username: str = "guest",
+    password: str = "guest",
 ) -> SinkFn:
     """rabbitmq forwarder (rabbitmq.clj:1-76): one JSON message per
     event published to a declared topic exchange over the pure-stdlib
@@ -364,8 +367,9 @@ def _rabbitmq_sink(
         rows = df.select(*cols).limit(batch_limit).collect()
         if not rows:
             return
-        with AmqpPublisher(host, port, exchange=exchange,
-                           exchange_type=exchange_type) as pub:
+        with AmqpPublisher(host, port, vhost=vhost, exchange=exchange,
+                           exchange_type=exchange_type,
+                           username=username, password=password) as pub:
             for row in rows:
                 ev = {k: v for k, v in row.asDict().items() if v is not None}
                 rk = routing_key(ev) if callable(routing_key) else routing_key

@@ -537,3 +537,122 @@ def test_compaction_concurrent_append_survives(spark, tmp_path):
     # re-running compaction is idempotent over its own output + append
     report2 = compact_partitions(spark, path, target_file_bytes=1 << 30)
     assert spark.read.parquet(path).count() == 301
+
+
+def _lake_fixture(spark, tmp_path, n_rows=200, n_writers=4):
+    from riemann_spark.operators.storage import write_events_partitioned
+
+    rows = [(i, f"h{i % 3}", "svc", float(i), float(i % 97)) for i in range(n_rows)]
+    df = spark.createDataFrame(
+        rows, "event_id long, host string, service string, metric double, time double"
+    )
+    path = str(tmp_path / "lake")
+    write_events_partitioned(df.repartition(n_writers), path)
+    import glob
+    (part_path,) = glob.glob(f"{path}/event_date=*")
+    return path, part_path
+
+
+def test_compaction_crash_rolls_forward(spark, tmp_path):
+    """ADVICE r5 (medium): a crash AFTER the staged renames but BEFORE
+    the original deletes leaves both copies on disk; without recovery a
+    rerun re-compacts the originals into a second compacted set —
+    permanent row duplication. The manifest written before the swap
+    lets the next run roll FORWARD: all staged files landed, so the
+    leftover originals are deleted, never re-read."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from riemann_spark.operators.storage import compact_partitions
+
+    path, part_path = _lake_fixture(spark, tmp_path)
+    originals = sorted(
+        os.path.basename(p) for p in glob.glob(f"{part_path}/*.parquet")
+    )
+    assert len(originals) >= 4
+    # simulate the interrupted run: compacted copy of ALL rows renamed
+    # in, manifest present, originals NOT yet deleted (crash point)
+    staged_dir = str(tmp_path / "staged")
+    spark.read.parquet(part_path).coalesce(1).write.parquet(staged_dir)
+    (staged_file,) = glob.glob(f"{staged_dir}/*.parquet")
+    shutil.move(staged_file, f"{part_path}/compacted-deadbeef-00000.parquet")
+    with open(f"{part_path}/.compact-manifest-deadbeef", "w") as f:
+        json.dump({"run": "deadbeef", "originals": originals,
+                   "staged": ["compacted-deadbeef-00000.parquet"]}, f)
+    # duplicated state on disk right now
+    assert spark.read.parquet(path).count() == 400
+
+    compact_partitions(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    assert back.count() == 200  # recovery deleted the originals, once
+    assert back.select("event_id").distinct().count() == 200
+    assert not glob.glob(f"{part_path}/.compact-manifest-*")
+
+
+def test_compaction_crash_rolls_back(spark, tmp_path):
+    """Crash MID-RENAME (only part of the staged set landed): recovery
+    must roll BACK — delete the partial compacted-<run>-* files and
+    keep the intact originals — so no rows are lost or duplicated."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from riemann_spark.operators.storage import compact_partitions
+
+    path, part_path = _lake_fixture(spark, tmp_path)
+    originals = sorted(
+        os.path.basename(p) for p in glob.glob(f"{part_path}/*.parquet")
+    )
+    staged_dir = str(tmp_path / "staged")
+    spark.read.parquet(part_path).coalesce(2).write.parquet(staged_dir)
+    s0, _s1 = sorted(glob.glob(f"{staged_dir}/*.parquet"))
+    # only the FIRST of two staged files was renamed in before the crash
+    shutil.move(s0, f"{part_path}/compacted-cafe0000-00000.parquet")
+    with open(f"{part_path}/.compact-manifest-cafe0000", "w") as f:
+        json.dump({"run": "cafe0000", "originals": originals,
+                   "staged": ["compacted-cafe0000-00000.parquet",
+                              "compacted-cafe0000-00001.parquet"]}, f)
+
+    compact_partitions(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert back.select("event_id").distinct().count() == 200
+    assert not glob.glob(f"{part_path}/compacted-cafe0000-*")
+    assert not glob.glob(f"{part_path}/.compact-manifest-*")
+
+
+def test_compaction_converges_with_ongoing_ingest(spark, tmp_path):
+    """ADVICE r5 (low): prior runs' compacted-* outputs are snapshot
+    inputs, so compact → ingest → compact converges back to ~n_target
+    files instead of accreting one immutable compacted set per run."""
+    import glob
+
+    from riemann_spark.operators.storage import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    path, part_path = _lake_fixture(spark, tmp_path)
+    compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert len(glob.glob(f"{part_path}/*.parquet")) == 1
+
+    # three more ingest micro-batches fragment the partition again
+    extra = spark.createDataFrame(
+        [(9000 + i, "late", "svc", 1.0, 1.0) for i in range(3)],
+        "event_id long, host string, service string, metric double, time double",
+    )
+    for i in range(3):
+        extra.filter(f"event_id = {9000 + i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(part_path)
+    assert len(glob.glob(f"{part_path}/*.parquet")) == 4
+
+    report = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert report.count() == 1  # the partition was eligible again
+    assert len(glob.glob(f"{part_path}/*.parquet")) == 1  # converged
+    back = spark.read.parquet(path)
+    assert back.count() == 203
+    assert back.select("event_id").distinct().count() == 203
