@@ -20,83 +20,19 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-5 WINDOW (positions 1-50) -------------------------------
-    # Rotation goal reached this round: the 27 entries below are the
-    # only catalog rows without a driver CORRECTNESS record
-    # (r01∪r02∪r03∪r04); gating them makes cumulative driver-verified
-    # coverage 184/184. They are exactly the committed round-4
-    # overflow prefix, executed as planned.
+    # ---- ROUND-6 WINDOW (positions 1-50) -------------------------------
+    # After r05, every catalog row has a driver hash record (cumulative
+    # 188/188); round 6 keeps coverage FRESH by re-gating the stalest
+    # rows. This is exactly the rotation committed in round 5 — the
+    # remaining r02-gated set, then the oldest r03 rows, staleness
+    # order (last_gated_round, catalog order) — with the duplicated
+    # `percentiles_day` removed and new round-6 catalog entries placed
+    # in FRONT per the committed plan. Entries past position 50
+    # overflow into the round-7 window.
     #
-    # streaming drained/closed family (value oracles):
-    "streaming_percentiles_histogram_closed",
-    "streaming_heavy_hitters_closed",
-    "streaming_anomaly_drained",
-    "streaming_slo_burn_drained",
-    "streaming_batch_drained",
-    "streaming_fill_in_last_drained",
-    "streaming_coalesce_drained",
-    "streaming_top_drained",
-    "streaming_project_drained",
-    "streaming_moving_time_drained",
-    # analytics / ML never gated:
-    "holt_forecast",
-    "multimodal_features",
-    "knn_ivf_kmeans",
-    "knn_hamming",
-    "segment_dedup_keep_first",
-    "shuffle_shards",
-    "mix_temperature",
-    "bpe_tokenize",
-    "curation_funnel",
-    "dsir_selection",
-    # codec round-trips (round-4 additions):
-    "influx_line_roundtrip",
-    "prometheus_text_roundtrip",
-    "prometheus_rw_roundtrip",
-    # TPC-H round-4 additions:
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q21",
-    # -- new round-5 catalog entries (webhook + rabbitmq sinks are
-    #    pytest-verified infra like the other sinks — no oracle row) ---
-    "streaming_dedup_minhash_drained",
-    "dedup_embedding_keeplist",
-    "sample_per_source",
-    "dedup_token_savings",
-    # -- backfill: stalest green rows, rotated for freshness ------------
-    # last gated in r01:
-    "top_suppliers_per_part",
-    "customers_without_orders",
-    "streaming_ewma_halflife",
-    "streaming_rate_closed",
-    "text_features",
-    "quality_score",
-    "lang_id",
-    "dedup_exact",
-    "dedup_jaccard",
-    # last gated in r02 (oldest first by catalog order):
-    "index_latest",
-    "index_search",
-    "index_expired",
-    "where_filter",
-    "tagged_filter",
-    "transform_fields",
-    "split_route",
-    "rate_per_hour",
-    "graphite_dead_letter",
-    "salted_agg_by_state",
-    "canonical_pipeline",
-    "rate_zero_fill",
-    "window_folds",
-    "percentiles_day",
-    # ---- ROUND-6 WINDOW (committed; positions 51+ this round) ---------
-    # After r05's gating, every catalog row has a driver hash record;
-    # round 6 keeps cumulative coverage FRESH by re-gating the stalest
-    # rows: the remaining r02-gated set, then the oldest r03 rows —
-    # computed from CORRECTNESS_r01-04 + the r05 window, staleness
-    # order (last_gated_round, catalog order). Any round-6 catalog
-    # additions go in FRONT of this list.
+    # -- new round-6 catalog entries first: ------------------------------
+    # (added as they land this round)
+    # -- committed rotation: stalest r02 rows ----------------------------
     "percentiles_day",
     "fixed_event_window",
     "moving_event_window",
@@ -134,7 +70,7 @@ _GATE_PRIORITY = [
     "fold_difference",
     "streaming_index_snapshot",
     "filter_agg",
-    # oldest r03 rows fill the remaining slots:
+    # -- committed rotation: oldest r03 rows fill the remaining slots ----
     "streaming_window_folds_closed",
     "streaming_percentiles_closed",
     "streaming_count_windows",
@@ -148,6 +84,10 @@ _GATE_PRIORITY = [
     "fold_mode",
     "smapcat_tags",
     "sflatten_regroup",
+    # ---- ROUND-7 WINDOW (positions 51+; overflow grows it) -------------
+    # Unlisted catalog rows follow in catalog order (r03-r05-gated,
+    # freshest); recompute staleness from CORRECTNESS_r01-r06 next
+    # round.
 ]
 
 
