@@ -378,6 +378,52 @@ def _rabbitmq_sink(
     return write
 
 
+@register_sink("email")
+def _email_sink(
+    to: str | list[str],
+    host: str = "localhost",
+    port: int = 25,
+    from_addr: str = "riemann",
+    subject=None,
+    body=None,
+    user: str | None = None,
+    password: str | None = None,
+    tls: bool = False,
+    ssl: bool = False,
+    batch_limit: int = 1000,
+) -> SinkFn:
+    """SMTP mailer (email.clj:1-90): one message per micro-batch over
+    the collected events — exactly ``email-event``'s sequence
+    behavior, with the reference's default subject/body formatters
+    (common.clj:246-295) unless overridden by ``subject``/``body``
+    callables. Alert-volume streams only (a human inbox is the other
+    end): driver-collected, batch_limit-capped like the http/webhook
+    sinks."""
+    from riemann_spark.streaming.email import email_event
+
+    recipients = [to] if isinstance(to, str) else list(to)
+    smtp_opts = {"host": host, "port": port, "user": user,
+                 "password": password, "tls": tls, "ssl": ssl}
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        cols = [c for c in ("host", "service", "state", "description",
+                            "metric", "tags", "time", "ttl") if c in df.columns]
+        rows = df.select(*cols).limit(batch_limit).collect()
+        events = [
+            {k: v for k, v in row.asDict().items() if v is not None} for row in rows
+        ]
+        if not events:
+            return
+        msg_opts: dict = {"from": from_addr, "to": recipients}
+        if subject is not None:
+            msg_opts["subject"] = subject
+        if body is not None:
+            msg_opts["body"] = body
+        email_event(smtp_opts, msg_opts, events)
+
+    return write
+
+
 @register_sink("riemann")
 def _riemann_forward_sink(host: str, port: int, batch_limit: int = 5000) -> SinkFn:
     """``forward`` (streams.clj:1255-1261): push events to another
