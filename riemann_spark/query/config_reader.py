@@ -420,8 +420,11 @@ def _compile_stream(df: DataFrame, form, topo: Topology) -> None:
         out = analytics.coalesce_snapshot(df)
         _compile_leafish(out, children, topo, "coalesce")
     elif head == "tap":
+        # same tap name at several points appends to one capture,
+        # like the reference's shared per-name results atom
         name_kw, children = args[0], args[1:]
-        topo.taps[name_kw.name] = df
+        prev = topo.taps.get(name_kw.name)
+        topo.taps[name_kw.name] = df if prev is None else prev.unionByName(df)
         _compile_children(df, children, topo)
     elif head in ("email", "prn", "pagerduty", "graphite", "slack"):
         topo._add_sink(head, df)
@@ -504,3 +507,80 @@ def _substitute(form, binds: dict):
     if isinstance(form, tuple):
         return tuple(_substitute(f, binds) for f in form)
     return form
+
+
+# ------------------------------------------- inject!-style test harness
+
+
+def events_from_dicts(spark, events: list[dict]) -> DataFrame:
+    """Event dicts → a canonical EVENT_SCHEMA DataFrame. Keys outside
+    the core event fields land in the ``attributes`` map (stringified),
+    matching the reference's custom-attribute semantics
+    (common.clj:270-274)."""
+    from riemann_spark.schema import EVENT_SCHEMA
+
+    core = {f.name for f in EVENT_SCHEMA.fields}
+    rows = []
+    for e in events:
+        row = {k: e.get(k) for k in core}
+        row["time"] = float(e.get("time", 0.0))
+        if row.get("metric") is not None:
+            row["metric"] = float(row["metric"])
+        if row.get("ttl") is not None:
+            row["ttl"] = float(row["ttl"])
+        extras = {k: str(v) for k, v in e.items() if k not in core and k != "event_id"}
+        if extras:
+            row["attributes"] = {**(row.get("attributes") or {}), **extras}
+        # arrival-order id: the tie-break column ordering-sensitive
+        # operators (changed-state, ddt, ...) key on in the event tables
+        row["event_id"] = int(e.get("event_id", len(rows)))
+        rows.append(row)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # StructType.add mutates in place — never call it on the shared schema
+    schema = StructType(
+        list(EVENT_SCHEMA.fields) + [StructField("event_id", LongType())]
+    )
+    return spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in rows], schema
+    )
+
+
+def run_config_test(spark, config_src: str, events: list[dict] | DataFrame):
+    """``inject!`` for a ported config (reference test.clj:131-153):
+    compile the config's (streams ...) against the given events and
+    return ``{tap_name: [event dicts]}`` — what each ``(tap :name
+    ...)`` captured, rows sorted by (time, host, service) for stable
+    assertion. Batch semantics stand in for controlled time: event
+    ``:time`` fields ARE the clock, so ordering-sensitive operators
+    see the same timeline ``(advance! t)`` would have produced.
+
+    Use it to check a migrated config end-to-end::
+
+        rs = run_config_test(spark, open("riemann.config").read(),
+                             [{"time": 2, "service": "bar", ...}])
+        assert len(rs["some-tap"]) == 1
+    """
+    if not isinstance(events, DataFrame):
+        events = events_from_dicts(spark, events)
+    topo = load_config(config_src, events)
+    out: dict[str, list[dict]] = {}
+    for name, df in topo.taps.items():
+        cols = df.columns
+        order = [c for c in ("time", "host", "service") if c in cols]
+        rows = df.orderBy(*order).collect() if order else df.collect()
+        out[name] = [
+            {k: v for k, v in r.asDict(recursive=True).items() if v is not None}
+            for r in rows
+        ]
+    return out
+
+
+def lookup(events: list[dict], host, service):
+    """test.clj:154-166 — the last tapped event matching host and
+    service, or None."""
+    found = None
+    for e in events:
+        if e.get("host") == host and e.get("service") == service:
+            found = e
+    return found

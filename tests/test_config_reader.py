@@ -193,3 +193,83 @@ def test_with_and_default_map_forms(spark, events):
     assert w.select("description").distinct().collect()[0][0] == "note"
     # default only fills nulls; events carry ttl, so unchanged
     assert d.filter(F.col("ttl") == 9.0).count() == 0
+
+
+def test_inject_style_harness(spark):
+    """run_config_test = the reference's inject! (test.clj:131-153):
+    compile a config with (tap ...) points, feed literal events,
+    assert per-tap captures — the one-call migration-parity check."""
+    from riemann_spark.query.config_reader import lookup, run_config_test
+
+    cfg = """
+(streams
+  (where (> metric 50)
+    (tap :hot (index))
+    (changed-state {:init "ok"}
+      (tap :transitions (index)))))
+"""
+    rs = run_config_test(spark, cfg, [
+        {"time": 1, "host": "a", "service": "cpu", "metric": 10.0, "state": "ok"},
+        {"time": 2, "host": "a", "service": "cpu", "metric": 90.0, "state": "warn"},
+        {"time": 3, "host": "a", "service": "cpu", "metric": 95.0, "state": "warn"},
+        {"time": 4, "host": "b", "service": "cpu", "metric": 60.0, "state": "ok"},
+    ])
+    assert set(rs) == {"hot", "transitions"}
+    # :hot saw the three >50 events, time-ordered
+    assert [e["time"] for e in rs["hot"]] == [2.0, 3.0, 4.0]
+    assert all(e["metric"] > 50 for e in rs["hot"])
+    # changed-state with init "ok": warn@2 is a transition, warn@3 is
+    # not, b's ok@4 matches init so it isn't
+    assert [(e["host"], e["time"], e["state"]) for e in rs["transitions"]] == [
+        ("a", 2.0, "warn")
+    ]
+    # lookup (test.clj:154-166): last matching event wins
+    assert lookup(rs["hot"], "a", "cpu")["time"] == 3.0
+    assert lookup(rs["hot"], "nope", "cpu") is None
+
+
+def test_inject_harness_custom_attributes_and_dup_taps(spark):
+    """Extra dict keys become custom attributes; the same tap name at
+    two points appends to one capture like the shared results atom."""
+    from riemann_spark.query.config_reader import run_config_test
+
+    cfg = """
+(streams
+  (where (tagged "prod")
+    (tap :seen (index)))
+  (where (> metric 0)
+    (tap :seen (index))))
+"""
+    rs = run_config_test(spark, cfg, [
+        {"time": 1, "host": "h", "service": "s", "metric": 1.0,
+         "tags": ["prod"], "datacenter": "ams"},
+    ])
+    assert len(rs["seen"]) == 2  # captured at both tap points
+    assert all(e["attributes"] == {"datacenter": "ams"} for e in rs["seen"])
+
+
+def test_inject_harness_on_shipped_config(spark):
+    """The SHIPPED reference config runs through the harness unchanged:
+    its (tap :index (index)) captures exactly the non-riemann events."""
+    from riemann_spark.query.config_reader import run_config_test
+
+    rs = run_config_test(spark, open(SHIPPED).read(), [
+        {"time": 1, "host": "a", "service": "riemann streams rate", "metric": 1.0},
+        {"time": 2, "host": "a", "service": "api latency", "metric": 3.5},
+    ])
+    assert [e["service"] for e in rs["index"]] == ["api latency"]
+    # the config's (default :ttl 3 ...) stamped the default ttl
+    assert rs["index"][0]["ttl"] == 3.0
+
+
+def test_inject_harness_matches_shipped_configs_own_deftest(spark):
+    """The reference config SHIPS its own (tests (deftest index-test
+    (inject! ...))) block — run that exact vector through the harness:
+    inject {:service "test" :time 1} and expect {:index [{:service
+    "test" :time 1 :ttl 3}]}."""
+    from riemann_spark.query.config_reader import run_config_test
+
+    rs = run_config_test(spark, open(SHIPPED).read(),
+                         [{"service": "test", "time": 1}])
+    got = [{k: e[k] for k in ("service", "time", "ttl")} for e in rs["index"]]
+    assert got == [{"service": "test", "time": 1.0, "ttl": 3.0}]
