@@ -128,6 +128,18 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "per (doc, band) row with claimant-so-far",
     },
+    "streaming_rollup": {
+        "keys": ("host", "service"),
+        "state": "(sent long, rolled-tail aggregate, deadline long)",
+        "timeout": "processing-time (absolute deadline; idle keys removed)",
+        "emission": "first n pass per dt window, tail as one digest row",
+    },
+    "streaming_rate_interval": {
+        "keys": ("host", "service"),
+        "state": "(template host/service/state, ttl, sum, deadline, expires)",
+        "timeout": "processing-time (every-interval tick until expired)",
+        "emission": "sum/interval every tick, 0 in silence, ttl decay",
+    },
     "index_stream (expire reaper)": {
         "keys": ("host", "service"),
         "state": "(latest event + ttl deadline)",
@@ -135,6 +147,13 @@ STATE_TABLE = {
         "emission": "synthetic 'expired' rows at ttl",
     },
 }
+
+
+#: Test seam for testkit.run_stream_intervals: when set, apply_with_state
+#: hands the (keys, update, schemas, timeout) registration to the hook
+#: instead of building a plan — the virtual-clock harness then drives the
+#: captured update closure under controlled time.
+_capture_hook = None
 
 
 def _tws_available() -> bool:
@@ -161,6 +180,9 @@ def apply_with_state(
     ``transformWithStateInPandas`` via the shim below — the operators
     themselves never change.
     """
+    if _capture_hook is not None:
+        _capture_hook(keys, update, out_schema, state_schema, timeout)
+        return sdf
     if use_tws is None:
         use_tws = _tws_available()
     if use_tws:

@@ -1016,3 +1016,222 @@ def streaming_dedup_minhash(
         exploded, ["band"], update, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
         )
+
+
+# -------------------------------------------------- wall-clock rollup --
+
+def streaming_rollup(
+    sdf: DataFrame, n: int, dt_seconds: float,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """rollup (streams.clj:1120-1156), streaming: at most ``n``
+    emissions per key per ``dt`` seconds of WALL CLOCK; the first n
+    events of a window pass through immediately (one row each), the
+    rest accumulate and flush as ONE aggregated row when the window
+    ticks — alert suppression with a digest, the reference's
+    part-time-simple composition (streams.clj:595-657).
+
+    Faithful budget semantics: a non-empty flush CONSUMES one unit of
+    the next window's budget (part-time-simple's reset returns
+    ``[1 []]`` when the buffer carried over — streams_test.clj:1375-1399
+    pins this), so a steadily-rolled key keeps digesting instead of
+    alternating pass/digest. The dt cadence is anchored at the key's
+    first event and advances only when the timer fires, like
+    streaming_batch's absolute deadline.
+
+    Output: pass-through rows carry ``rolled = null``; digest rows
+    carry the count, metric sum and [t_first, t_last] of the rolled
+    tail — the vector's shape without shipping the vector. Expired
+    events are ordinary events here (they pass or roll like any other,
+    streams_test.clj:1387-1398).
+
+    Scale: state is the rolled tail's aggregate + one deadline per key
+    (O(1) — the buffer stores sums, not events); emission is at most
+    n+1 rows per key per window. The timer re-arms only while state
+    exists; a flushed-and-quiet key re-arms from its next event."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("time", DoubleType()),
+            StructField("metric", DoubleType()),
+            StructField("state", StringType()),
+            StructField("n_rolled", LongType()),
+            StructField("sum_metric", DoubleType()),
+            StructField("t_first", DoubleType()),
+            StructField("t_last", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("sent", LongType()),
+            StructField("buf_n", LongType()),
+            StructField("buf_sum", DoubleType()),
+            StructField("buf_t0", DoubleType()),
+            StructField("buf_t1", DoubleType()),
+            StructField("last_state", StringType()),
+            StructField("deadline", LongType()),
+        ]
+    )
+    dt_ms = int(dt_seconds * 1000)
+    cols = [f.name for f in out_schema.fields]
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            sent, bn, bsum, bt0, bt1, bstate, deadline = state.get
+            if not bn and not sent:
+                state.remove()  # idle window: go quiet, don't tick forever
+                return
+            if bn:
+                yield pd.DataFrame(
+                    [[host, service, now / 1000.0, None, bstate,
+                      bn, bsum, bt0, bt1]],
+                    columns=cols,
+                )
+            # reset: a carried-over flush consumes next window's budget
+            state.update((1 if bn else 0, 0, 0.0, None, None, None,
+                          now + dt_ms))
+            state.setTimeoutDuration(dt_ms)
+            return
+        if state.exists:
+            sent, bn, bsum, bt0, bt1, bstate, deadline = state.get
+        else:
+            sent, bn, bsum, bt0, bt1, bstate = 0, 0, 0.0, None, None, None
+            deadline = now + dt_ms
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "state"])
+        out = []
+        for row in rows.itertuples(index=False):
+            m = None if pd.isna(row.metric) else float(row.metric)
+            st = row.state if isinstance(row.state, str) else None
+            t = float(row.time)
+            sent += 1
+            if sent <= n:
+                out.append((host, service, t, m, st, None, None, None, None))
+            else:
+                bn += 1
+                bsum += m if m is not None else 0.0
+                bt0 = t if bt0 is None else bt0
+                bt1 = t
+                bstate = st
+        state.update((sent, bn, bsum, bt0, bt1, bstate, deadline))
+        state.setTimeoutDuration(max(int(deadline - now), 1))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+
+
+# ---------------------------------------------------- wall-clock rate --
+
+def streaming_rate_interval(
+    sdf: DataFrame, interval: float,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """rate (streams.clj:841-883), the WALL-CLOCK form: sum metrics
+    over each ``interval`` seconds of processing time and emit
+    sum/interval every tick, using the most recent event as the
+    template. Faithful reference details, pinned by
+    streams_test.clj:1099-1121 (rate-without-input, rate-expiration):
+
+    - emission continues through EMPTY intervals (metric 0) — inbound
+      ttls are credited +interval and every tick debits interval, so
+      under steady flow in≡out and in silence the emitted ttl decays;
+    - the poller stops when (last time+ttl) passes — the
+      periodically-until-expired wrapper (streams.clj:499-540) — or
+      when an expired event arrives; a later live event restarts it;
+    - nil-metric events don't touch the template or the sum.
+
+    This is the alerting-cadence sibling of streaming_rate
+    (streaming/ops.py) — THE deploy path for rate-at-scale is that
+    event-time watermarked form; this one exists for configs that
+    need the reference's wall-clock contract (dashboards expecting a
+    tick every interval regardless of traffic). State is O(1) per key;
+    ticks re-arm only while un-expired, so idle keys go quiet instead
+    of leaking timers."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("state", StringType()),
+            StructField("metric", DoubleType()),
+            StructField("time", DoubleType()),
+            StructField("ttl", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t_host", StringType()),
+            StructField("t_service", StringType()),
+            StructField("t_state", StringType()),
+            StructField("ttl", DoubleType()),
+            StructField("sum", DoubleType()),
+            StructField("deadline", LongType()),
+            StructField("expires", DoubleType()),  # null = never
+        ]
+    )
+    itv_ms = int(interval * 1000)
+    cols = [f.name for f in out_schema.fields]
+
+    def update(key, pdfs, state: GroupState):
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            th, ts, tst, ttl, sm, deadline, expires = state.get
+            if expires is not None and expires < now / 1000.0:
+                state.remove()  # most recent event expired: stop
+                return
+            new_ttl = ttl - interval if ttl is not None else None
+            yield pd.DataFrame(
+                [[th, ts, tst, sm / interval, now / 1000.0, new_ttl]],
+                columns=cols,
+            )
+            state.update((th, ts, tst, new_ttl, 0.0, deadline + itv_ms,
+                          expires))
+            state.setTimeoutDuration(max(int(deadline + itv_ms - now), 1))
+            return
+        cur = state.get if state.exists else None
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "state",
+                                   "host", "service", "ttl"])
+        stopped = False
+        for row in rows.itertuples(index=False):
+            st = row.state if isinstance(row.state, str) else None
+            if st == "expired":
+                stopped = True  # cancel the poller (streams.clj:524-528)
+                continue
+            stopped = False
+            m = None if pd.isna(row.metric) else float(row.metric)
+            if m is None:
+                continue
+            ttl_in = None if pd.isna(row.ttl) else float(row.ttl)
+            t_in = None if pd.isna(row.time) else float(row.time)
+            expires = (t_in + ttl_in) if (ttl_in is not None and
+                                          t_in is not None) else None
+            if cur is None:
+                cur = (row.host, row.service, st,
+                       ttl_in + interval if ttl_in is not None else None,
+                       m, now + itv_ms, expires)
+            else:
+                # a restart after an expired-stop re-anchors the cadence
+                deadline = cur[5] if cur[5] is not None else now + itv_ms
+                cur = (row.host, row.service, st,
+                       ttl_in + interval if ttl_in is not None else cur[3],
+                       cur[4] + m, deadline, expires)
+        if cur is None:
+            return
+        if stopped:
+            # template kept, timer NOT re-armed; null deadline marks it
+            state.update((*cur[:5], None, cur[6]))
+            return
+        state.update(cur)
+        state.setTimeoutDuration(max(int(cur[5] - now), 1))
+        return
+        yield  # pragma: no cover — make this a generator
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )

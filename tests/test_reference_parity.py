@@ -945,3 +945,172 @@ def test_splitp_three_branch_vectors(spark):
         r["metric"]: r["state"] for r in routed.filter(F.col("state").isNotNull()).collect()
     }
     assert got == {15.0: "crit", 8.0: "warn"}
+
+
+# ------------------------------------- §run-stream-intervals (test.clj:218-236)
+# Wall-clock emission vectors driven through the REAL stateful update
+# closures under the virtual clock (riemann_spark.streaming.testkit —
+# controlled time + deterministic timer firing, the r5 throttle port's
+# pattern generalized).
+
+def _intervals(build, seq, **kw):
+    from riemann_spark.streaming.testkit import run_stream_intervals
+
+    return run_stream_intervals(build, seq, **kw)
+
+
+def _m(metric=None, **kw):
+    e = {"host": "h", "service": "s"}
+    if metric is not None:
+        e["metric"] = float(metric)
+    e.update(kw)
+    return e
+
+
+def test_batch_interval_vectors(spark):
+    """streams_test.clj:1401-1414 batch-test — (batch 2 3):
+    nothing → nothing; incomplete batches [:a 3 :b 1 :c 2 :d 3] →
+    [[a] [b c] [d]]; overflowing [:a 1 ... :f 1] →
+    [[a b] [c] [d e] [f]]. Flush groupings asserted via (n, sum)."""
+    from riemann_spark.streaming.stateful_ops import streaming_batch
+
+    build = lambda s: streaming_batch(s, 2, 3.0)
+    assert _intervals(build, []) == []
+
+    out = _intervals(build, [_m(1), 3, _m(2), 1, _m(4), 2, _m(8), 3])
+    assert [(r["n"], r["sum_metric"]) for r in out] == [
+        (1, 1.0), (2, 6.0), (1, 8.0)
+    ]
+    assert [r["reason"] for r in out] == ["time", "count", "time"]
+
+    out = _intervals(
+        build,
+        [_m(1), 1, _m(2), 1, _m(4), 1, _m(8), 1, _m(16), 1, _m(32), 1],
+    )
+    assert [(r["n"], r["sum_metric"]) for r in out] == [
+        (2, 3.0), (1, 4.0), (2, 24.0), (1, 32.0)
+    ]
+    assert [r["reason"] for r in out] == ["count", "time", "count", "time"]
+
+
+def test_rollup_interval_vectors(spark):
+    """streams_test.clj:1375-1399 rollup-test — all four testings.
+    Pass-throughs carry n_rolled null; digests carry the rolled
+    count. The 'basic rollups' vector pins the budget-consumption
+    subtlety: a non-empty flush debits the NEXT window's send budget."""
+    from riemann_spark.streaming.stateful_ops import streaming_rollup
+
+    def shape(rows):
+        return [
+            (r["metric"], None) if r["n_rolled"] is None
+            else (r["sum_metric"], r["n_rolled"])
+            for r in rows
+        ]
+
+    # single output event per interval: (rollup 1 2)
+    out = _intervals(
+        lambda s: streaming_rollup(s, 1, 2.0),
+        [_m(1), 0, _m(2), 0, _m(4), 2, _m(8), 0, _m(16), 0, _m(32), 2],
+    )
+    #               [a]        [b c]       [d e f]
+    assert shape(out) == [(1.0, None), (6.0, 2), (56.0, 3)]
+
+    # basic rollups: (rollup 2 1)
+    out = _intervals(
+        lambda s: streaming_rollup(s, 2, 1.0),
+        [_m(1), 0, _m(2), 0, _m(4), 1,
+         _m(8), 0, _m(16), 0, _m(32), 0, _m(64), 1,
+         _m(128), 10],
+    )
+    # [1] [2] | [4] | [8] | [16 32 64] | [128]
+    assert shape(out) == [
+        (1.0, None), (2.0, None), (4.0, 1), (8.0, None),
+        (112.0, 3), (128.0, None),
+    ]
+
+    # expired events roll like any other: (rollup 2 3)
+    out = _intervals(
+        lambda s: streaming_rollup(s, 2, 3.0),
+        [_m(1), 0, _m(2, state="expired"), 0,
+         _m(4), 1, _m(8), 1, _m(16), 1],
+    )
+    assert shape(out) == [(1.0, None), (2.0, None), (28.0, 3)]
+    assert out[1]["state"] == "expired"
+
+    # (rollup 2 2) over four expireds
+    out = _intervals(
+        lambda s: streaming_rollup(s, 2, 2.0),
+        [_m(1, state="expired"), 0, _m(2, state="expired"), 0,
+         _m(4, state="expired"), 1, _m(8, state="expired"), 1],
+    )
+    assert shape(out) == [(1.0, None), (2.0, None), (12.0, 2)]
+    assert all(r["state"] == "expired" for r in out)
+
+
+def test_rate_without_input_vector(spark):
+    """streams_test.clj:1099-1110 rate-without-input — (rate 1):
+    emission continues with metric 0 through empty intervals, the
+    template is the most recent event, ttls decay by interval, and a
+    trailing expired event stops the poller."""
+    from riemann_spark.streaming.stateful_ops import streaming_rate_interval
+
+    out = _intervals(
+        lambda s: streaming_rate_interval(s, 1.0),
+        [{"metric": 1.0, "service": "foo"}, 0.5,
+         {"metric": 1.0, "service": "bar"}, 0.5,
+         {"metric": 1.0, "service": "baz", "ttl": 3.0}, 3,
+         {"state": "expired"}, None],
+        row_fields=("event_id", "time", "metric", "state", "host",
+                    "service", "ttl"),
+        key_fields=(),  # the reference rate is a global stream op
+    )
+    got = [(r["time"], r["metric"], r["service"], r["ttl"]) for r in out]
+    assert got == [
+        (1.0, 2.0, "bar", None),
+        (2.0, 1.0, "baz", 3.0),
+        (3.0, 0.0, "baz", 2.0),
+        (4.0, 0.0, "baz", 1.0),
+    ]
+
+
+def test_rate_expiration_vector(spark):
+    """streams_test.clj:1111-1118 rate-expiration — (rate 1) over one
+    event with ttl 3 at time 0, then 5 s of silence: three ticks (the
+    last at t=3 with ttl 1), then the poller self-cancels because the
+    most recent event expired."""
+    from riemann_spark.streaming.stateful_ops import streaming_rate_interval
+
+    out = _intervals(
+        lambda s: streaming_rate_interval(s, 1.0),
+        [{"time": 0.0, "metric": 1.0, "ttl": 3.0}, 5],
+        row_fields=("event_id", "time", "metric", "state", "host",
+                    "service", "ttl"),
+        key_fields=(),
+    )
+    got = [(r["time"], r["metric"], r["ttl"]) for r in out]
+    assert got == [(1.0, 1.0, 3.0), (2.0, 0.0, 2.0), (3.0, 0.0, 1.0)]
+
+
+def test_fill_in_last_interval_vectors(spark):
+    """streams_test.clj:905-930 fill-in-last-test (single-key form —
+    this op keys on host/service where the reference is global):
+    quick succession passes [1 2 3] untouched; with a 0.06 s gap at
+    interval 0.05 a filler (update {:metric 0}) appears, an expired
+    event cancels the filler and passes through, the next live event
+    resumes: metrics [1 0 2 3 0 4 5]."""
+    from riemann_spark.streaming.stateful_ops import streaming_fill_in_last
+
+    build = lambda s: streaming_fill_in_last(s, 0.01, {"metric": 0.0})
+    out = _intervals(build, [_m(1), None, _m(2), None, _m(3), None])
+    assert [r["metric"] for r in out] == [1.0, 2.0, 3.0]
+
+    build = lambda s: streaming_fill_in_last(s, 0.05, {"metric": 0.0})
+    out = _intervals(
+        build,
+        [_m(1), 0.06, _m(2), None, _m(3), 0.08,
+         _m(4, state="expired"), 0.06, _m(5), None],
+    )
+    assert [r["metric"] for r in out] == [1.0, 0.0, 2.0, 3.0, 0.0, 4.0, 5.0]
+    assert [r["filled"] for r in out] == [
+        None, "fill", None, None, "fill", None, None
+    ]

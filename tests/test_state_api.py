@@ -381,6 +381,24 @@ def _state_table_cases():
             [_data(_pdf(doc_id=[5, 3])),
              _data(_pdf(doc_id=[7, 1]))],
         ),
+        "streaming_rollup": (
+            lambda: so.streaming_rollup(FAKE, 1, 2.0), ("h1", "svc"),
+            [_data(_pdf(event_id=[0, 1, 2], time=[0.0, 0.0, 0.0],
+                        metric=[1.0, 2.0, 3.0],
+                        state=["ok", "ok", "ok"]), now=0),
+             _fire(now=2000),
+             _data(_pdf(event_id=[3], time=[2.0], metric=[4.0],
+                        state=["ok"]), now=2100),
+             _fire(now=4000)],
+        ),
+        "streaming_rate_interval": (
+            lambda: so.streaming_rate_interval(FAKE, 1.0), ("h1", "svc"),
+            [_data(_pdf(event_id=[0], time=[0.0], metric=[1.0],
+                        state=["ok"], host=["h1"], service=["svc"],
+                        ttl=[3.0]), now=0),
+             _fire(now=1000),
+             _fire(now=2000)],
+        ),
     }
 
 
