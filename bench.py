@@ -132,6 +132,7 @@ HEADLINE = [
     "contamination",
     "contamination_bloom",
     "contamination_report",
+    "contamination_gate_report",
     "stratified_sample",
     "heavy_hitters_cms",
     "distinct_ngrams_kmv",

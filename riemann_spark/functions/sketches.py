@@ -232,6 +232,78 @@ def bloom_might_contain(
     return hit.filter(F.col("__all_hit") == 1).drop("__all_hit")
 
 
+def bloom_dense_bytes(df: DataFrame, value: Column) -> bytes:
+    """Collect ``bloom_words`` into the dense driver-side form: a
+    128 KiB byte blob covering the full 2^20-bit filter (bit p = bit
+    ``p & 7`` of byte ``p >> 3``). ONE binary Literal a STATELESS
+    streaming projection can embed, where the (word, bits) table
+    would force a stream-static join + re-aggregation (a stateful
+    plan). The representation matters twice over: an array literal
+    this size becomes a 32k-child CreateArray whose analysis cost
+    dwarfs the query, and a STRING literal probes in O(position)
+    (UTF8String counts code points) — binary substring is byte-
+    addressed O(1). Rebuild when the reference set changes; it is a
+    constant of the query, like a broadcast model table."""
+    blob = bytearray(1 << 17)
+    for r in bloom_words(df, value).collect():
+        word, bits = int(r.word), int(r.bits)
+        for b in range(32):
+            if bits >> b & 1:
+                p = word * 32 + b
+                blob[p >> 3] |= 1 << (p & 7)
+    return bytes(blob)
+
+
+def bloom_hit_from_md5(h: Column, dense: bytes) -> Column:
+    """Membership test given the value's md5 hex — true iff all
+    ``_BLOOM_K`` chunk positions are set in the dense filter. ``h``
+    is referenced 2k times, so pass a BOUND value (a lambda variable
+    or a materialized column), never an ``F.md5(...)`` expression —
+    Catalyst copies expression arguments verbatim and does not CSE
+    across higher-order functions (the minhash_band_rows lesson;
+    tests pin one md5 in the gate plans)."""
+    bloom = F.lit(dense)
+    hit = None
+    for i in range(_BLOOM_K):
+        p = F.conv(F.substring(h, 1 + 5 * i, 5), 16, 10).cast("long")
+        byte_val = F.conv(
+            F.hex(F.substring(bloom, (F.shiftright(p, 3) + 1).cast("int"), 1)),
+            16, 10,
+        ).cast("int")
+        bit = F.getbit(byte_val, p % 8) == 1
+        hit = bit if hit is None else (hit & bit)
+    return hit
+
+
+def bloom_hits_in_array(values: Column, dense: bytes) -> Column:
+    """Count of array elements whose ``_BLOOM_K`` positions are all
+    set — ONE md5 per element (hashes materialized by an inner
+    transform, then probed through the bound lambda variable), as a
+    pure expression: join-free, shuffle-free, append-mode safe. THE
+    building block for ingest-time gating of a 100 TB stream."""
+    return F.aggregate(
+        F.transform(values, lambda s: F.md5(s.cast("string"))),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + bloom_hit_from_md5(h, dense).cast("long"),
+    )
+
+
+def bloom_contains_expr(value: Column, dense: bytes) -> Column:
+    """Scalar membership test over the dense hex literal — same
+    membership set as ``bloom_might_contain``'s join form (identical
+    positions), but join-free. The md5 is bound through a
+    single-element transform so it evaluates once."""
+    return (
+        F.get(
+            F.transform(
+                F.array(F.md5(value.cast("string"))),
+                lambda h: bloom_hit_from_md5(h, dense),
+            ),
+            0,
+        )
+    )
+
+
 # ----------------------------------------------------- count-min sketch
 
 def cms_table(

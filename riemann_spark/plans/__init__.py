@@ -31,7 +31,8 @@ _GATE_PRIORITY = [
     # overflow into the round-7 window.
     #
     # -- new round-6 catalog entries first: ------------------------------
-    # (added as they land this round)
+    "streaming_contamination_gate",
+    "contamination_gate_report",
     # -- committed rotation: stalest r02 rows ----------------------------
     "percentiles_day",
     "fixed_event_window",

@@ -1483,6 +1483,147 @@ def contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     return hits.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_bloom_grams"))
 
 
+@q(
+    "streaming_contamination_gate",
+    f"""
+WITH tr AS {_gram4_sql("source != 'src0'")},
+ev AS {_gram4_sql("source = 'src0'")},
+ep AS (SELECT DISTINCT {_BLOOM_POS} AS p
+       FROM (SELECT shingle, unnest([0, 1, 2, 3]) AS i FROM ev)),
+tp AS (SELECT doc, shingle, {_BLOOM_POS} AS p
+       FROM (SELECT doc, shingle, unnest([0, 1, 2, 3]) AS i FROM tr)),
+hits AS (SELECT doc, shingle,
+                MIN(CASE WHEN ep.p IS NOT NULL THEN 1 ELSE 0 END) AS all_hit
+         FROM tp LEFT JOIN ep ON tp.p = ep.p GROUP BY doc, shingle),
+per_doc AS (SELECT doc, COUNT(*) AS n_grams, SUM(all_hit) AS n_gated
+            FROM hits GROUP BY doc)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_gated, 0) AS BIGINT) AS n_bloom_grams,
+       COALESCE(p.n_gated, 0) > 0 AS gated
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+LEFT JOIN per_doc p ON p.doc = d.doc_id""",
+)
+def streaming_contamination_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME benchmark decontamination — the streaming sibling
+    of contamination_bloom, the way streaming_dedup_minhash is
+    dedup_minhash_lsh's: training documents stream in and each is
+    scored against the eval set's Bloom filter AT ARRIVAL, so
+    contaminated docs never land in the lake at all.
+
+    The plan is STATELESS (append-mode trivial, no watermark, no
+    state store): the eval filter is collected once into its dense
+    256 KB form (sketches.bloom_dense_bytes — eval sets are
+    benchmark-sized) and embedded as an array literal; each doc's
+    distinct 4-gram shingles are probed by a pure expression
+    (bloom_contains_expr: one md5 per shingle + 4 getbit probes)
+    inside ONE F.aggregate pass. Zero shuffle, zero state — the
+    per-core gate rate is the tokenizer's throughput, and at 100 TB
+    the stage scales with source partitions alone. Counts include
+    Bloom position-collision false positives by design, which the
+    oracle reproduces exactly (membership of md5-chunk positions in
+    the eval position set). ``gated`` is derived post-drain so the
+    aggregate expression isn't duplicated by project-collapse
+    (Catalyst does not CSE across higher-order functions — the r5
+    minhash probe's lesson; tests/test_plans.py pins ONE md5 here)."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.functions import sketches
+
+    name = f"cat_scg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scg_ck_")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ev_sh = dedup._shingle_table(
+        docs.filter(F.col("source") == "src0"), "doc_id", "text", 4
+    )
+    dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+
+    raw = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    flagged = (
+        raw.filter(F.col("source") != "src0")
+        .select("doc_id", dedup.shingles("text", 4).alias("__sh"))
+        .select(
+            "doc_id",
+            F.size("__sh").cast("long").alias("n_grams"),
+            sketches.bloom_hits_in_array(F.col("__sh"), dense).alias(
+                "n_bloom_grams"
+            ),
+        )
+    )
+    q_ = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).withColumn("gated", F.col("n_bloom_grams") > 0)
+
+
+@q(
+    "contamination_gate_report",
+    f"""
+WITH tr AS {_gram4_sql("source != 'src0'")},
+ev AS {_gram4_sql("source = 'src0'")},
+ep AS (SELECT DISTINCT {_BLOOM_POS} AS p
+       FROM (SELECT shingle, unnest([0, 1, 2, 3]) AS i FROM ev)),
+tp AS (SELECT doc, shingle, {_BLOOM_POS} AS p
+       FROM (SELECT doc, shingle, unnest([0, 1, 2, 3]) AS i FROM tr)),
+hits AS (SELECT doc, MIN(CASE WHEN ep.p IS NOT NULL THEN 1 ELSE 0 END) AS all_hit
+         FROM tp LEFT JOIN ep ON tp.p = ep.p GROUP BY doc, shingle),
+gated AS (SELECT doc FROM hits GROUP BY doc HAVING SUM(all_hit) > 0)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(g.doc) AS BIGINT) AS n_gated,
+       CAST(COUNT(g.doc) AS DOUBLE) / COUNT(*) AS gated_rate
+FROM (SELECT doc_id, source FROM documents WHERE source != 'src0') d
+LEFT JOIN gated g ON g.doc = d.doc_id
+GROUP BY d.source""",
+)
+def contamination_gate_report(spark: SparkSession, sf: str) -> DataFrame:
+    """WHICH sources the ingest gate would reject, and how hard — the
+    batch form of streaming_contamination_gate's projection (same
+    dense-bloom expression, same false-positive semantics), rolled up
+    per source. The ops view before turning the gate on: a source
+    with a 40% gate rate is an eval-set mirror, not a data source.
+    One projection + one key-cardinality groupBy; the 100 TB side
+    never shuffles more than (source, flag) pairs."""
+    from riemann_spark.functions import sketches
+
+    docs = load_table(spark, sf, "documents")
+    ev_sh = dedup._shingle_table(
+        docs.filter(F.col("source") == "src0"), "doc_id", "text", 4
+    )
+    dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+    flagged = (
+        docs.filter(F.col("source") != "src0")
+        .select("source", dedup.shingles("text", 4).alias("__sh"))
+        .select(
+            "source",
+            sketches.bloom_hits_in_array(F.col("__sh"), dense).alias(
+                "n_bloom_grams"
+            ),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_bloom_grams") > 0).cast("long"))
+        .cast("long")
+        .alias("n_gated"),
+        (
+            F.sum((F.col("n_bloom_grams") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gated_rate"),
+    )
+
+
 _RATE_SQL = """CASE WHEN lang = 'en' THEN 0.85
      WHEN lang = 'zh' THEN 1.0
      ELSE 0.5 END"""

@@ -659,3 +659,51 @@ def test_compaction_converges_with_ongoing_ingest(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 203
     assert back.select("event_id").distinct().count() == 203
+
+
+def test_contamination_gate_single_md5_pass(spark):
+    """Plan-shape guard for the ingest gate (the r5 minhash lesson:
+    Catalyst does not CSE across higher-order functions): the dense-
+    bloom probe must evaluate ONE md5 per shingle — a single
+    F.aggregate pass — and the bloom must be a plain string Literal,
+    not a 32k-child CreateArray."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.functions import dedup, sketches
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f", "src1"), (2, "a b c d x y", "src0")],
+        "doc_id long, text string, source string",
+    )
+    ev_sh = dedup._shingle_table(
+        d.filter(F.col("source") == "src0"), "doc_id", "text", 4
+    )
+    dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+    flagged = (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id", dedup.shingles("text", 4).alias("__sh"))
+        .select(
+            "doc_id",
+            F.size("__sh").cast("long").alias("n_grams"),
+            sketches.bloom_hits_in_array(F.col("__sh"), dense).alias(
+                "n_bloom_grams"
+            ),
+        )
+    )
+    plan = flagged._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, plan.count("md5(")
+    assert "aggregate(" in plan and plan.count("aggregate(") == 1
+    assert "array(0," not in plan  # the bloom stayed a scalar literal
+    # and the expression agrees with the join-form probe
+    bloom_tbl = sketches.bloom_words(ev_sh, F.col("shingle"))
+    tr_sh = dedup._shingle_table(
+        d.filter(F.col("source") != "src0"), "doc_id", "text", 4
+    )
+    join_hits = sketches.bloom_might_contain(
+        tr_sh, F.col("shingle"), bloom_tbl, ["doc"]
+    ).count()
+    expr_hits = (
+        tr_sh.filter(sketches.bloom_contains_expr(F.col("shingle"), dense))
+        .count()
+    )
+    assert join_hits == expr_hits > 0
