@@ -316,6 +316,12 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 # ------------------------------------------------------------------ #
 # duplicate-cluster formation (connected components)
 
+#: Observability: rounds the most recent connected_components call ran
+#: (driver-sequenced, so a plain module var is race-free per session).
+#: SCALING.md's CC probes report it; alert on growth in production.
+last_cc_rounds = 0
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc1",
@@ -362,11 +368,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    global last_cc_rounds
     nodes = e.select("u").union(e.select("v")).distinct().persist()
     nodes.count()
     prev_sig = _sig(e)
 
-    for _ in range(max_rounds):
+    for last_cc_rounds in range(1, max_rounds + 1):
         # large-star: for each node u, hang every larger neighbor off
         # m = min(neighborhood ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -134,6 +134,12 @@ STATE_TABLE = {
         "timeout": "processing-time (absolute deadline; idle keys removed)",
         "emission": "first n pass per dt window, tail as one digest row",
     },
+    "streaming_interpolate_constant": {
+        "keys": ("host", "service"),
+        "state": "(template state/metric, deadline long, expires double)",
+        "timeout": "processing-time (every-interval tick until expired)",
+        "emission": "latest-event copy per tick; expired pass-through",
+    },
     "streaming_rate_interval": {
         "keys": ("host", "service"),
         "state": "(template host/service/state, ttl, sum, deadline, expires)",

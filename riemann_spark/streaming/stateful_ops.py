@@ -1235,3 +1235,92 @@ def streaming_rate_interval(
         sdf, keys, update, out_schema, state_schema,
         timeout=GroupStateTimeout.ProcessingTimeTimeout,
         )
+
+
+# -------------------------------------- wall-clock constant sampler --
+
+def streaming_interpolate_constant(
+    sdf: DataFrame, interval: float,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """interpolate-constant (streams.clj:753-774): emit a constant
+    stream of copies of the key's latest event every ``interval``
+    seconds of WALL CLOCK, starting when an event arrives (the
+    reference's delay-0 first tick forwards it immediately) and
+    stopping when an expired event arrives (forwarded immediately,
+    state cleared) or the latest event's ttl lapses
+    (periodically-until-expired, streams.clj:499-540). Events between
+    ticks only update the template — they are NOT forwarded
+    (streams_test.clj:932-980 pins all five vectors, including
+    no-fill-during-expired-times).
+
+    The downsampler the reference docs pair with graphite egress:
+    output cadence is fixed at 1/interval per key regardless of input
+    rate. State is O(1) per key; idle (expired) keys hold no timer."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("state", StringType()),
+            StructField("metric", DoubleType()),
+            StructField("time", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("state", StringType()),
+            StructField("metric", DoubleType()),
+            StructField("deadline", LongType()),
+            StructField("expires", DoubleType()),  # null = never
+        ]
+    )
+    itv_ms = int(interval * 1000)
+    cols = [f.name for f in out_schema.fields]
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            st, metric, deadline, expires = state.get
+            if expires is not None and expires < now / 1000.0:
+                state.remove()  # latest event's ttl lapsed: stop
+                return
+            yield pd.DataFrame(
+                [[host, service, st, metric, now / 1000.0]],
+                columns=cols,
+            )
+            state.update((st, metric, deadline + itv_ms, expires))
+            state.setTimeoutDuration(max(int(deadline + itv_ms - now), 1))
+            return
+        cur = state.get if state.exists else None
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "state", "ttl"])
+        out = []
+        for row in rows.itertuples(index=False):
+            st = row.state if isinstance(row.state, str) else None
+            m = None if pd.isna(row.metric) else float(row.metric)
+            t = None if pd.isna(row.time) else float(row.time)
+            ttl = None if pd.isna(row.ttl) else float(row.ttl)
+            expires = (t + ttl) if (t is not None and ttl is not None) else None
+            if st == "expired":
+                # forward immediately, clean up, stop the poller
+                out.append([host, service, st, m, t])
+                cur = None
+                continue
+            if cur is None:
+                # delay-0 first tick: forward immediately, start ticking
+                out.append([host, service, st, m, now / 1000.0])
+                cur = (st, m, now + itv_ms, expires)
+            else:
+                cur = (st, m, cur[2], expires)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutDuration(max(int(cur[2] - now), 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )

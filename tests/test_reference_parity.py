@@ -1114,3 +1114,41 @@ def test_fill_in_last_interval_vectors(spark):
     assert [r["filled"] for r in out] == [
         None, "fill", None, None, "fill", None, None
     ]
+
+
+def test_interpolate_constant_interval_vectors(spark):
+    """streams_test.clj:932-980 interpolate-constant-test — all five
+    vectors: empty → empty; a single state forwards once (the delay-0
+    first tick); immediate successors within an interval are ignored;
+    regular fill at 0.1 over 0.22 gaps → [1 1 1 2 2 3 3]; a final
+    expired event forwards immediately; and no fill during expired
+    times → [1 2 2 2 3]."""
+    from riemann_spark.streaming.stateful_ops import (
+        streaming_interpolate_constant,
+    )
+
+    row_fields = ("event_id", "time", "metric", "state", "ttl")
+
+    def run(interval, seq):
+        return [
+            r["metric"]
+            for r in _intervals(
+                lambda s: streaming_interpolate_constant(s, interval),
+                seq, row_fields=row_fields,
+            )
+        ]
+
+    assert run(0.01, []) == []
+    assert run(0.1, [_m(1), 0.05]) == [1.0]
+    assert run(0.1, [_m(1), 0.05, _m(2), None, _m(3), None]) == [1.0]
+
+    gaps = [x for m in (1, 2, 3, 4) for x in (_m(m), 0.22)][:-1]
+    assert run(0.1, gaps) == [1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+
+    gaps_exp = [_m(1), 0.22, _m(2), 0.22, _m(3), 0.22,
+                _m(4, state="expired"), None]
+    assert run(0.1, gaps_exp) == [1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0]
+
+    no_fill = [_m(1, state="expired"), 0.12, _m(2), 0.12,
+               _m(3, state="expired"), 0.12]
+    assert run(0.05, no_fill) == [1.0, 2.0, 2.0, 2.0, 3.0]

@@ -581,3 +581,71 @@ def test_streaming_throttle_reference_vector(spark, tmpdirs):
     got = sorted(r.event_id for r in rows)
     # emitted: 1,2,3 (ids 0-2), 5 (id 4), expired ids 5,6 (7 dropped), 8
     assert got == [0, 1, 2, 4, 5, 6, 8]
+
+
+@pytest.mark.slow
+def test_wallclock_rollup_rate_interpolate_real_stream(spark, tmpdirs):
+    """The three wall-clock cadence ops (rollup / rate-interval /
+    interpolate-constant) through a REAL stream: schema wiring and
+    timer plumbing under applyInPandasWithState (their exact emission
+    vectors are pinned by the virtual-clock ports in
+    test_reference_parity.py — here timing is nondeterministic, so
+    poll for content with a bound)."""
+    import time as _time
+
+    from riemann_spark.streaming.stateful_ops import (
+        streaming_interpolate_constant,
+        streaming_rate_interval,
+        streaming_rollup,
+    )
+
+    src, ckpt = tmpdirs
+    spark.createDataFrame(
+        [_mk(i, "a", "x", metric=float(i + 1), t=100.0 + i, state="ok")
+         for i in range(4)],
+        FULL_SCHEMA,
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    schema = spark.read.parquet(f"{src}/b0").schema
+
+    cases = {
+        "rollup": (
+            lambda s: streaming_rollup(s, 1, 1.0),
+            # first event passes through; the rolled tail digests on a tick
+            lambda rows: any(r.n_rolled is None and r.metric == 1.0 for r in rows)
+            and any(r.n_rolled == 3 and r.sum_metric == 9.0 for r in rows),
+        ),
+        "rate": (
+            lambda s: streaming_rate_interval(s, 1.0),
+            # one tick sums all four metrics /1s; later ticks emit 0
+            lambda rows: any(r.metric == 10.0 for r in rows)
+            and any(r.metric == 0.0 for r in rows),
+        ),
+        "interp": (
+            lambda s: streaming_interpolate_constant(s, 1.0),
+            # first-tick forward plus at least one constant resample
+            lambda rows: sum(1 for r in rows if r.metric == 4.0) >= 2,
+        ),
+    }
+    for tag, (build, ok) in cases.items():
+        name = f"wc_{tag}_{uuid.uuid4().hex[:8]}"
+        sdf = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = (
+            build(sdf)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{ckpt}_{tag}")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 60
+            rows = []
+            while _time.time() < deadline:
+                rows = spark.sql(f"select * from {name}").collect()
+                if ok(rows):
+                    break
+                _time.sleep(0.5)
+            assert ok(rows), (tag, rows[:10])
+        finally:
+            q.stop()
