@@ -133,6 +133,7 @@ HEADLINE = [
     "contamination_bloom",
     "contamination_report",
     "contamination_gate_report",
+    "embedding_contamination",
     "stratified_sample",
     "heavy_hitters_cms",
     "distinct_ngrams_kmv",

@@ -169,6 +169,77 @@ def embedding_near_dups(
     )
 
 
+def embedding_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC eval-set leakage: training vectors within cosine ≥
+    ``threshold`` of ANY eval vector — what n-gram decontamination
+    (``ngram_contamination``) cannot see: paraphrases, translations,
+    and template rewrites of benchmark items land next to them in
+    embedding space while sharing no shingles.
+
+    Shape is the two-table form of ``embedding_near_dups``: both
+    sides band under the SAME multi-table hyperplane LSH, but the
+    eval side is benchmark-sized, so its band frame AND its vectors
+    broadcast — the 100 TB train side shuffles nothing (one
+    bucket-equality broadcast join, candidates as (id, id) pairs,
+    exact cosine re-rank by id joins). Output is one row per
+    contaminated train vector: how many eval items it sits near and
+    the worst cosine — the threshold-tuning report before dropping.
+    """
+    def _bands(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            lsh_bucket(
+                                F.col(vec_col), n_planes, dim, t * n_planes
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, "tb.table", "tb.bucket")
+
+    cand = (
+        _bands(train, "tid")
+        .join(F.broadcast(_bands(eval_df, "eid")), ["table", "bucket"])
+        .select("tid", "eid")
+        .distinct()
+    )
+    tv = train.select(
+        F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"),
+        norm(F.col(vec_col)).alias("tn"),
+    )
+    ev = F.broadcast(
+        eval_df.select(
+            F.col(id_col).alias("eid"), F.col(vec_col).alias("ev"),
+            norm(F.col(vec_col)).alias("en"),
+        )
+    )
+    pairs = (
+        cand.join(tv, "tid")
+        .join(ev, "eid")
+        .withColumn("cos", _dots(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy("tid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_near"),
+        F.max("cos").alias("max_cos"),
+    ).withColumnRenamed("tid", id_col)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

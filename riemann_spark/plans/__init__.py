@@ -33,6 +33,8 @@ _GATE_PRIORITY = [
     # -- new round-6 catalog entries first: ------------------------------
     "streaming_contamination_gate",
     "contamination_gate_report",
+    "streaming_quality_gate",
+    "embedding_contamination",
     # -- committed rotation: stalest r02 rows ----------------------------
     "percentiles_day",
     "fixed_event_window",

@@ -1049,6 +1049,37 @@ def corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+def _gopher_flags(d: DataFrame) -> DataFrame:
+    """The Gopher rule projection shared by the batch query and the
+    streaming ingest gate — works on any frame with (doc_id, text)."""
+    toks = text.tokens("text")
+    n_words = F.size(toks)
+    mean_len = text.mean_token_len("text")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = F.floor(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    )
+    symbol_ratio = (n_hash + n_ell) / n_words.cast("double")
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words.cast(
+        "double"
+    )
+    n_stop = text.stopword_count("text")
+    ok_words = (n_words >= 20) & (n_words <= 100000)
+    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_sym = symbol_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )
+
+
 @q(
     "gopher_gates",
     f"""
@@ -1083,33 +1114,63 @@ def gopher_gates(spark: SparkSession, sf: str) -> DataFrame:
     gate. Pure projections over one tokenization, zero shuffle;
     thresholds fixture-calibrated where the paper's assume web-scale
     docs (word floor 20 vs 50)."""
-    d = load_table(spark, sf, "documents")
-    toks = text.tokens("text")
-    n_words = F.size(toks)
-    mean_len = text.mean_token_len("text")
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
-    n_ell = F.floor(
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    return _gopher_flags(load_table(spark, sf, "documents"))
+
+
+@q(
+    "streaming_quality_gate",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_words,
+             list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                         (a, b) -> a + b) / CAST(len(toks) AS DOUBLE) AS mean_len,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3)
+               / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             {_sw_count('toks', 'en')} AS n_stop
+      FROM t)
+SELECT doc_id,
+       (n_words BETWEEN 20 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+         AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
+         AS gopher_pass
+FROM m""",
+)
+def streaming_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME quality gating — the third member of the ingest-gate
+    family (exact-dup fingerprints r03, MinHash near-dup r05,
+    contamination r06): the Gopher rule projection applied to
+    documents AS THEY ARRIVE, so junk never lands. Identical
+    expressions to the batch gopher_gates (shared _gopher_flags
+    builder — one tokenization, pure projection), which is why the
+    oracle holds bit-for-bit. STATELESS append-mode: no state store,
+    no watermark; throughput scales with source partitions alone, and
+    composing it upstream of the dedup/contamination gates costs one
+    fused projection in the same stage."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_sqg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sqg_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
     )
-    symbol_ratio = (n_hash + n_ell) / n_words.cast("double")
-    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words.cast(
-        "double"
+    q_ = (
+        _gopher_flags(raw).select("doc_id", "gopher_pass")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
     )
-    n_stop = text.stopword_count("text")
-    ok_words = (n_words >= 20) & (n_words <= 100000)
-    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
-    ok_sym = symbol_ratio <= 0.1
-    ok_alpha = alpha_frac >= 0.8
-    ok_stop = n_stop >= 2
-    return d.select(
-        "doc_id",
-        ok_words.alias("ok_words"),
-        ok_mean.alias("ok_mean_len"),
-        ok_sym.alias("ok_symbols"),
-        ok_alpha.alias("ok_alpha"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
-    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
 
 
 @q(
@@ -2900,6 +2961,55 @@ def streaming_dedup_minhash_drained(spark: SparkSession, sf: str) -> DataFrame:
         F.min("claimant").alias("canonical_id"),
         (F.min("claimant") == F.col("doc_id")).alias("kept"),
     )
+
+
+_EC_BANDS_TR = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t * _ND_PLANES)} AS bucket FROM tr e"
+    for t in range(_ND_TABLES)
+)
+_EC_BANDS_EV = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t * _ND_PLANES)} AS bucket FROM ev e"
+    for t in range(_ND_TABLES)
+)
+
+
+@q(
+    "embedding_contamination",
+    f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+tr AS (SELECT vec_id, v FROM base WHERE label != 0),
+ev AS (SELECT vec_id, v FROM base WHERE label = 0),
+tb AS (
+  {_EC_BANDS_TR}
+),
+eb AS (
+  {_EC_BANDS_EV}
+),
+cand AS (SELECT DISTINCT t.vec_id AS tid, b.vec_id AS eid
+         FROM tb t JOIN eb b ON t.tbl = b.tbl AND t.bucket = b.bucket),
+pairs AS (
+  SELECT tid, eid, {_cos_sql('t.v', 'e.v')} AS cos
+  FROM cand JOIN tr t ON t.vec_id = tid JOIN ev e ON e.vec_id = eid
+)
+SELECT tid AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_near,
+       MAX(cos) AS max_cos
+FROM pairs WHERE cos >= 0.4 GROUP BY tid""",
+)
+def embedding_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic eval-set leakage (similarity.embedding_contamination):
+    training vectors (label != 0) within cosine ≥ 0.4 of any stand-in
+    eval vector (label = 0) — the paraphrase-level contamination
+    n-gram decontamination is blind to. The eval side's band frame
+    and vectors broadcast; the train side never shuffles. One row per
+    contaminated train vector with (n_eval_near, max_cos)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.embedding_contamination(
+        e.filter(F.col("label") != 0),
+        e.filter(F.col("label") == 0),
+        0.4, _ND_TABLES, _ND_PLANES, _DIM,
+    )
+
 
 
 @q(
