@@ -134,6 +134,12 @@ STATE_TABLE = {
         "timeout": "processing-time (absolute deadline; idle keys removed)",
         "emission": "first n pass per dt window, tail as one digest row",
     },
+    "streaming_ddt_interval": {
+        "keys": ("host", "service"),
+        "state": "(e1/e2 samples, current, deadline long, expires double)",
+        "timeout": "processing-time (every-n tick until expired)",
+        "emission": "d(metric)/d(event-time) per tick; 0 in silence",
+    },
     "streaming_interpolate_constant": {
         "keys": ("host", "service"),
         "state": "(template state/metric, deadline long, expires double)",

@@ -1324,3 +1324,114 @@ def streaming_interpolate_constant(
         sdf, keys, update, out_schema, state_schema,
         timeout=GroupStateTimeout.ProcessingTimeTimeout,
         )
+
+
+# --------------------------------------------- wall-clock derivative --
+
+def streaming_ddt_interval(
+    sdf: DataFrame, n: float,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """ddt-real (streams.clj:776-807) — ``(ddt n)``: every ``n``
+    seconds of WALL CLOCK, emit the rate of change between the last
+    sampled event of this interval and of the previous one. Reference
+    details pinned by streams_test.clj:1009-1038 (ddt-interval-test):
+
+    - the delay-0 first tick swallows the first event into the sample
+      history without emitting (no pair yet);
+    - within an interval only the LATEST metric-bearing event is
+      sampled (head replacement); nil-metric events are ignored;
+    - an empty interval re-samples the previous event in both slots —
+      dt 0 emits metric 0 at the tick time (the zeroes contract);
+    - the derivative divides by EVENT-time dt, stamped at tick time;
+    - the poller stops on expiry like every wall-clock op
+      (periodically-until-expired).
+
+    The event-time sibling is analytics.ddt_real (bucket-sampled,
+    oracle-gated) — THE batch/deploy path; this form exists for the
+    reference's wall-clock emission contract. State is O(1)/key."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("time", DoubleType()),
+            StructField("metric", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("e1_t", DoubleType()),
+            StructField("e1_m", DoubleType()),
+            StructField("e2_t", DoubleType()),
+            StructField("e2_m", DoubleType()),
+            StructField("cur_t", DoubleType()),
+            StructField("cur_m", DoubleType()),
+            StructField("deadline", LongType()),
+            StructField("expires", DoubleType()),  # null = never
+        ]
+    )
+    itv_ms = int(n * 1000)
+    cols = [f.name for f in out_schema.fields]
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            e1_t, e1_m, e2_t, e2_m, cur_t, cur_m, deadline, expires = state.get
+            if expires is not None and expires < now / 1000.0:
+                state.remove()
+                return
+            if cur_t is not None:
+                e1_t, e1_m, e2_t, e2_m = e2_t, e2_m, cur_t, cur_m
+            else:
+                e1_t, e1_m = e2_t, e2_m  # empty interval: zero emission
+            out = None
+            if e1_t is not None and e2_t is not None:
+                dt = e2_t - e1_t
+                m = 0.0 if dt == 0 else (e2_m - e1_m) / dt
+                out = [[host, service, now / 1000.0, m]]
+            state.update((e1_t, e1_m, e2_t, e2_m, None, None,
+                          deadline + itv_ms, expires))
+            state.setTimeoutDuration(max(int(deadline + itv_ms - now), 1))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+            return
+        cur = state.get if state.exists else None
+        rows = _sorted_rows(pdfs, ["event_id", "time", "metric", "state", "ttl"])
+        stopped = False
+        for row in rows.itertuples(index=False):
+            st = row.state if isinstance(row.state, str) else None
+            if st == "expired":
+                stopped = True
+                continue
+            stopped = False
+            m = None if pd.isna(row.metric) else float(row.metric)
+            t = None if pd.isna(row.time) else float(row.time)
+            ttl = None if pd.isna(row.ttl) else float(row.ttl)
+            expires = (t + ttl) if (t is not None and ttl is not None) else None
+            if cur is None:
+                if m is None:
+                    continue
+                # poller start: the delay-0 tick shifts the first
+                # event straight into the e2 sample slot, no emission
+                cur = (None, None, t, m, None, None, now + itv_ms, expires)
+            else:
+                deadline = cur[6] if cur[6] is not None else now + itv_ms
+                if m is not None:
+                    cur = (*cur[:4], t, m, deadline, expires)
+                else:
+                    cur = (*cur[:6], deadline, expires)  # poller liveness only
+        if cur is None:
+            return
+        if stopped:
+            state.update((*cur[:6], None, cur[7]))
+            return
+        state.update(cur)
+        state.setTimeoutDuration(max(int(cur[6] - now), 1))
+        return
+        yield  # pragma: no cover — make this a generator
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )

@@ -1152,3 +1152,104 @@ def test_interpolate_constant_interval_vectors(spark):
     no_fill = [_m(1, state="expired"), 0.12, _m(2), 0.12,
                _m(3, state="expired"), 0.12]
     assert run(0.05, no_fill) == [1.0, 2.0, 2.0, 2.0, 3.0]
+
+
+def test_coalesce_interval_vector(spark):
+    """streams_test.clj:1417-1449 coalesce-test — per-dt snapshots of
+    the latest event per key: new keys join the snapshot, a newer
+    event replaces its key, an expired event is emitted ONCE and then
+    forgotten. (The reference's ttl-lapse leg is the index reaper's
+    job in this engine — streaming_index feeds coalesce the synthetic
+    expired event, so the vector injects it explicitly at a2's
+    time+ttl.) Content asserted as the last emission per key after
+    each advance, since our per-key timers emit key-wise what the
+    reference emits as one table vector."""
+    from riemann_spark.streaming.stateful_ops import streaming_coalesce
+    from riemann_spark.streaming.testkit import IntervalHarness, run_stream_intervals
+
+    # drive manually for mid-sequence assertions
+    import riemann_spark.streaming.state_api as sa
+
+    captured = {}
+    prev = sa._capture_hook
+    sa._capture_hook = lambda *a: captured.update(update=a[1], keys=tuple(a[0]))
+    try:
+        streaming_coalesce(None, 1.0)
+    finally:
+        sa._capture_hook = prev
+    h = IntervalHarness(captured["update"], captured["keys"])
+    fields = ("event_id", "time", "metric", "state")
+
+    def latest_per_key():
+        last = {}
+        for r in h.out:
+            last[(r["host"], r["service"])] = (r["state"], r["time"])
+        return {(k[1], v[0]) for k, v in last.items()}
+
+    a1 = {"host": "h", "service": "a", "state": "one", "time": 0.0}
+    b1 = {"host": "h", "service": "b", "state": "one", "time": 0.0}
+    a2 = {"host": "h", "service": "a", "state": "two", "time": 3.0, "ttl": 2.0}
+    c1 = {"host": "h", "service": "c", "state": "one", "time": 0.0}
+    b2 = {"host": "h", "service": "b", "state": "two", "time": 0.0}
+
+    h.send(a1, fields); h.advance(1.1)
+    assert latest_per_key() == {("a", "one")}
+    h.send(b1, fields); h.advance(1.1)
+    assert latest_per_key() == {("a", "one"), ("b", "one")}
+    h.send(a2, fields); h.advance(1.1)
+    assert latest_per_key() == {("a", "two"), ("b", "one")}
+    # a2 expires at time+ttl=5: the reaper's synthetic expired event
+    h.send({"host": "h", "service": "a", "state": "expired", "time": 5.0},
+           fields)
+    h.send(c1, fields); h.advance(2.0)
+    assert latest_per_key() == {("a", "expired"), ("b", "one"), ("c", "one")}
+    # expired-a was emitted once and forgotten: further advances only
+    # re-emit b and c
+    n_a = sum(1 for r in h.out if r["service"] == "a" and r["state"] == "expired")
+    assert n_a == 1
+    h.out.clear()
+    h.send(b2, fields); h.advance(1.1)
+    assert latest_per_key() == {("b", "two"), ("c", "one")}
+    assert not any(r["service"] == "a" for r in h.out)
+
+
+def test_ddt_interval_vectors(spark):
+    """streams_test.clj:1009-1038 ddt-interval-test — all three
+    testings: a quick burst inside one interval emits nothing; one
+    event per interval differentiates pairwise; multiple events per
+    interval sample only the latest (nil metrics ignored); empty
+    intervals emit zeroes by re-sampling."""
+    from riemann_spark.streaming.stateful_ops import streaming_ddt_interval
+
+    row_fields = ("event_id", "time", "metric", "state", "ttl")
+
+    def run(n, seq):
+        return [
+            (r["time"], r["metric"])
+            for r in _intervals(
+                lambda s: streaming_ddt_interval(s, n),
+                seq, row_fields=row_fields,
+            )
+        ]
+
+    # quick burst without crossing interval
+    assert run(0.1, [_m(1), None, _m(2), None, _m(3), None]) == []
+
+    # 1 event per interval (the swap occurs just prior to events at t1)
+    out = run(1.0, [_m(-1, time=0.0), 0.99, _m(0, time=1.0), 1,
+                    _m(-5, time=2.0), 1])
+    # tick times land exactly at the armed deadlines — the
+    # reference's {:time 1} / {:time 2}
+    assert out == [(1.0, 1.0), (2.0, -5.0)]
+
+    # n events per interval: latest sampled, nil ignored
+    nil = {"host": "h", "service": "s", "time": 1.5}
+    out = run(1.0, [_m(-1, time=0.0), 0.01, _m(100, time=0.5), 0.5,
+                    _m(1, time=1.0), 0.5, nil, 0.5, _m(-3, time=2.0), 0.5])
+    assert [m for _t, m in out] == [2.0, -4.0]
+
+    # emits zeroes when no events arrive in an interval
+    out = run(2.0, [_m(0, time=0.0), 1, _m(1, time=1.0), 2,
+                    _m(2, time=3.0), 3])
+    assert [m for _t, m in out] == [1.0, 0.5, 0.0]
+    assert [t for t, _m2 in out] == [2.0, 4.0, 6.0]

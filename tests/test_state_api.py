@@ -391,6 +391,15 @@ def _state_table_cases():
                         state=["ok"]), now=2100),
              _fire(now=4000)],
         ),
+        "streaming_ddt_interval": (
+            lambda: so.streaming_ddt_interval(FAKE, 1.0), ("h1", "svc"),
+            [_data(_pdf(event_id=[0], time=[0.0], metric=[1.0],
+                        state=["ok"], ttl=[None]), now=0),
+             _data(_pdf(event_id=[1], time=[1.0], metric=[3.0],
+                        state=["ok"], ttl=[None]), now=500),
+             _fire(now=1000),
+             _fire(now=2000)],
+        ),
         "streaming_interpolate_constant": (
             lambda: so.streaming_interpolate_constant(FAKE, 1.0), ("h1", "svc"),
             [_data(_pdf(event_id=[0], time=[0.0], metric=[1.0],
