@@ -1253,3 +1253,68 @@ def test_ddt_interval_vectors(spark):
                     _m(2, time=3.0), 3])
     assert [m for _t, m in out] == [1.0, 0.5, 0.0]
     assert [t for t, _m2 in out] == [2.0, 4.0, 6.0]
+
+
+def test_fold_interval_vectors(spark):
+    """streams_test.clj:1119-1139 fold-interval-test +
+    fold-interval-metric-test — (fold-interval 1 :metric +): events
+    bin by time (part-time-fn's quot(t, interval), epoch-anchored;
+    the vector's timeless events take the controlled clock's arrival
+    times), each closed bin emits the fold: [12, 200]. Event-time
+    binning is exactly this engine's time_bucket groupBy — the same
+    plan streaming_window_folds closes by watermark."""
+    from riemann_spark.operators.analytics import time_bucket
+
+    arrivals = [0.0, 0.1, 0.3, 0.6, 1.6, 1.7]
+    metrics = [2.0, 4.0, 2.0, 4.0, 100.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, "h", "s", m, t) for i, (m, t) in enumerate(zip(metrics, arrivals))],
+        "event_id long, host string, service string, metric double, time double",
+    )
+    out = (
+        df.groupBy(time_bucket(1.0, "time").alias("bin"))
+        .agg(F.sum("metric").alias("m"))
+        .orderBy("bin")
+        .collect()
+    )
+    assert [r.m for r in out] == [12.0, 200.0]
+
+
+def test_part_time_simple_vector(spark):
+    """streams_test.clj:1733-1759 part-time-simple-test — the
+    wall-clock window primitive under rollup/batch: dt=5 windows
+    anchored at the first event, ticking THROUGH silence (empty
+    windows call nothing but the cadence holds), each flush carrying
+    exactly the events that fell in [start, end). Driven through
+    streaming_batch with the count bound out of reach, so every flush
+    is the time flush: window contents match the reference's
+    [[1 t1 t2 t4 t5 6] [6 t6 t8 t9 11] [96 t99 t100 101]
+    [101 t101 t102 106]]."""
+    from riemann_spark.streaming.stateful_ops import streaming_batch
+
+    times = [1, 2, 4, 5, 6, 8, 9, 99, 100, 101, 102]
+    import riemann_spark.streaming.state_api as sa
+    from riemann_spark.streaming.testkit import IntervalHarness
+
+    captured = {}
+    hook_prev = sa._capture_hook
+    sa._capture_hook = lambda *a: captured.update(update=a[1], keys=tuple(a[0]))
+    try:
+        streaming_batch(None, 100, 5.0)
+    finally:
+        sa._capture_hook = hook_prev
+    h = IntervalHarness(captured["update"], captured["keys"])
+    fields = ("event_id", "time", "metric")
+    h.advance(1.0)
+    for i, t in enumerate(times):
+        h.send({"host": "h", "service": "s", "metric": 1.0,
+                "time": float(t)}, fields)
+        nxt = times[i + 1] if i + 1 < len(times) else t + 99
+        h.advance(float(nxt - t))
+    got = [(r["n"], r["t_first"], r["t_last"], r["reason"]) for r in h.out]
+    assert got == [
+        (4, 1.0, 5.0, "time"),
+        (3, 6.0, 9.0, "time"),
+        (2, 99.0, 100.0, "time"),
+        (2, 101.0, 102.0, "time"),
+    ]
