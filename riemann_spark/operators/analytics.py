@@ -454,6 +454,11 @@ def apdex(
     sat = compile_query(satisfied) if isinstance(satisfied, str) else satisfied
     tol = compile_query(tolerated) if isinstance(tolerated, str) else tolerated
     bucket = time_bucket(interval, time_col).cast("double").alias("window_start")
+    if "state" in df.columns:
+        # "Ignores expired events" (streams.clj:2118-2131): expired
+        # rows count toward NOTHING — not even the denominator
+        # (streams_test.clj:1761-1770 pins the 14-event total)
+        df = df.filter(~F.coalesce(F.col("state") == "expired", F.lit(False)))
     n_sat = F.sum(F.when(sat, 1).otherwise(0))
     n_tol = F.sum(F.when(~F.coalesce(sat, F.lit(False)) & tol, 1).otherwise(0))
     n = F.count(F.lit(1))

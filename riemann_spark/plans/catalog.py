@@ -663,7 +663,8 @@ SELECT service, {_BUCKET_DAY} AS window_start,
         + SUM(CASE WHEN NOT COALESCE(metric < 80.0, FALSE)
                     AND metric < 140.0 THEN 1 ELSE 0 END) / 2.0)
        / COUNT(*) AS apdex
-FROM ev GROUP BY service, window_start""",
+FROM ev WHERE state IS DISTINCT FROM 'expired'
+GROUP BY service, window_start""",
 )
 def apdex_q(spark: SparkSession, sf: str) -> DataFrame:
     """apdex (streams.clj:2103-2157): satisfied metric<80, tolerated
@@ -2318,7 +2319,8 @@ SELECT service, {_BUCKET_HOUR} AS window_start,
         + SUM(CASE WHEN NOT COALESCE(metric < 80.0, FALSE)
                     AND metric < 140.0 THEN 1 ELSE 0 END) / 2.0)
        / COUNT(*) AS apdex
-FROM ev GROUP BY service, window_start
+FROM ev WHERE state IS DISTINCT FROM 'expired'
+GROUP BY service, window_start
 HAVING window_start + 3600.0 <= (SELECT MAX("time") FROM ev) - 10.0""",
 )
 def streaming_apdex_closed(spark: SparkSession, sf: str) -> DataFrame:
@@ -2348,6 +2350,7 @@ def streaming_apdex_closed(spark: SparkSession, sf: str) -> DataFrame:
     )
     sat = to_column(parse("metric < 80.0"))
     tol = to_column(parse("metric < 140.0"))
+    sdf = sdf.filter(~F.coalesce(F.col("state") == "expired", F.lit(False)))
     agg = sdf.groupBy("service", F.window("event_ts", "3600 seconds")).agg(
         (
             (

@@ -1318,3 +1318,24 @@ def test_part_time_simple_vector(spark):
         (2, 99.0, 100.0, "time"),
         (2, 101.0, 102.0, "time"),
     ]
+
+
+def test_apdex_vector(spark):
+    """streams_test.clj:1761-1770 apdex-test — 5 ok + 7 warning +
+    3 expired + 1 fail + 1 final in one window: expired events count
+    toward NOTHING (total = 14, not 17), satisfied 5, tolerated 7 →
+    apdex = (5 + 7/2) / 14."""
+    from riemann_spark.operators import analytics
+
+    states = (["ok"] * 5 + ["warning"] * 7 + ["expired"] * 3
+              + ["fail"] + ["final"])
+    df = spark.createDataFrame(
+        [(i, "h", "s", st, 0.0) for i, st in enumerate(states)],
+        "event_id long, host string, service string, state string, time double",
+    )
+    out = analytics.apdex(
+        df, F.col("state") == "ok", F.col("state") == "warning",
+        3.0, keys=("service",),
+    ).collect()
+    assert len(out) == 1
+    assert out[0].apdex == (5 + 7 / 2) / 14
