@@ -105,6 +105,16 @@ def test_recipe_7_wire_formats(spark, events):
             routing_key=lambda ev: f"riemann.events.{ev['service']}",
         )
     )
+    # cookbook §7 email: curried mailer + registered sink
+    from riemann_spark.streaming.email import mailer
+
+    email = mailer({"host": "mail.relay", "from": "riemann@prod"})
+    assert callable(email("oncall@example.com"))
+    assert callable(
+        make_sink("email", to="oncall@example.com", host="mail.relay",
+                  from_addr="riemann@prod",
+                  subject=lambda evs: f"{len(evs)} alerts")
+    )
 
 
 def test_recipe_8_streaming(spark, tmp_path):
