@@ -125,6 +125,11 @@ HEADLINE = [
     "dedup_embedding_keeplist",
     "dedup_token_savings",
     "sample_per_source",
+    "chunk_sliding_window",
+    "boilerplate_removal",
+    "perplexity_buckets",
+    "dedup_cluster_representatives",
+    "source_overlap_matrix",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

@@ -825,3 +825,84 @@ def sample_fixed_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length chunking with stride overlap — the step that
+    turns variable-length documents into fixed-window training
+    examples (window tokens per chunk, window-stride tokens of
+    overlap so no boundary context is lost). Chunk starts are
+    0, stride, 2*stride, ... while start < n_tokens; the tail chunk
+    may be short. Returns one row per chunk:
+    (id, chunk_id, start, n_chunk_tokens, chunk_fp).
+
+    Shape: ONE tokenization, then explode over the start sequence —
+    a pure narrow projection (no shuffle at all); output volume is
+    ~n_tokens/stride rows per doc. The chunk itself leaves the plan
+    only as an md5 fingerprint, so rows stay small; a materializing
+    variant would carry concat_ws(' ', slice) instead."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start") + 1, window)
+    return t.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+def boilerplate_report(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    min_df_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE boilerplate detection (the RefinedWeb/C4 line-dedup
+    posture scoped to a single source, arXiv:2306.01116 §G.1): a
+    segment occurring in >= ``min_df_docs`` DISTINCT documents OF THE
+    SAME SOURCE is template boilerplate (nav bars, footers, license
+    headers — content that repeats within a site but is legitimate
+    across sites). Returns one row per doc:
+    (id, source, n_segs, n_boiler_segs, tokens_kept).
+
+    Shape: posexplode token segments; the per-(source, segment)
+    document-frequency is a groupBy with map-side partial distinct —
+    NOT a window over the segment (the hot key is exactly the viral
+    boilerplate being counted); join back and roll up per doc. The
+    per-doc aggregate's payload is bounded by document length."""
+    seg = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(segments(text_col, seg_tokens)).alias("seg"),
+    )
+    dfreq = seg.groupBy(source_col, "seg").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    boiler = F.col("__df") >= min_df_docs
+    seg_n = F.size(F.split(F.col("seg"), " "))
+    return (
+        seg.join(dfreq, [source_col, "seg"])
+        .groupBy(id_col, source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(boiler.cast("long")).cast("long").alias("n_boiler_segs"),
+            F.sum(F.when(~boiler, seg_n).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )

@@ -31,6 +31,12 @@ _GATE_PRIORITY = [
     # overflow into the round-7 window.
     #
     # -- new round-6 catalog entries first: ------------------------------
+    "chunk_sliding_window",
+    "boilerplate_removal",
+    "perplexity_buckets",
+    "dedup_cluster_representatives",
+    "source_overlap_matrix",
+    "streaming_embedding_gate",
     "streaming_contamination_gate",
     "contamination_gate_report",
     "streaming_quality_gate",

@@ -3164,3 +3164,351 @@ def dedup_token_savings(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("savings_rate"),
         )
     )
+
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@q(
+    "chunk_sliding_window",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_S})) AS start
+      FROM s)
+SELECT doc_id,
+       CAST(start // {_CHUNK_S} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least({_CHUNK_W}, n - start) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start + 1 : start + {_CHUNK_W}], ' '))
+         AS chunk_fp
+FROM c""",
+)
+def chunk_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length chunking with stride overlap (text.chunk_sliding):
+    documents become fixed 32-token training windows at stride 24 —
+    8 tokens of overlap so no boundary context is lost, tail chunk
+    short. THE example-forming step between curation and packing;
+    a pure narrow projection (one tokenization, explode over the
+    start sequence, zero shuffle), so at 100 TB the stage scales
+    with source partitions alone. Chunks leave the plan as md5
+    fingerprints; both engines slice 1-based end-clipped."""
+    d = load_table(spark, sf, "documents")
+    return text.chunk_sliding(d, _CHUNK_W, _CHUNK_S)
+
+
+@q(
+    "boilerplate_removal",
+    f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+segs AS (SELECT doc_id, source,
+                unnest(list_transform(
+                  generate_series(1, CAST(ceil(len(t) / {_SEG_W}.0) AS INT)),
+                  i -> array_to_string(t[(i-1)*{_SEG_W}+1 : i*{_SEG_W}], ' ')))
+                  AS seg
+         FROM toks),
+dfq AS (SELECT source, seg, COUNT(DISTINCT doc_id) AS df
+        FROM segs GROUP BY source, seg)
+SELECT s.doc_id, s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_segs,
+       CAST(SUM(CASE WHEN df < 2 THEN len(string_split(seg, ' '))
+                     ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM segs s JOIN dfq USING (source, seg)
+GROUP BY s.doc_id, s.source""",
+)
+def boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source template-boilerplate report (text.boilerplate_report):
+    a 10-token segment held by >= 2 distinct docs OF THE SAME SOURCE
+    is site boilerplate (nav/footer/license text — repeats within a
+    site, legitimate across sites) — the RefinedWeb line-dedup
+    posture scoped per source, which corpus-wide segment_dedup can't
+    express. Document-frequency via groupBy + countDistinct (map-side
+    partial, skew-safe — the hot key IS the boilerplate), join back,
+    per-doc rollup with tokens_kept for budget math."""
+    d = load_table(spark, sf, "documents")
+    return text.boilerplate_report(d, _SEG_W, 2)
+
+
+_Q6_SQL = """CAST(round((
+       0.5 * ({sw} / CAST(len(toks) AS DOUBLE))
+       + 0.3 * least(
+           (list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                        (a, b) -> a + b) / len(toks)) / 10.0, 1.0)
+       - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                / CAST(length(text) AS DOUBLE))) * 1000000) AS BIGINT)"""
+
+
+@q(
+    "perplexity_buckets",
+    f"""
+WITH tt AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
+c AS (SELECT term, COUNT(*) AS c FROM tt GROUP BY term),
+t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM c),
+sc AS (SELECT doc, round(SUM(ln(c / total)) / COUNT(*), 6) AS mean_logprob
+       FROM tt JOIN c USING (term) CROSS JOIN t GROUP BY doc),
+j AS (SELECT d.doc_id AS doc, d.lang, sc.mean_logprob
+      FROM documents d JOIN sc ON sc.doc = d.doc_id)
+SELECT doc, lang, mean_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY mean_logprob DESC, doc)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM j""",
+)
+def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020
+    §4.3, with the LM degraded to corpus unigrams to stay
+    engine-exact): per LANGUAGE, rank documents by mean token
+    log-probability and split into equal thirds — the partition
+    CCNet publishes and downstream mixers sample from at different
+    rates. Deterministic total order (6dp-rounded score, doc id
+    tiebreak), so ntile agrees across engines.
+
+    Scale note: ntile partitioned by lang funnels each language
+    through one sort partition — correct here and for oracle
+    exactness, but the 100 TB deploy path computes per-lang score
+    THRESHOLDS (approx_percentile over a per-lang aggregate,
+    key-cardinality-sized, broadcast back) and assigns buckets by
+    comparison, a pure projection with no global sort."""
+    d = load_table(spark, sf, "documents")
+    sc = text.unigram_lm_scores(d)
+    j = d.select(F.col("doc_id").alias("doc"), "lang").join(sc, "doc")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_logprob").desc(), F.col("doc")
+    )
+    n3 = F.ntile(3).over(w)
+    return j.select(
+        "doc",
+        "lang",
+        "mean_logprob",
+        F.when(n3 == 1, "head").when(n3 == 2, "middle").otherwise("tail").alias(
+            "bucket"
+        ),
+    )
+
+
+@q(
+    "dedup_cluster_representatives",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id),
+qt AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+qual AS (SELECT doc_id AS doc, {_Q6_SQL.format(sw=_sw_count('toks', 'en'))} AS q6
+         FROM qt),
+m AS (SELECT l.doc, l.cluster, q.q6 FROM labels l JOIN qual q USING (doc)),
+rep AS (SELECT cluster, MIN(struct_pack(a := -q6, d := doc)) AS r
+        FROM m GROUP BY cluster)
+SELECT m.doc, m.cluster, r.d AS rep_doc, m.doc = r.d AS kept,
+       CAST(-r.a AS DOUBLE) / 1000000 AS rep_quality
+FROM m JOIN rep USING (cluster)""",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALITY-AWARE cluster representative selection: near-dup
+    clusters (MinHash-LSH pairs → connected components, same
+    machinery as dedup_clusters) keep their HIGHEST-QUALITY member
+    instead of the arbitrary min-id — what a curation pipeline
+    actually wants when one copy of a duplicated page is the clean
+    one and the rest are ad-wrapped mirrors. Representative = max
+    (quality, then min doc id), computed as a struct-min aggregate
+    (no window); quality quantizes to 1e-6 longs so the argmax is
+    engine-exact. Output one row per clustered doc with its
+    cluster's rep and quality."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs)
+    qual = d.select(
+        F.col("doc_id").alias("node"),
+        F.round(text.quality_score("text") * F.lit(1e6)).cast("long").alias("q6"),
+    )
+    m = labels.join(qual, "node")
+    rep = m.groupBy("cluster").agg(
+        F.min(F.struct((-F.col("q6")).alias("a"), F.col("node").alias("d"))).alias(
+            "r"
+        )
+    )
+    return m.join(rep, "cluster").select(
+        F.col("node").alias("doc"),
+        "cluster",
+        F.col("r.d").alias("rep_doc"),
+        (F.col("node") == F.col("r.d")).alias("kept"),
+        ((-F.col("r.a")).cast("double") / F.lit(1e6)).alias("rep_quality"),
+    )
+
+
+@q(
+    "source_overlap_matrix",
+    f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+segs AS (SELECT doc_id, source,
+                unnest(list_transform(
+                  generate_series(1, CAST(ceil(len(t) / {_SEG_W}.0) AS INT)),
+                  i -> array_to_string(t[(i-1)*{_SEG_W}+1 : i*{_SEG_W}], ' ')))
+                  AS seg
+         FROM toks),
+t AS (SELECT DISTINCT source, seg FROM segs),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segs FROM t GROUP BY source),
+ov AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared_segs
+       FROM t a JOIN t b ON a.seg = b.seg AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared_segs,
+       round(CAST(n_shared_segs AS DOUBLE)
+             / least(na.n_segs, nb.n_segs), 6) AS overlap_coef
+FROM ov JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b""",
+)
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix: for every source pair, how
+    many distinct 10-token segments they share, normalized by the
+    smaller source's segment vocabulary (overlap coefficient) — the
+    report that catches a scraped mirror or a feed syndicated into
+    two sources BEFORE mixture weights are set (dedup_token_savings
+    is per-source; this is the between-source view). Inverted-index
+    self-join on the segment (never source x source x docs), partial
+    distinct map-side; output is source-pair-cardinality."""
+    d = load_table(spark, sf, "documents")
+    t = (
+        d.select(
+            "source", F.explode(text.segments("text", _SEG_W)).alias("seg")
+        )
+        .distinct()
+    )
+    n = t.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_segs"))
+    a, b = t.alias("a"), t.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_segs"))
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("n_segs").alias("__na"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n_segs").alias("__nb"))
+    return (
+        ov.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_segs",
+            F.round(
+                F.col("n_shared_segs").cast("double")
+                / F.least("__na", "__nb"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+@q(
+    "streaming_embedding_gate",
+    f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+tr AS (SELECT vec_id, v FROM base WHERE label != 0),
+ev AS (SELECT vec_id, v FROM base WHERE label = 0),
+tb AS (
+  {_EC_BANDS_TR}
+),
+eb AS (SELECT DISTINCT tbl, bucket FROM (
+  {_EC_BANDS_EV}
+))
+SELECT t.vec_id,
+       CAST(COUNT(e.tbl) AS BIGINT) AS n_tables_hit,
+       COUNT(e.tbl) > 0 AS gated
+FROM tb t LEFT JOIN eb e ON t.tbl = e.tbl AND t.bucket = e.bucket
+GROUP BY t.vec_id""",
+)
+def streaming_embedding_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME semantic decontamination — the streaming sibling of
+    embedding_contamination, completing the gate trio (n-gram bloom
+    gate : contamination_bloom :: THIS : embedding_contamination):
+    training vectors are scored against the eval set's hyperplane-LSH
+    bucket signature AT ARRIVAL, so paraphrase-level eval leakage
+    never lands in the lake.
+
+    STATELESS streaming plan: the eval side collapses to its distinct
+    (table, bucket) set — at most tables x 2^planes entries (256
+    here), KBs for any real benchmark suite — embedded as an
+    integer-encoded array literal; each incoming vector computes its
+    4 bucket ids (pure sign-bit projection, no shuffle, no state) and
+    counts membership. Recall-first by construction (every true
+    near-neighbor shares >= 1 bucket with probability set by the
+    table count; false positives are bucket-mates the batch-side
+    cosine re-rank would clear) — the same precision split as the
+    bloom gate, and the oracle reproduces it exactly."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_seg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="seg_ck_")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ev = emb.filter(F.col("label") == 0)
+    eval_buckets = sorted(
+        {
+            t * (1 << _ND_PLANES) + row["bucket"]
+            for t in range(_ND_TABLES)
+            for row in ev.select(
+                similarity.lsh_bucket(
+                    F.col("embedding"), _ND_PLANES, _DIM, t * _ND_PLANES
+                ).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    lit_buckets = F.array(*[F.lit(b) for b in eval_buckets])
+
+    raw = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    enc = F.array(
+        *[
+            similarity.lsh_bucket(
+                F.col("embedding"), _ND_PLANES, _DIM, t * _ND_PLANES
+            )
+            + F.lit(t * (1 << _ND_PLANES))
+            for t in range(_ND_TABLES)
+        ]
+    )
+    flagged = (
+        raw.filter(F.col("label") != 0)
+        .select("vec_id", enc.alias("__enc"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.col("__enc"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.when(F.array_contains(lit_buckets, x), 1).otherwise(0),
+            ).alias("n_tables_hit"),
+        )
+    )
+    q_ = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name).withColumn("gated", F.col("n_tables_hit") > 0)

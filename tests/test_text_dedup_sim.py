@@ -943,3 +943,66 @@ def test_sample_fixed_k_exact_and_stable(spark):
     assert {(r.source, r.doc_id) for r in again.collect()} == {
         (s_, i) for s_, ids in got.items() for i in ids
     }
+
+
+def test_chunk_sliding_covers_and_overlaps(spark):
+    """Window-32/stride-24 chunking: every token covered, consecutive
+    chunks overlap by 8, tail chunk short, single chunk for short
+    docs; fingerprints stable under repartitioning."""
+    long_doc = " ".join(f"t{i}" for i in range(80))  # starts 0,24,48,72
+    d = docs(spark, long_doc, "just five little words here")
+    c = text.chunk_sliding(d, 32, 24)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.start, r.n_chunk_tokens) for r in c.collect())
+    )
+    assert rows == [
+        (0, 0, 0, 32),
+        (0, 1, 24, 32),
+        (0, 2, 48, 32),
+        (0, 3, 72, 8),  # tail: 80 - 72
+        (1, 0, 0, 5),  # short doc: one whole-doc chunk
+    ]
+    again = text.chunk_sliding(d.repartition(7), 32, 24)
+    assert {r.chunk_fp for r in again.collect()} == {
+        r.chunk_fp for r in c.collect()
+    }
+
+
+def test_chunk_sliding_fingerprint_is_chunk_content(spark):
+    """The fp is md5 of the space-joined chunk slice, so identical
+    windows in different docs collide (the dedup-over-chunks use)."""
+    d = docs(spark, "a b c", "a b c")
+    fps = [r.chunk_fp for r in text.chunk_sliding(d, 32, 24).collect()]
+    assert len(fps) == 2 and fps[0] == fps[1]
+
+
+def test_boilerplate_report_flags_per_source_templates(spark):
+    """A segment repeated across >= 2 docs of the SAME source is
+    boilerplate; the same segment split across two sources is not."""
+    tpl = " ".join(f"nav{i}" for i in range(10))  # exactly one segment
+    uniq = [" ".join(f"u{d}_{i}" for i in range(10)) for d in range(4)]
+    rows = [
+        (0, f"{tpl} {uniq[0]}", "siteA"),
+        (1, f"{tpl} {uniq[1]}", "siteA"),
+        (2, f"{tpl} {uniq[2]}", "siteB"),  # only copy within siteB
+        (3, uniq[3], "siteB"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_segs, r.n_boiler_segs, r.tokens_kept)
+        for r in text.boilerplate_report(d, 10, 2).collect()
+    }
+    assert got[0] == (2, 1, 10) and got[1] == (2, 1, 10)
+    assert got[2] == (2, 0, 20)  # cross-source repeat: legitimate
+    assert got[3] == (1, 0, 10)
+
+
+def test_boilerplate_report_within_doc_repeat_not_df(spark):
+    """Document frequency counts DISTINCT docs — a segment repeated
+    twice inside ONE doc does not reach min_df_docs=2."""
+    seg = " ".join(f"x{i}" for i in range(10))
+    d = spark.createDataFrame(
+        [(0, f"{seg} {seg}", "s")], "doc_id long, text string, source string"
+    )
+    r = text.boilerplate_report(d, 10, 2).collect()[0]
+    assert (r.n_segs, r.n_boiler_segs, r.tokens_kept) == (2, 0, 20)
