@@ -130,6 +130,8 @@ HEADLINE = [
     "perplexity_buckets",
     "dedup_cluster_representatives",
     "source_overlap_matrix",
+    "cluster_aware_split",
+    "length_bucket_batches",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

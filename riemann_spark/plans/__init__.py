@@ -36,6 +36,8 @@ _GATE_PRIORITY = [
     "perplexity_buckets",
     "dedup_cluster_representatives",
     "source_overlap_matrix",
+    "cluster_aware_split",
+    "length_bucket_batches",
     "streaming_embedding_gate",
     "streaming_contamination_gate",
     "contamination_gate_report",

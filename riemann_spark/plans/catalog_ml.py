@@ -3512,3 +3512,120 @@ def streaming_embedding_gate(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name).withColumn("gated", F.col("n_tables_hit") > 0)
+
+
+_SPLIT_CASE = """CASE WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'train'
+            WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 2) < 'f3'
+              THEN 'valid'
+            ELSE 'test' END"""
+
+
+@q(
+    "cluster_aware_split",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id),
+j AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS canon
+      FROM documents d LEFT JOIN labels l ON l.doc = d.doc_id)
+SELECT doc_id,
+       CAST(canon AS BIGINT) AS cluster,
+       {_SPLIT_CASE.format(id='canon')} AS split,
+       ({_SPLIT_CASE.format(id='canon')})
+         != ({_SPLIT_CASE.format(id='doc_id')}) AS moved
+FROM j""",
+)
+def cluster_aware_split(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-PROOF train/valid/test split: hash_split keyed on the
+    near-dup CLUSTER canonical instead of the doc id, so a document
+    and its near-duplicates always land in the SAME split — the
+    failure mode a naive per-doc hash split has at 100 TB is a test
+    doc whose near-copy sits in train, silently inflating eval.
+    Singletons key on themselves (identical to hash_split); `moved`
+    marks docs whose naive assignment would have differed — each one
+    a would-have-been leak. Same CC machinery as dedup_clusters; the
+    split itself stays a pure projection of the canonical id."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs)
+    j = d.select("doc_id").join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    canon = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        canon.cast("long").alias("cluster"),
+        text.hash_split(canon).alias("split"),
+        (text.hash_split(canon) != text.hash_split("doc_id")).alias("moved"),
+    )
+
+
+_LB_SEG, _LB_SHARDS, _LB_BATCH = 32, 8, 4
+
+
+@q(
+    "length_bucket_batches",
+    f"""
+WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+                  len({_TOKS}) AS n
+           FROM documents),
+b AS (SELECT doc_id, hh,
+             least(n // {_LB_SEG}, 7) AS bucket,
+             ({_nibble_32('hh')}) % {_LB_SHARDS} AS shard
+      FROM t)
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(shard AS BIGINT) AS shard,
+       CAST((row_number() OVER (PARTITION BY bucket, shard
+                                ORDER BY hh, doc_id) - 1) // {_LB_BATCH}
+         AS BIGINT) AS batch_id,
+       CAST(row_number() OVER (PARTITION BY bucket, shard
+                               ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM b""",
+)
+def length_bucket_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """LENGTH-BUCKETED batch assignment (the bucketing-sampler layout:
+    batching similar-length docs cuts padding waste, the standard
+    efficiency trick for variable-length training): docs bucket by
+    token-count range (32-token bands, capped), then form
+    deterministic fixed-size batches in md5 order WITHIN (bucket,
+    shard) — the shard (md5-prefix mod 8) keeps each window
+    partition at ~1/(buckets*shards) of the corpus, so no bucket
+    funnels through one task; each worker packs its own batches,
+    which is exactly how a distributed loader consumes them. No
+    rand(): the whole layout is reproducible across engines and
+    repartitionings."""
+    d = load_table(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    t = d.select(
+        "doc_id",
+        h.alias("__h"),
+        F.least(
+            F.floor(text.token_count("text") / F.lit(_LB_SEG)), F.lit(7)
+        )
+        .cast("long")
+        .alias("bucket"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _LB_SHARDS).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("__h", "doc_id")
+    rn = F.row_number().over(w)
+    return t.select(
+        "doc_id",
+        "bucket",
+        "shard",
+        ((rn - 1) / _LB_BATCH).cast("long").alias("batch_id"),
+        rn.cast("long").alias("pos"),
+    )

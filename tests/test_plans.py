@@ -707,3 +707,22 @@ def test_contamination_gate_single_md5_pass(spark):
         .count()
     )
     assert join_hits == expr_hits > 0
+
+
+def test_chunk_sliding_window_zero_shuffle(spark):
+    """Chunking is ONE tokenization + an explode over chunk starts —
+    a narrow projection that must fuse with the scan: zero Exchanges,
+    and exactly one md5 (the chunk fingerprint; a project-collapse
+    duplicating the slice would re-tokenize per output column)."""
+    p = plan_of(spark, "chunk_sliding_window")
+    assert "Exchange" not in p
+    assert p.count("md5") == 1
+
+
+def test_boilerplate_removal_groupby_not_window(spark):
+    """Per-(source, segment) document frequency must be a partial-agg
+    groupBy + join back, never a window over the segment (the hot key
+    IS the boilerplate being counted)."""
+    p = plan_of(spark, "boilerplate_removal")
+    assert "Window" not in p
+    assert "partial_count" in p

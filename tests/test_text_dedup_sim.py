@@ -1006,3 +1006,40 @@ def test_boilerplate_report_within_doc_repeat_not_df(spark):
     )
     r = text.boilerplate_report(d, 10, 2).collect()[0]
     assert (r.n_segs, r.n_boiler_segs, r.tokens_kept) == (2, 0, 20)
+
+
+def test_cluster_aware_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster gets the SAME split — the
+    leakage guarantee a per-doc hash split lacks."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["cluster_aware_split"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # moved is exactly "naive split differs": recompute naively
+    naive = {
+        r.doc_id: r.split
+        for r in out.select(
+            "doc_id", text.hash_split("doc_id").alias("split")
+        ).collect()
+    }
+    for r in rows:
+        assert r.moved == (naive[r.doc_id] != r.split)
+
+
+def test_length_bucket_batches_homogeneous_and_bounded(spark):
+    """Batches never mix buckets or shards, hold <= batch_size docs,
+    and the layout is identical under a different partitioning."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["length_bucket_batches"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    sizes = {}
+    for r in rows:
+        sizes.setdefault((r.bucket, r.shard, r.batch_id), []).append(r.pos)
+    for (_, _, _), poss in sizes.items():
+        assert len(poss) <= 4
+        assert len(set(poss)) == len(poss)
