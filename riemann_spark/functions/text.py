@@ -906,3 +906,50 @@ def boilerplate_report(
             .alias("tokens_kept"),
         )
     )
+
+
+def gopher_flags(d: DataFrame, *keep: str) -> DataFrame:
+    """The Gopher quality-rule projection (Rae et al. 2021 §A1.1) —
+    works on any frame with (doc_id, text), batch or streaming: word
+    count bounds, mean-word-length bounds, symbol-to-word ratio
+    (#/ellipsis), alphabetic-word fraction, minimum stopword
+    evidence, plus the combined ``gopher_pass``. Pure projection over
+    ONE tokenization — composing it in front of ingest-time dedup or
+    contamination gates costs one fused projection in the same
+    stage (zero shuffle, no state). ``keep`` names extra columns to
+    pass through (e.g. "text" when gates downstream re-read it) —
+    a streaming topology can't join two derivations of the same
+    stream, so pass-through is how the gates stay one projection."""
+    toks = tokens("text")
+    n_words = F.size(toks)
+    mean_len = mean_token_len("text")
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ell = F.floor(
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / 3
+    )
+    symbol_ratio = (n_hash + n_ell) / n_words.cast("double")
+    alpha_frac = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ) / n_words.cast("double")
+    n_stop = stopword_count("text")
+    ok_words = (n_words >= 20) & (n_words <= 100000)
+    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_sym = symbol_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        *keep,
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )

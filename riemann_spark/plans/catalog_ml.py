@@ -1049,35 +1049,10 @@ def corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
-def _gopher_flags(d: DataFrame) -> DataFrame:
-    """The Gopher rule projection shared by the batch query and the
-    streaming ingest gate — works on any frame with (doc_id, text)."""
-    toks = text.tokens("text")
-    n_words = F.size(toks)
-    mean_len = text.mean_token_len("text")
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
-    n_ell = F.floor(
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
-    )
-    symbol_ratio = (n_hash + n_ell) / n_words.cast("double")
-    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words.cast(
-        "double"
-    )
-    n_stop = text.stopword_count("text")
-    ok_words = (n_words >= 20) & (n_words <= 100000)
-    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
-    ok_sym = symbol_ratio <= 0.1
-    ok_alpha = alpha_frac >= 0.8
-    ok_stop = n_stop >= 2
-    return d.select(
-        "doc_id",
-        ok_words.alias("ok_words"),
-        ok_mean.alias("ok_mean_len"),
-        ok_sym.alias("ok_symbols"),
-        ok_alpha.alias("ok_alpha"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
-    )
+#: The Gopher rule projection shared by the batch query and the
+#: streaming ingest gate — promoted to the public API in round 6
+#: (functions/text.py gopher_flags) so user topologies can compose it.
+_gopher_flags = text.gopher_flags
 
 
 @q(

@@ -139,3 +139,72 @@ def test_recipe_8_streaming(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.table("cookbook_rate").count() > 0
+
+
+def test_recipe_9_ingest_front_door(spark, tmp_path):
+    """Recipe 9: quality gate + contamination gate + MinHash dedup in
+    ONE stream; the drained result equals the batch composition of
+    the same gates (gates fused as pass-through projections)."""
+    from riemann_spark.functions import dedup, sketches, text
+    from riemann_spark.streaming.stateful_ops import streaming_dedup_minhash
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = batch.filter(F.col("source") == "src0")
+    tr_filter = F.col("source") != "src0"
+    ev_sh = dedup._shingle_table(ev, "doc_id", "text", 4)
+    bloom = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+
+    def gates(d):
+        return (
+            text.gopher_flags(d, "text")
+            .withColumn(
+                "n_bloom_grams",
+                sketches.bloom_hits_in_array(dedup.shingles("text", 4), bloom),
+            )
+            .filter(F.col("gopher_pass") & (F.col("n_bloom_grams") == 0))
+        )
+
+    docs = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF)
+        .filter(tr_filter)
+    )
+    deduped = streaming_dedup_minhash(gates(docs).select("doc_id", "text"))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("front_door")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    survivors = {
+        r.doc_id
+        for r in spark.table("front_door")
+        .groupBy("doc_id")
+        .agg(F.min("claimant").alias("c"))
+        .filter(F.col("c") == F.col("doc_id"))
+        .collect()
+    }
+
+    # batch mirror: same fused gates, then band-min keep-first over
+    # exactly the gated-in population (a drained single-batch stream
+    # in doc-id order IS batch groupBy(band).min)
+    gated = gates(batch.filter(tr_filter)).select("doc_id", "text")
+    bands = dedup.minhash_band_rows(gated)
+    claim = bands.groupBy("band").agg(F.min("doc_id").alias("claimant"))
+    expected = {
+        r.doc_id
+        for r in bands.join(claim, "band")
+        .groupBy("doc_id")
+        .agg(F.min("claimant").alias("c"))
+        .filter(F.col("c") == F.col("doc_id"))
+        .collect()
+    }
+    assert survivors and survivors == expected
+    # the gates really cut something, and dedup cut more
+    n_in = batch.filter(tr_filter).count()
+    n_gated = gated.count()
+    assert n_gated < n_in and len(survivors) <= n_gated
