@@ -132,6 +132,8 @@ HEADLINE = [
     "source_overlap_matrix",
     "cluster_aware_split",
     "length_bucket_batches",
+    "dedup_clusters_verified",
+    "mixture_epoch_plan",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

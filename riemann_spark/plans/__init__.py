@@ -38,6 +38,8 @@ _GATE_PRIORITY = [
     "source_overlap_matrix",
     "cluster_aware_split",
     "length_bucket_batches",
+    "dedup_clusters_verified",
+    "mixture_epoch_plan",
     "streaming_embedding_gate",
     "streaming_contamination_gate",
     "contamination_gate_report",

@@ -3604,3 +3604,115 @@ def length_bucket_batches(spark: SparkSession, sf: str) -> DataFrame:
         ((rn - 1) / _LB_BATCH).cast("long").alias("batch_id"),
         rn.cast("long").alias("pos"),
     )
+
+
+@q(
+    "dedup_clusters_verified",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+sets AS (SELECT doc, list(shingle) AS sset FROM sh GROUP BY doc),
+vpairs AS (
+  SELECT doc1, doc2
+  FROM cand JOIN sets s1 ON s1.doc = cand.doc1
+            JOIN sets s2 ON s2.doc = cand.doc2
+  WHERE len(list_intersect(s1.sset, s2.sset))
+        / CAST(len(s1.sset) + len(s2.sset)
+               - len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) >= 0.5),
+edges AS (SELECT doc1 AS u, doc2 AS v FROM vpairs
+          UNION SELECT doc2, doc1 FROM vpairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT l.doc, l.cluster, c.csize
+FROM labels l
+JOIN (SELECT cluster, COUNT(*) AS csize FROM labels GROUP BY cluster) c
+  USING (cluster)""",
+)
+def dedup_clusters_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """SAFE duplicate clusters: connected components over the
+    Jaccard-VERIFIED pair set (>= 0.5 true shingle Jaccard) instead
+    of raw band candidates — the composition dedup_minhash_verified's
+    docstring promises: one band false positive reaching CC merges
+    unrelated clusters and silently drops every member but one, so a
+    production keep-list clusters verified edges only. Same CC
+    machinery (large-star/small-star, lineage-truncated); the
+    verification join is id-keyed with per-doc shingle sets bounded
+    by document length. Compare csize against dedup_clusters to see
+    what the band FPs would have merged."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_verified_pairs(d, 0.5, _N_HASHES, _BAND).select(
+        "doc1", "doc2"
+    )
+    labels = dedup.connected_components(pairs)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    return labels.select(F.col("node").alias("doc"), "cluster").join(
+        sizes, "cluster"
+    )
+
+
+_EPOCH_T, _EPOCH_ALPHA, _EPOCH_CAP = 500_000, 0.5, 4.0
+
+
+@q(
+    "mixture_epoch_plan",
+    f"""
+WITH t AS (SELECT source,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE), {_EPOCH_ALPHA})
+               / SUM(pow(CAST(n_tokens AS DOUBLE), {_EPOCH_ALPHA})) OVER ()
+               AS p_temp
+      FROM t)
+SELECT source, n_docs, n_tokens,
+       round(p_temp, 6) AS p_temp,
+       round(least({_EPOCH_T} * p_temp / n_tokens, {_EPOCH_CAP}), 6)
+         AS epochs,
+       CAST(round(least({_EPOCH_T} * p_temp / n_tokens, {_EPOCH_CAP})
+                  * n_tokens) AS BIGINT) AS planned_tokens,
+       least({_EPOCH_T} * p_temp / n_tokens, {_EPOCH_CAP}) >= {_EPOCH_CAP}
+         AS capped
+FROM w""",
+)
+def mixture_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """EPOCH planning for a token budget (the "how many times do we
+    repeat each source" decision; repeat-caps per Muennighoff et al.
+    2023's ~4-epoch diminishing-returns guidance): temperature-mixed
+    target shares (p ∝ tokens^0.5) over a 500 K-token budget, per
+    source: epochs = min(budget·p / tokens, cap), the planned token
+    draw, and whether the cap bound (a too-small source asked to
+    repeat too much). Key-cardinality aggregates only — two tiny
+    passes at any corpus size; the one window is over the
+    source-cardinality frame."""
+    d = load_table(spark, sf, "documents")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(text.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    wv = Window.partitionBy()
+    p_temp = F.pow(F.col("n_tokens").cast("double"), F.lit(_EPOCH_ALPHA)) / F.sum(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(_EPOCH_ALPHA))
+    ).over(wv)
+    epochs = F.least(
+        F.lit(float(_EPOCH_T)) * p_temp / F.col("n_tokens"), F.lit(_EPOCH_CAP)
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(epochs * F.col("n_tokens"))
+        .cast("long")
+        .alias("planned_tokens"),
+        (epochs >= F.lit(_EPOCH_CAP)).alias("capped"),
+    )

@@ -1043,3 +1043,22 @@ def test_length_bucket_batches_homogeneous_and_bounded(spark):
     for (_, _, _), poss in sizes.items():
         assert len(poss) <= 4
         assert len(set(poss)) == len(poss)
+
+
+def test_verified_clusters_refine_raw_clusters(spark):
+    """Jaccard-verified CC can only REMOVE edges, so every verified
+    cluster must sit inside exactly one raw band-candidate cluster
+    (refinement), and never grow beyond it."""
+    from riemann_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    raw = {
+        r.doc: r.cluster for r in QUERIES["dedup_clusters"](spark, sf).collect()
+    }
+    ver = QUERIES["dedup_clusters_verified"](spark, sf).collect()
+    assert ver  # fixture has true near-dups
+    by_vcluster = {}
+    for r in ver:
+        assert r.doc in raw  # verified docs are a subset of candidates
+        by_vcluster.setdefault(r.cluster, set()).add(raw[r.doc])
+    assert all(len(s) == 1 for s in by_vcluster.values())
