@@ -134,6 +134,7 @@ HEADLINE = [
     "length_bucket_batches",
     "dedup_clusters_verified",
     "mixture_epoch_plan",
+    "dedup_recall_report",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

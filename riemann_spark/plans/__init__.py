@@ -40,6 +40,7 @@ _GATE_PRIORITY = [
     "length_bucket_batches",
     "dedup_clusters_verified",
     "mixture_epoch_plan",
+    "dedup_recall_report",
     "streaming_embedding_gate",
     "streaming_contamination_gate",
     "contamination_gate_report",

@@ -3716,3 +3716,71 @@ def mixture_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
         .alias("planned_tokens"),
         (epochs >= F.lit(_EPOCH_CAP)).alias("capped"),
     )
+
+
+@q(
+    "dedup_recall_report",
+    f"""
+WITH {_SHINGLE_SQL},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
+inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2),
+tp AS (SELECT doc1, doc2 FROM (
+  SELECT doc1, doc2,
+         n_inter / (s1.n + s2.n - n_inter) AS jaccard
+  FROM inter JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
+) WHERE jaccard >= 0.5),
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+hit AS (SELECT doc1, doc2 FROM tp JOIN cand USING (doc1, doc2))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+       round((SELECT COUNT(*) FROM hit)
+             / CAST((SELECT COUNT(*) FROM tp) AS DOUBLE), 6) AS recall,
+       round((SELECT COUNT(*) FROM hit)
+             / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 6) AS precision
+""",
+)
+def dedup_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-tier quality monitoring — ann_recall_report's sibling for
+    the text side: MinHash-LSH candidate RECALL against the exact
+    Jaccard >= 0.5 ground truth (inverted-index pairs, same
+    stop-shingle guard), plus candidate precision (what fraction of
+    band-mates are true near-dups — the FP load the verify stage must
+    clear). The number that tells you whether 8 hashes x 4 bands is
+    enough before scaling the corpus 100x; ground truth is small-SF
+    audit tier by design (the exact pair join is the expensive side),
+    while the candidate side is the production plan being measured.
+    One-row output; all counts exact."""
+    d = load_table(spark, sf, "documents")
+    tp = dedup.ngram_jaccard_pairs(d, 0.5, max_shingle_df=1000).select(
+        "doc1", "doc2"
+    )
+    cand = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    hit = tp.join(cand, ["doc1", "doc2"])
+    n_true = tp.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        n_true.join(n_cand)
+        .join(n_hit)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_cand"), 6
+            ).alias("precision"),
+        )
+    )
