@@ -31,6 +31,8 @@ _GATE_PRIORITY = [
     # overflow into the round-7 window.
     #
     # -- new round-6 catalog entries first: ------------------------------
+    "fim_transform",
+    "blocklist_gate",
     "chunk_sliding_window",
     "boilerplate_removal",
     "perplexity_buckets",

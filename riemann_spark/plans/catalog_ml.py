@@ -3784,3 +3784,165 @@ def dedup_recall_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+_FIM_RATE = 0.5
+_BLOCKLIST = ["casino", "jackpot", "viagra", "lottery", "nsfw"]
+
+
+def _frac_sql(salt: str) -> str:
+    h13 = f"substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 13)"
+    return f"({_nibble_52_of(h13)}) / 4503599627370496.0"
+
+
+@q(
+    "fim_transform",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, text, toks, len(toks) AS n,
+             {_frac_sql('|fim')} AS hf,
+             {_frac_sql('|p1')} AS h1,
+             {_frac_sql('|p2')} AS h2
+      FROM t),
+c AS (SELECT doc_id, text, toks, n, hf < {_FIM_RATE} AS apply_fim,
+             CAST(floor(least(h1, h2) * (n + 1)) AS BIGINT) AS c1,
+             CAST(floor(greatest(h1, h2) * (n + 1)) AS BIGINT) AS c2
+      FROM h)
+SELECT doc_id, apply_fim,
+       CAST(CASE WHEN apply_fim THEN c1 ELSE n END AS BIGINT) AS n_prefix,
+       CAST(CASE WHEN apply_fim THEN c2 - c1 ELSE 0 END AS BIGINT)
+         AS n_middle,
+       CAST(CASE WHEN apply_fim THEN n - c2 ELSE 0 END AS BIGINT)
+         AS n_suffix,
+       md5(CASE WHEN apply_fim THEN
+             '<PRE> ' || coalesce(array_to_string(toks[1 : c1], ' '), '')
+             || ' <SUF> '
+             || coalesce(array_to_string(toks[c2 + 1 : n], ' '), '')
+             || ' <MID> '
+             || coalesce(array_to_string(toks[c1 + 1 : c2], ' '), '')
+           ELSE text END) AS out_fp
+FROM c""",
+)
+def fim_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    arXiv:2207.14255 — the PSM rearrangement code models train on):
+    for a deterministic 50% of documents, two md5-derived cut points
+    split the token stream into prefix/middle/suffix, re-emitted as
+    <PRE> prefix <SUF> suffix <MID> middle; the rest pass through.
+    No rand() anywhere — the fim subset, the cut points, and hence
+    the training corpus are reproducible across engines and runs
+    (floor of an exact-52-bit fraction times (n+1)). Pure projection,
+    zero shuffle; output rows carry split sizes + the transformed
+    text's fingerprint."""
+    from riemann_spark.functions.sketches import hash_fraction
+
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    toks = text.tokens("text")
+    t = d.select(
+        "doc_id",
+        "text",
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+        hash_fraction(F.concat(did, F.lit("|fim"))).alias("__hf"),
+        hash_fraction(F.concat(did, F.lit("|p1"))).alias("__h1"),
+        hash_fraction(F.concat(did, F.lit("|p2"))).alias("__h2"),
+    )
+    n1 = F.col("__n") + 1
+    c1 = F.floor(F.least("__h1", "__h2") * n1).cast("long")
+    c2 = F.floor(F.greatest("__h1", "__h2") * n1).cast("long")
+    t = t.select(
+        "doc_id",
+        "text",
+        "__toks",
+        "__n",
+        (F.col("__hf") < _FIM_RATE).alias("apply_fim"),
+        c1.alias("__c1"),
+        c2.alias("__c2"),
+    )
+    fim_text = F.concat(
+        F.lit("<PRE> "),
+        F.concat_ws(" ", F.slice(F.col("__toks"), 1, F.col("__c1"))),
+        F.lit(" <SUF> "),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("__c2") + 1, F.col("__n"))
+        ),
+        F.lit(" <MID> "),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__toks"), F.col("__c1") + 1, F.col("__c2") - F.col("__c1")
+            ),
+        ),
+    )
+    ap = F.col("apply_fim")
+    return t.select(
+        "doc_id",
+        "apply_fim",
+        F.when(ap, F.col("__c1")).otherwise(F.col("__n")).cast("long").alias(
+            "n_prefix"
+        ),
+        F.when(ap, F.col("__c2") - F.col("__c1"))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_middle"),
+        F.when(ap, F.col("__n") - F.col("__c2"))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_suffix"),
+        F.md5(F.when(ap, fim_text).otherwise(F.col("text"))).alias("out_fp"),
+    )
+
+
+@q(
+    "blocklist_gate",
+    f"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' {_BLOCKLIST[0]} {_BLOCKLIST[1]}'
+              ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM salted)
+SELECT doc_id,
+       CAST(len(list_filter(toks,
+              x -> list_contains({_BLOCKLIST!r}, lower(x)))) AS BIGINT)
+         AS n_blocked_tokens,
+       len(list_filter(toks,
+             x -> list_contains({_BLOCKLIST!r}, lower(x)))) > 0 AS blocked
+FROM t""",
+)
+def blocklist_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-blocklist gate (the C4 "bad words" filter, Raffel et al.
+    2020 §2.2): documents holding any blocklisted token are flagged
+    for removal. The fixture has no organic hits, so deterministic
+    doc_id-derived blocklist tokens are salted onto every 7th doc
+    first (the pii_scrub precedent); the gate itself is one
+    tokenization + an array filter against the literal list — pure
+    projection, zero shuffle, fuses with whatever quality gates run
+    in the same ingest stage."""
+    d = load_table(spark, sf, "documents")
+    salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(f" {_BLOCKLIST[0]} {_BLOCKLIST[1]}")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    lit_bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    n_blocked = F.size(
+        F.filter(
+            text.tokens("text"),
+            lambda x: F.array_contains(lit_bl, F.lower(x)),
+        )
+    )
+    return salted.select(
+        "doc_id",
+        n_blocked.cast("long").alias("n_blocked_tokens"),
+        (n_blocked > 0).alias("blocked"),
+    )

@@ -1062,3 +1062,58 @@ def test_verified_clusters_refine_raw_clusters(spark):
         assert r.doc in raw  # verified docs are a subset of candidates
         by_vcluster.setdefault(r.cluster, set()).add(raw[r.doc])
     assert all(len(s) == 1 for s in by_vcluster.values())
+
+
+def test_fim_transform_splits_partition_tokens(spark):
+    """FIM split sizes always sum to the doc's token count; the fim
+    subset is the deterministic hash-fraction < rate slice; pass-through
+    rows fingerprint the original text (arXiv:2207.14255 PSM shape)."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["fim_transform"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "fixture docs expected"
+    n_by_id = {
+        r.doc_id: r.n
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.size(text.tokens("text")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_prefix + r.n_middle + r.n_suffix == n_by_id[r.doc_id]
+        if not r.apply_fim:
+            assert r.n_middle == 0 and r.n_suffix == 0
+    frac = sum(r.apply_fim for r in rows) / len(rows)
+    assert 0.35 < frac < 0.65  # rate=0.5, deterministic not exact
+    # determinism: same output under a different partitioning
+    again = QUERIES["fim_transform"](spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_fim_transform_passthrough_fp_is_text_md5(spark):
+    """Non-fim rows carry md5(text) untouched — the corpus mixer can
+    interleave fim and plain docs by fingerprint without re-reading."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["fim_transform"](spark, "/root/testdata/sf0.001")
+    plain = {r.doc_id: r.out_fp for r in out.collect() if not r.apply_fim}
+    src = {
+        r.doc_id: r.fp
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.md5("text").alias("fp"))
+        .collect()
+    }
+    assert plain and all(src[i] == fp for i, fp in plain.items())
+
+
+def test_blocklist_gate_flags_only_salted_docs(spark):
+    """Every 7th doc gets two salted blocklist tokens and is flagged;
+    the fixture corpus has no organic hits, so everything else passes."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["blocklist_gate"](spark, "/root/testdata/sf0.001")
+    for r in out.collect():
+        if r.doc_id % 7 == 0:
+            assert r.blocked and r.n_blocked_tokens >= 2
+        else:
+            assert not r.blocked and r.n_blocked_tokens == 0
