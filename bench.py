@@ -97,6 +97,7 @@ HEADLINE = [
     # above measure the search path against the same plan shapes. Both
     # stay in the correctness catalog.
     "ann_recall_report",
+    "ann_truncation_report",
     "filter_agg",
     "salted_agg_by_state",
     "top_suppliers_per_part",
@@ -135,6 +136,10 @@ HEADLINE = [
     "dedup_clusters_verified",
     "mixture_epoch_plan",
     "dedup_recall_report",
+    "fim_transform",
+    "blocklist_gate",
+    "winnowing_fingerprints",
+    "char_entropy",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

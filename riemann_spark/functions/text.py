@@ -14,6 +14,8 @@ columns down to `text` only.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -952,4 +954,114 @@ def gopher_flags(d: DataFrame, *keep: str) -> DataFrame:
         ok_alpha.alias("ok_alpha"),
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )
+
+
+def winnowing(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide
+    a window of w consecutive gram hashes, and in each window select
+    the RIGHTMOST minimal hash. Guarantees: any shared run of at
+    least k+w-1 tokens produces at least one shared fingerprint
+    (theorem 1), and expected density is 2/(w+1) — the
+    position-robust document fingerprint that plain chunk hashing
+    (which breaks on any 1-token shift) is not. Returns one row per
+    selected fingerprint: (id, pos, fp) where pos is the 0-based gram
+    start and fp the 52-bit md5-derived gram hash.
+
+    Shape: pure narrow projection — ONE tokenization, one gram-hash
+    array materialized per row (bound through a prior select so the
+    window fold reads the array instead of re-deriving md5 per
+    window: Catalyst does not CSE across higher-order functions),
+    then an O(m·w) fold and an explode. Zero shuffle; output volume
+    ~2m/(w+1) rows per doc. Docs shorter than k tokens contribute a
+    single whole-doc gram."""
+    toks = tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    gl = F.least(F.lit(k), n)  # gram length (whole doc when n < k)
+    m = F.greatest(n - k + 1, F.lit(1))
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, gl))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = d.select(
+        id_col,
+        F.transform(F.sequence(F.lit(0), m - 1), gram_hash).alias("__hs"),
+    )
+    mm = F.size(F.col("__hs"))
+    wl = F.least(F.lit(w), mm)  # window length (all grams when m < w)
+    pick = lambda j: F.aggregate(  # rightmost minimal hash  # noqa: E731
+        F.sequence(j, j + wl - 1),
+        F.struct(
+            F.lit(1 << 62).cast("long").alias("h"),
+            F.lit(-1).cast("long").alias("p"),
+        ),
+        lambda acc, p: F.when(
+            F.element_at(F.col("__hs"), p.cast("int") + 1) <= acc["h"],
+            F.struct(
+                F.element_at(F.col("__hs"), p.cast("int") + 1).alias("h"),
+                p.cast("long").alias("p"),
+            ),
+        ).otherwise(acc),
+    )
+    sel = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), mm - wl), pick)
+    )
+    return d.select(id_col, F.explode(sel).alias("__s")).select(
+        id_col,
+        F.col("__s.p").alias("pos"),
+        F.col("__s.h").alias("fp"),
+    )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-level Shannon entropy in bits/char — the
+    compression-ratio quality proxy (low-entropy docs are repetitive
+    boilerplate/padding; near-log2(charset) docs are random noise;
+    natural text sits ~4.0-4.5). Returns
+    (id, n_chars, n_distinct_chars, entropy_bits, ideal_bytes) where
+    ideal_bytes = ceil(n·H/8) is the entropy-coding lower bound an
+    actual compressor approaches.
+
+    Shape: pure projection, zero shuffle. The distinct charset is
+    SORTED before the p·ln p fold so Spark and any mirror fold the
+    identical IEEE sequence (array_distinct order is
+    engine-specific); the final value is rounded to 1e-6 to absorb
+    last-ulp ln() differences across engines."""
+    c = F.col(text_col)
+    chars = F.split(c, "")
+    d = df.select(
+        F.col(id_col),
+        chars.alias("__cs"),
+        F.length(c).cast("long").alias("n_chars"),
+        F.array_sort(F.array_distinct(chars)).alias("__ds"),
+    )
+    nn = F.col("n_chars").cast("double")
+    cnt = lambda ch: F.size(  # noqa: E731
+        F.filter(F.col("__cs"), lambda x: x == ch)
+    ).cast("double")
+    terms = F.transform(F.col("__ds"), lambda ch: (cnt(ch) / nn) * F.log(cnt(ch) / nn))
+    ent = -F.aggregate(terms, F.lit(0.0), lambda a, t: a + t) / float(math.log(2.0))
+    # ideal_bytes derives from the ROUNDED entropy: once round-6 agrees
+    # across engines the remaining arithmetic (and its ceil) is
+    # bit-identical IEEE — a ceil over the raw ln()-sum would not be.
+    e6 = F.round(ent, 6)
+    return d.select(
+        id_col,
+        "n_chars",
+        F.size("__ds").cast("long").alias("n_distinct_chars"),
+        e6.alias("entropy_bits"),
+        F.ceil(F.col("n_chars") * e6 / 8).cast("long").alias("ideal_bytes"),
     )

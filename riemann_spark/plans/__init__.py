@@ -33,6 +33,9 @@ _GATE_PRIORITY = [
     # -- new round-6 catalog entries first: ------------------------------
     "fim_transform",
     "blocklist_gate",
+    "winnowing_fingerprints",
+    "char_entropy",
+    "ann_truncation_report",
     "chunk_sliding_window",
     "boilerplate_removal",
     "perplexity_buckets",

@@ -3946,3 +3946,163 @@ def blocklist_gate(spark: SparkSession, sf: str) -> DataFrame:
         n_blocked.cast("long").alias("n_blocked_tokens"),
         (n_blocked > 0).alias("blocked"),
     )
+
+
+_WIN_K, _WIN_W = 4, 4
+_H52 = lambda s: _nibble_52_of(f"substr(md5({s}), 1, 13)")  # noqa: E731
+
+
+@q(
+    "winnowing_fingerprints",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, toks, len(toks) AS n,
+             greatest(len(toks) - {_WIN_K} + 1, 1) AS m FROM t),
+h AS (SELECT doc_id, m,
+        list_transform(range(0, m), i ->
+          {_H52(f"array_to_string(toks[i+1 : i+least({_WIN_K}, n)], ' ')")})
+          AS hs
+      FROM p),
+s AS (SELECT doc_id,
+        list_transform(range(0, m - least({_WIN_W}, m) + 1), j ->
+          list_reduce(
+            list_transform(range(j, j + least({_WIN_W}, m)),
+                           q -> struct_pack(h := hs[q+1], p := q)),
+            (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)) AS sel
+      FROM h)
+SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos, u.h AS fp
+FROM (SELECT doc_id, unnest(sel) AS u FROM s)""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over the corpus — see
+    functions/text.py winnowing for the algorithm and guarantees.
+    The selected (pos, fp) set is what a plagiarism/overlap detector
+    indexes: position-robust (any shared >= k+w-1-token run shares a
+    fingerprint) at ~2/(w+1) density, vs chunk hashing which misses
+    every shifted duplicate."""
+    d = load_table(spark, sf, "documents")
+    return text.winnowing(d, k=_WIN_K, w=_WIN_W)
+
+
+@q(
+    "char_entropy",
+    """
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(text, '') AS cs,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  list_sort(list_distinct(regexp_split_to_array(text, '')))
+                    AS ds
+           FROM documents),
+e AS (SELECT doc_id, n_chars, CAST(len(ds) AS BIGINT) AS n_distinct_chars,
+        round(
+          -list_reduce(
+             list_prepend(0.0, list_transform(ds, c ->
+               (len(list_filter(cs, x -> x = c)) / CAST(n_chars AS DOUBLE))
+               * ln(len(list_filter(cs, x -> x = c))
+                    / CAST(n_chars AS DOUBLE)))),
+             (a, b) -> a + b) / ln(2.0), 6) AS entropy_bits
+      FROM t)
+SELECT doc_id, n_chars, n_distinct_chars, entropy_bits,
+       CAST(ceil(n_chars * entropy_bits / 8) AS BIGINT) AS ideal_bytes
+FROM e""",
+)
+def char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    compression-ratio quality proxy (functions/text.py char_entropy):
+    low-entropy docs are repetitive padding, near-log2(charset) is
+    noise, natural text sits ~4.0-4.5 bits/char. The charset is
+    sorted before the p·ln p fold so both engines fold the identical
+    IEEE sequence; ideal_bytes (the entropy-coding lower bound)
+    derives from the round-6 value so its ceil is deterministic."""
+    d = load_table(spark, sf, "documents")
+    return text.char_entropy(d)
+
+
+_TRUNC_DIMS = (8, 16, 32)
+
+
+def _trunc_sql() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""top_full AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.v', 'c.v')} DESC,
+                                       c.vec_id) AS rank
+    FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+  WHERE rank <= 5)""",
+    ]
+    parts = []
+    for d in _TRUNC_DIMS:
+        ctes.append(
+            f"e{d} AS (SELECT vec_id, v[1:{d}] AS v FROM e)"
+        )
+        ctes.append(
+            f"""top{d} AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.v', 'c.v')} DESC,
+                                       c.vec_id) AS rank
+    FROM e{d} q JOIN e{d} c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+  WHERE rank <= 5)""",
+        )
+        ctes.append(
+            f"""ov{d} AS (
+  SELECT f.q_id, COUNT(*) AS n
+  FROM top_full f JOIN top{d} t ON f.q_id = t.q_id AND f.n_id = t.n_id
+  GROUP BY f.q_id)""",
+        )
+        parts.append(
+            f"""SELECT {d} AS dim, q.vec_id AS q_id,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
+       COALESCE(o.n, 0) / 5.0 AS recall_at5
+FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
+LEFT JOIN ov{d} o ON o.q_id = q.vec_id""",
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@q("ann_truncation_report", _trunc_sql())
+def ann_truncation_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation-recall report (Kusupati et al. 2022,
+    arXiv:2205.13147): overlap@5 between exact cosine top-5 on the
+    full 64-dim embeddings and on dim-{8,16,32} PREFIXES, per query
+    vector (vec_id < 8). The operational question behind MRL-style
+    serving: how many dims can the first-stage index drop before
+    recall decays, with the full-dim pass demoted to a rerank.
+
+    Shape: each tier is one broadcast-queries × corpus scan (the
+    brute-force path — 8 query rows, so the 'quadratic' frame is
+    8×n and streams); overlaps join 40-row frames. Dot products are
+    left folds, so every tier's cosines are bit-reproducible under
+    any partitioning."""
+    e = load_table(spark, sf, "embeddings")
+    q8 = e.filter(F.col("vec_id") < 8)
+    full = similarity.brute_force_topk(q8, e, 5).select("q_id", "n_id")
+    out = None
+    for d in _TRUNC_DIMS:
+        sl = F.slice(F.col("embedding"), 1, d).alias("embedding")
+        t = similarity.brute_force_topk(
+            q8.select("vec_id", sl), e.select("vec_id", sl), 5
+        ).select("q_id", "n_id")
+        ov = (
+            full.join(t, ["q_id", "n_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tier = (
+            q8.select(F.col("vec_id").alias("q_id"))
+            .join(ov, "q_id", "left")
+            .select(
+                F.lit(d).alias("dim"),
+                "q_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                    "n_overlap"
+                ),
+                (F.coalesce(F.col("n"), F.lit(0)) / 5.0).alias("recall_at5"),
+            )
+        )
+        out = tier if out is None else out.unionAll(tier)
+    return out

@@ -1117,3 +1117,86 @@ def test_blocklist_gate_flags_only_salted_docs(spark):
             assert r.blocked and r.n_blocked_tokens >= 2
         else:
             assert not r.blocked and r.n_blocked_tokens == 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al. 2003 theorem 1: every w consecutive gram
+    hashes contribute >= 1 selected fingerprint, so any shared run of
+    >= k+w-1 tokens yields a shared fingerprint; density stays well
+    under 1 selection per gram."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(40)}" for _ in range(120)]
+    shared = ["common"] * 7  # k+w-1 = 7 tokens -> must share a fp
+    t1 = " ".join(words[:50] + shared + words[50:70])
+    t2 = " ".join(words[70:] + shared)
+    d = docs(spark, t1, t2)
+    out = text.winnowing(d, k=4, w=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared k+w-1 run must share a fp"
+    # coverage: every window of w grams holds a selection (doc 0)
+    n_grams = len(t1.split()) - 4 + 1
+    pos = sorted(r.pos for r in rows if r.doc_id == 0)
+    assert pos[0] < 4 and n_grams - 1 - pos[-1] < 4
+    # consecutive selections are at most w grams apart (window j and
+    # j+1 share w-1 grams; a fresh min can sit w past the old one)
+    assert all(b - a <= 4 for a, b in zip(pos, pos[1:]))
+    # density ~2/(w+1): selections are a strict subset of grams
+    assert len(pos) < 0.7 * n_grams
+    # short doc: single whole-doc gram selected at pos 0
+    short = text.winnowing(docs(spark, "just two"), k=4, w=4).collect()
+    assert [(r.pos, r.doc_id) for r in short] == [(0, 0)]
+
+
+def test_winnowing_shift_robust_chunk_hashing_is_not(spark):
+    """Prepending one token shifts every fixed chunk boundary but
+    preserves most winnowing fingerprints — the property that makes
+    winnowing the overlap-detection fingerprint."""
+    base = " ".join(f"t{i}" for i in range(60))  # aperiodic tokens
+    d = docs(spark, base, "pre " + base)
+    rows = text.winnowing(d, k=4, w=4).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    inter = len(fps[0] & fps[1])
+    assert inter >= 0.8 * len(fps[0])
+    chunks = {i: set() for i in (0, 1)}
+    for r in text.chunk_sliding(d, 8, 8).collect():
+        chunks[r.doc_id].add(r.chunk_fp)
+    assert len(chunks[0] & chunks[1]) == 0  # every boundary shifted
+
+
+def test_char_entropy_known_values(spark):
+    """Uniform 2-char text -> exactly 1 bit/char; single-char text ->
+    0; and entropy never exceeds log2(n_distinct)."""
+    import math
+
+    d = docs(spark, "abab", "aaaa", "the quick brown fox jumps")
+    rows = {r.doc_id: r for r in text.char_entropy(d).collect()}
+    assert rows[0].entropy_bits == 1.0 and rows[0].ideal_bytes == 1
+    assert rows[1].entropy_bits == 0.0 and rows[1].ideal_bytes == 0
+    r2 = rows[2]
+    assert 0 < r2.entropy_bits <= math.log2(r2.n_distinct_chars) + 1e-9
+    assert r2.n_chars == 25
+
+
+def test_ann_truncation_recall_monotone_inputs(spark):
+    """More prefix dims -> recall vs the full-dim top-5 can only be
+    measured, not assumed monotone pointwise — but the mean over
+    queries should not degrade as dims grow, and dim=64 would be 1.0
+    by construction. Also: every (dim, q) pair present exactly once."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["ann_truncation_report"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 3 * 8 == len({(r.dim, r.q_id) for r in rows})
+    mean = {}
+    for r in rows:
+        assert 0.0 <= r.recall_at5 <= 1.0 and r.n_overlap == r.recall_at5 * 5
+        mean.setdefault(r.dim, []).append(r.recall_at5)
+    m = {d: sum(v) / len(v) for d, v in mean.items()}
+    assert m[32] >= m[8] - 1e-9
