@@ -139,6 +139,7 @@ HEADLINE = [
     "fim_transform",
     "blocklist_gate",
     "winnowing_fingerprints",
+    "winnowing_overlap",
     "char_entropy",
     "repetition_filter",
     "gopher_gates",

@@ -628,3 +628,79 @@ def minhash_band_rows(
             ).alias("band"),
         )
     )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — the MOSS
+    overlap detector (Schleimer et al. 2003 §5: index the selected
+    fingerprints, report pairs by shared count). Position-robust
+    where chunk-hash dedup is not: any shared run of >= k+w-1 tokens
+    contributes a shared fingerprint regardless of where it sits in
+    either document. Returns (doc1, doc2, n_shared, containment)
+    where containment = n_shared / min(|fp₁|, |fp₂|).
+
+    Shape: the ngram_jaccard_pairs posting-list discipline — ONE
+    shuffle groups (doc, fp) into per-fingerprint postings;
+    ``max_fp_df`` drops viral fingerprints by posting length before
+    any pair explodes (a fp in D docs yields D² pairs), so postings
+    are bounded and the candidate volume stays linear in shared
+    content, never corpus²; sizes count surviving fps only (standard
+    stop-fingerprint semantics)."""
+    from riemann_spark.functions import text as _text
+
+    fps = (
+        _text.winnowing(df, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("doc"), "fp")
+        .distinct()
+    )
+    posts = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") <= max_fp_df)
+        .persist()
+    )
+    sizes = (
+        posts.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    ds = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    inter = (
+        posts.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_fp").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.col("n_shared")
+                / F.least("n1", "n2").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -34,6 +34,7 @@ _GATE_PRIORITY = [
     "fim_transform",
     "blocklist_gate",
     "winnowing_fingerprints",
+    "winnowing_overlap",
     "char_entropy",
     "ann_truncation_report",
     "chunk_sliding_window",

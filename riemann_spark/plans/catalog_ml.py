@@ -3952,10 +3952,11 @@ _WIN_K, _WIN_W = 4, 4
 _H52 = lambda s: _nibble_52_of(f"substr(md5({s}), 1, 13)")  # noqa: E731
 
 
-@q(
-    "winnowing_fingerprints",
-    f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# Shared winnowing CTE chain, ending in wfp(doc_id, pos, fp) — reused
+# by the overlap-pair oracle below so both engines derive pairs from
+# the identical fingerprint set.
+_WINNOW_CTES = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 p AS (SELECT doc_id, toks, len(toks) AS n,
              greatest(len(toks) - {_WIN_K} + 1, 1) AS m FROM t),
 h AS (SELECT doc_id, m,
@@ -3969,9 +3970,14 @@ s AS (SELECT doc_id,
             list_transform(range(j, j + least({_WIN_W}, m)),
                            q -> struct_pack(h := hs[q+1], p := q)),
             (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)) AS sel
-      FROM h)
-SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos, u.h AS fp
-FROM (SELECT doc_id, unnest(sel) AS u FROM s)""",
+      FROM h),
+wfp AS (SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos, u.h AS fp
+        FROM (SELECT doc_id, unnest(sel) AS u FROM s))"""
+
+
+@q(
+    "winnowing_fingerprints",
+    f"WITH {_WINNOW_CTES}\nSELECT doc_id, pos, fp FROM wfp",
 )
 def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection over the corpus — see
@@ -4106,3 +4112,33 @@ def ann_truncation_report(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = tier if out is None else out.unionAll(tier)
     return out
+
+
+@q(
+    "winnowing_overlap",
+    f"""
+WITH {_WINNOW_CTES},
+d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+keep AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) <= 32),
+kd AS (SELECT d.doc_id, d.fp FROM d JOIN keep USING (fp)),
+sizes AS (SELECT doc_id, COUNT(*) AS nf FROM kd GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 COUNT(*) AS n_shared
+          FROM kd a JOIN kd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc1, i.doc2, CAST(i.n_shared AS BIGINT) AS n_shared,
+       i.n_shared / CAST(least(s1.nf, s2.nf) AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.doc1
+JOIN sizes s2 ON s2.doc_id = i.doc2
+WHERE i.n_shared >= 2""",
+)
+def winnowing_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style overlap pairs from shared winnowing fingerprints
+    (functions/dedup.py winnowing_overlap_pairs): position-robust
+    overlap detection at ~2/(w+1) index density. The oracle's
+    self-join and the Spark posting-list explosion produce the same
+    pair set because both count only fingerprints surviving the
+    max-df guard."""
+    d = load_table(spark, sf, "documents")
+    return dedup.winnowing_overlap_pairs(d)

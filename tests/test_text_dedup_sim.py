@@ -1200,3 +1200,20 @@ def test_ann_truncation_recall_monotone_inputs(spark):
         mean.setdefault(r.dim, []).append(r.recall_at5)
     m = {d: sum(v) / len(v) for d, v in mean.items()}
     assert m[32] >= m[8] - 1e-9
+
+
+def test_winnowing_overlap_pairs_finds_moved_passage(spark):
+    """A 12-token passage pasted into a different position of an
+    otherwise-unrelated doc is detected; disjoint docs are not; a
+    fingerprint present in every doc is guarded out by max_fp_df."""
+    passage = " ".join(f"p{i}" for i in range(12))
+    a = " ".join(f"a{i}" for i in range(40)) + " " + passage
+    b = passage + " " + " ".join(f"b{i}" for i in range(40))
+    c = " ".join(f"c{i}" for i in range(40))
+    d = docs(spark, a, b, c)
+    out = dedup.winnowing_overlap_pairs(d).collect()
+    assert [(r.doc1, r.doc2) for r in out] == [(0, 1)]
+    assert out[0].n_shared >= 2 and 0 < out[0].containment <= 1.0
+    # max_fp_df=1 guards the shared passage's fps -> no pairs at all
+    none = dedup.winnowing_overlap_pairs(d, max_fp_df=1).collect()
+    assert none == []
