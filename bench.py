@@ -141,6 +141,8 @@ HEADLINE = [
     "winnowing_fingerprints",
     "winnowing_overlap",
     "char_entropy",
+    "vocab_growth",
+    "zipf_slope",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

@@ -37,6 +37,8 @@ _GATE_PRIORITY = [
     "winnowing_overlap",
     "char_entropy",
     "ann_truncation_report",
+    "vocab_growth",
+    "zipf_slope",
     "chunk_sliding_window",
     "boilerplate_removal",
     "perplexity_buckets",

@@ -4142,3 +4142,122 @@ def winnowing_overlap(spark: SparkSession, sf: str) -> DataFrame:
     max-df guard."""
     d = load_table(spark, sf, "documents")
     return dedup.winnowing_overlap_pairs(d)
+
+
+@q(
+    "vocab_growth",
+    f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+       COUNT(DISTINCT token) / CAST(COUNT(*) AS DOUBLE) AS ttr,
+       round(ln(COUNT(DISTINCT token)) / ln(COUNT(*)), 6) AS heaps_beta
+FROM tok GROUP BY source""",
+)
+def vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source vocabulary growth — the Heaps'-law diagnostic
+    (V = K·N^β, natural corpora sit β≈0.5-0.6): sources whose implied
+    β collapses toward 0 are template/duplicated content (vocabulary
+    stopped growing), β→1 is noise (every token novel). The
+    type-token ratio and implied β are the cheap corpus-diversity
+    numbers a mixture planner reads before weighting a source.
+
+    Shape: explode to the token table, ONE groupBy(source) with a
+    distinct-count (partial aggregation map-side on (source, token));
+    output is one row per source. ln() only touches per-source totals
+    (integers), so round-6 is deterministic."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("source", F.explode(text.tokens("text")).alias("token"))
+    nt = F.count(F.lit(1))
+    nv = F.countDistinct("token")
+    return tok.groupBy("source").agg(
+        nt.cast("long").alias("n_tokens"),
+        nv.cast("long").alias("n_types"),
+        (nv / nt.cast("double")).alias("ttr"),
+        F.round(F.log(nv) / F.log(nt.cast("double")), 6).alias("heaps_beta"),
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@q(
+    "zipf_slope",
+    f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT source, token, COUNT(*) AS freq
+       FROM tok GROUP BY source, token),
+ranked AS (SELECT source, freq,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY freq DESC, token) AS rank
+           FROM tf),
+pts AS (SELECT source, ln(rank) AS x, ln(freq) AS y
+        FROM ranked WHERE rank <= {_ZIPF_TOP}),
+qs AS (SELECT source, COUNT(*) AS n,
+              CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0 AS sx,
+              CAST(SUM(CAST(round(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0 AS sy,
+              CAST(SUM(CAST(round(x * y * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0 AS sxy,
+              CAST(SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0 AS sxx
+       FROM pts GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM qs""",
+)
+def zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Zipf exponent: least-squares slope of ln(freq) vs
+    ln(rank) over the top-100 terms (natural language ≈ −1; flatter
+    means scattered/templated vocabulary, steeper means a few tokens
+    dominate — both are mixture red flags). The slope is the
+    Zipf's-law fit every corpus-profile report leads with.
+
+    Shape: (source, token) frequency groupBy (map-side partials), a
+    per-source top-100 rank — the window partition holds the SOURCE
+    VOCABULARY, which grows as N^β (Heaps), not N, and the scale
+    path is the sample_per_source hash-prefilter trick if a vocab
+    ever doesn't fit — then a 100-point regression per source. All
+    four regression sums are 1e-6-quantized integer sums (msum
+    discipline), so the slope is engine-exact at any partitioning."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("source", F.explode(text.tokens("text")).alias("token"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), "token")
+    pts = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ZIPF_TOP)
+        .select(
+            "source",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+
+    def q6(c):
+        return (
+            F.sum(F.round(c * F.lit(1e6)).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1e6)
+        )
+
+    n = F.count(F.lit(1)).cast("double")
+    agg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        q6(F.col("x")).alias("sx"),
+        q6(F.col("y")).alias("sy"),
+        q6(F.col("x") * F.col("y")).alias("sxy"),
+        q6(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nn = F.col("n_terms").cast("double")
+    return agg.select(
+        "source",
+        "n_terms",
+        F.round(
+            (nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (nn * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -1217,3 +1217,34 @@ def test_winnowing_overlap_pairs_finds_moved_passage(spark):
     # max_fp_df=1 guards the shared passage's fps -> no pairs at all
     none = dedup.winnowing_overlap_pairs(d, max_fp_df=1).collect()
     assert none == []
+
+
+def test_vocab_growth_and_zipf_known_corpora(spark):
+    """A degenerate one-token source has beta ~0 and an (undefined ->
+    filtered) flat zipf; a zipfian synthetic source fits slope ~ -1."""
+    from riemann_spark.plans import QUERIES as catalog
+
+    # source A: 200 copies of one token; source B: zipf f(r) ~ 1/r
+    zipf_tokens = []
+    for r in range(1, 41):
+        zipf_tokens += [f"t{r}"] * max(1, int(200 / r))
+    rows = [(0, "aaa " * 200, "A"), (1, " ".join(zipf_tokens), "B")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from riemann_spark.functions import text as tx
+
+    tok = d.select("source", F.explode(tx.tokens("text")).alias("token"))
+    vg = {
+        r.source: r
+        for r in tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("token").cast("long").alias("n_types"),
+        )
+        .collect()
+    }
+    assert vg["A"].n_types == 1 and vg["B"].n_types == 40
+    # full catalog query on the fixture corpus: sane ranges
+    got = catalog["vocab_growth"](spark, "/root/testdata/sf0.001").collect()
+    assert got and all(0 < r.heaps_beta <= 1.0 and 0 < r.ttr <= 1.0 for r in got)
+    zs = catalog["zipf_slope"](spark, "/root/testdata/sf0.001").collect()
+    assert zs and all(r.zipf_slope < 0 and r.n_terms <= 100 for r in zs)
