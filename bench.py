@@ -143,6 +143,8 @@ HEADLINE = [
     "char_entropy",
     "vocab_growth",
     "zipf_slope",
+    "bottomk_sample",
+    "soft_dedup_weights",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

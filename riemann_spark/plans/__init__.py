@@ -39,6 +39,8 @@ _GATE_PRIORITY = [
     "ann_truncation_report",
     "vocab_growth",
     "zipf_slope",
+    "bottomk_sample",
+    "soft_dedup_weights",
     "chunk_sliding_window",
     "boilerplate_removal",
     "perplexity_buckets",

@@ -4261,3 +4261,116 @@ def zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+_BOTTOMK = 200
+
+
+@q(
+    "bottomk_sample",
+    f"""
+WITH h AS (SELECT doc_id,
+                  ({_frac_sql('|bk')}) AS priority
+           FROM documents),
+k AS (SELECT doc_id, priority FROM h
+      ORDER BY priority, doc_id LIMIT {_BOTTOMK})
+SELECT doc_id, priority,
+       CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+         AS rank
+FROM k""",
+)
+def bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic uniform sample of exactly k docs: each doc gets
+    an md5-derived priority in [0,1) and the k smallest win — the
+    bottom-k sketch (Cohen & Kaplan 2007) as a sampler. Unlike
+    rand()-based sampling it is reproducible across engines, runs,
+    and partitionings, and unlike per-partition limits it is exact-k
+    and unbiased.
+
+    Shape: ORDER BY + LIMIT compiles to TakeOrderedAndProject — each
+    task keeps a k-row heap and the driver merges p·k rows; NO global
+    sort shuffle (plan-asserted in tests). At 100 TB that is the only
+    way a global 'smallest k' stays one pass."""
+    from riemann_spark.functions.sketches import hash_fraction
+
+    d = load_table(spark, sf, "documents")
+    h = d.select(
+        "doc_id",
+        hash_fraction(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|bk"))
+        ).alias("priority"),
+    )
+    k = h.orderBy("priority", "doc_id").limit(_BOTTOMK)
+    w = Window.orderBy("priority", "doc_id")
+    return k.select(
+        "doc_id", "priority", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+@q(
+    "soft_dedup_weights",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id),
+tcnt AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+         FROM documents),
+lab AS (SELECT t.doc_id, COALESCE(l.cluster, t.doc_id) AS cluster,
+               t.n_tokens
+        FROM tcnt t LEFT JOIN labels l ON l.doc = t.doc_id),
+sz AS (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster)
+SELECT lab.doc_id, lab.cluster, CAST(sz.csize AS BIGINT) AS csize,
+       1.0 / sz.csize AS weight,
+       lab.n_tokens, lab.n_tokens * (1.0 / sz.csize) AS eff_tokens
+FROM lab JOIN sz USING (cluster)""",
+)
+def soft_dedup_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, weight every
+    doc by 1/cluster_size so each duplicate CLUSTER contributes one
+    document's worth of loss (the repetition-discounting posture of
+    data-constrained scaling studies, e.g. Muennighoff et al. 2023,
+    arXiv:2305.16264 — repeated data is worth less, not nothing).
+    Singletons keep weight 1.0; eff_tokens = n_tokens/csize is the
+    budget a token-accountant sums instead of raw counts.
+
+    Shape: the dedup_clusters CC pipeline (LSH pairs → large/small-
+    star components) plus one LEFT JOIN from the full corpus (docs
+    without candidate edges are singleton clusters) and a
+    cluster-size groupBy. Division by an integer count is identical
+    IEEE on both engines, so weights are exact."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+    toks = d.select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    lab = (
+        toks.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+            "n_tokens",
+        )
+    )
+    sz = lab.groupBy("cluster").agg(F.count(F.lit(1)).cast("long").alias("csize"))
+    w = 1.0 / F.col("csize")
+    return lab.join(sz, "cluster").select(
+        "doc_id",
+        "cluster",
+        "csize",
+        w.alias("weight"),
+        "n_tokens",
+        (F.col("n_tokens") * w).alias("eff_tokens"),
+    )

@@ -1248,3 +1248,40 @@ def test_vocab_growth_and_zipf_known_corpora(spark):
     assert got and all(0 < r.heaps_beta <= 1.0 and 0 < r.ttr <= 1.0 for r in got)
     zs = catalog["zipf_slope"](spark, "/root/testdata/sf0.001").collect()
     assert zs and all(r.zipf_slope < 0 and r.n_terms <= 100 for r in zs)
+
+
+def test_bottomk_sample_plan_and_exactness(spark):
+    """Exactly k rows, rank dense from 1..k, and the physical plan is
+    TakeOrderedAndProject — a per-task heap + driver merge, NOT a
+    global sort shuffle."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["bottomk_sample"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert sorted(r.rank for r in rows) == list(range(1, 201))
+    pr = [r.priority for r in sorted(rows, key=lambda r: r.rank)]
+    assert pr == sorted(pr) and all(0 <= p < 1 for p in pr)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 1  # the post-limit 200-row window only
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark):
+    """Weights within a cluster sum to exactly 1 per cluster; every
+    doc appears once; singletons keep weight 1.0; eff_tokens sums to
+    the deduped token budget."""
+    from riemann_spark.plans import QUERIES
+
+    out = QUERIES["soft_dedup_weights"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == 500
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cluster, []).append(r)
+    for c, mem in by_c.items():
+        assert len(mem) == mem[0].csize
+        assert abs(sum(m.weight for m in mem) - 1.0) < 1e-9
+        if len(mem) == 1:
+            assert mem[0].weight == 1.0 and mem[0].eff_tokens == mem[0].n_tokens
+    assert any(r.csize > 1 for r in rows), "fixture plants near-dups"
