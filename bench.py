@@ -145,6 +145,7 @@ HEADLINE = [
     "zipf_slope",
     "bottomk_sample",
     "soft_dedup_weights",
+    "ngram_novelty",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

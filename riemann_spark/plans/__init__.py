@@ -41,6 +41,8 @@ _GATE_PRIORITY = [
     "zipf_slope",
     "bottomk_sample",
     "soft_dedup_weights",
+    "ngram_novelty",
+    "streaming_bottomk_drained",
     "chunk_sliding_window",
     "boilerplate_removal",
     "perplexity_buckets",

@@ -4374,3 +4374,133 @@ def soft_dedup_weights(spark: SparkSession, sf: str) -> DataFrame:
         "n_tokens",
         (F.col("n_tokens") * w).alias("eff_tokens"),
     )
+
+
+_NOV_N = 3
+
+
+@q(
+    "ngram_novelty",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {_NOV_N} THEN
+               list_transform(generate_series(1, len(toks) - {_NOV_N} + 1),
+                 i -> md5(array_to_string(toks[i : i + {_NOV_N} - 1], ' ')))
+             ELSE [md5(array_to_string(toks, ' '))] END) AS gram
+      FROM t),
+d AS (SELECT DISTINCT doc_id, gram FROM g),
+freq AS (SELECT gram, COUNT(*) AS df FROM d GROUP BY gram)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       1.0 - SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM d JOIN freq f USING (gram)
+GROUP BY d.doc_id""",
+)
+def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    trigrams that appear in no other document — the memorization-risk
+    / contribution score (a doc whose grams all occur elsewhere adds
+    nothing the corpus doesn't already teach; RefinedWeb-style
+    pipelines read this before keep/drop). novelty = 1 −
+    shared_grams/grams; docs shorter than n contribute one whole-doc
+    gram.
+
+    Shape: distinct (doc, gram) table → gram document-frequency
+    groupBy (map-side partials; the hot gram IS the duplicated
+    content being counted, and it aggregates to ONE row — no pair
+    explosion anywhere, unlike overlap joins) → join back → per-doc
+    rollup bounded by document length. Linear at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    toks = text.tokens("text")
+    grams = F.when(
+        F.size(toks) >= _NOV_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - _NOV_N + 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, _NOV_N))
+            ),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum((F.col("df") > 1).cast("int"))
+    return (
+        g.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            shared.cast("long").alias("n_shared"),
+            (1.0 - shared / F.count(F.lit(1)).cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@q(
+    "streaming_bottomk_drained",
+    f"""
+WITH h AS (SELECT doc_id,
+                  ({_frac_sql('|bk')}) AS priority
+           FROM documents),
+k AS (SELECT doc_id, priority FROM h
+      ORDER BY priority, doc_id LIMIT {_BOTTOMK}),
+r AS (SELECT doc_id, priority,
+             CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+               AS rank
+      FROM k)
+SELECT doc_id, priority, rank FROM r""",
+)
+def streaming_bottomk_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time exact-k uniform sampling, drained VALUE oracle
+    (streaming/stateful_ops.streaming_bottomk): documents stream
+    through md5-sharded bottom-k state machines; the post-drain
+    rollup keeps each shard's latest version and ranks the union of
+    shard survivors. Because bottom-k state is mergeable and the
+    priorities share the batch sampler's salt, the drained result is
+    BIT-IDENTICAL to bottomk_sample — same oracle SQL — which is the
+    whole point: sampling at ingest equals sampling the lake."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_bottomk
+
+    name = f"cat_sbk_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sbk_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    stream = streaming_bottomk(raw, _BOTTOMK, 8)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    snap = spark.table(name)
+    # n_shards rows — driver-side, verification-drain discipline (a
+    # memory-table self-join also trips SPARK-internalError here)
+    latest = {
+        r.shard: r.version
+        for r in snap.groupBy("shard").agg(F.max("version").alias("version")).collect()
+    }
+    cond = None
+    for sh, v in latest.items():
+        c = (F.col("shard") == sh) & (F.col("version") == v)
+        cond = c if cond is None else (cond | c)
+    members = snap.filter(cond).select("doc_id", "priority")
+    k = members.orderBy("priority", "doc_id").limit(_BOTTOMK)
+    w = Window.orderBy("priority", "doc_id")
+    return k.select(
+        "doc_id", "priority", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -128,6 +128,13 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "per (doc, band) row with claimant-so-far",
     },
+    "streaming_bottomk": {
+        "keys": ("shard",),
+        "state": "(version long, prios array<double>, ids array<long>)"
+                 "  # the shard's k smallest",
+        "timeout": "none",
+        "emission": "full shard membership per invocation, versioned",
+    },
     "streaming_rollup": {
         "keys": ("host", "service"),
         "state": "(sent long, rolled-tail aggregate, deadline long)",

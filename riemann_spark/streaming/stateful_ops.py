@@ -1435,3 +1435,92 @@ def streaming_ddt_interval(
         sdf, keys, update, out_schema, state_schema,
         timeout=GroupStateTimeout.ProcessingTimeTimeout,
         )
+
+
+# -------------------------------------------- streaming bottom-k sample --
+
+def streaming_bottomk(
+    sdf: DataFrame,
+    k: int = 200,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time exact-k uniform sampling — the streaming form of
+    the batch bottom-k sampler (plans/catalog_ml.bottomk_sample;
+    Cohen & Kaplan 2007 bottom-k sketch): each arriving row gets a
+    deterministic md5 priority (SAME salt as the batch query, so a
+    drained run reproduces it bit-for-bit) and every shard keeps the
+    k smallest (priority, id) pairs it has ever seen. Bottom-k state
+    is MERGEABLE, so the global sample is the k smallest of the
+    n_shards·k shard survivors — a post-drain rollup over a bounded
+    frame, never the stream.
+
+    Each invocation emits the shard's full current membership tagged
+    with a monotonically increasing version; downstream keeps each
+    shard's max version and ranks the union. State is exactly k
+    doubles + k longs per shard regardless of stream length; the
+    shard key is md5-uniform so no shard ever hotspots. At 100 TB
+    the stream never shuffles except the shard-key exchange the
+    state op needs anyway."""
+    from riemann_spark.functions.sketches import hash_fraction
+
+    did = F.col(id_col).cast("string")
+    rows = sdf.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        hash_fraction(F.concat(did, F.lit("|bk"))).alias("priority"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(did, F.lit("|shard"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % n_shards
+        ).alias("shard"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("version", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("priority", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("prios", ArrayType(DoubleType())),
+            StructField("ids", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            version, prios, ids = state.get
+            pairs = [(float(p), int(i)) for p, i in zip(prios, ids)]
+        else:
+            version, pairs = 0, []
+        parts = [pdf[["doc_id", "priority"]] for pdf in pdfs]
+        if parts:
+            rows_ = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+            pairs.extend(
+                (float(r.priority), int(r.doc_id))
+                for r in rows_.itertuples(index=False)
+            )
+        pairs.sort()
+        del pairs[k:]
+        version += 1
+        state.update(
+            (version, [p for p, _ in pairs], [i for _, i in pairs])
+        )
+        out = [(int(shard), version, i, p) for p, i in pairs]
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    return apply_with_state(
+        rows, ["shard"], update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )

@@ -381,6 +381,11 @@ def _state_table_cases():
             [_data(_pdf(doc_id=[5, 3])),
              _data(_pdf(doc_id=[7, 1]))],
         ),
+        "streaming_bottomk": (
+            lambda: so.streaming_bottomk(FAKE, k=2), (0,),
+            [_data(_pdf(doc_id=[5, 3], priority=[0.5, 0.3])),
+             _data(_pdf(doc_id=[7, 1], priority=[0.7, 0.1]))],
+        ),
         "streaming_rollup": (
             lambda: so.streaming_rollup(FAKE, 1, 2.0), ("h1", "svc"),
             [_data(_pdf(event_id=[0, 1, 2], time=[0.0, 0.0, 0.0],

@@ -649,3 +649,53 @@ def test_wallclock_rollup_rate_interpolate_real_stream(spark, tmpdirs):
             assert ok(rows), (tag, rows[:10])
         finally:
             q.stop()
+
+
+def test_streaming_bottomk_multi_batch_merges(spark, tmp_path):
+    """Bottom-k state survives across micro-batches: the union of the
+    final shard snapshots equals the batch bottom-k over ALL rows,
+    and later versions supersede earlier ones."""
+    import pandas as pd
+
+    from riemann_spark.streaming.stateful_ops import streaming_bottomk
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    pd.DataFrame({"doc_id": list(range(0, 40))}).to_parquet(src / "a.parquet")
+    sdf = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_bottomk(sdf, k=5, n_shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sbk_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    pd.DataFrame({"doc_id": list(range(40, 80))}).to_parquet(src / "b.parquet")
+    q.processAllAvailable()
+    q.stop()
+    snap = spark.table("sbk_test").toPandas()
+    assert snap.version.max() == 2  # second batch re-emitted
+    latest = snap.loc[
+        snap.groupby("shard").version.transform("max") == snap.version
+    ]
+    # ≤ k rows per shard, version-latest only
+    assert (latest.groupby("shard").size() <= 5).all()
+    got = set(
+        latest.sort_values(["priority", "doc_id"]).head(5).doc_id
+    )
+    # batch truth: same salt, all 80 ids
+    import hashlib
+
+    def pri(i):
+        h = hashlib.md5(f"{i}|bk".encode()).hexdigest()[:13]
+        return int(h, 16) / float(1 << 52)
+
+    want = set(sorted(range(80), key=lambda i: (pri(i), i))[:5])
+    assert got == want
