@@ -82,6 +82,11 @@ _GATE_PRIORITY = [
     "tpch_q14",
     "tpch_q16",
     "regional_revenue",
+    # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
+    # The 12 round-6 third/fourth-batch queries added in FRONT (per the
+    # committed plan) push everything from here past the driver's
+    # 50-row window: these r02/r03 rotation rows plus the ROUND-7
+    # marker section below are the start of next round's backfill.
     "fixed_time_window",
     "moving_time_window",
     "rollup",
