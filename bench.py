@@ -146,6 +146,8 @@ HEADLINE = [
     "bottomk_sample",
     "soft_dedup_weights",
     "ngram_novelty",
+    "greedy_pack_bins",
+    "packing_efficiency",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

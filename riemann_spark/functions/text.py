@@ -1065,3 +1065,85 @@ def char_entropy(
         e6.alias("entropy_bits"),
         F.ceil(F.col("n_chars") * e6 / 8).cast("long").alias("ideal_bytes"),
     )
+
+
+def greedy_pack(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 16,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Non-splitting first-fit packing: docs are laid into
+    ``budget``-token bins WITHOUT straddling (the SFT/finetune
+    posture where an example must stay contiguous, unlike
+    sequence_packing's pre-training stream split). Scan docs in
+    deterministic id order; a doc that no longer fits closes the bin;
+    docs longer than budget are truncated to one full bin. Emits per
+    doc: (part, shard, id, bin, bin_offset, n_packed, truncated) —
+    the padding waste is bin count · budget − Σ n_packed, the number
+    an SFT data loader actually pays.
+
+    The packing recurrence (fill' = fill+n unless it overflows) is
+    non-associative, so no window cumsum expresses it; this is the
+    legitimate applyInPandas tier (SURVEY §4): one Arrow-batched
+    sequential scan per (part, shard) group. Groups are bounded by
+    construction — the md5 shard splits each source into n_shards
+    independent pack streams (the same layout shuffle_shards ships),
+    so group size is corpus_size/(sources·n_shards) and the scan
+    parallelizes across the cluster regardless of corpus scale."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|pack")))
+    rows = df.select(
+        F.col(part_col).alias("part"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+            "shard"
+        ),
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_tok"),
+    )
+    schema = (
+        "part string, shard long, doc_id long, bin long, "
+        "bin_offset long, n_packed long, truncated boolean"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id")
+        out = []
+        bin_id, fill = 0, 0
+        for r in pdf.itertuples(index=False):
+            n_eff = min(int(r.n_tok), budget)
+            if fill + n_eff > budget and fill > 0:
+                bin_id += 1
+                fill = 0
+            out.append(
+                (
+                    r.part,
+                    int(r.shard),
+                    int(r.doc_id),
+                    bin_id,
+                    fill,
+                    n_eff,
+                    int(r.n_tok) > budget,
+                )
+            )
+            fill += n_eff
+            if fill >= budget:
+                bin_id += 1
+                fill = 0
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            out,
+            columns=[
+                "part",
+                "shard",
+                "doc_id",
+                "bin",
+                "bin_offset",
+                "n_packed",
+                "truncated",
+            ],
+        )
+
+    return rows.groupBy("part", "shard").applyInPandas(pack, schema)

@@ -43,6 +43,8 @@ _GATE_PRIORITY = [
     "soft_dedup_weights",
     "ngram_novelty",
     "streaming_bottomk_drained",
+    "greedy_pack_bins",
+    "packing_efficiency",
     "chunk_sliding_window",
     "boilerplate_removal",
     "perplexity_buckets",
@@ -80,13 +82,13 @@ _GATE_PRIORITY = [
     "tpch_q4",
     "tpch_q12",
     "tpch_q14",
-    "tpch_q16",
-    "regional_revenue",
     # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
-    # The 12 round-6 third/fourth-batch queries added in FRONT (per the
+    # The 14 round-6 third/fourth-batch queries added in FRONT (per the
     # committed plan) push everything from here past the driver's
     # 50-row window: these r02/r03 rotation rows plus the ROUND-7
     # marker section below are the start of next round's backfill.
+    "tpch_q16",
+    "regional_revenue",
     "fixed_time_window",
     "moving_time_window",
     "rollup",

@@ -4504,3 +4504,94 @@ def streaming_bottomk_drained(spark: SparkSession, sf: str) -> DataFrame:
     return k.select(
         "doc_id", "priority", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+
+_PACK_BUDGET, _PACK_SHARDS = 128, 4
+
+_PACK_REC = f"""
+base AS (SELECT source AS part,
+            CAST(({_nibble_32_early("substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 8)")})
+                 % {_PACK_SHARDS} AS BIGINT) AS shard,
+            doc_id,
+            least(CAST(len(toks) AS BIGINT), {_PACK_BUDGET}) AS n_eff,
+            CAST(len(toks) AS BIGINT) > {_PACK_BUDGET} AS truncated
+         FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)),
+o AS (SELECT *, row_number() OVER (PARTITION BY part, shard
+                                   ORDER BY doc_id) AS pos
+      FROM base),
+rec AS (
+  SELECT part, shard, doc_id, pos, n_eff, truncated,
+         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+         n_eff AS fill
+  FROM o WHERE pos = 1
+  UNION ALL
+  SELECT o.part, o.shard, o.doc_id, o.pos, o.n_eff, o.truncated,
+         CASE WHEN r.fill + o.n_eff > {_PACK_BUDGET}
+              THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.fill + o.n_eff > {_PACK_BUDGET}
+              THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill + o.n_eff > {_PACK_BUDGET}
+              THEN o.n_eff ELSE r.fill + o.n_eff END
+  FROM rec r
+  JOIN o ON o.part = r.part AND o.shard = r.shard AND o.pos = r.pos + 1)"""
+
+
+@q(
+    "greedy_pack_bins",
+    f"""
+WITH RECURSIVE {_PACK_REC}
+SELECT part, shard, doc_id, bin, bin_offset,
+       n_eff AS n_packed, truncated
+FROM rec""",
+)
+def greedy_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-splitting first-fit packing placements (functions/text.py
+    greedy_pack): the SFT posture where an example must stay
+    contiguous, so bins pad instead of straddling. The packing
+    recurrence is non-associative — no window cumsum expresses it —
+    making this the legitimate applyInPandas tier: one Arrow-batched
+    sequential scan per (source, md5-shard) group, groups bounded by
+    construction. Oracle: the identical recurrence as a recursive
+    CTE over per-group positions."""
+    d = load_table(spark, sf, "documents")
+    return text.greedy_pack(d, _PACK_BUDGET, _PACK_SHARDS)
+
+
+@q(
+    "packing_efficiency",
+    f"""
+WITH RECURSIVE {_PACK_REC}
+SELECT part, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(n_eff) AS BIGINT) AS tokens_packed,
+       CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       1.0 - SUM(n_eff)
+               / CAST((MAX(bin) + 1) * {_PACK_BUDGET} AS DOUBLE)
+         AS padding_frac
+FROM rec GROUP BY part, shard""",
+)
+def packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-waste report over greedy_pack_bins: per pack stream,
+    bins used, tokens packed, truncation count, and padding_frac =
+    1 − packed/(bins·budget) — the fraction of every training batch
+    an SFT loader burns on pad tokens. THE number to read before
+    choosing budget (too big → padding; too small → truncation);
+    integer sums and one division, engine-exact."""
+    d = load_table(spark, sf, "documents")
+    packed = text.greedy_pack(d, _PACK_BUDGET, _PACK_SHARDS)
+    return packed.groupBy("part", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.sum("n_packed").cast("long").alias("tokens_packed"),
+        F.sum(F.col("truncated").cast("int")).cast("long").alias(
+            "n_truncated"
+        ),
+        (
+            1.0
+            - F.sum("n_packed")
+            / ((F.max("bin") + 1) * _PACK_BUDGET).cast("double")
+        ).alias("padding_frac"),
+    )

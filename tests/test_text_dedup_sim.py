@@ -1285,3 +1285,35 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark):
         if len(mem) == 1:
             assert mem[0].weight == 1.0 and mem[0].eff_tokens == mem[0].n_tokens
     assert any(r.csize > 1 for r in rows), "fixture plants near-dups"
+
+
+def test_greedy_pack_never_straddles_and_counts_waste(spark):
+    """First-fit placements: no example crosses a bin boundary, bins
+    never exceed budget, oversize docs truncate to one full bin, and
+    placements are invariant under repartitioning."""
+    sizes = [5, 4, 4, 12, 2, 8, 8, 1]
+    d = spark.createDataFrame(
+        [(i + 1, "w " * n, "s") for i, n in enumerate(sizes)],
+        "doc_id long, text string, source string",
+    )
+    out = text.greedy_pack(d, 8, n_shards=1).orderBy("doc_id").collect()
+    assert [(r.bin, r.bin_offset, r.n_packed, r.truncated) for r in out] == [
+        (0, 0, 5, False),
+        (1, 0, 4, False),
+        (1, 4, 4, False),   # exact fill closes bin 1
+        (2, 0, 8, True),    # 12 truncates to a full bin
+        (3, 0, 2, False),
+        (4, 0, 8, False),   # 8 won't fit after 2 -> new bin, exact
+        (5, 0, 8, False),
+        (6, 0, 1, False),
+    ]
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin, 0)
+        assert r.bin_offset == by_bin[r.bin]  # contiguous, no straddle
+        by_bin[r.bin] += r.n_packed
+        assert by_bin[r.bin] <= 8
+    again = text.greedy_pack(d.repartition(5), 8, n_shards=1).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        map(tuple, text.greedy_pack(d, 8, n_shards=1).collect())
+    )
