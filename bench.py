@@ -148,6 +148,7 @@ HEADLINE = [
     "ngram_novelty",
     "greedy_pack_bins",
     "packing_efficiency",
+    "video_scene_cuts",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

@@ -4595,3 +4595,32 @@ def packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
             / ((F.max("bin") + 1) * _PACK_BUDGET).cast("double")
         ).alias("padding_frac"),
     )
+
+
+@q(
+    "video_scene_cuts",
+    """
+WITH f AS (SELECT doc_id AS media_id,
+                  unnest(generate_series(0, 3)) AS frame_idx
+           FROM documents)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       frame_idx = 2 AS is_cut
+FROM f""",
+)
+def video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary detection end to end
+    (functions/multimodal.real_scene_cuts): two-scene MJPEG-AVI
+    fixtures (dark gradient → bright card at frame 2) are
+    container-parsed, per-frame JPEG-decoded, and cut-flagged by
+    frame-difference on mean pixel level — the step a video-curation
+    pipeline runs before frame sampling so samples span shots. The
+    oracle pins the cut DECISIONS (frame 2 and only frame 2 per
+    video), which survive the lossy codec by construction — the ~190
+    mean-luma jump dwarfs JPEG noise and the ≤ drift-sized intra-
+    scene differences; pixel fidelity itself is pinned by
+    tests/test_media_codecs.py."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.synthetic_avi_scenes(d, "doc_id")
+    return multimodal.real_scene_cuts(media)

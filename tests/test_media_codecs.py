@@ -257,3 +257,17 @@ def test_avi_rejects_garbage():
         decode_avi_mjpeg(b"RIFF....WAVE")
     with _pytest.raises(ValueError):
         decode_avi_mjpeg(b"plainly not a container")
+
+
+def test_scene_cut_detector_flags_only_the_scene_jump(spark):
+    """The frame-difference detector fires exactly at the scene
+    boundary: intra-scene generator drift and JPEG noise stay under
+    threshold, the dark→bright jump clears it; cut_at is respected."""
+    from riemann_spark.functions import multimodal
+
+    d = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = multimodal.synthetic_avi_scenes(d, n_frames=5, cut_at=3)
+    out = multimodal.real_scene_cuts(media).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.is_cut == (r.frame_idx == 3)
