@@ -149,6 +149,7 @@ HEADLINE = [
     "greedy_pack_bins",
     "packing_efficiency",
     "video_scene_cuts",
+    "audio_vad_segments",
     "repetition_filter",
     "gopher_gates",
     "pii_scrub",

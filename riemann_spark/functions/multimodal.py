@@ -589,3 +589,102 @@ def real_scene_cuts(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return _spread(df.select(id_col, "content")).mapInPandas(run, schema)
+
+
+#: VAD fixture layout: 8 frames × 128 samples @ 8 kHz; frame f of doc d
+#: is SPEECH iff (d + f) % 3 != 0 (loud ±1000 generator), else silence
+#: (|s| ≤ 20 generator). Shared by the fixture, the detector's test,
+#: and the SQL oracle.
+VAD_FRAME = 128
+VAD_FRAMES = 8
+VAD_ENERGY_THRESHOLD = VAD_FRAME * 1000  # mean-square > 1000
+
+
+def synthetic_wav_vad(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Speech/silence WAV fixtures: deterministic loud frames
+    (((d·31 + i·17) mod 2001) − 1000, mean square ≈ 334k) alternate
+    with near-silent ones (((d·7 + i·3) mod 41) − 20, mean square
+    ≤ 400) on the (d + frame) % 3 pattern — lossless PCM, so every
+    per-frame energy is an exact integer an oracle can mirror."""
+    from riemann_spark.functions.media_codecs import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                smp = []
+                for i in range(VAD_FRAME * VAD_FRAMES):
+                    f = i // VAD_FRAME
+                    if (d + f) % 3 != 0:
+                        smp.append(((d * 31 + i * 17) % 2001) - 1000)
+                    else:
+                        smp.append(((d * 7 + i * 3) % 41) - 20)
+                blobs.append(encode_wav(8000, smp))
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return _spread(df.select(id_col)).mapInPandas(run, schema)
+
+
+def real_vad_segments(
+    df: DataFrame,
+    frame: int = VAD_FRAME,
+    threshold: int = VAD_ENERGY_THRESHOLD,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL decoded
+    PCM: WAV parse → fixed frames → exact integer energy (Σ s²) per
+    frame → active iff energy > threshold → run-length segment ids
+    (the speech-segment extraction an audio-training pipeline runs
+    before transcription/feature windows, so silence never reaches
+    the expensive stage). Emits one row per frame:
+    (media_id, frame_idx, energy, active, seg_id) with seg_id NULL on
+    silence — lossless PCM keeps every output exactly mirrorable.
+
+    100 TB shape: Arrow-batched mapInPandas, frame sequence internal
+    to one payload (no cross-row state), zero shuffle."""
+    from riemann_spark.functions.media_codecs import decode_wav
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("active", BooleanType()),
+            StructField("seg_id", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf["content"]):
+                try:
+                    _rate, samples = decode_wav(bytes(blob))
+                except (ValueError, IndexError, struct.error):
+                    rows.append([int(mid), None, None, None, None])
+                    continue
+                seg, prev_active = -1, False
+                for fi in range(len(samples) // frame):
+                    window = samples[fi * frame : (fi + 1) * frame]
+                    energy = sum(s * s for s in window)
+                    active = energy > threshold
+                    if active and not prev_active:
+                        seg += 1
+                    rows.append(
+                        [
+                            int(mid),
+                            fi,
+                            energy,
+                            active,
+                            seg if active else None,
+                        ]
+                    )
+                    prev_active = active
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return _spread(df.select(id_col, "content")).mapInPandas(run, schema)

@@ -4624,3 +4624,40 @@ def video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     media = multimodal.synthetic_avi_scenes(d, "doc_id")
     return multimodal.real_scene_cuts(media)
+
+
+@q(
+    "audio_vad_segments",
+    """
+WITH samp AS (
+  SELECT doc_id, i, i // 128 AS fr,
+         CASE WHEN (doc_id + (i // 128)) % 3 != 0
+              THEN ((doc_id * 31 + i * 17) % 2001) - 1000
+              ELSE ((doc_id * 7 + i * 3) % 41) - 20 END AS s
+  FROM documents CROSS JOIN generate_series(0, 1023) t(i)),
+e AS (SELECT doc_id, fr, SUM(s * s) AS energy
+      FROM samp GROUP BY doc_id, fr),
+a AS (SELECT doc_id, fr, energy, energy > 128000 AS active FROM e),
+l AS (SELECT *, LAG(active, 1, false)
+               OVER (PARTITION BY doc_id ORDER BY fr) AS pa FROM a),
+g AS (SELECT *, SUM(CASE WHEN active AND NOT pa THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY fr) AS seg1 FROM l)
+SELECT doc_id AS media_id, CAST(fr AS INTEGER) AS frame_idx,
+       CAST(energy AS BIGINT) AS energy, active,
+       CASE WHEN active THEN CAST(seg1 - 1 AS BIGINT) END AS seg_id
+FROM g""",
+)
+def audio_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Voice-activity detection end to end
+    (functions/multimodal.real_vad_segments): speech/silence WAV
+    fixtures decode through the REAL PCM parser, per-frame Σ s²
+    energies threshold into active flags, and run-length segment ids
+    mark the speech spans an audio pipeline forwards to the expensive
+    stage. WAV is lossless, so unlike the JPEG tiers EVERY output —
+    exact integer energies included — is mirrored closed-form by the
+    oracle (the generate_series sum over the shared generator)."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.synthetic_wav_vad(d, "doc_id")
+    return multimodal.real_vad_segments(media)

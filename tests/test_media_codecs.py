@@ -271,3 +271,28 @@ def test_scene_cut_detector_flags_only_the_scene_jump(spark):
     assert len(out) == 30
     for r in out:
         assert r.is_cut == (r.frame_idx == 3)
+
+
+def test_vad_segments_runs_and_energies(spark):
+    """VAD run-length semantics on the shared fixture pattern: frames
+    (d+f)%3==0 are silent, actives get consecutive seg ids per run,
+    silence gets NULL, and energies match a pure-Python decode."""
+    from riemann_spark.functions import multimodal as mm
+    from riemann_spark.functions.media_codecs import decode_wav
+
+    d = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    media = mm.synthetic_wav_vad(d)
+    blobs = {r.media_id: bytes(r.content) for r in media.collect()}
+    out = mm.real_vad_segments(media).collect()
+    assert len(out) == 2 * mm.VAD_FRAMES
+    for r in out:
+        silent = (r.media_id + r.frame_idx) % 3 == 0
+        assert r.active == (not silent)
+        assert (r.seg_id is None) == silent
+        _rate, smp = decode_wav(blobs[r.media_id])
+        win = smp[r.frame_idx * 128 : (r.frame_idx + 1) * 128]
+        assert r.energy == sum(s * s for s in win)
+    # doc 3: silence at f=0,3,6 -> active runs (1,2),(4,5),(7) = segs 0,1,2
+    segs3 = [r.seg_id for r in sorted(out, key=lambda r: r.frame_idx)
+             if r.media_id == 3]
+    assert segs3 == [None, 0, 0, None, 1, 1, None, 2]
