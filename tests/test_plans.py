@@ -726,3 +726,31 @@ def test_boilerplate_removal_groupby_not_window(spark):
     p = plan_of(spark, "boilerplate_removal")
     assert "Window" not in p
     assert "partial_count" in p
+
+
+def test_round6_batch3_pure_projections_zero_shuffle(spark):
+    """fim_transform / blocklist_gate / char_entropy /
+    winnowing_fingerprints are ingest-stage projections: zero
+    Exchanges; winnowing's gram-hash array is bound through a prior
+    select so the window fold reads it instead of re-deriving md5
+    per window (Catalyst does not CSE across higher-order fns)."""
+    for name in (
+        "fim_transform",
+        "blocklist_gate",
+        "char_entropy",
+        "winnowing_fingerprints",
+    ):
+        p = plan_of(spark, name)
+        assert "Exchange" not in p, name
+    assert plan_of(spark, "winnowing_fingerprints").count("md5") == 1
+
+
+def test_ngram_novelty_no_pair_explosion(spark):
+    """Novelty is gram-df groupBy + join back — no posting lists, no
+    self-join: the hot gram aggregates to one row."""
+    import re
+
+    p = plan_of(spark, "ngram_novelty")
+    assert "Window" not in p
+    # exactly the two keyed aggregates (distinct + df) and the join
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 4

@@ -1317,3 +1317,45 @@ def test_greedy_pack_never_straddles_and_counts_waste(spark):
     assert sorted(map(tuple, again)) == sorted(
         map(tuple, text.greedy_pack(d, 8, n_shards=1).collect())
     )
+
+
+@pytest.mark.slow
+def test_winnowing_matches_pure_python_reference_property(spark):
+    """Property: the Spark winnowing selection equals a from-scratch
+    Python implementation of Schleimer et al.'s algorithm on random
+    corpora (ties, short docs, repeated tokens included)."""
+    import hashlib
+    import random
+
+    def py_winnow(text_, k=4, w=4):
+        toks = text_.strip().split()
+        n = len(toks)
+        gl = min(k, n)
+        m = max(n - k + 1, 1)
+        hs = []
+        for i in range(m):
+            gram = " ".join(toks[i : i + gl])
+            hs.append(int(hashlib.md5(gram.encode()).hexdigest()[:13], 16))
+        wl = min(w, m)
+        sel = set()
+        for j in range(m - wl + 1):
+            best_h, best_p = None, None
+            for p in range(j, j + wl):
+                if best_h is None or hs[p] <= best_h:
+                    best_h, best_p = hs[p], p
+            sel.add((best_p, best_h))
+        return sel
+
+    rng = random.Random(99)
+    texts = []
+    for _ in range(12):
+        n = rng.randrange(1, 40)
+        vocab = rng.randrange(2, 12)
+        texts.append(" ".join(f"v{rng.randrange(vocab)}" for _ in range(n)))
+    texts += ["one", "a b", "x x x x x x x x"]
+    d = docs(spark, *texts)
+    got = {}
+    for r in text.winnowing(d, k=4, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == py_winnow(t), f"doc {i}: {t!r}"
