@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "packing_efficiency",
     "video_scene_cuts",
     "audio_vad_segments",
+    "streaming_blocklist_gate",
     "chunk_sliding_window",
     "boilerplate_removal",
     "perplexity_buckets",
@@ -81,12 +82,12 @@ _GATE_PRIORITY = [
     "fill_in",
     "tpch_q1",
     "revenue_top10",
-    "tpch_q4",
     # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
-    # The 16 round-6 third/fourth-batch queries added in FRONT (per the
+    # The 17 round-6 third/fourth-batch queries added in FRONT (per the
     # committed plan) push everything from here past the driver's
     # 50-row window: these r02/r03 rotation rows plus the ROUND-7
     # marker section below are the start of next round's backfill.
+    "tpch_q4",
     "tpch_q12",
     "tpch_q14",
     "tpch_q16",

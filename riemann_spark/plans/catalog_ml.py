@@ -4661,3 +4661,75 @@ def audio_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     media = multimodal.synthetic_wav_vad(d, "doc_id")
     return multimodal.real_vad_segments(media)
+
+
+@q(
+    "streaming_blocklist_gate",
+    f"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' {_BLOCKLIST[0]} {_BLOCKLIST[1]}'
+              ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM salted)
+SELECT doc_id,
+       len(list_filter(toks,
+             x -> list_contains({_BLOCKLIST!r}, lower(x)))) > 0 AS blocked
+FROM t""",
+)
+def streaming_blocklist_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME word-blocklist gating — the C4 bad-words filter as
+    the fifth ingest gate (after fingerprint dedup, MinHash near-dup,
+    n-gram contamination, Gopher quality, embedding leakage):
+    identical token-membership expression to the batch
+    blocklist_gate, stateless append mode, zero state, so it fuses
+    into the same ingest projection as the rest of the gate stack.
+    The salted every-7th-doc hits mirror the batch query, keeping
+    both sides of the oracle on the same corpus."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_sbg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sbg_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    lit_bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    salted = raw.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(f" {_BLOCKLIST[0]} {_BLOCKLIST[1]}")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    gated = salted.select(
+        "doc_id",
+        (
+            F.size(
+                F.filter(
+                    text.tokens("text"),
+                    lambda x: F.array_contains(lit_bl, F.lower(x)),
+                )
+            )
+            > 0
+        ).alias("blocked"),
+    )
+    q_ = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
