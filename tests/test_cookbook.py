@@ -154,6 +154,19 @@ def test_recipe_9_ingest_front_door(spark, tmp_path):
     ev_sh = dedup._shingle_table(ev, "doc_id", "text", 4)
     bloom = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
 
+    bad_words = ["casino", "jackpot", "viagra"]
+    blocked = (
+        F.size(
+            F.filter(
+                text.tokens("text"),
+                lambda t: F.array_contains(
+                    F.array(*map(F.lit, bad_words)), F.lower(t)
+                ),
+            )
+        )
+        > 0
+    )
+
     def gates(d):
         return (
             text.gopher_flags(d, "text")
@@ -161,7 +174,9 @@ def test_recipe_9_ingest_front_door(spark, tmp_path):
                 "n_bloom_grams",
                 sketches.bloom_hits_in_array(dedup.shingles("text", 4), bloom),
             )
-            .filter(F.col("gopher_pass") & (F.col("n_bloom_grams") == 0))
+            .filter(
+                F.col("gopher_pass") & (F.col("n_bloom_grams") == 0) & ~blocked
+            )
         )
 
     docs = (
