@@ -704,3 +704,100 @@ def winnowing_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def cross_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy eval-set decontamination: one keep/drop verdict row per
+    TRAINING document, from MinHash-LSH candidate generation against
+    the eval corpus verified by true shingle Jaccard.
+
+    The n-gram contamination ops here flag shared shingles; this is
+    the other standard guard (GPT-3 appx. C / PaLM-style fuzzy
+    decontamination): a training doc is dropped when it is a NEAR
+    DUPLICATE of any eval doc, not merely when it quotes one. LSH
+    bands bound candidate generation (never train x eval all-pairs),
+    and the exact-Jaccard verification stage keeps band false
+    positives from deleting unrelated training data.
+
+    Shape: both corpora get one signature row per doc (map-side MIN
+    partial aggs); the band join broadcasts the EVAL side - eval sets
+    are parameter-sized and scale-invariant, the training corpus
+    never shuffles for candidacy. Verification joins candidate ids
+    back to their distinct-shingle sets (collect_set keyed by doc,
+    bounded by doc length) and intersects per pair inside codegen -
+    no pair x shingle explosion. Output is linear in |train|: every
+    training doc gets a row (keep = no verified match), so the result
+    IS the decontaminated keep-list."""
+    tsig = minhash_signatures(train, n_hashes, k, id_col, text_col)
+    esig = minhash_signatures(eval_df, n_hashes, k, id_col, text_col)
+    n_bands = n_hashes // band_size
+
+    def _bands(sigs: DataFrame, name: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc").alias(name),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.col(f"sig{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+
+    cand = (
+        _bands(tsig, "doc")
+        .join(F.broadcast(_bands(esig, "eval_doc")), "band")
+        .select("doc", "eval_doc")
+        .distinct()
+    )
+    tsets = (
+        _shingle_table(train, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("set1"))
+    )
+    esets = (
+        _shingle_table(eval_df, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("set2"))
+        .withColumnRenamed("doc", "eval_doc")
+    )
+    n_inter = F.size(F.array_intersect("set1", "set2"))
+    n_union = F.size("set1") + F.size("set2") - n_inter
+    hits = (
+        cand.join(tsets, "doc")
+        .join(F.broadcast(esets), "eval_doc")
+        .select("doc", (n_inter / n_union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_eval_matches", F.lit(0)).cast("long").alias("n_eval_matches"),
+            "max_jaccard",
+            F.col("max_jaccard").isNull().alias("keep"),
+        )
+    )

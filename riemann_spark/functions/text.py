@@ -1147,3 +1147,86 @@ def greedy_pack(
         )
 
     return rows.groupBy("part", "shard").applyInPandas(pack, schema)
+
+
+def canonical_fingerprint(col: str | Column = "text") -> Column:
+    """md5 of the casefolded, punctuation-stripped, whitespace-
+    collapsed text: the normalization-invariant exact-dedup key.
+
+    Raw-hash dedup (functions/dedup.py exact_duplicates) misses the
+    enormous class of trivially-edited duplicates - case changes,
+    punctuation/markup residue, reflowed whitespace. Folding to
+    [a-z0-9]+ islands joined by single spaces before hashing catches
+    those while never merging texts whose alphanumeric content
+    differs. Pure projection, fuses with the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")))
+
+
+def _bigram_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, t1, bg) with one row per adjacent-token OCCURRENCE:
+    t1 = head token, bg = 'head tail'. Docs under 2 tokens yield no
+    rows (sequence(0, -1) would DESCEND - the explicit empty branch
+    mirrors the shingles() guard and the oracle's CASE)."""
+    t = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 2),
+            lambda i: F.struct(
+                F.element_at("__toks", i + 1).alias("t1"),
+                F.concat_ws(
+                    " ",
+                    F.element_at("__toks", i + 1),
+                    F.element_at("__toks", i + 2),
+                ).alias("bg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,bg:string>>"))
+    return t.select("doc", F.explode(pairs).alias("p")).select("doc", "p.t1", "p.bg")
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    train_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one
+    (Laplace) smoothed bigram LM trained on a REFERENCE slice of the
+    corpus - the CCNet recipe (Wenzek et al. 2020: rank CommonCrawl
+    by the perplexity of a LM trained on a clean reference), with the
+    LM degraded to bigrams so both engines replay it exactly.
+
+    p(t2|t1) = (c(t1 t2) + 1) / (c1(t1) + V): bigram and head counts
+    from the reference slice only; V = reference distinct-token
+    vocabulary (one-row broadcast). Unseen bigrams/heads coalesce to
+    0, landing on the Laplace floor. Docs shorter than 2 tokens have
+    no bigrams and no output row.
+
+    Shape: bigram tables are pure projections (no self-join); the two
+    count joins shuffle on the bigram / head keys (NOT broadcast - a
+    web-scale vocabulary is corpus-sized); the score is a sum of
+    ln() over exact rationals rounded 6dp - the unigram_lm_scores
+    determinism contract."""
+    bg = _bigram_table(df, id_col, text_col)
+    tr = df.filter(train_pred)
+    tbg = _bigram_table(tr, id_col, text_col)
+    c12 = tbg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tbg.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
+    v = _token_table(tr, id_col, text_col).agg(
+        F.countDistinct("term").cast("double").alias("v")
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    )
+    return (
+        bg.join(c12, "bg", "left")
+        .join(c1, "t1", "left")
+        .join(F.broadcast(v))
+        .groupBy("doc")
+        .agg(
+            F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("mean_logprob"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )

@@ -31,6 +31,10 @@ _GATE_PRIORITY = [
     # overflow into the round-7 window.
     #
     # -- new round-6 catalog entries first: ------------------------------
+    "fuzzy_decontamination",
+    "bigram_lm_score",
+    "canonical_dedup",
+    "psi_drift",
     "fim_transform",
     "blocklist_gate",
     "winnowing_fingerprints",

@@ -4591,3 +4591,79 @@ def config_topology(spark: SparkSession, sf: str) -> DataFrame:
         "time",
         "event_id",
     )
+
+
+@q(
+    "psi_drift",
+    f"""{_EV},
+b AS (SELECT service, (time_us // 3600000000) % 24 AS hod,
+             CASE WHEN time_us <=
+                  (SELECT (MIN(time_us) + MAX(time_us)) // 2 FROM ev)
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM ev),
+counts AS (SELECT service, hod,
+                  SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+           FROM b GROUP BY service, hod),
+frame AS (SELECT s.service, h.hod
+          FROM (SELECT DISTINCT service FROM ev) s
+          CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h),
+f AS (SELECT frame.service, frame.hod,
+             COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur
+      FROM frame LEFT JOIN counts
+        ON frame.service = counts.service AND frame.hod = counts.hod),
+t AS (SELECT service, c_ref, c_cur,
+             SUM(c_ref) OVER (PARTITION BY service) AS n_ref,
+             SUM(c_cur) OVER (PARTITION BY service) AS n_cur
+      FROM f)
+SELECT service,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       round(SUM(((c_ref + 1) / (n_ref + 24.0) - (c_cur + 1) / (n_cur + 24.0))
+                 * ln(((c_ref + 1) / (n_ref + 24.0))
+                      / ((c_cur + 1) / (n_cur + 24.0)))), 6) AS psi
+FROM t GROUP BY service""",
+)
+def psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index per service between the first and
+    second half of the observed period - THE standard drift score for
+    "did this stream's shape change" (model-monitoring lineage;
+    PSI > 0.2 is the textbook re-examine threshold). Buckets are
+    hour-of-day (24 integer buckets from epoch-us arithmetic - no
+    float bucket edges to disagree on), Laplace-smoothed so empty
+    buckets stay finite; the midpoint split is one broadcast one-row
+    agg. At most |services| x 24 rows after the first aggregate, so
+    everything past the single groupBy is key-cardinality-sized; the
+    ln() sum is over exact rationals, rounded 6dp (the
+    unigram_lm_scores determinism contract)."""
+    ev = load_events(spark, sf)
+    mid = ev.agg(F.expr("(MIN(time_us) + MAX(time_us)) DIV 2").alias("mid"))
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        "service",
+        F.expr("(time_us DIV 3600000000) % 24").cast("long").alias("hod"),
+        (F.col("time_us") <= F.col("mid")).cast("long").alias("is_ref"),
+    )
+    counts = b.groupBy("service", "hod").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
+    )
+    hods = spark.range(24).select(F.col("id").cast("long").alias("hod"))
+    frame = ev.select("service").distinct().crossJoin(F.broadcast(hods))
+    f = (
+        frame.join(counts, ["service", "hod"], "left")
+        .select(
+            "service",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    w = Window.partitionBy("service")
+    t = f.withColumn("n_ref", F.sum("c_ref").over(w)).withColumn(
+        "n_cur", F.sum("c_cur").over(w)
+    )
+    p = (F.col("c_ref") + 1) / (F.col("n_ref") + 24.0)
+    qq = (F.col("c_cur") + 1) / (F.col("n_cur") + 24.0)
+    return t.groupBy("service").agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.round(F.sum((p - qq) * F.log(p / qq)), 6).alias("psi"),
+    )

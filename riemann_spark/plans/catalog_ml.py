@@ -4733,3 +4733,132 @@ def streaming_blocklist_gate(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+# -------------------------------------- round-6 fifth batch: decon/LM
+
+
+def _sh3_sql(pred: str) -> str:
+    """3-gram distinct shingle table restricted by a source predicate
+    (the _gram4_sql pattern at the dedup shingle width)."""
+    return f"""(SELECT doc_id AS doc,
+        unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+          list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          ELSE [] END)) AS shingle
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE {pred}))"""
+
+
+@q(
+    "fuzzy_decontamination",
+    f"""
+WITH tsh AS (SELECT * FROM {_sh3_sql("source != 'src0'")}),
+esh AS (SELECT * FROM {_sh3_sql("source = 'src0'")}),
+tsig AS (SELECT doc, {_SIGS_SQL} FROM tsh GROUP BY doc),
+esig AS (SELECT doc, {_SIGS_SQL} FROM esh GROUP BY doc),
+tband AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM tsig),
+eband AS (SELECT doc AS eval_doc, unnest([{_BANDS_SQL}]) AS band FROM esig),
+cand AS (SELECT DISTINCT doc, eval_doc FROM tband JOIN eband USING (band)),
+n1 AS (SELECT doc, COUNT(*) AS n1 FROM tsh GROUP BY doc),
+n2 AS (SELECT doc AS eval_doc, COUNT(*) AS n2 FROM esh GROUP BY doc),
+inter AS (SELECT c.doc, c.eval_doc, COUNT(*) AS n_inter
+          FROM cand c JOIN tsh a ON a.doc = c.doc
+          JOIN esh b ON b.doc = c.eval_doc AND b.shingle = a.shingle
+          GROUP BY c.doc, c.eval_doc),
+j AS (SELECT doc, eval_doc, n_inter / (n1 + n2 - n_inter) AS jaccard
+      FROM inter JOIN n1 USING (doc) JOIN n2 USING (eval_doc)),
+hits AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+                round(MAX(jaccard), 6) AS max_jaccard
+         FROM j WHERE jaccard >= 0.5 GROUP BY doc)
+SELECT d.doc_id AS doc,
+       COALESCE(h.n_eval_matches, 0) AS n_eval_matches,
+       h.max_jaccard AS max_jaccard,
+       h.max_jaccard IS NULL AS keep
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+WHERE d.source != 'src0'""",
+)
+def fuzzy_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy eval-set decontamination (functions/dedup.py
+    cross_decontamination): training docs (source != src0) that are
+    verified MinHash near-duplicates (Jaccard >= 0.5) of any stand-in
+    eval doc (source = src0) are marked drop - the GPT-3-appendix-C
+    guard, complementing the shared-shingle `contamination` ops. The
+    eval side broadcasts (parameter-sized); candidates come from the
+    band join, never train x eval; output is one keep/drop row per
+    training doc - the decontaminated keep-list itself."""
+    d = load_table(spark, sf, "documents")
+    return dedup.cross_decontamination(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        0.5,
+    )
+
+
+_BG_ALL = """(SELECT doc_id AS doc, split_part(bg, ' ', 1) AS t1, bg FROM (
+   SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+     list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+     ELSE [] END) AS bg
+   FROM (SELECT doc_id, {toks} AS t FROM documents{pred})))"""
+
+
+@q(
+    "bigram_lm_score",
+    f"""
+WITH bg AS {_BG_ALL.format(toks=_TOKS, pred="")},
+tbg AS {_BG_ALL.format(toks=_TOKS, pred=" WHERE source = 'src1'")},
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM tbg GROUP BY bg),
+c1 AS (SELECT t1, COUNT(*) AS c1 FROM tbg GROUP BY t1),
+v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents
+            WHERE source = 'src1'))
+SELECT doc,
+       round(SUM(ln((COALESCE(c12, 0) + 1) / (COALESCE(c1, 0) + v)))
+             / COUNT(*), 6) AS mean_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM bg LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (t1) CROSS JOIN v
+GROUP BY doc""",
+)
+def bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style reference-LM quality ranking (functions/text.py
+    bigram_lm_scores): an add-one bigram LM trained on the src1 slice
+    scores every document's mean token-transition log-probability -
+    the perplexity-filtering recipe with the LM degraded to bigrams
+    so DuckDB replays training + scoring exactly. Distinguishes
+    fluent text from shuffled/garbage token streams that unigram
+    scoring (unigram_lm_score) cannot see."""
+    d = load_table(spark, sf, "documents")
+    return text.bigram_lm_scores(d, F.col("source") == "src1")
+
+
+@q(
+    "canonical_dedup",
+    """
+WITH c AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                    AS canon_md5
+           FROM documents),
+g AS (SELECT canon_md5, CAST(COUNT(*) AS BIGINT) AS group_n,
+             MIN(doc_id) AS keeper
+      FROM c GROUP BY canon_md5)
+SELECT doc_id, canon_md5, group_n, doc_id = keeper AS keep
+FROM c JOIN g USING (canon_md5)""",
+)
+def canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-invariant exact dedup (functions/text.py
+    canonical_fingerprint): casefold + strip punctuation + collapse
+    whitespace, THEN hash - catching the trivially-edited duplicate
+    class raw-hash dedup (dedup_exact) misses. keep = min-id per
+    canonical group; one groupBy on the 16-byte key + one keyed join
+    back, linear at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    c = d.select("doc_id", text.canonical_fingerprint("text").alias("canon_md5"))
+    g = c.groupBy("canon_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return c.join(g, "canon_md5").select(
+        "doc_id",
+        "canon_md5",
+        "group_n",
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+    )

@@ -1359,3 +1359,65 @@ def test_winnowing_matches_pure_python_reference_property(spark):
         got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
     for i, t in enumerate(texts):
         assert got.get(i, set()) == py_winnow(t), f"doc {i}: {t!r}"
+
+
+# ---------------------------------------------- round-6 fifth batch
+
+
+def test_canonical_fingerprint_folds_edits(spark):
+    df = docs(
+        spark,
+        "Hello,   World!",
+        "hello world",
+        "hello worlds",
+    )
+    rows = (
+        df.select("doc_id", text.canonical_fingerprint("text").alias("c"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows[0].c == rows[1].c  # case/punct/ws-invariant
+    assert rows[0].c != rows[2].c  # alphanumeric content differs
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    # train = doc 0 only: "a b a b" -> bigrams ab, ba, ab; V = 2
+    # c12: ab=2, ba=1; c1: a=2, b=1
+    df = docs(spark, "a b a b", "a b", "c a")
+    got = {
+        r.doc: (r.mean_logprob, r.n_bigrams)
+        for r in text.bigram_lm_scores(df, F.col("doc_id") == 0).collect()
+    }
+    p_ab = (2 + 1) / (2 + 2)  # seen bigram
+    p_ba = (1 + 1) / (1 + 2)
+    p_ca = (0 + 1) / (0 + 2)  # unseen head c -> Laplace floor
+    assert got[0] == (
+        round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6),
+        3,
+    )
+    assert got[1] == (round(math.log(p_ab), 6), 1)
+    assert got[2] == (round(math.log(p_ca), 6), 1)
+
+
+def test_bigram_lm_short_docs_have_no_row(spark):
+    df = docs(spark, "one", "two words")
+    out = text.bigram_lm_scores(df, F.lit(True)).collect()
+    assert [r.doc for r in out] == [1]
+
+
+def test_cross_decontamination_verdicts(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(0, base), (1, base + " extra"), (2, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {
+        r.doc: (r.n_eval_matches, r.keep)
+        for r in dedup.cross_decontamination(train, ev, 0.5).collect()
+    }
+    assert got[0] == (1, False)  # exact copy of an eval doc -> drop
+    assert got[1] == (1, False)  # near-dup -> drop
+    assert got[2] == (0, True)  # unrelated -> keep; still gets a row
