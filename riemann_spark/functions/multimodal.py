@@ -688,3 +688,112 @@ def real_vad_segments(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return _spread(df.select(id_col, "content")).mapInPandas(run, schema)
+
+
+def synthetic_image_grid(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 4
+) -> DataFrame:
+    """Deterministic 36x32 RGB fixtures in NEAR-DUPLICATE GROUPS for
+    perceptual-hash dedup: g = id // group_size picks the visual
+    content (block-uniform pixels, v(bx,by,c) = ((g*7+3)*(bx*13 + by*29
+    + 17) + c*11) mod 256 over exact 4x4 blocks - multiplicative in g
+    so different groups land on genuinely different hashes), and each group member
+    differs only by one clamped single-pixel bump (channel 0 of flat
+    pixel (id*53) mod 1152, +17*(id mod group_size), clamped at 255) -
+    so within a group the dHash is equal or a bit or two off, across
+    groups it diverges. id % 4 == 0 routes through the REAL PNG
+    encoder, the rest through P6 PPM - the same codec-gate trick as
+    synthetic_media. Closed-form, so an oracle replays box sums with
+    generate_series."""
+    import numpy as np
+
+    from riemann_spark.functions.media_codecs import encode_png, encode_ppm
+
+    W, H = 36, 32
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bxs = np.arange(W) // 4
+        bys = np.arange(H) // 4
+        chans = np.arange(3)
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                g, r0 = d // group_size, d % group_size
+                base = (g * 7 + 3) * (bxs[None, :] * 13 + bys[:, None] * 29 + 17)
+                px = ((base[:, :, None] + chans[None, None, :] * 11) % 256).astype(
+                    np.uint8
+                )
+                p = (d * 53) % (W * H)
+                x0, y0 = p % W, p // W
+                px[y0, x0, 0] = min(int(px[y0, x0, 0]) + r0 * 17, 255)
+                enc = encode_png if d % 4 == 0 else encode_ppm
+                blobs.append(enc(W, H, px.tobytes()))
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return _spread(df.select(id_col)).mapInPandas(run, schema)
+
+
+def image_dhash_bands(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """64-bit difference-hash over REAL decoded pixels, emitted as
+    4x16-bit integer bands (the LSH-ready form: Hamming-close images
+    agree exactly on some band with high probability, so near-dup
+    candidate generation is a band-bucket join, never all-pairs).
+
+    The grid is 9x8 boxes of exact 4x4 pixels; each box's signal is
+    the INTEGER sum over the 16 pixels and all 3 channels (equal-size
+    boxes make sums order-equivalent to means with zero float risk).
+    Bit (by%2)*8+bx of band by//2 is set iff the right box sum
+    strictly exceeds the left. Images whose dimensions don't tile the
+    9x8 grid (w % 9 or h % 8 != 0) dead-letter as a NULL row.
+    Arrow-batched mapInPandas; the binary column crosses no shuffle."""
+    import numpy as np
+
+    from riemann_spark.functions.media_codecs import PNG_SIG, decode_png, decode_ppm
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("b0", IntegerType()),
+            StructField("b1", IntegerType()),
+            StructField("b2", IntegerType()),
+            StructField("b3", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content or b"")
+                try:
+                    if b[: len(PNG_SIG)] == PNG_SIG:
+                        w, h, _ch, px = decode_png(b)
+                    elif b[:2] == b"P6":
+                        w, h, _maxval, px = decode_ppm(b)
+                    else:
+                        raise ValueError("not an image")
+                    if w % 9 or h % 8:
+                        raise ValueError("grid does not tile")
+                    arr = (
+                        np.frombuffer(px, dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(h, w, 3)
+                    )
+                    s = arr.reshape(8, h // 8, 9, w // 9, 3).sum(axis=(1, 3, 4))
+                    cmp = s[:, 1:] > s[:, :-1]  # (8 rows, 8 comparisons)
+                    bands = [0, 0, 0, 0]
+                    for by in range(8):
+                        for bx in range(8):
+                            if cmp[by, bx]:
+                                bands[by // 2] |= 1 << ((by % 2) * 8 + bx)
+                    rows.append([int(mid), *bands])
+                except (ValueError, IndexError):
+                    rows.append([int(mid), None, None, None, None])
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.mapInPandas(run, schema)

@@ -32,6 +32,7 @@ _GATE_PRIORITY = [
     #
     # -- new round-6 catalog entries first: ------------------------------
     "fuzzy_decontamination",
+    "image_dhash_neardup",
     "bigram_lm_score",
     "canonical_dedup",
     "psi_drift",

@@ -4862,3 +4862,112 @@ def canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "group_n",
         (F.col("doc_id") == F.col("keeper")).alias("keep"),
     )
+
+
+_DHASH_BASE = "((g*7 + 3) * ({bx}*13 + {by}*29 + 17)) % 256"
+
+@q(
+    "image_dhash_neardup",
+    f"""
+WITH ids AS (SELECT doc_id AS d, doc_id // 4 AS g, doc_id % 4 AS r,
+                    (doc_id * 53) % 1152 AS p
+             FROM documents),
+boxes AS (
+  SELECT d,
+         bx.i AS bx, by.i AS by,
+         16 * (({_DHASH_BASE.format(bx='bx.i', by='by.i')})
+             + (({_DHASH_BASE.format(bx='bx.i', by='by.i')} + 11) % 256)
+             + (({_DHASH_BASE.format(bx='bx.i', by='by.i')} + 22) % 256))
+         + CASE WHEN (p % 36) // 4 = bx.i AND (p // 36) // 4 = by.i
+                THEN least(({_DHASH_BASE.format(bx='bx.i', by='by.i')}) + r * 17, 255)
+                     - ({_DHASH_BASE.format(bx='bx.i', by='by.i')})
+                ELSE 0 END AS s
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS i) bx
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) by
+),
+bits AS (
+  SELECT l.d, l.by // 2 AS band_idx,
+         CAST(SUM(CASE WHEN r.s > l.s
+                       THEN 1 << CAST((l.by % 2) * 8 + l.bx AS INT)
+                       ELSE 0 END) AS BIGINT) AS band_val
+  FROM boxes l JOIN boxes r ON r.d = l.d AND r.by = l.by AND r.bx = l.bx + 1
+  WHERE l.bx < 8
+  GROUP BY l.d, l.by // 2
+),
+sig AS (SELECT d,
+               MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+               MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+               MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+               MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        FROM bits GROUP BY d),
+cand AS (SELECT DISTINCT a.d AS doc1, b.d AS doc2
+         FROM bits a JOIN bits b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.d < b.d),
+h AS (SELECT doc1, doc2,
+             bit_count(xor(s1.b0, s2.b0)) + bit_count(xor(s1.b1, s2.b1))
+           + bit_count(xor(s1.b2, s2.b2)) + bit_count(xor(s1.b3, s2.b3))
+             AS hamming
+      FROM cand JOIN sig s1 ON doc1 = s1.d JOIN sig s2 ON doc2 = s2.d)
+SELECT doc1, doc2, CAST(hamming AS INT) AS hamming
+FROM h WHERE hamming <= 6""",
+)
+def image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs - the multimodal sibling
+    of MinHash text dedup. Deterministic near-dup-group fixtures
+    (functions/multimodal.py synthetic_image_grid) go through the
+    REAL PNG/PPM encode->decode, box-summed into a 64-bit dHash as
+    4x16-bit bands (image_dhash_bands); candidates come from a
+    band-bucket self-join (Hamming-LSH: near images agree on some
+    exact band - never all-pairs), verified by exact bit_count
+    Hamming <= 6. All-integer end to end; the oracle replays the
+    closed-form generator's box sums, so one mangled pixel anywhere
+    in the codec path fails the gate."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.synthetic_image_grid(d, "doc_id")
+    sig = multimodal.image_dhash_bands(media)
+    bands = sig.select(
+        F.col("media_id").alias("d"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").cast("long").alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("d", "p.band_idx", "p.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(F.col("a.d").alias("doc1"), F.col("b.d").alias("doc2"))
+        .distinct()
+    )
+    s1 = sig.select(
+        F.col("media_id").alias("doc1"),
+        *[F.col(f"b{i}").cast("long").alias(f"x{i}") for i in range(4)],
+    )
+    s2 = sig.select(
+        F.col("media_id").alias("doc2"),
+        *[F.col(f"b{i}").cast("long").alias(f"y{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )

@@ -296,3 +296,26 @@ def test_vad_segments_runs_and_energies(spark):
     segs3 = [r.seg_id for r in sorted(out, key=lambda r: r.frame_idx)
              if r.media_id == 3]
     assert segs3 == [None, 0, 0, None, 1, 1, None, 2]
+
+
+def test_image_dhash_groups_and_dead_letter(spark):
+    """Same-group fixtures hash Hamming-close (usually 0: the bump
+    rarely crosses a box-sum comparison), different groups diverge,
+    and a non-image payload dead-letters as a NULL row."""
+    from riemann_spark.functions import multimodal as mm
+
+    d = spark.createDataFrame([(0,), (1,), (4,), (8,)], "doc_id long")
+    media = mm.synthetic_image_grid(d)  # groups: {0,1}, {4}, {8}
+    sig = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in mm.image_dhash_bands(media).collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+
+    assert ham(0, 1) <= 2          # same group g=0
+    assert ham(0, 4) > 6           # g=0 vs g=1
+    assert ham(4, 8) > 6           # g=1 vs g=2
+    bad = spark.createDataFrame([(99, b"not an image")],
+                                "media_id long, content binary")
+    rows = mm.image_dhash_bands(bad).collect()
+    assert rows[0].b0 is None and rows[0].media_id == 99
