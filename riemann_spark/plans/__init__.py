@@ -82,16 +82,18 @@ _GATE_PRIORITY = [
     "throttle",
     "apdex",
     "clock_skew",
+    # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
+    # The round-6 third/fourth/fifth-batch queries added in FRONT (per
+    # the committed plan) push everything from here past the driver's
+    # 50-row window: clock_skew above is position 50 with the 37 new
+    # round-6 entries in front. These r02/r03 rotation rows plus the
+    # ROUND-7 marker section below are the start of next round's
+    # backfill.
     "predict_linear",
     "project2",
     "fill_in",
     "tpch_q1",
     "revenue_top10",
-    # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
-    # The 17 round-6 third/fourth-batch queries added in FRONT (per the
-    # committed plan) push everything from here past the driver's
-    # 50-row window: these r02/r03 rotation rows plus the ROUND-7
-    # marker section below are the start of next round's backfill.
     "tpch_q4",
     "tpch_q12",
     "tpch_q14",
