@@ -1230,3 +1230,16 @@ def bigram_lm_scores(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         )
     )
+
+
+def pii_counts(col: str | Column = "text") -> list[Column]:
+    """Per-class PII hit counts (email / IPv4 / phone) as JVM
+    regexp_count projections - the detection half of pii_scrub, for
+    routing decisions (count > 0 -> scrub lane) and per-source PII-
+    density reports. Same RE2/Java-agreeing patterns as the scrubber."""
+    c = F.col(col) if isinstance(col, str) else col
+    names = ["n_emails", "n_ips", "n_phones"]
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(n)
+        for (pat, _), n in zip(PII_PATTERNS, names)
+    ]

@@ -36,6 +36,7 @@ _GATE_PRIORITY = [
     "bigram_lm_score",
     "canonical_dedup",
     "psi_drift",
+    "streaming_pii_gate",
     "fim_transform",
     "blocklist_gate",
     "winnowing_fingerprints",
@@ -81,14 +82,14 @@ _GATE_PRIORITY = [
     "top10",
     "throttle",
     "apdex",
-    "clock_skew",
     # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
     # The round-6 third/fourth/fifth-batch queries added in FRONT (per
     # the committed plan) push everything from here past the driver's
-    # 50-row window: clock_skew above is position 50 with the 37 new
+    # 50-row window: apdex above is position 50 with the 38 new
     # round-6 entries in front. These r02/r03 rotation rows plus the
     # ROUND-7 marker section below are the start of next round's
     # backfill.
+    "clock_skew",
     "predict_linear",
     "project2",
     "fill_in",

@@ -4971,3 +4971,93 @@ def image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc1", "doc2", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 6)
     )
+
+
+_PII_SALT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.7 or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents"""
+
+
+@q(
+    "streaming_pii_gate",
+    f"""
+WITH salted AS ({_PII_SALT_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+       + len(regexp_extract_all(text,
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+       + len(regexp_extract_all(text,
+         '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+         '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS scrubbed_md5
+FROM salted""",
+)
+def streaming_pii_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME PII gating - the privacy member of the ingest-gate
+    family (exact-dup, near-dup, contamination, quality, blocklist):
+    documents are scored for email/IP/phone hits AS THEY ARRIVE
+    (functions/text.py pii_counts) and scrubbed in the same fused
+    projection (pii_scrub), so raw PII never lands in the lake - the
+    compliance posture regulators actually ask for, vs scrub-later
+    batch jobs. Every third doc is salted with deterministic PII so
+    both verdict branches are exercised; the oracle recomputes counts
+    with regexp_extract_all and the scrub md5 with identical RE2/Java
+    patterns. STATELESS append-mode: no state store, throughput
+    scales with source partitions alone."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_spg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spg_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    salted = raw.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com at 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.7 or 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    gated = salted.select(
+        "doc_id",
+        *text.pii_counts("text"),
+        (sum(text.pii_counts("text"), F.lit(0)) > 0).alias("has_pii"),
+        F.md5(text.pii_scrub("text")).alias("scrubbed_md5"),
+    )
+    q_ = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
