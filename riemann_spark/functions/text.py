@@ -1243,3 +1243,64 @@ def pii_counts(col: str | Column = "text") -> list[Column]:
         F.regexp_count(c, F.lit(pat)).cast("long").alias(n)
         for (pat, _), n in zip(PII_PATTERNS, names)
     ]
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4), fully
+    deterministic: each consecutive 20-token block has one 3-token
+    span masked (15% corruption rate) at an md5-derived offset, the
+    input keeping a per-block sentinel <Xk> where the span was and
+    the target emitting sentinel + span - the denoising-objective
+    transform, reproducible across engines/runs/partitionings (no
+    rand()). Offsets are a 52-bit hash int mod 18, integer-exact in
+    both engines. Pure projection (nested array transforms, zero
+    shuffle); output rows carry span counts plus input/target
+    fingerprints."""
+    toks = tokens(text_col)
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("__n"),
+    )
+    n = F.col("__n")
+    nb = ((n + 19) / 20).cast("long")
+    did = F.col("doc_id").cast("string")
+
+    def off(k):  # md5-derived span offset 0..17 for block k
+        h13 = F.substring(
+            F.md5(F.concat(did, F.lit("|sc"), k.cast("string"))), 1, 13
+        )
+        return F.conv(h13, 16, 10).cast("long") % 18
+
+    def sentinel(k):
+        return F.concat(F.lit("<X"), k.cast("string"), F.lit(">"))
+
+    tk = F.col("__toks")
+
+    def block_input(k):
+        b, s = k * 20, off(k)
+        pre = F.slice(tk, b + 1, s)
+        post_len = F.greatest(F.lit(0), F.least(F.lit(20), n - b) - s - 3)
+        post = F.slice(tk, b + s + 4, post_len)
+        return F.concat(pre, F.array(sentinel(k)), post)
+
+    def block_target(k):
+        b, s = k * 20, off(k)
+        c_len = F.least(F.lit(3), F.greatest(F.lit(0), F.least(F.lit(20), n - b) - s))
+        return F.concat(F.array(sentinel(k)), F.slice(tk, b + s + 1, c_len))
+
+    blocks = F.sequence(F.lit(0).cast("long"), nb - 1)
+    inp = F.flatten(F.transform(blocks, block_input))
+    tgt = F.flatten(F.transform(blocks, block_target))
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nb.alias("n_spans"),
+        (F.size(tgt).cast("long") - nb).alias("n_corrupted"),
+        F.md5(F.concat_ws(" ", inp)).alias("input_fp"),
+        F.md5(F.concat_ws(" ", tgt)).alias("target_fp"),
+    )

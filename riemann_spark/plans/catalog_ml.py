@@ -4866,10 +4866,7 @@ def canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 _DHASH_BASE = "((g*7 + 3) * ({bx}*13 + {by}*29 + 17)) % 256"
 
-@q(
-    "image_dhash_neardup",
-    f"""
-WITH ids AS (SELECT doc_id AS d, doc_id // 4 AS g, doc_id % 4 AS r,
+_DHASH_CTES = f"""ids AS (SELECT doc_id AS d, doc_id // 4 AS g, doc_id % 4 AS r,
                     (doc_id * 53) % 1152 AS p
              FROM documents),
 boxes AS (
@@ -4909,7 +4906,13 @@ h AS (SELECT doc1, doc2,
              bit_count(xor(s1.b0, s2.b0)) + bit_count(xor(s1.b1, s2.b1))
            + bit_count(xor(s1.b2, s2.b2)) + bit_count(xor(s1.b3, s2.b3))
              AS hamming
-      FROM cand JOIN sig s1 ON doc1 = s1.d JOIN sig s2 ON doc2 = s2.d)
+      FROM cand JOIN sig s1 ON doc1 = s1.d JOIN sig s2 ON doc2 = s2.d)"""
+
+
+@q(
+    "image_dhash_neardup",
+    f"""
+WITH {_DHASH_CTES}
 SELECT doc1, doc2, CAST(hamming AS INT) AS hamming
 FROM h WHERE hamming <= 6""",
 )
@@ -5061,3 +5064,90 @@ def streaming_pii_gate(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "image_dhash_keeplist",
+    f"""
+WITH RECURSIVE {_DHASH_CTES},
+p AS (SELECT doc1, doc2 FROM h WHERE hamming <= 6),
+edges AS (SELECT doc1 AS u, doc2 AS v FROM p UNION SELECT doc2, doc1 FROM p),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT eg.u, reach.r FROM edges eg JOIN reach ON eg.v = reach.id),
+labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+       coalesce(l.cluster, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id""",
+)
+def image_dhash_keeplist(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup KEEP-LIST - the deploy path for perceptual-hash
+    dedup, closing image_dhash_neardup's quadratic-pair caveat the
+    same way dedup_embedding_keeplist closed dedup_embedding's: the
+    x20 probe showed content-recycled corpora make verified PAIR
+    output quadratic in duplicate-class size (27M pairs from 100k
+    images), so at scale the pair frame stays INSIDE the plan and
+    connected components (large-star/small-star, lineage-truncated)
+    reduce it to one row per image: cluster = component min, kept iff
+    canonical. Oracle: DuckDB recursive closure over the same
+    Hamming-gated pairs."""
+    pairs = image_dhash_neardup(spark, sf).select("doc1", "doc2")
+    labels = dedup.connected_components(pairs)
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).cast("long").alias("cluster"),
+            (F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id")).alias("kept"),
+        )
+    )
+
+
+_SC_OFF = _nibble_52_of(
+    "substr(md5(CAST(doc_id AS VARCHAR) || '|sc' || CAST(k AS VARCHAR)), 1, 13)"
+)
+
+
+@q(
+    "span_corruption",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             (CAST(len(toks) AS BIGINT) + 19) // 20 AS nb FROM t),
+s AS (SELECT doc_id, toks, n, nb,
+             list_transform(generate_series(0, nb - 1),
+                            k -> ({_SC_OFF}) % 18) AS offs
+      FROM b),
+z AS (SELECT doc_id, n, nb,
+  flatten(list_transform(generate_series(1, nb), j ->
+    list_concat(list_concat(
+      toks[(j-1)*20 + 1 : (j-1)*20 + offs[j]],
+      ['<X' || CAST(j-1 AS VARCHAR) || '>']),
+      toks[(j-1)*20 + offs[j] + 4 : least((j-1)*20 + 20, n)])
+  )) AS inp,
+  flatten(list_transform(generate_series(1, nb), j ->
+    list_concat(
+      ['<X' || CAST(j-1 AS VARCHAR) || '>'],
+      toks[(j-1)*20 + offs[j] + 1 : least((j-1)*20 + offs[j] + 3, n)])
+  )) AS tgt
+  FROM s)
+SELECT doc_id, n AS n_tokens, nb AS n_spans,
+       CAST(len(tgt) AS BIGINT) - nb AS n_corrupted,
+       md5(array_to_string(inp, ' ')) AS input_fp,
+       md5(array_to_string(tgt, ' ')) AS target_fp
+FROM z""",
+)
+def span_corruption_q(spark: SparkSession, sf: str) -> DataFrame:
+    """T5 span-corruption denoising transform (functions/text.py
+    span_corruption) - the encoder-decoder sibling of fim_transform:
+    one md5-placed 3-token span per 20-token block is replaced by a
+    <Xk> sentinel in the input and emitted after the sentinel in the
+    target (15% corruption). Deterministic (hash int mod 18, no
+    rand()), pure projection, zero shuffle; the oracle rebuilds both
+    streams with list slices and matches the fingerprints exactly."""
+    d = load_table(spark, sf, "documents")
+    return text.span_corruption(d)

@@ -1421,3 +1421,17 @@ def test_cross_decontamination_verdicts(spark):
     assert got[0] == (1, False)  # exact copy of an eval doc -> drop
     assert got[1] == (1, False)  # near-dup -> drop
     assert got[2] == (0, True)  # unrelated -> keep; still gets a row
+
+
+def test_span_corruption_shapes(spark):
+    # 25 tokens -> 2 blocks (20 + 5); each block yields one sentinel
+    df = docs(spark, " ".join(f"w{i}" for i in range(25)), "a b c")
+    rows = {r.doc_id: r for r in text.span_corruption(df).collect()}
+    r0 = rows[0]
+    assert (r0.n_tokens, r0.n_spans) == (25, 2)
+    assert 0 <= r0.n_corrupted <= 6  # up to 3 per block, clamped by n
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_spans) == (3, 1)
+    # determinism: same input -> same fingerprints
+    again = {r.doc_id: r for r in text.span_corruption(df).collect()}
+    assert again[0].input_fp == r0.input_fp and again[0].target_fp == r0.target_fp
