@@ -797,3 +797,80 @@ def image_dhash_bands(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return df.mapInPandas(run, schema)
+
+
+def synthetic_wav_groups(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 4
+) -> DataFrame:
+    """Deterministic 256-sample 8 kHz WAV fixtures in NEAR-DUPLICATE
+    GROUPS for envelope-fingerprint dedup: g = id // group_size picks
+    the signal (16 frames of 16 samples, frame amplitude A(g,f) =
+    ((g*31+5)*(f*19+7)) mod 2001 - 1000), and each group member
+    differs only by one clamped single-sample bump (sample (id*29)
+    mod 256, +13*(id mod group_size), clamped at 1000) - the audio
+    sibling of synthetic_image_grid. Closed-form for the oracle;
+    Spark goes through the REAL WAV encoder."""
+    from riemann_spark.functions.media_codecs import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                g, r0 = d // group_size, d % group_size
+                smp = []
+                for f in range(16):
+                    a = ((g * 31 + 5) * (f * 19 + 7)) % 2001 - 1000
+                    smp.extend([a] * 16)
+                s0 = (d * 29) % 256
+                smp[s0] = min(smp[s0] + r0 * 13, 1000)
+                blobs.append(encode_wav(8000, smp))
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return _spread(df.select(id_col)).mapInPandas(run, schema)
+
+
+def audio_envelope_fp(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """15-bit audio envelope fingerprint from REAL decoded PCM: the
+    256 samples tile into 16 frames of 16; frame signal = integer sum
+    of |sample|; bit f-1 is set iff frame f's energy strictly exceeds
+    frame f-1's. The shape-of-loudness signature is invariant to
+    small sample-level edits (re-encodes, dither) - the audio
+    perceptual hash that makes dedup a fingerprint groupBy. Streams
+    whose sample count doesn't tile 16 frames dead-letter as a NULL
+    row. Arrow-batched mapInPandas, binary never shuffles."""
+    import numpy as np
+
+    from riemann_spark.functions.media_codecs import decode_wav
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("envelope_fp", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                try:
+                    _rate, smp = decode_wav(bytes(content or b""))
+                    if not smp or len(smp) % 16:
+                        raise ValueError("does not tile 16 frames")
+                    arr = np.abs(np.asarray(smp, dtype=np.int64))
+                    en = arr.reshape(16, len(smp) // 16).sum(axis=1)
+                    fp = 0
+                    for f in range(1, 16):
+                        if en[f] > en[f - 1]:
+                            fp |= 1 << (f - 1)
+                    rows.append([int(mid), fp])
+                except (ValueError, IndexError, struct.error):
+                    rows.append([int(mid), None])
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.mapInPandas(run, schema)

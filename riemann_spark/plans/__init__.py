@@ -39,6 +39,8 @@ _GATE_PRIORITY = [
     "streaming_pii_gate",
     "image_dhash_keeplist",
     "span_corruption",
+    "classifier_calibration",
+    "audio_envelope_dedup",
     "fim_transform",
     "blocklist_gate",
     "winnowing_fingerprints",
@@ -80,15 +82,15 @@ _GATE_PRIORITY = [
     "ewma",
     "changed_state",
     "runs3",
-    "stable_2h",
-    "top10",
     # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
     # The round-6 third/fourth/fifth-batch queries added in FRONT (per
     # the committed plan) push everything from here past the driver's
-    # 50-row window: top10 above is position 50 with the 40 new
+    # 50-row window: runs3 above is position 50 with the 42 new
     # round-6 entries in front. These r02/r03 rotation rows plus the
     # ROUND-7 marker section below are the start of next round's
     # backfill.
+    "stable_2h",
+    "top10",
     "throttle",
     "apdex",
     "clock_skew",

@@ -5151,3 +5151,131 @@ def span_corruption_q(spark: SparkSession, sf: str) -> DataFrame:
     streams with list slices and matches the fingerprints exactly."""
     d = load_table(spark, sf, "documents")
     return text.span_corruption(d)
+
+
+@q(
+    "classifier_calibration",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+sc AS (SELECT doc_id,
+       list_reduce(
+         list_prepend(0.0, list_transform(toks,
+           tok -> ({_W52}) / 4503599627370496.0 * 2.0 - 1.0)),
+         (a, b) -> a + b) / len(toks) AS score
+       FROM t),
+m AS (SELECT doc_id,
+             len(toks) AS n_words,
+             list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                         (a, b) -> a + b) / CAST(len(toks) AS DOUBLE) AS mean_len,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3)
+               / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             {_sw_count('toks', 'en')} AS n_stop
+      FROM t),
+lab AS (SELECT doc_id,
+               (n_words BETWEEN 20 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+                 AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
+                 AS pass
+        FROM m),
+j AS (SELECT least(9, greatest(0, CAST(floor((score + 1.0) * 5.0) AS INT))) AS bin,
+             score, pass
+      FROM sc JOIN lab USING (doc_id))
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS pass_rate,
+       CAST(SUM(CAST(round(score * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_score
+FROM j GROUP BY bin""",
+)
+def classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier calibration / reliability report: hashed-linear
+    quality scores bucketed into 10 fixed bins vs the Gopher-gate
+    label - the diagram you read before trusting a classifier
+    threshold for corpus selection (is 0.8 really better than 0.6, or
+    is the classifier miscalibrated there?). Bin edges are floor() of
+    bit-identical doubles, per-bin means quantize to 1e-6 integers
+    (the source_quality_matrix contract); one projection + one
+    10-group aggregate."""
+    d = load_table(spark, sf, "documents")
+    sc = d.select(
+        "doc_id", text.hashed_linear_score("text", _CLS_DIM).alias("score")
+    )
+    lab = _gopher_flags(d).select("doc_id", F.col("gopher_pass").alias("pass"))
+    j = sc.join(lab, "doc_id").select(
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor((F.col("score") + 1.0) * 5.0).cast("int")),
+        ).alias("bin"),
+        "score",
+        "pass",
+    )
+    return j.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("pass").cast("int")).cast("long").alias("n_pass"),
+        (F.sum(F.col("pass").cast("int")).cast("double") / F.count(F.lit(1))).alias(
+            "pass_rate"
+        ),
+        (
+            F.sum(F.round(F.col("score") * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("mean_score"),
+    )
+
+
+@q(
+    "audio_envelope_dedup",
+    """
+WITH ids AS (SELECT doc_id AS d, doc_id // 4 AS g, doc_id % 4 AS r,
+                    (doc_id * 29) % 256 AS s0
+             FROM documents),
+fr AS (SELECT d, f.i AS f,
+         16 * abs(((g*31 + 5) * (f.i*19 + 7)) % 2001 - 1000)
+         + CASE WHEN s0 // 16 = f.i THEN
+             abs(least(((g*31 + 5) * (f.i*19 + 7)) % 2001 - 1000 + r*13, 1000))
+             - abs(((g*31 + 5) * (f.i*19 + 7)) % 2001 - 1000)
+           ELSE 0 END AS energy
+       FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) f),
+fp AS (SELECT l.d,
+              CAST(SUM(CASE WHEN r_.energy > l.energy
+                            THEN 1 << CAST(r_.f - 1 AS INT) ELSE 0 END) AS INT)
+                AS envelope_fp
+       FROM fr l JOIN fr r_ ON r_.d = l.d AND r_.f = l.f + 1
+       GROUP BY l.d),
+grp AS (SELECT envelope_fp, CAST(COUNT(*) AS BIGINT) AS group_n,
+               MIN(d) AS keeper
+        FROM fp GROUP BY envelope_fp)
+SELECT d AS media_id, envelope_fp, group_n, d = keeper AS keep
+FROM fp JOIN grp USING (envelope_fp)""",
+)
+def audio_envelope_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio perceptual dedup - the third modality joins the dedup
+    tier (text MinHash, image dHash, now audio): near-dup-group WAV
+    fixtures (functions/multimodal.py synthetic_wav_groups) go
+    through the REAL WAV encode->decode, each stream reduced to a
+    15-bit envelope fingerprint (frame-energy shape, invariant to
+    sample-level edits - audio_envelope_fp), and dedup is a
+    fingerprint groupBy emitting the keep-list directly: one row per
+    stream, keep = min-id per fingerprint group. Linear at any corpus
+    size (no pair materialization at all); the oracle replays the
+    generator's frame energies closed-form, so one mangled sample in
+    the codec path fails the gate."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.synthetic_wav_groups(d, "doc_id")
+    fp = multimodal.audio_envelope_fp(media)
+    grp = fp.groupBy("envelope_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.min("media_id").alias("keeper"),
+    )
+    return fp.join(grp, "envelope_fp").select(
+        "media_id",
+        "envelope_fp",
+        "group_n",
+        (F.col("media_id") == F.col("keeper")).alias("keep"),
+    )

@@ -319,3 +319,17 @@ def test_image_dhash_groups_and_dead_letter(spark):
                                 "media_id long, content binary")
     rows = mm.image_dhash_bands(bad).collect()
     assert rows[0].b0 is None and rows[0].media_id == 99
+
+
+def test_audio_envelope_groups_and_dead_letter(spark):
+    from riemann_spark.functions import multimodal as mm
+
+    d = spark.createDataFrame([(0,), (1,), (4,)], "doc_id long")
+    media = mm.synthetic_wav_groups(d)  # groups {0,1}, {4}
+    fp = {r.media_id: r.envelope_fp
+          for r in mm.audio_envelope_fp(media).collect()}
+    assert fp[0] == fp[1]      # same group: bump doesn't move the envelope
+    assert fp[0] != fp[4]      # different signal shape
+    bad = spark.createDataFrame([(9, b"RIFFgarbage")],
+                                "media_id long, content binary")
+    assert mm.audio_envelope_fp(bad).collect()[0].envelope_fp is None
