@@ -754,3 +754,28 @@ def test_ngram_novelty_no_pair_explosion(spark):
     assert "Window" not in p
     # exactly the two keyed aggregates (distinct + df) and the join
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 4
+
+
+def test_fuzzy_decontamination_sig_partial_aggs_and_two_md5s(spark):
+    """Signatures must partial-aggregate map-side (one sig row per doc
+    crosses the shuffle: 8 MINs x 2 corpora) and each side must hash
+    each shingle exactly twice (2 salted md5s feed all 8 sigs as
+    32-bit chunks) - the 16x-rehash plan the minhash x20 probe caught
+    would show 16 here."""
+    p = plan_of(spark, "fuzzy_decontamination")
+    assert p.count("partial_min") == 16
+    assert p.count("md5") == 4
+
+
+def test_canonical_dedup_partial_aggs(spark):
+    """The canonical-group stats must combine map-side: the 16-byte
+    key shuffle carries one row per group, not per doc."""
+    p = plan_of(spark, "canonical_dedup")
+    assert p.count("partial_count") == 1 and p.count("partial_min") == 1
+
+
+def test_bigram_lm_count_tables_partial_agg(spark):
+    """c12/c1/V count tables must partial-aggregate before their
+    shuffles - the LM 'training' is map-side combinable counting."""
+    p = plan_of(spark, "bigram_lm_score")
+    assert p.count("partial_count") >= 3
