@@ -5279,3 +5279,97 @@ def audio_envelope_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "group_n",
         (F.col("media_id") == F.col("keeper")).alias("keep"),
     )
+
+
+@q(
+    "dedup_threshold_sweep",
+    f"""
+WITH {_SHINGLE_SQL},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
+inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2),
+j AS (SELECT doc1, doc2, n_inter / (s1.n + s2.n - n_inter) AS jaccard
+      FROM inter JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc),
+b AS (SELECT doc1, doc2,
+             CAST(least(floor(jaccard * 10), 10) AS INT) AS bucket
+      FROM j WHERE jaccard >= 0.5)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc1) + COUNT(DISTINCT doc2) AS BIGINT)
+         AS n_doc_slots
+FROM b GROUP BY bucket""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaccard threshold sweep - the report you read BEFORE picking
+    the near-dup cutoff: verified pair counts (and distinct docs
+    touched) per 0.1-wide Jaccard band from 0.5 up, bucket 10 = exact
+    duplicates. A cliff between bands says the corpus separates
+    cleanly; a smear says the threshold moves real data. Reuses the
+    inverted-index pair machinery (stop-shingle guard ON), one extra
+    10-group aggregate - nothing new shuffles."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, 0.5, max_shingle_df=1000)
+    b = pairs.select(
+        "doc1",
+        "doc2",
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(10)).cast("int").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.countDistinct("doc1") + F.countDistinct("doc2"))
+        .cast("long")
+        .alias("n_doc_slots"),
+    )
+
+
+@q(
+    "dup_rate_by_source",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.doc IS NOT NULL AND l.doc != l.cluster
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN l.doc IS NOT NULL AND l.doc != l.cluster
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc
+GROUP BY d.source""",
+)
+def dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source near-duplicate rate - the data-card row that decides
+    'dedup this source harder vs drop it': fraction of each source's
+    docs that are non-canonical members of a MinHash cluster (the
+    docs the keep-list drops). Same LSH + connected-components
+    machinery as dedup_keep_list, then one key-cardinality groupBy;
+    the label join keys on doc_id and AQE broadcasts labels when they
+    fit."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs)
+    dropped = (
+        F.col("node").isNotNull() & (F.col("node") != F.col("cluster"))
+    ).cast("int")
+    return (
+        d.join(labels, d.doc_id == labels.node, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            (F.sum(dropped).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )
