@@ -148,6 +148,11 @@ HEADLINE = [
     "ngram_novelty",
     "greedy_pack_bins",
     "packing_efficiency",
+    "greedy_pack_tokens",
+    "token_pack_efficiency",
+    "url_dedup",
+    "domain_quality_rollup",
+    "ann_gate_report",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -1116,6 +1116,7 @@ def greedy_pack(
     part_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_col: Column | None = None,
 ) -> DataFrame:
     """Non-splitting first-fit packing: docs are laid into
     ``budget``-token bins WITHOUT straddling (the SFT/finetune
@@ -1134,7 +1135,13 @@ def greedy_pack(
     construction — the md5 shard splits each source into n_shards
     independent pack streams (the same layout shuffle_shards ships),
     so group size is corpus_size/(sources·n_shards) and the scan
-    parallelizes across the cluster regardless of corpus scale."""
+    parallelizes across the cluster regardless of corpus scale.
+
+    ``count_col`` overrides the length measure (default: whitespace
+    token_count). Pass ``bpe_token_count(text_col)`` for
+    TOKENIZER-AWARE packing — bins then hold what the model actually
+    consumes, so budget maps 1:1 to context length instead of
+    undershooting by the whitespace/BPE fertility ratio."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|pack")))
     rows = df.select(
         F.col(part_col).alias("part"),
@@ -1142,7 +1149,9 @@ def greedy_pack(
             "shard"
         ),
         F.col(id_col).alias("doc_id"),
-        token_count(text_col).cast("long").alias("n_tok"),
+        (
+            count_col if count_col is not None else token_count(text_col)
+        ).cast("long").alias("n_tok"),
     )
     schema = (
         "part string, shard long, doc_id long, bin long, "
@@ -1203,6 +1212,33 @@ def canonical_fingerprint(col: str | Column = "text") -> Column:
     differs. Pure projection, fuses with the scan."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")))
+
+
+def url_normalize(col: str | Column) -> Column:
+    """Canonical URL dedup key — the CommonCrawl curation posture
+    where the FIRST dedup pass is by normalized URL, long before any
+    content hash is computed (it needs no text at all, so it prunes
+    refetches/mirrors at the index stage). Normalization, in order:
+    lowercase; strip fragment (#...); strip query string (?...);
+    strip the scheme (http:// et al.); strip one leading 'www.';
+    strip trailing slashes. What survives — host + path — is the
+    dedup identity: scheme flips, tracking params, fragments and the
+    www. alias never split a page into distinct keys, while distinct
+    paths never merge. Pure projection, fuses with the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.lower(c)
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    return F.regexp_replace(u, "/+$", "")
+
+
+def url_domain(col: str | Column) -> Column:
+    """Host part of a NORMALIZED url (everything before the first
+    '/') — the rollup key for per-domain curation stats."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, "^[^/]*", 0)
 
 
 def _bigram_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

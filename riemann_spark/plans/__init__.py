@@ -20,79 +20,30 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-6 WINDOW (positions 1-50) -------------------------------
-    # After r05, every catalog row has a driver hash record (cumulative
-    # 188/188); round 6 keeps coverage FRESH by re-gating the stalest
-    # rows. This is exactly the rotation committed in round 5 — the
-    # remaining r02-gated set, then the oldest r03 rows, staleness
-    # order (last_gated_round, catalog order) — with the duplicated
-    # `percentiles_day` removed and new round-6 catalog entries placed
-    # in FRONT per the committed plan. Entries past position 50
-    # overflow into the round-7 window.
+    # ---- ROUND-7 WINDOW (positions 1-50) -------------------------------
+    # Composition per VERDICT r6 directives #1/#2/#7: new round-7
+    # catalog entries in FRONT (standing rotation rule), then the two
+    # snapshot-commit stragglers that missed the r6 driver gate, then
+    # apdex (expired-events semantics + oracle changed in r6 — its
+    # last driver row is r01), then the committed staleness rotation
+    # (the r02/r03 overflow block carried from the round-6 list).
     #
-    # -- new round-6 catalog entries first: ------------------------------
-    "fuzzy_decontamination",
-    "image_dhash_neardup",
-    "bigram_lm_score",
-    "canonical_dedup",
-    "psi_drift",
-    "streaming_pii_gate",
-    "image_dhash_keeplist",
-    "span_corruption",
-    "classifier_calibration",
-    "audio_envelope_dedup",
-    "fim_transform",
-    "blocklist_gate",
-    "winnowing_fingerprints",
-    "winnowing_overlap",
-    "char_entropy",
-    "ann_truncation_report",
-    "vocab_growth",
-    "zipf_slope",
-    "bottomk_sample",
-    "soft_dedup_weights",
-    "ngram_novelty",
-    "streaming_bottomk_drained",
-    "greedy_pack_bins",
-    "packing_efficiency",
-    "video_scene_cuts",
-    "audio_vad_segments",
-    "streaming_blocklist_gate",
-    "chunk_sliding_window",
-    "boilerplate_removal",
-    "perplexity_buckets",
-    "dedup_cluster_representatives",
-    "source_overlap_matrix",
-    "cluster_aware_split",
-    "length_bucket_batches",
-    "dedup_clusters_verified",
-    "mixture_epoch_plan",
-    "dedup_recall_report",
-    "streaming_embedding_gate",
-    "streaming_contamination_gate",
-    "contamination_gate_report",
-    "streaming_quality_gate",
-    "embedding_contamination",
-    # -- committed rotation: stalest r02 rows ----------------------------
-    "percentiles_day",
-    "fixed_event_window",
-    "moving_event_window",
-    "ddt",
-    "counter_running",
-    "ewma",
-    "changed_state",
-    "runs3",
-    # ---- ROUND-7 OVERFLOW (positions 51+) ------------------------------
-    # The round-6 third/fourth/fifth-batch queries added in FRONT (per
-    # the committed plan) push everything from here past the driver's
-    # 50-row window: runs3 above is position 50 with the 42 new
-    # round-6 entries in front. These r02/r03 rotation rows plus the
-    # ROUND-7 marker section below are the start of next round's
-    # backfill.
+    # -- new round-7 catalog entries first: ------------------------------
+    "url_dedup",
+    "domain_quality_rollup",
+    "greedy_pack_tokens",
+    "token_pack_efficiency",
+    "streaming_ann_gate",
+    "ann_gate_report",
+    # -- r6 snapshot-commit queries with no driver hash row yet: ---------
+    "dedup_threshold_sweep",
+    "dup_rate_by_source",
+    # -- re-gate: semantics changed in r6 (expired-events fix): ----------
+    "apdex",
+    # -- committed rotation: r02-gated rows, staleness order -------------
     "stable_2h",
     "top10",
     "throttle",
-    "apdex",
     "clock_skew",
     "predict_linear",
     "project2",
@@ -132,10 +83,11 @@ _GATE_PRIORITY = [
     "fold_mode",
     "smapcat_tags",
     "sflatten_regroup",
-    # ---- ROUND-7 WINDOW (positions 51+; overflow grows it) -------------
-    # Unlisted catalog rows follow in catalog order (r03-r05-gated,
-    # freshest); recompute staleness from CORRECTNESS_r01-r06 next
-    # round.
+    # ---- ROUND-8 OVERFLOW (positions 51+) ------------------------------
+    # Additional round-7 entries added later this round go in FRONT
+    # above (pushing this tail out); unlisted catalog rows follow in
+    # catalog order. Recompute staleness from CORRECTNESS_r01-r07
+    # next round.
 ]
 
 

@@ -4509,6 +4509,39 @@ def streaming_bottomk_drained(spark: SparkSession, sf: str) -> DataFrame:
 
 _PACK_BUDGET, _PACK_SHARDS = 128, 4
 
+
+def _pack_rec(n_tok_sql: str) -> str:
+    """The first-fit packing recurrence as a recursive CTE,
+    parameterized on the length measure (whitespace tokens for
+    greedy_pack_bins, BPE-regex tokens for greedy_pack_tokens)."""
+    return f"""
+base AS (SELECT source AS part,
+            CAST(({_nibble_32_early("substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 8)")})
+                 % {_PACK_SHARDS} AS BIGINT) AS shard,
+            doc_id,
+            least(CAST({n_tok_sql} AS BIGINT), {_PACK_BUDGET}) AS n_eff,
+            CAST({n_tok_sql} AS BIGINT) > {_PACK_BUDGET} AS truncated
+         FROM (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents)),
+o AS (SELECT *, row_number() OVER (PARTITION BY part, shard
+                                   ORDER BY doc_id) AS pos
+      FROM base),
+rec AS (
+  SELECT part, shard, doc_id, pos, n_eff, truncated,
+         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+         n_eff AS fill
+  FROM o WHERE pos = 1
+  UNION ALL
+  SELECT o.part, o.shard, o.doc_id, o.pos, o.n_eff, o.truncated,
+         CASE WHEN r.fill + o.n_eff > {_PACK_BUDGET}
+              THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.fill + o.n_eff > {_PACK_BUDGET}
+              THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill + o.n_eff > {_PACK_BUDGET}
+              THEN o.n_eff ELSE r.fill + o.n_eff END
+  FROM rec r
+  JOIN o ON o.part = r.part AND o.shard = r.shard AND o.pos = r.pos + 1)"""
+
+
 _PACK_REC = f"""
 base AS (SELECT source AS part,
             CAST(({_nibble_32_early("substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 8)")})
@@ -5371,5 +5404,411 @@ def dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(dropped).cast("long").alias("n_dropped"),
             (F.sum(dropped).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )
+
+
+# ----------------------------------------------- round-7: URL curation
+
+#: Deterministic decorated URL per document. The driver tables carry no
+#: URL column, so the query derives one from (doc_id, source) with the
+#: full zoo of decorations a crawler actually sees — scheme flips,
+#: www. aliases, host case, trailing slashes, tracking params,
+#: fragments — giving the normalizer real work and the dedup real
+#: collisions (path key = doc_id % 101, ~1 page per doc per source at
+#: sf0.01, birthday-colliding). Same posture as by_derived_key: the
+#: reusable mechanics are functions/text.py url_normalize/url_domain;
+#: the derivation is the fixture.
+_RAW_URL_SQL = """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+    || '.example.com/p/' || CAST(doc_id % 101 AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)"""
+
+_URL_NORM_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower({u}), '#.*$', ''), '\\?.*$', ''),"
+    " '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''), '/+$', '')"
+)
+
+
+def _raw_url_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".example.com/p/"),
+        (d % 101).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+@q(
+    "url_dedup",
+    f"""
+WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents),
+n AS (SELECT doc_id, {_URL_NORM_SQL.format(u='u')} AS url FROM raw)
+SELECT doc_id, url,
+       regexp_extract(url, '^[^/]*') AS domain,
+       CAST(row_number() OVER (PARTITION BY url ORDER BY doc_id)
+            AS BIGINT) AS dup_rank,
+       row_number() OVER (PARTITION BY url ORDER BY doc_id) = 1 AS keep
+FROM n""",
+)
+def url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-normalization dedup — the FIRST pass of the CommonCrawl
+    curation stack (runs at the index stage, needs no page content):
+    normalize (functions/text.py url_normalize: lowercase, strip
+    fragment/query/scheme/www./trailing slash), then keep the first
+    doc per normalized key. Scheme flips, tracking params and mirror
+    aliases collapse; distinct paths never merge.
+
+    Scale shape: the normalizer is a pure projection fused into the
+    scan; the keep-first is ONE key-partitioned window over the
+    normalized key (same plan as dedup_exact's fingerprint groupBy —
+    URL keys are near-unique so no skew). At 100 TB this is the
+    cheapest dedup pass there is, which is exactly why crawlers run
+    it first."""
+    d = load_table(spark, sf, "documents")
+    url = text.url_normalize(_raw_url_col())
+    w = Window.partitionBy("url").orderBy("doc_id")
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            text.url_domain("url").alias("domain"),
+            F.row_number().over(w).cast("long").alias("dup_rank"),
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
+
+
+_Q1E9 = "1000000000.0"
+
+_QUALITY_SQL = f"""0.5 * ({_sw_count('toks', 'en')} / CAST(len(toks) AS DOUBLE))
+       + 0.3 * least(
+           (list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                        (a, b) -> a + b) / len(toks)) / 10.0, 1.0)
+       - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                / CAST(length(text) AS DOUBLE))"""
+
+
+@q(
+    "domain_quality_rollup",
+    f"""
+WITH t AS (SELECT doc_id, text, source, {_TOKS} AS toks,
+                  {_RAW_URL_SQL} AS u
+           FROM documents),
+r AS (SELECT doc_id, text, toks,
+             {_URL_NORM_SQL.format(u='u')} AS url,
+             regexp_extract({_URL_NORM_SQL.format(u='u')}, '^[^/]*')
+               AS domain,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS cfp,
+             {_QUALITY_SQL} AS q
+      FROM t)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT cfp) AS BIGINT) AS n_canonical,
+       1.0 - COUNT(DISTINCT url) / CAST(COUNT(*) AS DOUBLE)
+         AS url_dup_rate,
+       1.0 - COUNT(DISTINCT cfp) / CAST(COUNT(*) AS DOUBLE)
+         AS content_dup_rate,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(round(q * {_Q1E9}) AS HUGEINT)) AS DOUBLE)
+         / {_Q1E9} / COUNT(*) AS mean_quality
+FROM r GROUP BY domain""",
+)
+def domain_quality_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DOMAIN curation report — the unit CommonCrawl-style
+    pipelines actually make keep/drop/throttle decisions at (a spam
+    domain is dropped whole, not doc-by-doc): docs, distinct
+    normalized URLs, distinct canonical content fingerprints, the two
+    dup rates those imply, token volume, and mean quality score.
+
+    Scale shape: pure projections (url normalize, canonical md5,
+    quality score) feed ONE groupBy on domain; the distinct counts
+    are per-key exact (partial aggs under AQE). Mean quality uses the
+    1e-9-quantized integer-sum trick (decimal accumulate, divide
+    once) so the double is bit-identical under any partitioning —
+    same discipline as kmeans_centroids' component means."""
+    d = load_table(spark, sf, "documents")
+    url = text.url_normalize(_raw_url_col())
+    r = d.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        text.url_domain(url).alias("domain"),
+        text.canonical_fingerprint("text").alias("cfp"),
+        text.quality_score("text").alias("q"),
+        text.token_count("text").cast("long").alias("n_toks"),
+    )
+    return r.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.countDistinct("cfp").cast("long").alias("n_canonical"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("url") / F.count(F.lit(1)).cast("double")
+        ).alias("url_dup_rate"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("cfp") / F.count(F.lit(1)).cast("double")
+        ).alias("content_dup_rate"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        (
+            F.sum(
+                F.round(F.col("q") * F.lit(1e9)).cast("long").cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+    )
+
+
+# ------------------------------------- round-7: tokenizer-aware packing
+
+_BPE_COUNT_SQL = f"len(regexp_extract_all(text, '{_BPE_SQL}'))"
+
+
+@q(
+    "greedy_pack_tokens",
+    f"""
+WITH RECURSIVE {_pack_rec(_BPE_COUNT_SQL)}
+SELECT part, shard, doc_id, bin, bin_offset,
+       n_eff AS n_packed, truncated
+FROM rec""",
+)
+def greedy_pack_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKENIZER-AWARE first-fit packing: greedy_pack measured in BPE
+    pre-split tokens (functions/text.py bpe_token_count) instead of
+    whitespace words — bins now hold what the model actually
+    consumes, so budget maps 1:1 to context length instead of
+    undershooting by the whitespace/BPE fertility ratio (VERDICT r6
+    next-frontier #7). Same applyInPandas shape and md5-sharded
+    bounded groups as greedy_pack_bins; only the length measure (a
+    JVM regexp count fused into the scan) changes. Oracle: the
+    identical recurrence with the identical regex count."""
+    d = load_table(spark, sf, "documents")
+    return text.greedy_pack(
+        d,
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        count_col=text.bpe_token_count("text"),
+    )
+
+
+@q(
+    "token_pack_efficiency",
+    f"""
+WITH RECURSIVE {_pack_rec(_BPE_COUNT_SQL)}
+SELECT part, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(n_eff) AS BIGINT) AS tokens_packed,
+       CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       1.0 - SUM(n_eff)
+               / CAST((MAX(bin) + 1) * {_PACK_BUDGET} AS DOUBLE)
+         AS padding_frac
+FROM rec GROUP BY part, shard""",
+)
+def token_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-waste report for the TOKENIZER-AWARE packing — read
+    against packing_efficiency (whitespace) to see what the fertility
+    ratio does to bin counts at the same budget: BPE counts run
+    ~1.2-1.4x whitespace counts on English, so ws-budgeted bins
+    silently overflow real context windows by that factor. Same
+    engine-exact integer sums."""
+    d = load_table(spark, sf, "documents")
+    packed = text.greedy_pack(
+        d,
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        count_col=text.bpe_token_count("text"),
+    )
+    return packed.groupBy("part", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.sum("n_packed").cast("long").alias("tokens_packed"),
+        F.sum(F.col("truncated").cast("int")).cast("long").alias("n_truncated"),
+        (
+            1.0
+            - F.sum("n_packed")
+            / ((F.max("bin") + 1) * _PACK_BUDGET).cast("double")
+        ).alias("padding_frac"),
+    )
+
+
+# --------------------------------------- round-7: streaming ANN gate
+
+_ANN_GATE_CELLS = 4
+_ANN_GATE_THRESH = 0.28
+_Q12_SQL = "1000000000000.0"
+
+_ANN_CENT_SQL = f"""
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+u AS (SELECT vec_id % {_ANN_GATE_CELLS} AS cell, d,
+        CAST(SUM(CAST(round(v[d] * {_Q12_SQL}) AS BIGINT)) AS DOUBLE)
+          / {_Q12_SQL} / COUNT(*) AS m
+      FROM base CROSS JOIN generate_series(1, 64) AS g(d)
+      WHERE label = 0 GROUP BY cell, d),
+c AS (SELECT cell, list(m ORDER BY d) AS c FROM u GROUP BY cell),
+scored AS (SELECT t.vec_id, t.label, {_cos_sql('t.v', 'c.c')} AS cos
+           FROM base t CROSS JOIN c WHERE t.label != 0),
+m AS (SELECT vec_id, label, MAX(cos) AS max_cos
+      FROM scored GROUP BY vec_id, label)"""
+
+
+def _ann_gate_centroids(emb: DataFrame) -> list:
+    """Eval-side centroid literals: 1e-12-quantized component means
+    per (vec_id % cells) cell — the kmeans_centroids determinism
+    trick, so the SQL oracle recomputes the identical doubles. The
+    collect is model-sized (cells x dim rows), never data-sized."""
+    rows = (
+        emb.filter(F.col("label") == 0)
+        .select(
+            (F.col("vec_id") % _ANN_GATE_CELLS).alias("cell"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x") * F.lit(1e12))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+    return [
+        F.array(*[F.lit(cents[c][p]) for p in range(len(cents[c]))])
+        for c in sorted(cents)
+    ]
+
+
+def _ann_gate_cols(cent_lits: list) -> tuple:
+    """(max_cos, gated) column pair against the centroid literals."""
+    cos_cols = [
+        similarity.cosine(F.col("embedding"), lit) for lit in cent_lits
+    ]
+    max_cos = F.greatest(*cos_cols)
+    return max_cos, max_cos >= F.lit(_ANN_GATE_THRESH)
+
+
+@q(
+    "streaming_ann_gate",
+    f"""
+WITH {_ANN_CENT_SQL}
+SELECT vec_id, max_cos, max_cos >= {_ANN_GATE_THRESH} AS gated
+FROM m""",
+)
+def streaming_ann_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME semantic gate, centroid form — the dense sibling of
+    streaming_embedding_gate's LSH-bucket form (VERDICT r6 frontier
+    #7): each arriving training vector is scored by max cosine
+    against the eval set's CELL CENTROIDS and gated on a threshold.
+    LSH buckets answer 'is a near-twin of an eval row arriving?';
+    centroids answer 'is this vector in eval's semantic NEIGHBORHOOD
+    at all?' — the coarse screen you run when the eval suite is too
+    large to broadcast row-wise.
+
+    STATELESS streaming plan: the centroid table is model-sized
+    (cells x dim, here 4 x 64 doubles) and inlined as literals, so
+    each vector's score is a pure projection — zero shuffle, zero
+    state, scales with source partitions alone, exactly like the
+    bloom/quality/blocklist/PII/embedding gates. Centroids use the
+    1e-12-quantized integer-sum means (kmeans_centroids discipline),
+    so the oracle recomputes bit-identical doubles and MAX(cos) over
+    the 4 cells equals the streaming side's greatest() exactly."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_anng_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="anng_ck_")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    max_cos, gated = _ann_gate_cols(_ann_gate_centroids(emb))
+    raw = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    flagged = (
+        raw.filter(F.col("label") != 0)
+        .select(
+            "vec_id",
+            max_cos.alias("max_cos"),
+            gated.alias("gated"),
+        )
+    )
+    q_ = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
+    "ann_gate_report",
+    f"""
+WITH {_ANN_CENT_SQL}
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN max_cos >= {_ANN_GATE_THRESH}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+       CAST(SUM(CAST(round(max_cos * {_Q1E9}) AS HUGEINT)) AS DOUBLE)
+         / {_Q1E9} / COUNT(*) AS mean_max_cos
+FROM m GROUP BY label""",
+)
+def ann_gate_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch audit for streaming_ann_gate — per training label: vector
+    count, how many the centroid gate would hold, and the
+    1e-9-quantized mean max-cosine. The calibration table you read
+    before picking the threshold (a label whose mean sits near the
+    cutoff needs the finer LSH/cosine re-rank; one far below is
+    safe). Same centroid literals and cosine folds as the gate, one
+    key-cardinality groupBy on label."""
+    emb = load_table(spark, sf, "embeddings")
+    max_cos, _ = _ann_gate_cols(_ann_gate_centroids(emb))
+    return (
+        emb.filter(F.col("label") != 0)
+        .select("label", max_cos.alias("max_cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(
+                (F.col("max_cos") >= F.lit(_ANN_GATE_THRESH)).cast("int")
+            )
+            .cast("long")
+            .alias("n_gated"),
+            (
+                F.sum(
+                    F.round(F.col("max_cos") * F.lit(1e9))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("mean_max_cos"),
         )
     )

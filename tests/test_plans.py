@@ -816,3 +816,96 @@ def test_coverage_state_table_count_matches():
         f"COVERAGE.md says {m.group(1)} STATE_TABLE rows, table has "
         f"{len(STATE_TABLE)}"
     )
+
+
+def test_url_normalize_vectors(spark):
+    """Normalizer contract over the decoration zoo: scheme, www.,
+    case, trailing slash, query, fragment all collapse; distinct
+    paths never merge."""
+    from riemann_spark.functions import text
+
+    vecs = [
+        ("https://WWW.Example.COM/a/b/?utm=x#frag", "example.com/a/b"),
+        ("http://example.com/a/b", "example.com/a/b"),
+        ("ftp://www.example.com/", "example.com"),
+        ("example.com/a/b//", "example.com/a/b"),
+        ("https://example.com/a/c", "example.com/a/c"),
+        ("https://wwwx.example.com/p", "wwwx.example.com/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in vecs], "raw string")
+    got = [
+        r["n"]
+        for r in df.select(text.url_normalize("raw").alias("n")).collect()
+    ]
+    assert got == [want for _, want in vecs]
+    dom = df.select(
+        text.url_domain(text.url_normalize("raw")).alias("d")
+    ).collect()
+    assert dom[0]["d"] == "example.com"
+    assert dom[5]["d"] == "wwwx.example.com"
+
+
+def test_url_dedup_single_window_exchange(spark):
+    """The URL dedup plan is projection + ONE key-partitioned window
+    (the keep-first): normalizer must fuse into the scan, and the two
+    row_numbers over the same window spec must share one Window node."""
+    import re
+
+    p = plan_of(spark, "url_dedup")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1, p
+
+
+def test_domain_quality_rollup_partial_aggs(spark):
+    """The rollup's plain aggregates must combine map-side; the
+    quantized quality sum rides the same partial (distinct counts
+    expand, but the domain key shuffle stays one row per group per
+    partition)."""
+    p = plan_of(spark, "domain_quality_rollup")
+    assert "partial_sum" in p
+    assert "Window" not in p
+
+
+def test_streaming_ann_gate_stateless_projection(spark):
+    """The centroid gate must be a pure projection: no aggregate, no
+    exchange, no state — it scales with source partitions alone
+    (ingest-gate family discipline)."""
+    import re
+
+    from riemann_spark.plans.catalog_ml import (
+        _ann_gate_centroids,
+        _ann_gate_cols,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    max_cos, gated = _ann_gate_cols(_ann_gate_centroids(emb))
+    plan = plan_of_df(
+        emb.filter(F.col("label") != 0).select(
+            "vec_id", max_cos.alias("max_cos"), gated.alias("gated")
+        )
+    )
+    assert not re.search(r"^\(\d+\) (Exchange|HashAggregate)", plan, re.M), plan
+
+
+def test_greedy_pack_count_col_override(spark):
+    """Tokenizer-aware packing must bin on the supplied count.
+    Punctuated text splits into more BPE units than whitespace words
+    ('a,b c!' = 2 ws words but 4 BPE pre-split tokens), so the same
+    budget holds fewer docs per bin under the BPE measure."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.functions import text
+
+    rows = [(i, "s0", "one,two three! four? " * 3) for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    n_ws, n_bpe = d.select(
+        text.token_count("text"), text.bpe_token_count("text")
+    ).first()
+    assert n_ws == 9 and n_bpe == 22  # punctuation splits BPE units
+    ws = text.greedy_pack(d, 36, 1)
+    tok = text.greedy_pack(d, 36, 1, count_col=text.bpe_token_count("text"))
+    assert ws.agg(F.max("bin")).first()[0] == 1  # 4 docs x 9 fill a bin
+    assert tok.agg(F.max("bin")).first()[0] == 7  # 22+22 > 36: 1 doc/bin
+    assert tok.agg(F.sum("n_packed")).first()[0] == 8 * n_bpe
+    assert ws.count() == tok.count() == d.count()
