@@ -159,6 +159,18 @@ STATE_TABLE = {
         "timeout": "processing-time (every-interval tick until expired)",
         "emission": "sum/interval every tick, 0 in silence, ttl decay",
     },
+    "streaming_stable": {
+        "keys": ("host", "service"),
+        "state": "(prev string, has_prev long, buffered events arrays)",
+        "timeout": "processing-time (head+dt confirmation flush)",
+        "emission": "stable events pass; buffer flushes on dt proof",
+    },
+    "streaming_clock_skew": {
+        "keys": ("__g",),
+        "state": "(hosts/times/arrs arrays)  # per-host clock entries",
+        "timeout": "none",
+        "emission": "per event with metric = time - median clock",
+    },
     "index_stream (expire reaper)": {
         "keys": ("host", "service"),
         "state": "(latest event + ttl deadline)",

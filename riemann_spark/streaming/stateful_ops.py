@@ -789,6 +789,7 @@ def streaming_changed(
 def streaming_project(
     sdf: DataFrame,
     preds: Sequence,
+    with_expiry: bool = False,
 ) -> DataFrame:
     """project / project* (streams.clj:2032-2101), streaming: a fixed
     basis of N predicates; the state holds the latest matching event
@@ -804,7 +805,19 @@ def streaming_project(
     group holding N (time, id, metric) triples; feed it a
     pre-filtered stream (the flags filter is applied here), not the
     raw firehose — matching events serialize through one task by
-    semantic necessity (each emission depends on every prior match)."""
+    semantic necessity (each emission depends on every prior match).
+
+    ``with_expiry=True`` adds the reference's slot self-expiry lane
+    (streams.clj:2039-2056 clean-expire + streams_test.clj:1562-1572):
+    slots carry (service, state, ttl) alongside the metric; when a
+    matching event arrives, any occupied slot whose event has expired
+    (state "expired", or time + ttl strictly before the wall clock)
+    is emitted ONCE in expired form — service kept, state "expired",
+    time = now, metric dropped — then cleared, exactly the
+    reference's emit-expired-exactly-once contract. Expiry is lazy-
+    on-arrival like the reference (project keeps no timers; coalesce
+    owns the timer pattern). The default keeps the round-5 metric-
+    slot schema byte-stable for the drained catalog query."""
     from riemann_spark.query import compile_query
 
     n = len(preds)
@@ -812,7 +825,8 @@ def streaming_project(
         (compile_query(p) if isinstance(p, str) else p).alias(f"pm{i}")
         for i, p in enumerate(preds)
     ]
-    flagged = sdf.select("event_id", "time", "metric", *cols)
+    extra = ["service", "state", "ttl"] if with_expiry else []
+    flagged = sdf.select("event_id", "time", "metric", *extra, *cols)
     any_match = None
     for i in range(n):
         c = F.col(f"pm{i}")
@@ -822,25 +836,48 @@ def streaming_project(
     out_fields = [
         StructField("event_id", LongType()),
         StructField("time", DoubleType()),
-    ] + [StructField(f"slot{i}", DoubleType()) for i in range(n)]
-    out_schema = StructType(out_fields)
-    state_schema = StructType(
+    ] + (
         [
-            StructField("ts", ArrayType(DoubleType())),
-            StructField("ids", ArrayType(LongType())),
-            StructField("ms", ArrayType(DoubleType())),
+            StructField(f"slot{i}_{suffix}", typ)
+            for i in range(n)
+            for suffix, typ in (
+                ("service", StringType()),
+                ("state", StringType()),
+                ("metric", DoubleType()),
+                ("time", DoubleType()),
+            )
         ]
+        if with_expiry
+        else [StructField(f"slot{i}", DoubleType()) for i in range(n)]
     )
+    out_schema = StructType(out_fields)
+    state_fields = [
+        StructField("ts", ArrayType(DoubleType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("ms", ArrayType(DoubleType())),
+    ] + (
+        [
+            StructField("svcs", ArrayType(StringType())),
+            StructField("sts", ArrayType(StringType())),
+            StructField("ttls", ArrayType(DoubleType())),
+        ]
+        if with_expiry
+        else []
+    )
+    state_schema = StructType(state_fields)
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            ts, ids, ms = state.get
-            ts, ids, ms = list(ts), list(ids), list(ms)
+            stored = [list(a) for a in state.get]
         else:
-            ts, ids, ms = [None] * n, [None] * n, [None] * n
-        cols_ = ["event_id", "time", "metric"] + [f"pm{i}" for i in range(n)]
+            stored = [[None] * n for _ in range(len(state_fields))]
+        ts, ids, ms = stored[0], stored[1], stored[2]
+        if with_expiry:
+            svcs, sts, ttls = stored[3], stored[4], stored[5]
+        cols_ = ["event_id", "time", "metric"] + extra + [f"pm{i}" for i in range(n)]
         rows = _sorted_rows(pdfs, cols_)
         out = []
+        now_s = state.getCurrentProcessingTimeMs() / 1000.0
         for row in rows.itertuples(index=False):
             t, eid = float(row.time), int(row.event_id)
             m = None if pd.isna(row.metric) else float(row.metric)
@@ -849,8 +886,36 @@ def streaming_project(
                     ts[i] is None or (ts[i], ids[i]) < (t, eid)
                 ):
                     ts[i], ids[i], ms[i] = t, eid, m
-            out.append((eid, t, *ms))
-        state.update((ts, ids, ms))
+                    if with_expiry:
+                        svcs[i] = (
+                            row.service if isinstance(row.service, str) else None
+                        )
+                        sts[i] = (
+                            row.state if isinstance(row.state, str) else None
+                        )
+                        ttls[i] = None if pd.isna(row.ttl) else float(row.ttl)
+            if not with_expiry:
+                out.append((eid, t, *ms))
+                continue
+            # clean-expire: emit expired slots ONCE, then clear them
+            slot_cells = []
+            for i in range(n):
+                occupied = ts[i] is not None
+                expired = occupied and (
+                    sts[i] == "expired"
+                    or (ttls[i] is not None and ts[i] + ttls[i] < now_s)
+                )
+                if expired:
+                    slot_cells += [svcs[i], "expired", None, now_s]
+                    ts[i] = ids[i] = ms[i] = svcs[i] = sts[i] = ttls[i] = None
+                elif occupied:
+                    slot_cells += [svcs[i], sts[i], ms[i], ts[i]]
+                else:
+                    slot_cells += [None, None, None, None]
+            out.append((eid, t, *slot_cells))
+        state.update(
+            tuple([ts, ids, ms] + ([svcs, sts, ttls] if with_expiry else []))
+        )
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
@@ -1522,5 +1587,212 @@ def streaming_bottomk(
 
     return apply_with_state(
         rows, ["shard"], update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
+
+
+# ------------------------------------------------------- stable --
+
+def streaming_stable(
+    sdf: DataFrame,
+    dt: float,
+    field: str = "state",
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """stable (streams.clj:1936-2031): pass on events whose ``field``
+    value has persisted for at least ``dt`` seconds — the
+    spike/flap suppressor. Exact port of the reference state machine:
+
+    - same value, empty buffer → stable, event passes immediately;
+    - same value, buffering → append; if the buffer now spans >= dt
+      of EVENT time, flush it (stability proven by events alone);
+    - changed value → drop the old buffer, start a new one with this
+      event (the dropped events are the transient);
+    - WALL-CLOCK confirmation (the interval-vector lane): ``once!``
+      at buffer-head time + dt — if no contradicting event arrived by
+      then, the buffered run was stable, flush it. The reference
+      leaks one task per buffered head and lets stale ones no-op
+      (streams.clj:2019-2027 "let them all fight it out"); GroupState
+      carries ONE timer per key, re-armed to head+dt every
+      invocation, which fires at exactly the deadline the newest
+      relevant task would — stale deadlines are superseded instead of
+      no-opping.
+
+    The timed-out flush re-checks ``dt <= now - head.time`` exactly
+    like the reference's timeout closure, so a fire racing a fresh
+    buffer is a no-op there and here. State is O(buffered events in
+    one dt window) per key."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("event_id", LongType()),
+            StructField("time", DoubleType()),
+            StructField("metric", DoubleType()),
+            StructField("state", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("prev", StringType()),
+            StructField("has_prev", LongType()),
+            StructField("b_eids", ArrayType(LongType())),
+            StructField("b_times", ArrayType(DoubleType())),
+            StructField("b_metrics", ArrayType(DoubleType())),
+            StructField("b_states", ArrayType(StringType())),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+    rows = sdf.select(
+        *keys,
+        "event_id",
+        "time",
+        "metric",
+        "state",
+        F.col(field).cast("string").alias("sval"),
+    )
+
+    def upd(key, pdfs, state: GroupState):
+        host, service = (list(key) + [None, None])[:2]
+        now_s = state.getCurrentProcessingTimeMs() / 1000.0
+        if state.exists:
+            prev, has_prev, b_eids, b_times, b_metrics, b_states = state.get
+            buf = [
+                [int(e), float(t), None if m is None else float(m), s]
+                for e, t, m, s in zip(b_eids, b_times, b_metrics, b_states)
+            ]
+        else:
+            prev, has_prev, buf = None, 0, []
+        out = []
+        if state.hasTimedOut:
+            # the reference timeout closure: flush iff the head is
+            # >= dt old by the (virtual) wall — otherwise a newer
+            # buffer replaced the one this task was armed for
+            if buf and dt <= now_s - buf[0][1]:
+                out = [[host, service, e, t, m, s] for e, t, m, s in buf]
+                buf = []
+        else:
+            batch = _sorted_rows(pdfs, ["event_id", "time", "metric", "state", "sval"])
+            for row in batch.itertuples(index=False):
+                v = None if pd.isna(row.sval) else str(row.sval)
+                ev = [
+                    int(row.event_id),
+                    float(row.time),
+                    None if pd.isna(row.metric) else float(row.metric),
+                    row.state if isinstance(row.state, str) else None,
+                ]
+                if has_prev and v == prev:
+                    if not buf:
+                        out.append([host, service, *ev])  # stable: pass now
+                    else:
+                        buf.append(ev)
+                        if dt <= ev[1] - buf[0][1]:
+                            out.extend([host, service, *e] for e in buf)
+                            buf = []
+                else:
+                    prev, has_prev, buf = v, 1, [ev]
+        state.update(
+            (
+                prev,
+                has_prev,
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                [e[2] for e in buf],
+                [e[3] for e in buf],
+            )
+        )
+        if buf:
+            state.setTimeoutDuration(
+                max(0, int(round((buf[0][1] + dt) * 1000)) - state.getCurrentProcessingTimeMs())
+            )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return apply_with_state(
+        rows, keys, upd, out_schema, state_schema,
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+
+
+# --------------------------------------------------- clock-skew --
+
+def streaming_clock_skew(sdf: DataFrame) -> DataFrame:
+    """clock-skew (streams.clj:2159-2196), streaming: track what time
+    each host thinks it is (its latest event time plus the wall time
+    elapsed since that event ARRIVED), compare every event to the
+    MEDIAN of those projected clocks, and pass the event on with
+    metric = its time minus the median clock — hosts running ahead
+    emit positive metrics, hosts behind negative.
+
+    Port notes: arrival stamps are ``getCurrentProcessingTimeMs`` at
+    the invocation (within a micro-batch all rows share one stamp —
+    the batch analogue of the reference's per-event ``unix-time``);
+    the median is ``middle`` = sorted[n // 2], the reference's
+    upper-median fold; an expired event passes through untouched and
+    tombstones its host's clock entry (coalesce-with-event drops it).
+    Like the reference — which serializes every event through one
+    coalesce atom — this is a GLOBAL combinator: one state group of
+    O(hosts) entries; feed it a latest-per-host stream, not the raw
+    firehose."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("event_id", LongType()),
+            StructField("time", DoubleType()),
+            StructField("metric", DoubleType()),
+            StructField("state", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hosts", ArrayType(StringType())),
+            StructField("times", ArrayType(DoubleType())),
+            StructField("arrs", ArrayType(DoubleType())),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+    rows = sdf.select(
+        "host", "event_id", "time", "metric", "state"
+    ).withColumn("__g", F.lit(0))
+
+    def upd(key, pdfs, state: GroupState):
+        now_s = state.getCurrentProcessingTimeMs() / 1000.0
+        if state.exists:
+            hosts, times, arrs = state.get
+            clocks = {
+                h: (float(t), float(a))
+                for h, t, a in zip(hosts, times, arrs)
+            }
+        else:
+            clocks = {}
+        batch = _sorted_rows(pdfs, ["host", "event_id", "time", "metric", "state"])
+        out = []
+        for row in batch.itertuples(index=False):
+            h = row.host if isinstance(row.host, str) else None
+            st = row.state if isinstance(row.state, str) else None
+            t = float(row.time)
+            if st == "expired":
+                clocks.pop(h, None)
+                out.append(
+                    [h, int(row.event_id), t,
+                     None if pd.isna(row.metric) else float(row.metric), st]
+                )
+                continue
+            clocks[h] = (t, now_s)
+            proj = sorted(ct + (now_s - ca) for ct, ca in clocks.values())
+            delta = t - proj[len(proj) // 2] if proj else 0.0
+            out.append([h, int(row.event_id), t, delta, st])
+        state.update(
+            (
+                list(clocks.keys()),
+                [v[0] for v in clocks.values()],
+                [v[1] for v in clocks.values()],
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return apply_with_state(
+        rows, ("__g",), upd, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
         )

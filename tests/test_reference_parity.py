@@ -1097,7 +1097,13 @@ def test_fill_in_last_interval_vectors(spark):
     quick succession passes [1 2 3] untouched; with a 0.06 s gap at
     interval 0.05 a filler (update {:metric 0}) appears, an expired
     event cancels the filler and passes through, the next live event
-    resumes: metrics [1 0 2 3 0 4 5]."""
+    resumes: metrics [1 0 2 3 0 4 5].
+
+    This also ports fill-in-test (streams_test.clj:882-903): its
+    vectors are metric-for-metric identical — fill-in emits the
+    static default event where fill-in-last merges the default into
+    the last event, and the default here IS {:metric 0}, so both
+    deftests assert the same [1 2 3] / [1 0 2 3 0 4 5] sequences."""
     from riemann_spark.streaming.stateful_ops import streaming_fill_in_last
 
     build = lambda s: streaming_fill_in_last(s, 0.01, {"metric": 0.0})
@@ -1339,3 +1345,107 @@ def test_apdex_vector(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].apdex == (5 + 7 / 2) / 14
+
+
+def test_stable_interval_vectors(spark):
+    """streams_test.clj:1493-1508 stable-test, the two wall-clock
+    blocks: (stable 10 :x) triggers after dt seconds of stability
+    even WITHOUT new events (the once! confirmation timer), and
+    flushes the whole buffered run when stability is proven either by
+    the clock or by event-time span. (The event-driven stable blocks
+    at 1461-1491 are covered by the batch operator's tests.)"""
+    from riemann_spark.streaming.stateful_ops import streaming_stable
+
+    row_fields = ("event_id", "time", "metric", "state", "sval",
+                  "host", "service")
+
+    def run(seq):
+        return [
+            (r["metric"], r["time"])
+            for r in _intervals(
+                lambda s: streaming_stable(s, 10.0, field="metric"),
+                seq, row_fields=row_fields,
+            )
+        ]
+
+    # Triggers after dt seconds of stability, even without new events.
+    got = run(
+        [{"metric": 0.0, "time": 0.0, "sval": "0.0"}, 1,
+         {"metric": 1.0, "time": 1.0, "sval": "1.0"}, 10,
+         {"metric": 2.0, "time": 11.0, "sval": "2.0"}, 1]
+    )
+    assert got == [(1.0, 1.0)]
+
+    # Triggers after dt seconds with new events.
+    got = run(
+        [{"metric": 0.0, "time": 0.0, "sval": "0.0"}, 1,
+         {"metric": 0.0, "time": 1.0, "sval": "0.0"}, 4,
+         {"metric": 0.0, "time": 5.0, "sval": "0.0"}, 6,
+         {"metric": 1.0, "time": 11.0, "sval": "1.0"}, 1]
+    )
+    assert got == [(0.0, 0.0), (0.0, 1.0), (0.0, 5.0)]
+
+
+def test_clock_skew_interval_vector(spark):
+    """streams_test.clj:1773-1789 clock-skew-test — per-host clocks
+    projected forward from arrival stamps, each event compared to the
+    upper-median clock: metrics [0 0 5 -4 89] (the last: foo claims
+    t=100 at wall 4+2 while the median host clock reads 11)."""
+    from riemann_spark.streaming.stateful_ops import streaming_clock_skew
+
+    out = _intervals(
+        lambda s: streaming_clock_skew(s),
+        [{"time": 1.0, "host": "foo"}, 1,
+         {"time": 3.0, "host": "bar"}, 1,
+         {"time": 9.0, "host": "baz"}, 1,
+         {"time": 1.0, "host": "foo"}, 1,
+         {"time": 100.0, "host": "foo"}, None],
+        row_fields=("host", "event_id", "time", "metric", "state"),
+        key_fields=("__g",),
+    )
+    got = [(r["host"], r["time"], r["metric"]) for r in out]
+    assert got == [
+        ("foo", 1.0, 0.0),
+        ("bar", 3.0, 0.0),
+        ("baz", 9.0, 5.0),
+        ("foo", 1.0, -4.0),
+        ("foo", 100.0, 89.0),
+    ]
+
+
+def test_project_expiration_interval_vector(spark):
+    """streams_test.clj:1562-1572 project-test "Expiration test" —
+    a slot whose event's ttl has lapsed by the next matching arrival
+    is emitted ONCE in expired form ({:service kept, :state
+    "expired", :time now}, metric dropped) and cleared: emissions
+    [[foo nil] [expired-foo bar] [nil bar-ok2]]."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.streaming.stateful_ops import streaming_project
+
+    out = _intervals(
+        lambda s: streaming_project(
+            s,
+            [F.col("service") == "foo", F.col("service") == "bar"],
+            with_expiry=True,
+        ),
+        [{"service": "foo", "state": "ok", "time": 0.0, "ttl": 1.0,
+          "pm0": True, "pm1": False}, 2,
+         {"service": "bar", "state": "ok", "pm0": False, "pm1": True}, 1,
+         {"service": "bar", "state": "ok2", "pm0": False, "pm1": True}, None],
+        row_fields=("event_id", "time", "metric", "service", "state",
+                    "ttl", "pm0", "pm1"),
+        key_fields=("__g",),
+    )
+    got = [
+        [
+            (r[f"slot{i}_service"], r[f"slot{i}_state"], r[f"slot{i}_time"])
+            for i in (0, 1)
+        ]
+        for r in out
+    ]
+    assert got == [
+        [("foo", "ok", 0.0), (None, None, None)],
+        [("foo", "expired", 2.0), ("bar", "ok", 2.0)],
+        [(None, None, None), ("bar", "ok2", 3.0)],
+    ]

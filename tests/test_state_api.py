@@ -421,6 +421,24 @@ def _state_table_cases():
              _fire(now=1000),
              _fire(now=2000)],
         ),
+        "streaming_stable": (
+            lambda: so.streaming_stable(FAKE, 2.0, field="state"),
+            ("h1", "svc"),
+            [_data(_pdf(event_id=[0, 1], time=[0.0, 1.0],
+                        metric=[1.0, 2.0], state=["ok", "ok"],
+                        sval=["ok", "ok"]), now=1000),
+             _fire(now=2000),
+             _data(_pdf(event_id=[2], time=[3.0], metric=[3.0],
+                        state=["crit"], sval=["crit"]), now=3000)],
+        ),
+        "streaming_clock_skew": (
+            lambda: so.streaming_clock_skew(FAKE), (0,),
+            [_data(_pdf(event_id=[0, 1], time=[1.0, 3.0],
+                        metric=[None, None], state=["ok", "ok"],
+                        host=["foo", "bar"]), now=1000),
+             _data(_pdf(event_id=[2], time=[9.0], metric=[None],
+                        state=["ok"], host=["baz"]), now=2000)],
+        ),
     }
 
 
