@@ -153,6 +153,9 @@ HEADLINE = [
     "url_dedup",
     "domain_quality_rollup",
     "ann_gate_report",
+    "curriculum_order",
+    "edit_distance_verify",
+    "containment_dedup",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

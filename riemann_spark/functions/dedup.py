@@ -148,6 +148,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Directional near-dup detection: all pairs where either doc's
+    shingle set is >= ``threshold`` CONTAINED in the other —
+    c(A→B) = |A∩B| / |A|. Jaccard misses the asymmetric duplication
+    that dominates real crawls (a wire story embedded in a longer
+    page, a quoted post, a doc plus boilerplate): a 200-shingle doc
+    fully inside a 4000-shingle page has Jaccard ~0.05 but
+    containment 1.0. Broder's distinction (1997 §2) — resemblance vs
+    containment — with the keep/flag decision downstream (usually:
+    drop the contained doc, keep the container).
+
+    Same inverted-index shape as ngram_jaccard_pairs (ONE shingle
+    shuffle, stop-shingle guard bounds posting lists, pairs explode
+    within postings) — only the final arithmetic differs: both
+    directions computed from the same (n_inter, n1, n2) row, emitted
+    once per unordered pair with c12/c21 columns."""
+    sh = _shingle_table(df, id_col, text_col, k)
+    posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+    if max_shingle_df is not None:
+        posts = posts.filter(F.size("docs") <= max_shingle_df)
+    posts = posts.persist()
+    sizes = (
+        posts.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    ds = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    inter = (
+        posts.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("c12", F.col("n_inter") / F.col("n1"))
+        .withColumn("c21", F.col("n_inter") / F.col("n2"))
+        .filter(F.greatest("c12", "c21") >= threshold)
+        .select("doc1", "doc2", "n_inter", "n1", "n2", "c12", "c21")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 8,

@@ -35,6 +35,11 @@ _GATE_PRIORITY = [
     "token_pack_efficiency",
     "streaming_ann_gate",
     "ann_gate_report",
+    # -- round-7 second batch: -------------------------------------------
+    "curriculum_order",
+    "edit_distance_verify",
+    "containment_dedup",
+    "streaming_token_budget_drained",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

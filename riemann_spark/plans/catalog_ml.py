@@ -5812,3 +5812,218 @@ def ann_gate_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_max_cos"),
         )
     )
+
+
+# ---------------------------------------------- round-7 second batch
+
+@q(
+    "curriculum_order",
+    f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+r AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM t),
+s AS (SELECT doc_id, source, quality,
+        CAST(ntile(4) OVER (PARTITION BY source ORDER BY quality, doc_id)
+             AS BIGINT) AS stage
+      FROM r)
+SELECT doc_id, source, quality, stage,
+       CAST(row_number() OVER (PARTITION BY source, stage
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cur'), doc_id)
+            AS BIGINT) AS pos
+FROM s""",
+)
+def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum staging: each source's docs are quartiled by quality
+    (stage 1 = worst ... 4 = best — train easy-to-hard or filter the
+    bottom stage outright) and given a deterministic md5-shuffled
+    position WITHIN (source, stage), so a loader can stream any
+    curriculum phase reproducibly with no RNG state.
+
+    Per-SOURCE quantiles, not global: ntile is a positional window
+    function, so staging within the source key keeps the sort
+    key-partitioned (the same shape as every per-source window here)
+    — a global exact quartile would be one all-corpus sort; at 100 TB
+    you'd swap in approx thresholds, and per-source staging is what
+    mixing recipes want anyway (each source contributes its own
+    easy→hard ramp). Two windows, both on source-prefixed keys;
+    ntile/row_number are purely positional → engine-exact given the
+    (quality, doc_id) total order, and quality is the shared exact
+    expression tree."""
+    d = load_table(spark, sf, "documents")
+    w_stage = Window.partitionBy("source").orderBy("quality", "doc_id")
+    w_pos = Window.partitionBy("source", "stage").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cur"))),
+        "doc_id",
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            text.quality_score("text").alias("quality"),
+        )
+        .withColumn("stage", F.ntile(4).over(w_stage).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "stage",
+            F.row_number().over(w_pos).cast("long").alias("pos"),
+        )
+    )
+
+
+_EDIT_VERIFY_T = 0.2
+
+
+@q(
+    "edit_distance_verify",
+    f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+v AS (SELECT p.doc1, p.doc2,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+             CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+               AS max_len
+      FROM pairs p
+      JOIN documents a ON a.doc_id = p.doc1
+      JOIN documents b ON b.doc_id = p.doc2)
+SELECT doc1, doc2, lev, max_len,
+       lev / CAST(max_len AS DOUBLE) AS norm_edit,
+       lev / CAST(max_len AS DOUBLE) <= {_EDIT_VERIFY_T} AS verified
+FROM v""",
+)
+def edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance verification of MinHash-LSH candidates — the
+    precision tier shingle Jaccard can't give: Levenshtein counts
+    every insertion/deletion/substitution, so reordered-but-shared
+    vocabulary (high Jaccard, low edit similarity) is rejected while
+    small in-place edits pass. verified = normalized distance
+    (lev / max_len) <= {_EDIT_VERIFY_T}.
+
+    Cost shape: Levenshtein is O(len_a x len_b) PER PAIR — never run
+    it corpus x corpus; here it runs only on the LSH candidate set
+    (recall-first, parameter-bounded), joined back to text via two
+    keyed joins. The DP is JVM-side (built-in levenshtein), identical
+    algorithm in DuckDB — integer-exact. At 100 TB the candidate
+    frame is the near-dup rate x corpus, and each verify is
+    independent — embarrassingly parallel."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    a = d.select(F.col("doc_id").alias("doc1"), F.col("text").alias("__ta"))
+    b = d.select(F.col("doc_id").alias("doc2"), F.col("text").alias("__tb"))
+    v = (
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.levenshtein("__ta", "__tb").cast("long").alias("lev"),
+            F.greatest(F.length("__ta"), F.length("__tb"))
+            .cast("long")
+            .alias("max_len"),
+        )
+    )
+    norm = F.col("lev") / F.col("max_len").cast("double")
+    return v.select(
+        "doc1",
+        "doc2",
+        "lev",
+        "max_len",
+        norm.alias("norm_edit"),
+        (norm <= F.lit(_EDIT_VERIFY_T)).alias("verified"),
+    )
+
+
+_CONTAIN_T = 0.8
+
+
+@q(
+    "containment_dedup",
+    f"""
+WITH {_SHINGLE_SQL},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
+inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2),
+c AS (SELECT doc1, doc2, n_inter,
+             s1.n AS n1, s2.n AS n2,
+             n_inter / CAST(s1.n AS DOUBLE) AS c12,
+             n_inter / CAST(s2.n AS DOUBLE) AS c21
+      FROM inter JOIN sizes s1 ON doc1 = s1.doc
+                 JOIN sizes s2 ON doc2 = s2.doc)
+SELECT doc1, doc2, n_inter,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, c12, c21
+FROM c WHERE greatest(c12, c21) >= {_CONTAIN_T}""",
+)
+def containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional containment near-dup pairs (functions/dedup.py
+    containment_pairs; Broder 1997's resemblance-vs-containment
+    split): c(A→B) = |A∩B|/|A| catches the asymmetric duplication
+    Jaccard structurally misses — a wire story inside a longer page,
+    a quoted post, doc + boilerplate wrapper. Deploy decision
+    downstream: drop the contained side, keep the container. Same
+    single-shuffle inverted-index plan as dedup_jaccard (stop-shingle
+    guard bounds postings); only the final arithmetic differs."""
+    d = load_table(spark, sf, "documents")
+    return dedup.containment_pairs(d, _CONTAIN_T)
+
+
+_TOK_BUDGET = 8000
+
+
+@q(
+    "streaming_token_budget_drained",
+    f"""
+WITH t AS (SELECT source AS part, doc_id,
+                  CAST(len({_TOKS}) AS BIGINT) AS n_tok
+           FROM documents),
+c AS (SELECT part, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY part ORDER BY doc_id)
+               AS cum_tokens
+      FROM t)
+SELECT part, doc_id, n_tok,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= {_TOK_BUDGET} AS within_budget
+FROM c""",
+)
+def streaming_token_budget_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time per-source token budget meter, drained VALUE oracle
+    (streaming/stateful_ops.streaming_token_budget): the mixing
+    recipe allots each source a token budget; every arriving doc
+    emits its running source total and whether it still fits —
+    admit-or-overflow decided AT ARRIVAL, no lake rescan. Docs are
+    consumed in doc_id order (the corpus arrival-order analogue), so
+    the drained stream reproduces the batch windowed cumulative sum
+    BIT-EXACTLY — ingest-time budgeting equals lake-time budgeting,
+    same as the bottom-k sampler's drain contract. State is one long
+    per source."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_token_budget
+
+    name = f"cat_stb_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stb_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    stream = streaming_token_budget(raw, _TOK_BUDGET)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

@@ -171,6 +171,12 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "per event with metric = time - median clock",
     },
+    "streaming_token_budget": {
+        "keys": ("part",),
+        "state": "(cum long)  # running source token total",
+        "timeout": "none",
+        "emission": "per doc with cum_tokens + within_budget",
+    },
     "index_stream (expire reaper)": {
         "keys": ("host", "service"),
         "state": "(latest event + ttl deadline)",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -1794,5 +1795,74 @@ def streaming_clock_skew(sdf: DataFrame) -> DataFrame:
 
     return apply_with_state(
         rows, ("__g",), upd, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
+
+
+# --------------------------------------------------- token budget --
+
+def streaming_token_budget(
+    sdf: DataFrame,
+    budget: int,
+    count_col=None,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time per-source token budget meter — the mixing-recipe
+    enforcement point: a training mix allots each source a token
+    budget (e.g. "web 60 %, code 25 %, books 15 % of N tokens"), and
+    ingestion must know, AT ARRIVAL, whether a document still fits or
+    the source's allotment is spent. State per source is ONE running
+    long; each arriving doc emits (cum_tokens including itself,
+    within_budget = cum <= budget), so downstream either admits the
+    doc or routes it to the overflow lake.
+
+    Docs are processed in deterministic ``id_col`` order within a
+    batch (the corpus analogue of (time, event_id) arrival order), so
+    a drained run reproduces the batch window cumulative sum exactly
+    — the oracle is SUM OVER (PARTITION BY source ORDER BY doc_id).
+    Scale: state is O(sources), the stream shuffles once on the
+    source key (the state op's own exchange); counting is a JVM
+    projection fused into the scan."""
+    from riemann_spark.functions.text import token_count
+
+    rows = sdf.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        (count_col if count_col is not None else token_count("text"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    out_schema = StructType(
+        [
+            StructField("part", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("n_tok", LongType()),
+            StructField("cum_tokens", LongType()),
+            StructField("within_budget", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("cum", LongType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def upd(key, pdfs, state: GroupState):
+        (part,) = key
+        cum = state.get[0] if state.exists else 0
+        parts = [pdf[["doc_id", "n_tok"]] for pdf in pdfs]
+        out = []
+        if parts:
+            batch = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+            for row in batch.itertuples(index=False):
+                cum += int(row.n_tok)
+                out.append(
+                    [part, int(row.doc_id), int(row.n_tok), cum,
+                     cum <= budget]
+                )
+        state.update((cum,))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return apply_with_state(
+        rows, ("part",), upd, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
         )

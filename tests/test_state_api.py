@@ -439,6 +439,11 @@ def _state_table_cases():
              _data(_pdf(event_id=[2], time=[9.0], metric=[None],
                         state=["ok"], host=["baz"]), now=2000)],
         ),
+        "streaming_token_budget": (
+            lambda: so.streaming_token_budget(FAKE, 10), ("s0",),
+            [_data(_pdf(doc_id=[0, 1], n_tok=[4, 5])),
+             _data(_pdf(doc_id=[2], n_tok=[3]))],
+        ),
     }
 
 

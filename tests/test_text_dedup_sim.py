@@ -1435,3 +1435,23 @@ def test_span_corruption_shapes(spark):
     # determinism: same input -> same fingerprints
     again = {r.doc_id: r for r in text.span_corruption(df).collect()}
     assert again[0].input_fp == r0.input_fp and again[0].target_fp == r0.target_fp
+
+
+def test_containment_pairs_directional(spark):
+    """Containment catches the asymmetric case Jaccard misses: a short
+    doc fully inside a long one has c(short→long)=1.0 while Jaccard
+    stays at |short|/|long|. Unrelated docs produce no pair."""
+    from riemann_spark.functions.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    other = "zeta eta theta iota kappa lambda"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+    rows = containment_pairs(df, 0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc1"], r["doc2"]) == (1, 2)
+    assert r["c12"] == 1.0  # short's 3 shingles all inside long
+    assert r["c21"] < 0.1
