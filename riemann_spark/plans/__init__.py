@@ -40,6 +40,9 @@ _GATE_PRIORITY = [
     "edit_distance_verify",
     "containment_dedup",
     "streaming_token_budget_drained",
+    # -- round-7 third batch: --------------------------------------------
+    "streaming_url_gate_drained",
+    "streaming_drift_gate",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

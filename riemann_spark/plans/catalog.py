@@ -4667,3 +4667,95 @@ def psi_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n_cur").cast("long").alias("n_cur"),
         F.round(F.sum((p - qq) * F.log(p / qq)), 6).alias("psi"),
     )
+
+
+_DRIFT_T = 0.02
+
+
+@q(
+    "streaming_drift_gate",
+    f"""{_EV},
+mid AS (SELECT (MIN(time_us) + MAX(time_us)) // 2 AS m FROM ev),
+b AS (SELECT service, (time_us // 3600000000) % 24 AS hod
+      FROM ev CROSS JOIN mid WHERE time_us <= m),
+counts AS (SELECT service, hod, COUNT(*) AS c_ref
+           FROM b GROUP BY service, hod),
+tot AS (SELECT service, COUNT(*) AS n_ref FROM b GROUP BY service),
+cur AS (SELECT event_id, service, (time_us // 3600000000) % 24 AS hod
+        FROM ev CROSS JOIN mid WHERE time_us > m),
+j AS (SELECT cur.event_id, cur.service, cur.hod,
+             COALESCE(c.c_ref, 0) AS c_ref,
+             COALESCE(t.n_ref, 0) AS n_ref
+      FROM cur LEFT JOIN counts c
+             ON cur.service = c.service AND cur.hod = c.hod
+           LEFT JOIN tot t ON cur.service = t.service)
+SELECT event_id, service, CAST(hod AS BIGINT) AS hod,
+       (c_ref + 1) / (n_ref + 24.0) AS p_ref,
+       (c_ref + 1) / (n_ref + 24.0) < {_DRIFT_T} AS flagged
+FROM j""",
+)
+def streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME distribution-drift gate — the streaming sibling of
+    psi_drift: the reference half of the stream trains a per-service
+    hour-of-day Laplace baseline (the same 24 integer buckets), and
+    every LIVE event is flagged at arrival when its bucket's baseline
+    probability sits under {_DRIFT_T} — "this service does not
+    normally emit at this hour", the cheap novelty screen you run
+    before the heavyweight per-window PSI rollup.
+
+    STATELESS streaming plan: the baseline is a model-sized static
+    frame (|services| x 24 rows) broadcast into a stream-static left
+    join — no state, no watermark, scales with source partitions;
+    the midpoint is one bounded one-row collect. Laplace arithmetic
+    is exact integer counts with one final division, identical
+    expression trees both engines."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_sdg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sdg_ck_")
+    ev = load_events(spark, sf)
+    mid = ev.agg(
+        F.expr("(MIN(time_us) + MAX(time_us)) DIV 2").alias("m")
+    ).first()["m"]
+    hod = F.expr("(time_us DIV 3600000000) % 24").cast("long")
+    ref = ev.filter(F.col("time_us") <= mid).select(
+        "service", hod.alias("hod")
+    )
+    counts = ref.groupBy("service", "hod").agg(
+        F.count(F.lit(1)).alias("c_ref")
+    )
+    tot = ref.groupBy("service").agg(F.count(F.lit(1)).alias("n_ref"))
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    sev = normalize_events(raw).filter(F.col("time_us") > mid).select(
+        "event_id", "service", hod.alias("hod")
+    )
+    p = (F.coalesce(F.col("c_ref"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("n_ref"), F.lit(0)) + 24.0
+    )
+    flagged = sev.join(
+        F.broadcast(counts), ["service", "hod"], "left"
+    ).join(F.broadcast(tot), ["service"], "left").select(
+        "event_id",
+        "service",
+        "hod",
+        p.alias("p_ref"),
+        (p < F.lit(_DRIFT_T)).alias("flagged"),
+    )
+    q_ = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

@@ -5415,14 +5415,15 @@ def dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
 #: full zoo of decorations a crawler actually sees — scheme flips,
 #: www. aliases, host case, trailing slashes, tracking params,
 #: fragments — giving the normalizer real work and the dedup real
-#: collisions (path key = doc_id % 101, ~1 page per doc per source at
-#: sf0.01, birthday-colliding). Same posture as by_derived_key: the
+#: collisions (path key = doc_id % 13: 25 docs per source at sf0.01
+#: fold onto 13 paths, so roughly half of each source's pages are
+#: URL-duplicates of an earlier fetch — the refetch regime). Same posture as by_derived_key: the
 #: reusable mechanics are functions/text.py url_normalize/url_domain;
 #: the derivation is the fixture.
 _RAW_URL_SQL = """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
     || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
     || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
-    || '.example.com/p/' || CAST(doc_id % 101 AS VARCHAR)
+    || '.example.com/p/' || CAST(doc_id % 13 AS VARCHAR)
     || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
     || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
     || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)"""
@@ -5441,7 +5442,7 @@ def _raw_url_col() -> F.Column:
         F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.when(d % 4 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
         F.lit(".example.com/p/"),
-        (d % 101).cast("string"),
+        (d % 13).cast("string"),
         F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(d % 7 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(F.lit("")),
         F.when(d % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
@@ -5910,7 +5911,11 @@ def edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
     keyed joins. The DP is JVM-side (built-in levenshtein), identical
     algorithm in DuckDB — integer-exact. At 100 TB the candidate
     frame is the near-dup rate x corpus, and each verify is
-    independent — embarrassingly parallel."""
+    independent — embarrassingly parallel. AUDIT-TIER by the
+    pair-query convention (×20 adversarial probe: 27.6×, because a
+    dup class of c docs yields c²/2 candidate pairs each paying the
+    DP) — deploy pipelines verify only the pairs the keep-list
+    decision actually needs, or cap per-doc candidates."""
     d = load_table(spark, sf, "documents")
     pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
     a = d.select(F.col("doc_id").alias("doc1"), F.col("text").alias("__ta"))
@@ -5945,7 +5950,7 @@ _CONTAIN_T = 0.8
     "containment_dedup",
     f"""
 WITH {_SHINGLE_SQL},
-hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 200),
 shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
 inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
@@ -5968,10 +5973,16 @@ def containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard structurally misses — a wire story inside a longer page,
     a quoted post, doc + boilerplate wrapper. Deploy decision
     downstream: drop the contained side, keep the container. Same
-    single-shuffle inverted-index plan as dedup_jaccard (stop-shingle
-    guard bounds postings); only the final arithmetic differs."""
+    single-shuffle inverted-index plan as dedup_jaccard, with a
+    TIGHTER stop-shingle guard (df > 200 dropped vs dedup_jaccard's
+    1000): pair volume is quadratic in posting length, and the ×20
+    adversarial probe corpus (dup classes of ~20) showed df=1000
+    postings GC-thrashing the flatten — 200 keeps the worst posting
+    at ~20k pairs while still admitting every shingle that can
+    matter at 0.8 containment. Audit-tier like every pair-output
+    query; the keep/drop rollup is the deploy path."""
     d = load_table(spark, sf, "documents")
-    return dedup.containment_pairs(d, _CONTAIN_T)
+    return dedup.containment_pairs(d, _CONTAIN_T, max_shingle_df=200)
 
 
 _TOK_BUDGET = 8000
@@ -6017,6 +6028,70 @@ def streaming_token_budget_drained(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(sf)
     )
     stream = streaming_token_budget(raw, _TOK_BUDGET)
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
+    "streaming_url_gate_drained",
+    f"""
+WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents),
+n AS (SELECT doc_id, {_URL_NORM_SQL.format(u='u')} AS url FROM raw),
+h AS (SELECT doc_id, url, md5(url) AS h FROM n),
+hs AS (SELECT doc_id, url, h,
+              CAST('0x' || substr(h, 21, 8) AS BIGINT) % 8 AS shard
+       FROM h),
+bits AS (SELECT doc_id, shard,
+                CAST('0x' || substr(h, 1 + 5 * i, 5) AS BIGINT) AS pos
+         FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+firstset AS (SELECT shard, pos, MIN(doc_id) AS fd
+             FROM bits GROUP BY shard, pos),
+seen AS (SELECT b.doc_id, bool_and(f.fd < b.doc_id) AS seen_probable
+         FROM bits b JOIN firstset f
+           ON b.shard = f.shard AND b.pos = f.pos
+         GROUP BY b.doc_id)
+SELECT hs.shard, hs.doc_id, hs.url, s.seen_probable,
+       NOT s.seen_probable AS kept
+FROM hs JOIN seen s ON hs.doc_id = s.doc_id""",
+)
+def streaming_url_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-bounded seen-URL ingest gate, drained VALUE oracle
+    (streaming/stateful_ops.streaming_url_gate): normalized URLs
+    stream through per-shard 2^20-bit Bloom filters; a URL whose 4
+    md5-chunk bits were all set by strictly earlier arrivals is
+    flagged seen_probable (same-URL repeats always are; unrelated
+    URLs only at the Bloom FP rate — never a false pass). The oracle
+    needs no sequential replay: monotone bit-OR state makes the
+    decision set-wise — "every bit first set by an earlier doc" —
+    which is exactly what the SQL computes from the (shard, pos,
+    min doc) table. State is 8 x 128 KiB regardless of corpus size;
+    an exact seen-set would grow with the crawl, which is the design
+    this replaces at 100 TB."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_url_gate
+
+    name = f"cat_sug_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sug_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    urls = raw.select(
+        "doc_id", text.url_normalize(_raw_url_col()).alias("url")
+    )
+    stream = streaming_url_gate(urls, 8)
     q_ = (
         stream.writeStream.format("memory")
         .queryName(name)

@@ -177,6 +177,12 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "per doc with cum_tokens + within_budget",
     },
+    "streaming_url_gate": {
+        "keys": ("shard",),
+        "state": "(bloom binary)  # 2^20-bit seen-URL filter",
+        "timeout": "none",
+        "emission": "per url with seen_probable + kept",
+    },
     "index_stream (expire reaper)": {
         "keys": ("host", "service"),
         "state": "(latest event + ttl deadline)",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     DoubleType,
     LongType,
@@ -1864,5 +1865,74 @@ def streaming_token_budget(
 
     return apply_with_state(
         rows, ("part",), upd, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+        )
+
+
+# ------------------------------------------------- url seen-filter --
+
+def streaming_url_gate(sdf: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Ingest-time seen-URL filter — the crawl-frontier question
+    ("have we fetched this URL?") answered AT ARRIVAL with BOUNDED
+    state: each shard keeps one 2^20-bit Bloom filter (128 KiB,
+    sketches.py geometry: 4 disjoint 20-bit md5 chunks); an arriving
+    url whose 4 bits are all already set is flagged seen_probable and
+    dropped from the keep stream, then (either way) inserts its bits.
+    False-positive drops are the deliberate Bloom trade — at 1 M
+    inserts per shard FP ≈ (1-e^(-4M/2^20))^4, and shards scale the
+    capacity linearly — false NEGATIVES never happen, so no duplicate
+    URL ever passes.
+
+    Unlike an exact seen-set (state grows with the corpus — the thing
+    that cannot ship at 100 TB), Bloom state is O(n_shards · 128 KiB)
+    FOREVER. Rows are processed in doc_id order (arrival-order
+    analogue, same contract as streaming_token_budget), which makes
+    the drained decision set-wise reproducible: a doc is
+    seen_probable iff every one of its bits was first set by a
+    strictly earlier doc — the exact formulation the SQL oracle
+    replays without sequential state. The md5 is computed JVM-side;
+    Python only parses hex chunks and flips bits."""
+    rows = sdf.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("url"),
+        F.md5("url").alias("h"),
+        (
+            F.conv(F.substring(F.md5("url"), 21, 8), 16, 10).cast("long")
+            % n_shards
+        ).alias("shard"),
+    )
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("url", StringType()),
+            StructField("seen_probable", BooleanType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("bloom", BinaryType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def upd(key, pdfs, state: GroupState):
+        (shard,) = key
+        blob = bytearray(state.get[0]) if state.exists else bytearray(1 << 17)
+        parts = [pdf[["doc_id", "url", "h"]] for pdf in pdfs]
+        out = []
+        if parts:
+            batch = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+            for row in batch.itertuples(index=False):
+                pos = [int(row.h[5 * i : 5 * i + 5], 16) for i in range(4)]
+                seen = all(blob[p >> 3] >> (p & 7) & 1 for p in pos)
+                for p in pos:
+                    blob[p >> 3] |= 1 << (p & 7)
+                out.append(
+                    [int(shard), int(row.doc_id), row.url, seen, not seen]
+                )
+        state.update((bytes(blob),))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return apply_with_state(
+        rows, ("shard",), upd, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
         )

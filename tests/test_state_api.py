@@ -444,6 +444,12 @@ def _state_table_cases():
             [_data(_pdf(doc_id=[0, 1], n_tok=[4, 5])),
              _data(_pdf(doc_id=[2], n_tok=[3]))],
         ),
+        "streaming_url_gate": (
+            lambda: so.streaming_url_gate(FAKE), (0,),
+            [_data(_pdf(doc_id=[0, 1], url=["a.com/p", "b.com/q"],
+                        h=["ab" * 16, "cd" * 16])),
+             _data(_pdf(doc_id=[2], url=["a.com/p"], h=["ab" * 16]))],
+        ),
     }
 
 
