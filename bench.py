@@ -156,6 +156,7 @@ HEADLINE = [
     "curriculum_order",
     "edit_distance_verify",
     "containment_dedup",
+    "weighted_sample",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

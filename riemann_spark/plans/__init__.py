@@ -43,6 +43,7 @@ _GATE_PRIORITY = [
     # -- round-7 third batch: --------------------------------------------
     "streaming_url_gate_drained",
     "streaming_drift_gate",
+    "weighted_sample",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

@@ -6102,3 +6102,71 @@ def streaming_url_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+_WS_K = 100
+_TWO52_SQL = "4503599627370496.0"
+
+
+@q(
+    "weighted_sample",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (({_nibble_52_of("substr(md5(CAST(doc_id AS VARCHAR) || '|es'), 1, 13)")}) + 1)
+               / {_TWO52_SQL} AS u
+      FROM t),
+s AS (SELECT doc_id, n_tokens,
+             round(-ln(u) / CAST(n_tokens AS DOUBLE), 6) AS es_key
+      FROM b),
+k AS (SELECT doc_id, n_tokens, es_key FROM s
+      ORDER BY es_key, doc_id LIMIT {_WS_K})
+SELECT doc_id, n_tokens, es_key,
+       CAST(row_number() OVER (ORDER BY es_key, doc_id) AS BIGINT)
+         AS rank
+FROM k""",
+)
+def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic WEIGHTED sample of exactly k docs, probability
+    proportional to token count — the pretraining sampling regime
+    ("sample documents ∝ size so every token has equal inclusion
+    odds"). Efraimidis-Smirakis A-ES keys: each doc races an
+    exponential clock with rate = its weight, key = −ln(u)/w from an
+    md5-derived u ∈ (0,1]; the k SMALLEST keys are the sample —
+    reproducible across engines, runs and partitionings like
+    bottomk_sample, and mergeable the same way (bottom-k on keys).
+
+    Determinism: u is an exact 52-bit rational (+1 so ln never sees
+    0); the only transcendental is one ln over the identical double,
+    and the key is rounded to 1e-6 BEFORE ranking with a doc_id
+    tie-break, so a last-ulp ln() divergence cannot reorder the
+    sample. Same TakeOrderedAndProject shape as bottomk_sample: heap
+    per task, driver merges p·k rows, no global sort at any scale."""
+    from riemann_spark.functions import text as _t
+
+    d = load_table(spark, sf, "documents")
+    h13 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|es"))), 1, 13
+    )
+    u = (F.conv(h13, 16, 10).cast("long") + 1) / F.lit(2.0**52)
+    b = d.select(
+        "doc_id",
+        _t.token_count("text").cast("long").alias("n_tokens"),
+        u.alias("u"),
+    )
+    s = b.select(
+        "doc_id",
+        "n_tokens",
+        F.round(-F.log("u") / F.col("n_tokens").cast("double"), 6).alias(
+            "es_key"
+        ),
+    )
+    k = s.orderBy("es_key", "doc_id").limit(_WS_K)
+    w = Window.orderBy("es_key", "doc_id")
+    return k.select(
+        "doc_id",
+        "n_tokens",
+        "es_key",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
