@@ -44,6 +44,7 @@ _GATE_PRIORITY = [
     "streaming_url_gate_drained",
     "streaming_drift_gate",
     "weighted_sample",
+    "streaming_stable_drained",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

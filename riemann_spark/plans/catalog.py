@@ -4759,3 +4759,63 @@ def streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "streaming_stable_drained",
+    f"""{_EV}, c AS (
+  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                   OR state IS DISTINCT FROM lag(state) OVER w
+            THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY host, service ORDER BY time, event_id)
+), r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY host, service
+                           ORDER BY time, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+)
+SELECT host, service, event_id, "time", metric, state FROM (
+  SELECT host, service, event_id, "time", metric, state,
+         MAX("time") OVER wr - MIN("time") OVER wr AS span
+  FROM r WINDOW wr AS (PARTITION BY host, service, run_id)
+) WHERE span >= 7200.0""",
+)
+def streaming_stable_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """streaming_stable (streams.clj:1936-2031) drained VALUE oracle:
+    in a single drained batch the wall-clock confirmation timer never
+    enters — stability is proven purely by event-time span, which is
+    EXACTLY the batch operator's run-length semantics — so the
+    streaming state machine must reproduce stable_2h's oracle
+    row-for-row (same dt, same (time, event_id) arrival order, chg
+    breaking runs on lag-null like the batch eqNullSafe|isNull pair).
+    The wall-clock lane (flush after dt of silence) is vector-tested
+    through the interval harness (tests/test_reference_parity.py
+    stable-test ports); this entry gives the op a driver hash row for
+    the event-time lane."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_stable
+
+    name = f"cat_sst_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sst_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_stable(
+        normalize_events(raw), 7200.0, field="state", confirm_wallclock=False
+    )
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

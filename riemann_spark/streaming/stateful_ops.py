@@ -1600,6 +1600,7 @@ def streaming_stable(
     dt: float,
     field: str = "state",
     keys: Sequence[str] = ("host", "service"),
+    confirm_wallclock: bool = True,
 ) -> DataFrame:
     """stable (streams.clj:1936-2031): pass on events whose ``field``
     value has persisted for at least ``dt`` seconds — the
@@ -1703,16 +1704,32 @@ def streaming_stable(
                 [e[3] for e in buf],
             )
         )
-        if buf:
+        if buf and confirm_wallclock:
+            # deadline anchored at buffer-head EVENT time + dt; when the
+            # head is already older than dt of wall clock (a replay of
+            # history), fire at the next tick (1 ms — GroupState
+            # requires a positive duration). confirm_wallclock=False
+            # disables this lane entirely: a DRAINED replay of
+            # historical events must prove stability by event-time
+            # span alone (the batch operator's semantics), because its
+            # wall clock says every historical buffer is "old".
             state.setTimeoutDuration(
-                max(0, int(round((buf[0][1] + dt) * 1000)) - state.getCurrentProcessingTimeMs())
+                max(1, int(round((buf[0][1] + dt) * 1000)) - state.getCurrentProcessingTimeMs())
             )
         if out:
             yield pd.DataFrame(out, columns=cols)
 
     return apply_with_state(
         rows, keys, upd, out_schema, state_schema,
-        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        # NoTimeout when the wall-clock lane is off: registering
+        # ProcessingTimeTimeout makes the micro-batch engine schedule
+        # state-cleanup batches forever (processAllAvailable never
+        # drains), and with no timer ever armed they do nothing
+        timeout=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if confirm_wallclock
+            else GroupStateTimeout.NoTimeout
+        ),
         )
 
 
