@@ -157,6 +157,7 @@ HEADLINE = [
     "edit_distance_verify",
     "containment_dedup",
     "weighted_sample",
+    "incremental_dedup",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     "streaming_drift_gate",
     "weighted_sample",
     "streaming_stable_drained",
+    "incremental_dedup",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

@@ -6170,3 +6170,103 @@ def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         "es_key",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+@q(
+    "incremental_dedup",
+    f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+arr AS (SELECT doc, band FROM bands WHERE doc % 5 = 0),
+older AS (SELECT doc, band FROM bands),
+cand AS (SELECT a.doc AS doc, o.doc AS other,
+                o.doc % 5 != 0 AS from_lake
+         FROM arr a JOIN older o
+           ON a.band = o.band
+          AND (o.doc % 5 != 0 OR o.doc < a.doc)
+          AND o.doc != a.doc
+         GROUP BY 1, 2, 3)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(CASE WHEN c.from_lake = true THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_lake_candidates,
+       CAST(COALESCE(SUM(CASE WHEN c.from_lake = false THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_prior_arrival_candidates,
+       COUNT(c.other) > 0 AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN cand c ON c.doc = d.doc_id
+GROUP BY d.doc_id""",
+)
+def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL near-dup admission — the operational shape dedup
+    actually runs in: the lake's MinHash band index is standing state
+    (computed once, stored bucketed on band), and each arriving batch
+    is checked against (a) the lake index and (b) its own earlier
+    arrivals, never lake-vs-lake again. Here 'arrivals' are the
+    doc_id % 5 == 0 slice and the band index is derived in-query
+    (the driver tables are static); in production the `older` side is
+    a bucketed table and this is a co-located join with NO recompute
+    of history — the whole point: incremental cost is
+    O(batch x bands), not O(corpus²).
+
+    Per arrival: candidate counts from each side plus the admission
+    verdict (candidate-level, recall-first — the verified-Jaccard /
+    edit-distance tier runs downstream on the flagged few). One band
+    self-join restricted to the arrival slice, then a key-cardinality
+    rollup."""
+    d = load_table(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(d, _N_HASHES)
+    n_bands = _N_HASHES // _BAND
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"sig{b * _BAND + j}")
+                            for j in range(_BAND)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    arr = bands.filter(F.col("doc") % 5 == 0)
+    older = bands.select(
+        F.col("doc").alias("other"),
+        "band",
+        (F.col("doc") % 5 != 0).alias("from_lake"),
+    )
+    cand = (
+        arr.join(older, "band")
+        .filter(
+            (F.col("from_lake") | (F.col("other") < F.col("doc")))
+            & (F.col("other") != F.col("doc"))
+        )
+        .select("doc", "other", "from_lake")
+        .distinct()
+    )
+    base = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return (
+        base.join(cand, base.doc_id == cand.doc, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("from_lake").cast("int")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_lake_candidates"),
+            F.coalesce(
+                F.sum((~F.col("from_lake")).cast("int")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_prior_arrival_candidates"),
+            (F.count("other") > 0).alias("is_dup"),
+        )
+    )
