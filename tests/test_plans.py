@@ -909,3 +909,36 @@ def test_greedy_pack_count_col_override(spark):
     assert tok.agg(F.max("bin")).first()[0] == 7  # 22+22 > 36: 1 doc/bin
     assert tok.agg(F.sum("n_packed")).first()[0] == 8 * n_bpe
     assert ws.count() == tok.count() == d.count()
+
+
+def test_weighted_sample_take_ordered(spark):
+    """The ES weighted sample must compile to TakeOrderedAndProject
+    (per-task k-heap + driver merge of p·k rows) — a global Sort
+    exchange here would be the 100 TB mistake bottomk_sample's test
+    already guards against."""
+    p = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_curriculum_order_two_keyed_windows(spark):
+    """Staging + positioning are exactly two key-partitioned windows
+    (ntile on source, row_number on (source, stage)) sharing ONE
+    Exchange: HashPartitioning(source) satisfies the (source, stage)
+    clustering requirement (subset rule), so Catalyst re-sorts
+    within partitions instead of re-shuffling — the partitioning
+    reuse the 100 TB plan wants."""
+    import re
+
+    p = plan_of(spark, "curriculum_order")
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 2, p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """The arrivals-vs-lake candidate join must be a band-keyed join
+    (never a cross/nested-loop product), and the MinHash signatures
+    must partial-aggregate before their shuffle."""
+    p = plan_of(spark, "incremental_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "partial_min" in p
