@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -853,3 +855,92 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "hamming", "rank")
     )
+
+
+# ---------------------------------------------------- PCA (power it.)
+
+def covariance_rows(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """(means list, (i, j, m) covariance frame) over an embedding
+    column, both
+    stages on the 1e-12-quantized integer-sum grid (the
+    kmeans_centroids discipline) so every entry is BIT-REPRODUCIBLE
+    under any partitioning: means first (quantized), then
+    C_ij = Σ round((x_i−μ_i)(x_j−μ_j)·1e12) / 1e12 / n.
+
+    Scale shape: the mean pass shuffles dim rows; the covariance pass
+    explodes dim² terms per vector but partial-aggregates map-side,
+    so the shuffle carries dim² rows TOTAL (model-sized) regardless
+    of corpus size — O(n·d²) work, O(d²) traffic, the classical
+    dense-PCA cost. For dim beyond a few hundred you'd switch to a
+    sketched/randomized method; at embedding dims this is exact and
+    cheap."""
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    mu_rows = (  # model-sized collect: dim rows
+
+        vecs.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x") * F.lit(1e12))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["d"])]
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    centered = vecs.select(
+        F.zip_with("v", mu_lit, lambda x, m: x - m).alias("c")
+    )
+    pairs = centered.select(
+        F.posexplode("c").alias("i", "xi"), F.col("c")
+    ).select(
+        "i", F.posexplode("c").alias("j", "xj"), F.col("xi")
+    )
+    cov = pairs.groupBy("i", "j").agg(
+        (
+            F.sum(
+                F.round(F.col("xi") * F.col("xj") * F.lit(1e12))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return mu, cov
+
+
+def power_iteration(cov: dict, dim: int, n_iter: int = 10) -> tuple:
+    """Top eigenvector by ``n_iter`` power iterations over a collected
+    (model-sized) covariance dict {(i, j): m}. Every fold is an
+    explicit LEFT fold in ascending index order starting at 0.0 —
+    the exact IEEE sequence the SQL oracle's ``list_reduce(...ORDER
+    BY...)`` replays — and the init is the deterministic uniform
+    unit vector (1/sqrt(dim) per component, exact for power-of-two
+    dims). Returns (eigenvector list, eigenvalue estimate ‖Cv‖)."""
+    v = [1.0 / math.sqrt(float(dim))] * dim
+    lam = 0.0
+    for _ in range(n_iter):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + cov[(i, j)] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for i in range(dim):
+            acc = acc + w[i] * w[i]
+        lam = math.sqrt(acc)
+        v = [w[i] / lam for i in range(dim)]
+    return v, lam

@@ -46,6 +46,7 @@ _GATE_PRIORITY = [
     "weighted_sample",
     "streaming_stable_drained",
     "incremental_dedup",
+    "embedding_pca1",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

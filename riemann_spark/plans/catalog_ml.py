@@ -6270,3 +6270,104 @@ def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
             (F.count("other") > 0).alias("is_dup"),
         )
     )
+
+
+def _pca1_sql(dim: int = 64, iters: int = 10) -> str:
+    """Unrolled power-iteration replay (the _kmeans_oracle pattern):
+    quantized means + covariance, then {iters} CTE blocks of
+    matvec (j-ordered left fold) -> norm (i-ordered left fold) ->
+    normalize, finishing with the pc1 projection fold. Every fold is
+    list_reduce(list_prepend(0.0, list(... ORDER BY ...))) — the
+    identical IEEE sequence the driver-side Python iteration runs.
+    Every CTE is MATERIALIZED: w{{k}} is referenced by both l{{k}} and
+    v{{k+1}}, so DuckDB's default inlining would re-evaluate the whole
+    chain 2^iters times."""
+    q12 = "1000000000000.0"
+    parts = [
+        "WITH e AS MATERIALIZED"
+        " (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""mu0 AS MATERIALIZED (SELECT d,
+        CAST(SUM(CAST(round(v[d] * {q12}) AS BIGINT)) AS DOUBLE)
+          / {q12} / COUNT(*) AS m
+      FROM e CROSS JOIN generate_series(1, {dim}) AS g(d) GROUP BY d)""",
+        "mul AS MATERIALIZED (SELECT list(m ORDER BY d) AS mu FROM mu0)",
+        f"""cen AS MATERIALIZED (SELECT vec_id,
+        list_transform(generate_series(1, {dim}), d -> v[d] - mu[d]) AS c
+      FROM e CROSS JOIN mul)""",
+        f"""cov AS MATERIALIZED (SELECT i, j,
+        CAST(SUM(CAST(round(c[i] * c[j] * {q12}) AS BIGINT)) AS DOUBLE)
+          / {q12} / COUNT(*) AS m
+      FROM cen CROSS JOIN generate_series(1, {dim}) AS gi(i)
+               CROSS JOIN generate_series(1, {dim}) AS gj(j)
+      GROUP BY i, j)""",
+        f"v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt({dim}.0) AS v"
+        f" FROM generate_series(1, {dim}) AS gv(i))",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (SELECT c.i,
+        list_reduce(list_prepend(0.0, list(c.m * vv.v ORDER BY c.j)),
+                    (a, b) -> a + b) AS w
+      FROM cov c JOIN v{k} vv ON vv.i = c.j GROUP BY c.i)"""
+        )
+        parts.append(
+            f"""l{k} AS MATERIALIZED (SELECT sqrt(
+        list_reduce(list_prepend(0.0, list(w * w ORDER BY i)),
+                    (a, b) -> a + b)) AS l FROM w{k})"""
+        )
+        parts.append(
+            f"v{k + 1} AS MATERIALIZED"
+            f" (SELECT i, w / (SELECT l FROM l{k}) AS v FROM w{k})"
+        )
+    parts.append(
+        f"vf AS MATERIALIZED"
+        f" (SELECT list(v ORDER BY i) AS ev FROM v{iters})"
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT e.vec_id,
+       round(list_reduce(
+         list_prepend(0.0,
+           list_transform(generate_series(1, {dim}),
+                          d -> (v[d] - mu[d]) * ev[d])),
+         (a, b) -> a + b), 9) AS pc1
+FROM e CROSS JOIN mul CROSS JOIN vf"""
+
+
+@q("embedding_pca1", _pca1_sql(64, 10))
+def embedding_pca1(spark: SparkSession, sf: str) -> DataFrame:
+    """First principal component of the embedding corpus by
+    DETERMINISTIC power iteration — the whitening/centering primitive
+    SemDeDup-style semantic dedup and embedding-drift monitors want
+    (dominant-direction removal before cosine makes near-dup
+    clusters tighter). Emits per vector its centered projection onto
+    the top eigenvector (the pc1 score).
+
+    The 'iterative algorithms cannot be oracle-checked' boundary
+    dissolves the same way kmeans_centroids' did: means and the d²
+    covariance entries use 1e-12-quantized integer sums
+    (bit-reproducible under any partitioning; shuffle carries d²
+    rows TOTAL via map-side partials), the 10 power iterations run
+    driver-side over the collected model-sized matrix with every
+    fold an explicit ascending-index left fold, and the oracle
+    replays the identical IEEE sequence as unrolled CTEs. O(n·d²)
+    work — the classical dense-PCA cost; beyond a few hundred dims
+    you'd switch to a randomized sketch."""
+    e = load_table(spark, sf, "embeddings")
+    mu, cov_df = similarity.covariance_rows(e, 64)
+    cov = {(r["i"], r["j"]): r["m"] for r in cov_df.collect()}  # d² rows
+    ev, _lam = similarity.power_iteration(cov, 64, 10)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    ev_lit = F.array(*[F.lit(x) for x in ev])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    pc1 = F.round(
+        F.aggregate(
+            F.zip_with(centered, ev_lit, lambda c, w: c * w),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        ),
+        9,
+    )
+    return e.select("vec_id", pc1.alias("pc1"))

@@ -942,3 +942,25 @@ def test_incremental_dedup_no_cartesian(spark):
     p = plan_of(spark, "incremental_dedup")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "partial_min" in p
+
+
+def test_pca1_covariance_partial_agg_and_determinism(spark):
+    """The d^2 covariance shuffle must partial-aggregate map-side (the
+    shuffle carries d^2 rows TOTAL, model-sized, regardless of corpus
+    size) and — via the 1e-12 quantized integer-sum grid — be
+    bit-identical under any repartitioning; power iteration must
+    recover the dominant eigenpair of a known diagonal exactly."""
+    from riemann_spark.functions import similarity
+
+    e = spark.read.parquet(SF + "/embeddings.parquet").limit(60)
+    mu, cov_df = similarity.covariance_rows(e, 64)
+    assert "partial_sum" in plan_of_df(cov_df)
+    mu2, cov_df2 = similarity.covariance_rows(e.repartition(7), 64)
+    assert mu == mu2  # exact: quantized integer sums
+    c1 = {(r["i"], r["j"]): r["m"] for r in cov_df.collect()}
+    c2 = {(r["i"], r["j"]): r["m"] for r in cov_df2.collect()}
+    assert c1 == c2
+    v, lam = similarity.power_iteration(
+        {(0, 0): 2.0, (0, 1): 0.0, (1, 0): 0.0, (1, 1): 0.5}, 2, 40
+    )
+    assert abs(lam - 2.0) < 1e-12 and abs(abs(v[0]) - 1.0) < 1e-12
