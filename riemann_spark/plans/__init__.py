@@ -47,6 +47,8 @@ _GATE_PRIORITY = [
     "streaming_stable_drained",
     "incremental_dedup",
     "embedding_pca1",
+    "burst_interval_join",
+    "corpus_cube",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

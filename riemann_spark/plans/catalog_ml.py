@@ -6371,3 +6371,56 @@ def embedding_pca1(spark: SparkSession, sf: str) -> DataFrame:
         9,
     )
     return e.select("vec_id", pc1.alias("pc1"))
+
+
+@q(
+    "corpus_cube",
+    f"""
+WITH t AS (
+  SELECT source, lang, n_chars,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM t GROUP BY CUBE(source, lang)""",
+)
+def corpus_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """The data-card rollup in ONE pass: docs / BPE tokens / chars by
+    (source, lang), by source alone, by lang alone, and the corpus
+    total — ``cube()`` compiles to a single Expand (4 grouping sets)
+    + hash aggregate, so the scan and the token-count projection run
+    once instead of four times. Rolled-up dimensions surface as the
+    '<all>' sentinel (COALESCE on both engines) so the output is a
+    plain string frame.
+
+    Scale shape: Expand multiplies rows by the 4 grouping sets BEFORE
+    the shuffle, but the map-side partial aggregate collapses them to
+    (|sources|+1) x (|langs|+1) keys per task — shuffle traffic is
+    model-sized regardless of corpus size, the same one-pass cube
+    posture every warehouse uses for data cards at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        text.bpe_token_count("text").cast("long").alias("n_bpe"),
+    )
+    return (
+        t.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "sum_chars",
+        )
+    )

@@ -964,3 +964,26 @@ def test_pca1_covariance_partial_agg_and_determinism(spark):
         {(0, 0): 2.0, (0, 1): 0.0, (1, 0): 0.0, (1, 1): 0.5}, 2, 40
     )
     assert abs(lam - 2.0) < 1e-12 and abs(abs(v[0]) - 1.0) < 1e-12
+
+
+def test_burst_interval_join_no_nested_loop(spark):
+    """The range join must compile to a hash equi-join on
+    (service, bucket) + residual filter — a raw start<=t<end join
+    condition compiles to BroadcastNestedLoop, the quadratic 100 TB
+    mistake the bucket-explode exists to avoid."""
+    p = plan_of(spark, "burst_interval_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "HashJoin" in p  # broadcast at sf0.001; shuffle-hash at scale
+
+
+def test_corpus_cube_single_expand(spark):
+    """cube() must be ONE scan + ONE Expand (4 grouping sets) with a
+    map-side partial aggregate — four separate GROUP BY passes over
+    the corpus is the 100 TB mistake the cube posture avoids."""
+    import re
+
+    p = plan_of(spark, "corpus_cube")
+    assert len(re.findall(r"^\(\d+\) Expand", p, re.M)) == 1, p
+    assert "partial_count" in p or "partial_sum" in p
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
