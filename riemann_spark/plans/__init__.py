@@ -49,6 +49,7 @@ _GATE_PRIORITY = [
     "embedding_pca1",
     "burst_interval_join",
     "corpus_cube",
+    "whitened_semantic_dedup",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

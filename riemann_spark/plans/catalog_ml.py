@@ -6272,11 +6272,12 @@ def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pca1_sql(dim: int = 64, iters: int = 10) -> str:
-    """Unrolled power-iteration replay (the _kmeans_oracle pattern):
-    quantized means + covariance, then {iters} CTE blocks of
-    matvec (j-ordered left fold) -> norm (i-ordered left fold) ->
-    normalize, finishing with the pc1 projection fold. Every fold is
+def _pca1_parts(dim: int = 64, iters: int = 10) -> list:
+    """The shared WITH-clause prefix of every PCA-derived oracle:
+    quantized means (mul) + centered vectors (cen) + covariance, then
+    {iters} CTE blocks of matvec (j-ordered left fold) -> norm
+    (i-ordered left fold) -> normalize, ending at ``vf`` (the unit
+    eigenvector as a list).  Every fold is
     list_reduce(list_prepend(0.0, list(... ORDER BY ...))) — the
     identical IEEE sequence the driver-side Python iteration runs.
     Every CTE is MATERIALIZED: w{{k}} is referenced by both l{{k}} and
@@ -6323,7 +6324,13 @@ def _pca1_sql(dim: int = 64, iters: int = 10) -> str:
         f"vf AS MATERIALIZED"
         f" (SELECT list(v ORDER BY i) AS ev FROM v{iters})"
     )
-    body = ",\n".join(parts)
+    return parts
+
+
+def _pca1_sql(dim: int = 64, iters: int = 10) -> str:
+    """embedding_pca1 oracle: the shared prefix + the pc1 projection
+    fold (see _pca1_parts for the determinism contract)."""
+    body = ",\n".join(_pca1_parts(dim, iters))
     return f"""{body}
 SELECT e.vec_id,
        round(list_reduce(
@@ -6424,3 +6431,95 @@ def corpus_cube(spark: SparkSession, sf: str) -> DataFrame:
             "sum_chars",
         )
     )
+
+
+def _whitened_dedup_sql(dim: int = 64, iters: int = 10) -> str:
+    """PC1-whitened SemDeDup oracle: the shared PCA prefix, then
+    per-vector residual r = (v - mu) - proj*ev (proj = ascending-d
+    left fold), the residual named ``v`` so _bucket_sql/_cos_sql
+    apply verbatim, then the cell-partitioned pairwise drop rule."""
+    gs = f"generate_series(1, {dim})"
+    parts = _pca1_parts(dim, iters)
+    parts.append(
+        f"""res AS MATERIALIZED (SELECT vec_id,
+        list_transform({gs}, d -> c[d] - proj * ev[d]) AS v
+      FROM (SELECT vec_id, c, ev,
+              list_reduce(list_prepend(0.0,
+                list_transform({gs}, d -> c[d] * ev[d])),
+                (a, b) -> a + b) AS proj
+            FROM cen CROSS JOIN vf) t)"""
+    )
+    parts.append(
+        f"cells AS MATERIALIZED (SELECT vec_id, v,"
+        f" {_bucket_sql(0)} AS cell FROM res)"
+    )
+    parts.append(
+        f"""dropped AS (SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.15)"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, cell FROM cells
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+
+@q("whitened_semantic_dedup", _whitened_dedup_sql(64, 10))
+def whitened_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with PC1 whitening: remove the corpus's dominant
+    direction (embedding_pca1's deterministic power-iteration
+    eigenvector) from every centered vector BEFORE the cell-cosine
+    dedup. Raw embedding cosines are inflated by the shared dominant
+    component (anisotropy/hubness — Mu & Viswanath 2018's
+    all-but-the-top observation, public method); on residuals the
+    0.15 threshold separates true semantic near-dups from
+    everything-looks-alike noise, so the dedup is sharper at the
+    same cell budget.
+
+    100 TB shape: mu/ev are model-sized driver constants (the d²
+    covariance shuffle carries d² rows total); whitening is a
+    zero-shuffle projection folded into the cell-assignment pass;
+    the pairwise stage is quadratic only in cell population, same
+    as semantic_dedup. Oracle replays the PCA prefix + identical
+    residual folds as unrolled MATERIALIZED CTEs."""
+    e = load_table(spark, sf, "embeddings")
+    mu, cov_df = similarity.covariance_rows(e, 64)
+    cov = {(r["i"], r["j"]): r["m"] for r in cov_df.collect()}  # d² rows
+    ev, _lam = similarity.power_iteration(cov, 64, 10)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    ev_lit = F.array(*[F.lit(x) for x in ev])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    proj = F.aggregate(
+        F.zip_with(centered, ev_lit, lambda c, w: c * w),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    resid = F.zip_with(centered, ev_lit, lambda c, w: c - proj * w)
+    cells = e.select(
+        "vec_id",
+        resid.alias("v"),
+        similarity.lsh_bucket(resid, _ND_PLANES, 64).alias("cell"),
+        similarity.norm(resid).alias("n"),
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+        F.col("n").alias("n1"), "cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.col("n").alias("n2"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            similarity._dots(F.col("v1"), F.col("v2"))
+            / (F.col("n1") * F.col("n2"))
+            >= 0.15
+        )
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
