@@ -50,6 +50,8 @@ _GATE_PRIORITY = [
     "burst_interval_join",
     "corpus_cube",
     "whitened_semantic_dedup",
+    "zorder_layout",
+    "domain_pagerank",
     # -- r6 snapshot-commit queries with no driver hash row yet: ---------
     "dedup_threshold_sweep",
     "dup_rate_by_source",

@@ -6523,3 +6523,229 @@ def whitened_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+def _zinterleave_sql(x: str, y: str, bits: int = 8) -> str:
+    """Morton (Z-order) bit interleave of two ``bits``-wide integers —
+    pure integer arithmetic, identical in any engine: x's bit i lands
+    at position 2i+1, y's at 2i."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) // {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
+        terms.append(f"((({y}) // {2 ** i}) % 2) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+def _zinterleave_col(x, y, bits: int = 8):
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + ((x / F.lit(2 ** i)).cast("long") % 2) * F.lit(
+            2 ** (2 * i + 1)
+        )
+        out = out + ((y / F.lit(2 ** i)).cast("long") % 2) * F.lit(2 ** (2 * i))
+    return out
+
+
+@q(
+    "zorder_layout",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(source), 1, 2) AS BIGINT) AS xdim,
+         LEAST(n_chars // 16, 255) AS ydim
+  FROM documents
+),
+z AS (SELECT doc_id, xdim, ydim,
+             {_zinterleave_sql('xdim', 'ydim')} AS zkey
+      FROM d)
+SELECT zkey // 1024 AS file_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(xdim) AS x_min, MAX(xdim) AS x_max,
+       MIN(ydim) AS y_min, MAX(ydim) AS y_max,
+       CAST(MAX(xdim) - MIN(xdim) + MAX(ydim) - MIN(ydim) AS BIGINT)
+         AS bbox_span
+FROM z GROUP BY 1""",
+)
+def zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) lake layout: interleave the bits of two
+    cluster dimensions — source-hash (0-255) and length bucket
+    (0-255) — into one sort key, cut the key space into fixed-width
+    file buckets, and report each bucket's per-dimension bounding
+    box. Tight boxes are the whole point: parquet min/max stats on
+    BOTH dimensions stay selective in every file, so predicate
+    pushdown prunes files for source-filtered AND length-filtered
+    scans alike — the data-skipping layout every 100 TB lake wants
+    (public technique: Morton curves / Delta OPTIMIZE ZORDER BY).
+
+    Scale shape: the zkey is a pure integer projection (zero
+    shuffle); fixed-width key ranges (zkey div 1024) replace the
+    equi-count global sort — deploy writes via
+    repartitionByRange(zkey) + sortWithinPartitions, and this query
+    is the layout-quality audit that runs after. One groupBy on the
+    bucket id; output is file-count-sized."""
+    d = load_table(spark, sf, "documents")
+    x = F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("long")
+    y = F.least(F.expr("n_chars div 16"), F.lit(255)).cast("long")
+    z = d.select(
+        x.alias("xdim"),
+        y.alias("ydim"),
+    ).withColumn("zkey", _zinterleave_col(F.col("xdim"), F.col("ydim")))
+    return (
+        z.withColumn("file_bucket", F.expr("zkey div 1024"))
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("xdim").alias("x_min"),
+            F.max("xdim").alias("x_max"),
+            F.min("ydim").alias("y_min"),
+            F.max("ydim").alias("y_max"),
+            (
+                F.max("xdim") - F.min("xdim") + F.max("ydim") - F.min("ydim")
+            ).cast("long").alias("bbox_span"),
+        )
+    )
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled PageRank replay over the derived page graph (nodes =
+    (source, doc_id%13) pages; one edge per doc to an md5-derived
+    target page). Every per-node incoming sum and the dangling-mass
+    sum are ascending-key left folds (list_reduce over list(... ORDER
+    BY ...)) — the identical IEEE sequence the driver-side Python
+    iteration runs; binary VARCHAR collation == Python str sort for
+    these ASCII keys. All CTEs MATERIALIZED (each r{k} feeds three
+    consumers — default inlining would blow up exponentially)."""
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    parts = [
+        f"""WITH docs AS MATERIALIZED (
+  SELECT source || '/' || CAST(doc_id % 13 AS VARCHAR) AS u,
+         'src' || CAST(CAST('0x' || substr({h}, 1, 4) AS BIGINT) % 20
+                       AS VARCHAR)
+          || '/' || CAST(CAST('0x' || substr({h}, 5, 4) AS BIGINT) % 13
+                         AS VARCHAR) AS v
+  FROM documents)""",
+        """edges AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS cnt FROM docs GROUP BY u, v)""",
+        """outdeg AS MATERIALIZED (
+  SELECT u, SUM(cnt) AS od FROM edges GROUP BY u)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS node FROM docs
+  UNION SELECT DISTINCT v FROM docs)""",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        """r0 AS MATERIALIZED (
+  SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn)""",
+    ]
+    fold = "list_reduce(list_prepend(0.0, {lst}), (a, b) -> a + b)"
+    for k in range(iters):
+        dangling = fold.format(lst="coalesce(list(r ORDER BY node), [])")
+        parts.append(
+            f"""dm{k} AS MATERIALIZED (
+  SELECT {dangling} AS dm
+  FROM r{k} WHERE node NOT IN (SELECT u FROM outdeg))"""
+        )
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT e.v AS node, e.u, r.r * e.cnt / o.od AS c
+  FROM edges e JOIN r{k} r ON r.node = e.u
+               JOIN outdeg o ON o.u = e.u)"""
+        )
+        insum = fold.format(lst="list(c ORDER BY u)")
+        parts.append(
+            f"""i{k} AS MATERIALIZED (
+  SELECT node, {insum} AS s FROM c{k} GROUP BY node)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT n0.node, 0.15 / n + 0.85 * (coalesce(s, 0.0) + dm / n) AS r
+  FROM nodes n0 CROSS JOIN nn CROSS JOIN dm{k}
+       LEFT JOIN i{k} ON i{k}.node = n0.node)"""
+        )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT r.node AS page,
+       CAST(coalesce(dc.n_docs, 0) AS BIGINT) AS n_docs,
+       round(r.r, 9) AS pagerank
+FROM r{iters} r LEFT JOIN (
+  SELECT u AS node, COUNT(*) AS n_docs FROM docs GROUP BY u) dc
+  ON dc.node = r.node"""
+
+
+@q("domain_pagerank", _pagerank_sql(10))
+def domain_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the derived page-link graph ((source, path) pages,
+    one md5-derived outlink per doc) — the CommonCrawl-style authority
+    signal curation pipelines mix into quality scores (harmonic
+    centrality / PageRank over the host graph, public posture).
+    Output: every page's rank + resident doc count.
+
+    The iterative-algorithm determinism boundary dissolves the PCA
+    way: the EDGE aggregation is the distributed part (one groupBy —
+    at 100 TB this is the only pass that touches the corpus, and it
+    partial-aggregates map-side to a graph bounded by the page-key
+    cardinality, 260 here); the weighted graph is model-sized, so the
+    10 iterations run driver-side with every sum an explicit
+    ascending-key left fold (dangling mass redistributed uniformly,
+    d=0.85), and the oracle replays the identical IEEE sequence as
+    unrolled MATERIALIZED CTEs. For web-scale graphs (nodes >> driver
+    memory) the same folds become keyed joins per iteration — the
+    classic Pregel/GraphX loop — with determinism kept by quantizing
+    per-iteration sums on the 1e-12 grid."""
+    d = load_table(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.concat(
+        F.col("source"), F.lit("/"), (F.col("doc_id") % 13).cast("string")
+    )
+    v = F.concat(
+        F.lit("src"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 20).cast(
+            "string"
+        ),
+        F.lit("/"),
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % 13).cast(
+            "string"
+        ),
+    )
+    docs = d.select(u.alias("u"), v.alias("v"))
+    edges = {  # model-sized collect: bounded by page-key cardinality^2
+        (r["u"], r["v"]): float(r["cnt"])
+        for r in docs.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("double").alias("cnt")
+        ).collect()
+    }
+    od = {}
+    for (eu, _ev2), cnt in sorted(edges.items()):
+        od[eu] = od.get(eu, 0.0) + cnt
+    nodes = sorted({eu for eu, _ in edges} | {ev2 for _, ev2 in edges})
+    in_edges: dict = {nd: [] for nd in nodes}
+    for (eu, ev2), cnt in sorted(edges.items()):  # ascending u per target
+        in_edges[ev2].append((eu, cnt))
+    n = float(len(nodes))
+    r = {nd: 1.0 / n for nd in nodes}
+    for _ in range(10):
+        dm = 0.0
+        for nd in nodes:  # ascending-key fold, matches ORDER BY node
+            if nd not in od:
+                dm = dm + r[nd]
+        s = {}
+        for nd in nodes:
+            acc = 0.0
+            for eu, cnt in in_edges[nd]:  # ascending u: ORDER BY u
+                acc = acc + r[eu] * cnt / od[eu]
+            s[nd] = acc
+        r = {nd: 0.15 / n + 0.85 * (s[nd] + dm / n) for nd in nodes}
+    pr = spark.createDataFrame(
+        [(nd, round(r[nd], 9)) for nd in nodes], "page string, pagerank double"
+    )
+    counts = docs.groupBy(F.col("u").alias("page")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        pr.join(F.broadcast(counts), "page", "left")
+        .select(
+            "page",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            "pagerank",
+        )
+    )
