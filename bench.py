@@ -158,6 +158,8 @@ HEADLINE = [
     "containment_dedup",
     "weighted_sample",
     "incremental_dedup",
+    "scd2_state_history",
+    "coverage_gaps",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -29,6 +29,9 @@ _GATE_PRIORITY = [
     # (the r02/r03 overflow block carried from the round-6 list).
     #
     # -- new round-7 catalog entries first: ------------------------------
+    # (fourth batch)
+    "scd2_state_history",
+    "coverage_gaps",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -4888,3 +4888,109 @@ def burst_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("host").alias("n_hosts"),
         msum("metric", 2).alias("metric_sum"),
     )
+
+
+@q(
+    "scd2_state_history",
+    f"""{_EV},
+runs AS (
+  SELECT host, service, state, time_us, event_id,
+         SUM(CASE WHEN prev IS NULL OR state IS DISTINCT FROM prev
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host, service ORDER BY time_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS version
+  FROM (SELECT host, service, state, time_us, event_id,
+               lag(state) OVER (PARTITION BY host, service
+                                ORDER BY time_us, event_id) AS prev
+        FROM ev)),
+iv AS (SELECT host, service, CAST(version AS BIGINT) AS version, state,
+              MIN(time_us) AS valid_from_us,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM runs GROUP BY host, service, version, state)
+SELECT host, service, version, state, valid_from_us,
+       lead(valid_from_us) OVER w AS valid_to_us, n_events,
+       lead(valid_from_us) OVER w IS NULL AS is_current
+FROM iv WINDOW w AS (PARTITION BY host, service ORDER BY version)""",
+)
+def scd2_state_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 state dimension built from the event stream: per
+    (host, service) every run of equal states becomes one versioned
+    row with [valid_from_us, valid_to_us) validity, its event count,
+    and the open-interval is_current flag — the warehouse-standard
+    history table behind "what was this service's state at time T"
+    as-of joins, and the batch materialization of what changed-state
+    (streams.clj:1655-1659) emits incrementally.
+
+    Scale shape: ONE hash exchange on (host, service) serves the lag
+    window, the run-numbering window, the run groupBy, and the lead
+    window — Catalyst's subset-clustering rule turns the three
+    downstream steps into within-partition re-sorts, so the whole
+    history build is a single shuffle of the events scan regardless
+    of corpus size. All boundaries integer µs: exact and
+    partition-invariant."""
+    ev = load_events(spark, sf)
+    wk = Window.partitionBy("host", "service").orderBy("time_us", "event_id")
+    prev = F.lag("state").over(wk)
+    chg = F.when(prev.isNull() | (F.col("state") != prev), 1).otherwise(0)
+    runs = ev.select(
+        "host", "service", "state", "time_us", "event_id",
+        F.sum(chg).over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("version"),
+    )
+    iv = runs.groupBy("host", "service", "version", "state").agg(
+        F.min("time_us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("host", "service").orderBy("version")
+    nxt = F.lead("valid_from_us").over(wv)
+    return iv.select(
+        "host", "service", "version", "state", "valid_from_us",
+        nxt.alias("valid_to_us"), "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@q(
+    "coverage_gaps",
+    f"""{_EV},
+nx AS (SELECT host, service, time_us,
+              CAST(ttl * 1000000.0 AS BIGINT) AS ttl_us,
+              lead(time_us) OVER (PARTITION BY host, service
+                                  ORDER BY time_us, event_id) AS next_us
+       FROM ev)
+SELECT host, service, time_us AS gap_start_us, next_us AS gap_end_us,
+       (next_us - time_us) / 1000000.0 AS gap_sec,
+       (next_us - time_us) // ttl_us AS missed_beats
+FROM nx WHERE next_us - time_us > 2 * ttl_us""",
+)
+def coverage_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Heartbeat-coverage audit: per (host, service) find every gap
+    between consecutive events longer than 2× the earlier event's TTL
+    and report the gap bounds, its length in seconds, and how many
+    TTL-sized heartbeats went missing — the batch replay of the index
+    reaper's expiry judgment (riemann index.clj:115-131 expire!),
+    turned into the monitoring-coverage report a fleet audit wants
+    ("which services went dark, when, for how long").
+
+    Scale shape: one hash exchange on (host, service) + one
+    within-partition sort feed the single lead() window; the gap
+    predicate and arithmetic are pure integer-µs projections after
+    it. Linear in events, no joins, partition-invariant."""
+    ev = load_events(spark, sf)
+    wk = Window.partitionBy("host", "service").orderBy("time_us", "event_id")
+    ttl_us = (F.col("ttl") * F.lit(1000000.0)).cast("long")
+    nx = ev.select(
+        "host", "service", "time_us",
+        ttl_us.alias("ttl_us"),
+        F.lead("time_us").over(wk).alias("next_us"),
+    )
+    gap = F.col("next_us") - F.col("time_us")
+    return nx.filter(gap > 2 * F.col("ttl_us")).select(
+        "host", "service",
+        F.col("time_us").alias("gap_start_us"),
+        F.col("next_us").alias("gap_end_us"),
+        (gap / F.lit(1000000.0)).alias("gap_sec"),
+        F.expr("(next_us - time_us) div ttl_us").alias("missed_beats"),
+    )

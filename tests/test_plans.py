@@ -987,3 +987,30 @@ def test_corpus_cube_single_expand(spark):
     assert len(re.findall(r"^\(\d+\) Expand", p, re.M)) == 1, p
     assert "partial_count" in p or "partial_sum" in p
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
+
+
+def test_scd2_single_exchange(spark):
+    """The whole SCD2 history build (lag window -> run numbering ->
+    run groupBy -> lead window) must ride ONE HashPartitioning(host,
+    service) exchange: every downstream step's clustering is satisfied
+    by the subset rule, so Catalyst re-sorts within partitions instead
+    of re-shuffling. A second Exchange here would double the only
+    data-sized shuffle at 100 TB."""
+    import re
+
+    p = plan_of(spark, "scd2_state_history")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 3, p
+    assert "partial_min" in p  # run groupBy combines map-side
+
+
+def test_coverage_gaps_single_window_no_join(spark):
+    """Gap detection is one keyed lead() window + pure integer
+    projections: exactly one Exchange, one Window, and no join
+    operator of any kind in the plan."""
+    import re
+
+    p = plan_of(spark, "coverage_gaps")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1, p
+    assert "Join" not in p, p
