@@ -160,6 +160,8 @@ HEADLINE = [
     "incremental_dedup",
     "scd2_state_history",
     "coverage_gaps",
+    "bm25_topk",
+    "rrf_fusion",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

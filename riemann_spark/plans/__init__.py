@@ -32,6 +32,8 @@ _GATE_PRIORITY = [
     # (fourth batch)
     "scd2_state_history",
     "coverage_gaps",
+    "bm25_topk",
+    "rrf_fusion",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

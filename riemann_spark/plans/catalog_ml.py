@@ -6749,3 +6749,182 @@ def domain_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             "pagerank",
         )
     )
+
+
+# ---------------------------------------------------- hybrid retrieval
+
+_BM25_TERMS = ("spark", "join", "window", "scan")
+
+
+def _bm25_term_expr(i: int) -> str:
+    """One query term's BM25 contribution (k1=1.2, b=0.75), written
+    once and evaluated verbatim by BOTH engines (Spark F.expr and
+    DuckDB): identical expression tree -> identical IEEE sequence.
+    Integer tf/dl/df/n_docs stay integer until each division."""
+    return (
+        f"CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"((tf{i} * 2.2) / "
+        f"(tf{i} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) "
+        f"ELSE 0.0 END"
+    )
+
+
+_BM25_SCORE = (
+    "round(" + " + ".join(_bm25_term_expr(i) for i in range(len(_BM25_TERMS))) + ", 6)"
+)
+
+_BM25_TF = ",\n       ".join(
+    f"CAST(len(list_filter(toks, t -> t = '{term}')) AS BIGINT) AS tf{i}"
+    for i, term in enumerate(_BM25_TERMS)
+)
+_BM25_DF = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+
+_BM25_CORE = f"""
+ft AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       {_BM25_TF}
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       {_BM25_DF}
+  FROM ft),
+sc AS (SELECT doc_id, {_BM25_SCORE} AS score FROM ft CROSS JOIN g),
+lex AS (SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM sc WHERE score > 0.0)"""
+
+
+def _bm25_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared Spark half of _BM25_CORE: per-doc integer tf/dl stats,
+    ONE single-row global agg broadcast back, the score via the same
+    F.expr string the oracle runs."""
+    d = load_table(spark, sf, "documents")
+    toks = text.tokens("text")
+
+    def tf(term: str):  # single-arg lambda: a 2-arg one would become
+        # pyspark's (element, index) form and shadow the closure
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    ft = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            tf(w).cast("long").alias(f"tf{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    g = ft.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    return (
+        ft.crossJoin(F.broadcast(g))
+        .select("doc_id", F.expr(_BM25_SCORE).alias("score"))
+        .filter(F.col("score") > 0.0)
+    )
+
+
+@q(
+    "bm25_topk",
+    f"""WITH {_BM25_CORE.lstrip()}
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, score
+FROM lex WHERE rank <= 20""",
+)
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Spärck Jones k1=1.2, b=0.75) for a
+    fixed query over the corpus: top-20 documents by the exact Okapi
+    score. The full-text half of a RAG retrieval stack, and the
+    lexical baseline every hybrid-search eval needs.
+
+    Scale shape: per-doc tf/dl are pure projections fused with the
+    scan (no explode — the tf of each query term is a filtered array
+    length, so only q columns materialize, not corpus×vocab rows);
+    corpus statistics (N, avgdl, per-term df) are ONE single-row
+    aggregate broadcast back; top-20 is TakeOrderedAndProject (local
+    k-heaps, k-row driver merge) with the rank window over 20 rows.
+    No shuffle touches corpus-sized data beyond the one-row agg's
+    partials."""
+    sc = _bm25_frame(spark, sf)
+    top = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("rank"), "score"
+    )
+
+
+@q(
+    "rrf_fusion",
+    f"""WITH {_BM25_CORE.lstrip()},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+vr AS (SELECT vec_id,
+              row_number() OVER (ORDER BY {_cos_sql('v', 'q')} DESC, vec_id)
+                AS rank
+       FROM e CROSS JOIN qv),
+fused AS (SELECT lex.doc_id,
+                 CAST(lex.rank AS BIGINT) AS lex_rank,
+                 CAST(vr.rank AS BIGINT) AS vec_rank,
+                 round(1.0 / (60.0 + lex.rank) + 1.0 / (60.0 + vr.rank), 9)
+                   AS rrf
+          FROM lex JOIN vr ON vr.vec_id = lex.doc_id)
+SELECT doc_id, lex_rank, vec_rank, rrf,
+       CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 20""",
+)
+def rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009, the k=60 standard): fuse the BM25 lexical ranking with the
+    dense cosine ranking against the query embedding (vec_id 0) and
+    return the top-20 by summed 1/(60+rank). The production hybrid-
+    search shape: two independent rankers, rank-space fusion, no
+    score calibration needed.
+
+    Scale shape: the lexical side is bm25_topk's zero-corpus-shuffle
+    plan kept as FULL rankings (rank windows order by the 6dp score
+    with doc-id tie-breaks — deterministic under any partitioning);
+    the dense side is one broadcast query vector × corpus scan with
+    sequential-fold dot products (never shuffle-summed). The fusion
+    join keys on doc_id and the final top-20 is rank-bounded. At
+    100 TB the dense ranking swaps to the IVF/PQ path (knn_ivf /
+    knn_pq) — rank fusion is indifferent to how either list was
+    produced."""
+    lex_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = _bm25_frame(spark, sf).select(
+        "doc_id", F.row_number().over(lex_w).cast("long").alias("lex_rank")
+    )
+    e = load_table(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cos = similarity.cosine(F.col("embedding"), F.col("q"))
+    vec_w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    vr = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("cos"))
+        .select(
+            "vec_id", F.row_number().over(vec_w).cast("long").alias("rank")
+        )
+    )
+    fused = lex.join(vr, lex.doc_id == vr.vec_id).select(
+        "doc_id",
+        "lex_rank",
+        F.col("rank").alias("vec_rank"),
+        F.round(
+            1.0 / (60.0 + F.col("lex_rank")) + 1.0 / (60.0 + F.col("rank")), 9
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "lex_rank", "vec_rank", "rrf",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

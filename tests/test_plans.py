@@ -1014,3 +1014,24 @@ def test_coverage_gaps_single_window_no_join(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
     assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1, p
     assert "Join" not in p, p
+
+
+def test_bm25_no_explode_broadcast_stats(spark):
+    """BM25 must keep per-doc tf as filtered-array-length projections
+    (no Generate/explode materializing corpus×vocab rows), broadcast
+    the ONE-row corpus-stats aggregate, and take top-20 via local
+    k-heaps — the zero-corpus-shuffle retrieval plan."""
+    p = plan_of(spark, "bm25_topk")
+    assert "Generate" not in p, p
+    assert "BroadcastNestedLoopJoin" in p  # one-row stats × corpus
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rrf_fusion_broadcast_query_vector(spark):
+    """The dense half of RRF is one broadcast query vector against the
+    corpus scan; the lexical join must be a broadcast hash join on
+    doc_id (rank lists are top-k-bounded), never a sort-merge."""
+    p = plan_of(spark, "rrf_fusion")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p
