@@ -162,6 +162,7 @@ HEADLINE = [
     "coverage_gaps",
     "bm25_topk",
     "rrf_fusion",
+    "embedding_outliers",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -34,6 +34,7 @@ _GATE_PRIORITY = [
     "coverage_gaps",
     "bm25_topk",
     "rrf_fusion",
+    "embedding_outliers",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

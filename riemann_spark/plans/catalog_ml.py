@@ -6928,3 +6928,108 @@ def rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lex_rank", "vec_rank", "rrf",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+# ----------------------------------------------- embedding outlier audit
+
+_Q12 = "1000000000000.0"
+
+
+def _qmean(x: str) -> str:
+    """Quantized-integer-grid mean: identical IEEE sequence to the
+    Spark side's sum(round(x*1e12)::long::decimal)::double/1e12/n."""
+    return (
+        f"CAST(SUM(CAST(round({x} * {_Q12}) AS BIGINT)) AS DOUBLE)"
+        f" / {_Q12} / COUNT(*)"
+    )
+
+
+@q(
+    "embedding_outliers",
+    f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+mu0 AS (SELECT label, d, {_qmean('v[d]')} AS m
+        FROM e CROSS JOIN generate_series(1, 64) AS g(d)
+        GROUP BY label, d),
+mua AS (SELECT label, list(m ORDER BY d) AS mu FROM mu0 GROUP BY label),
+dist AS (SELECT vec_id, e.label,
+           sqrt(list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, 64),
+                            d -> (v[d] - mu[d]) * (v[d] - mu[d]))),
+             (a, b) -> a + b)) AS dist
+         FROM e JOIN mua ON mua.label = e.label),
+m1 AS (SELECT label, {_qmean('dist')} AS mean FROM dist GROUP BY label),
+m2 AS (SELECT dist.label,
+         {_qmean('(dist - mean) * (dist - mean)')} AS var
+       FROM dist JOIN m1 USING (label) GROUP BY dist.label)
+SELECT vec_id, label, round(dist, 9) AS dist,
+       round((dist - mean) / sqrt(var), 9) AS z,
+       abs((dist - mean) / sqrt(var)) > 2.0 AS is_outlier
+FROM dist JOIN m1 USING (label) JOIN m2 USING (label)""",
+)
+def embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding outlier audit: distance of every vector to
+    its label centroid, z-scored within the label, |z| > 2 flagged —
+    the mislabeled-example / contaminated-cluster detector an
+    embedding-curated corpus runs before training (prune vectors far
+    from their own class).
+
+    Scale shape: the centroid pass shuffles labels×dim rows (map-side
+    partials — model-sized traffic regardless of corpus size), the
+    centroid table broadcasts back, the distance is a per-row
+    sequential fold (never shuffle-summed), and the two moment passes
+    shuffle one row per label each on the 1e-12 quantized integer
+    grid (bit-reproducible under any partitioning). Three linear
+    scans, zero corpus-sized shuffles."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q12 = F.lit(1e12)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q12).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q12
+            / F.count(F.lit(1))
+        )
+
+    mu0 = (
+        e.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(qmean(F.col("x")).alias("m"))
+    )
+    mua = mu0.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m
+        ).alias("mu")
+    )
+    dist_col = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "mu", lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+    )
+    dist = e.join(F.broadcast(mua), "label").select(
+        "vec_id", "label", dist_col.alias("dist")
+    )
+    m1 = dist.groupBy("label").agg(qmean(F.col("dist")).alias("mean"))
+    dm = dist.join(F.broadcast(m1), "label")
+    m2 = dm.groupBy("label").agg(
+        qmean(
+            (F.col("dist") - F.col("mean")) * (F.col("dist") - F.col("mean"))
+        ).alias("var")
+    )
+    z = (F.col("dist") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        dist.join(F.broadcast(m1), "label")
+        .join(F.broadcast(m2), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 9).alias("dist"),
+            F.round(z, 9).alias("z"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )

@@ -1035,3 +1035,14 @@ def test_rrf_fusion_broadcast_query_vector(spark):
     p = plan_of(spark, "rrf_fusion")
     assert "SortMergeJoin" not in p, p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_embedding_outliers_broadcast_moments(spark):
+    """Centroids and both moment tables are label-cardinality-sized
+    and must broadcast back to the corpus scan (3+ broadcast hash
+    joins, no sort-merge); every aggregate partial-combines map-side
+    so no corpus-sized rows cross a shuffle."""
+    p = plan_of(spark, "embedding_outliers")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p, p
+    assert "partial_sum" in p
