@@ -35,6 +35,7 @@ _GATE_PRIORITY = [
     "bm25_topk",
     "rrf_fusion",
     "embedding_outliers",
+    "streaming_scd2_drained",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

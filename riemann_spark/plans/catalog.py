@@ -4994,3 +4994,60 @@ def coverage_gaps(spark: SparkSession, sf: str) -> DataFrame:
         (gap / F.lit(1000000.0)).alias("gap_sec"),
         F.expr("(next_us - time_us) div ttl_us").alias("missed_beats"),
     )
+
+
+@q(
+    "streaming_scd2_drained",
+    f"""{_EV},
+runs AS (
+  SELECT host, service, state, time_us, event_id,
+         SUM(CASE WHEN prev IS NULL OR state IS DISTINCT FROM prev
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host, service ORDER BY time_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS version
+  FROM (SELECT host, service, state, time_us, event_id,
+               lag(state) OVER (PARTITION BY host, service
+                                ORDER BY time_us, event_id) AS prev
+        FROM ev)),
+iv AS (SELECT host, service, CAST(version AS BIGINT) AS version, state,
+              MIN(time_us) AS valid_from_us,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM runs GROUP BY host, service, version, state),
+hist AS (SELECT host, service, version, state, valid_from_us,
+                lead(valid_from_us) OVER (PARTITION BY host, service
+                                          ORDER BY version) AS valid_to_us,
+                n_events
+         FROM iv)
+SELECT * FROM hist WHERE valid_to_us IS NOT NULL""",
+)
+def streaming_scd2_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SCD2 value-checked: the applyInPandasWithState run
+    over the event stream must emit exactly the CLOSED intervals of
+    the batch history (scd2_state_history minus the per-key open
+    run, which stays in state — a changelog writer's posture)."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_scd2
+
+    name = f"cat_scd2_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scd2_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_scd2(normalize_events(raw))
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

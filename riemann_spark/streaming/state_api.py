@@ -183,6 +183,13 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "per url with seen_probable + kept",
     },
+    "streaming_scd2": {
+        "keys": ("host", "service"),
+        "state": "(prev string, version long, valid_from_us long, "
+                 "n_events long)  # the open run",
+        "timeout": "none",
+        "emission": "closed validity interval per state transition",
+    },
     "index_stream (expire reaper)": {
         "keys": ("host", "service"),
         "state": "(latest event + ttl deadline)",

@@ -1953,3 +1953,74 @@ def streaming_url_gate(sdf: DataFrame, n_shards: int = 8) -> DataFrame:
         rows, ("shard",), upd, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
         )
+
+
+def streaming_scd2(
+    sdf: DataFrame,
+    keys: Sequence[str] = ("host", "service"),
+) -> DataFrame:
+    """SCD-type-2 interval emission: per key, every run of equal
+    states becomes one versioned row emitted WHEN THE RUN CLOSES (a
+    differing state arrives) — the streaming producer of
+    scd2_state_history's closed intervals. The open run stays in
+    state and is never emitted: the current version lives in the
+    serving index (streaming_coalesce / the index), history lands in
+    the lake. Reference seam: changed-state (streams.clj:1655-1659)
+    with the validity interval materialized instead of the edge
+    event. State per key: one (prev, version, valid_from_us,
+    n_events) tuple — bounded regardless of stream length."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("version", LongType()),
+            StructField("state", StringType()),
+            StructField("valid_from_us", LongType()),
+            StructField("valid_to_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("prev", StringType()),
+            StructField("version", LongType()),
+            StructField("valid_from_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        if state.exists:
+            prev, version, vfrom, n = state.get
+        else:
+            prev, version, vfrom, n = None, 0, 0, 0
+        rows = _sorted_rows(pdfs, ["event_id", "time", "time_us", "state"])
+        out = []
+        for row in rows.itertuples(index=False):
+            cur = row.state
+            cur = (
+                None
+                if (cur is None or (isinstance(cur, float) and pd.isna(cur)))
+                else str(cur)
+            )
+            t_us = int(row.time_us)
+            if prev is None:
+                prev, version, vfrom, n = cur, 1, t_us, 1
+            elif cur == prev:
+                n += 1
+            else:
+                out.append(
+                    (host, service, int(version), prev, int(vfrom), t_us, int(n))
+                )
+                prev, version, vfrom, n = cur, version + 1, t_us, 1
+        state.update((prev, int(version), int(vfrom), int(n)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+    )

@@ -450,6 +450,16 @@ def _state_table_cases():
                         h=["ab" * 16, "cd" * 16])),
              _data(_pdf(doc_id=[2], url=["a.com/p"], h=["ab" * 16]))],
         ),
+        "streaming_scd2": (
+            lambda: so.streaming_scd2(FAKE), ("h1", "svc"),
+            # run carried across batches: ok×2, then critical closes
+            # the ok run and ok closes the critical run
+            [_data(_pdf(event_id=[0, 1], time=[0.0, 1.0],
+                        time_us=[0, 1000000], state=["ok", "ok"])),
+             _data(_pdf(event_id=[2, 3], time=[2.0, 3.0],
+                        time_us=[2000000, 3000000],
+                        state=["critical", "ok"]))],
+        ),
     }
 
 
