@@ -163,6 +163,8 @@ HEADLINE = [
     "bm25_topk",
     "rrf_fusion",
     "embedding_outliers",
+    "per_source_quantile_filter",
+    "kl_divergence_sources",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -36,6 +36,8 @@ _GATE_PRIORITY = [
     "rrf_fusion",
     "embedding_outliers",
     "streaming_scd2_drained",
+    "per_source_quantile_filter",
+    "kl_divergence_sources",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

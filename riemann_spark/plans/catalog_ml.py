@@ -7033,3 +7033,119 @@ def embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_outlier"),
         )
     )
+
+
+# ------------------------------------------- source-relative curation
+
+_QUALITY_SQL = f"""0.5 * ({_sw_count('toks', 'en')} / CAST(len(toks) AS DOUBLE))
+       + 0.3 * least(
+           (list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                        (a, b) -> a + b) / len(toks)) / 10.0, 1.0)
+       - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                / CAST(length(text) AS DOUBLE))"""
+
+
+@q(
+    "per_source_quantile_filter",
+    f"""
+WITH t AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality
+           FROM (SELECT doc_id, source, text, {_TOKS} AS toks
+                 FROM documents)),
+r AS (SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id)
+               AS src_rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM t)
+SELECT doc_id, source, quality,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(n_src AS BIGINT) AS n_src,
+       src_rank * 10 <= n_src * 3 AS kept
+FROM r""",
+)
+def per_source_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-RELATIVE quality cut: rank every document within its
+    source by the composite quality score and keep the top 30% per
+    source — the curation posture that survives heterogeneous
+    sources (an absolute threshold would empty low-scoring sources
+    entirely and keep boilerplate from high-scoring ones; per-source
+    quantiles keep the mixture while cutting each source's tail).
+
+    Scale shape: the quality score is a pure projection fused with
+    the scan; ONE hash exchange on source serves both the ranking
+    window and the count window. The keep predicate is exact integer
+    arithmetic (rank*10 <= n*3), so no float quantile edges can
+    disagree between engines or partitionings."""
+    d = load_table(spark, sf, "documents")
+    qual = text.quality_score("text")
+    wr = Window.partitionBy("source").orderBy(
+        F.desc(qual), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "doc_id",
+        "source",
+        qual.alias("quality"),
+        F.row_number().over(wr).cast("long").alias("src_rank"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_src"),
+    )
+    return r.select(
+        "doc_id", "source", "quality", "src_rank", "n_src",
+        (F.col("src_rank") * 10 <= F.col("n_src") * 3).alias("kept"),
+    )
+
+
+@q(
+    "kl_divergence_sources",
+    f"""
+WITH tt AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tt GROUP BY source, term),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source),
+gt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS g FROM st GROUP BY term),
+ng AS (SELECT CAST(SUM(g) AS BIGINT) AS m FROM gt)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(SUM((c / CAST(n AS DOUBLE))
+                 * ln((c / CAST(n AS DOUBLE)) / (g / CAST(m AS DOUBLE)))), 6)
+         AS kl
+FROM st JOIN ns USING (source) JOIN gt USING (term) CROSS JOIN ng
+GROUP BY source""",
+)
+def kl_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-distribution divergence KL(source ‖ corpus):
+    how far each source's unigram distribution sits from the global
+    mix — the signal behind domain-reweighting decisions (DoReMi-
+    style posture: sources far from the mixture get their weights
+    revisited) and the vocabulary-level sibling of psi_drift's
+    bucket-level score.
+
+    Scale shape: one (source, term) groupBy (map-side partials), a
+    term-keyed join against the vocab totals (shuffled, NOT
+    broadcast — web-scale vocab is corpus-sized, the tfidf posture),
+    source totals and the one-row grand total broadcast back, then a
+    per-source sum of exact-rational ln terms rounded 6dp (the
+    unigram_lm_scores determinism contract)."""
+    d = load_table(spark, sf, "documents")
+    tt = d.select(
+        "source", F.explode(text.tokens("text")).alias("term")
+    )
+    st = tt.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ns = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    gt = st.groupBy("term").agg(F.sum("c").cast("long").alias("g"))
+    ng = gt.agg(F.sum("g").cast("long").alias("m"))
+    j = (
+        st.join(gt, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    qm = F.col("g") / F.col("m").cast("double")
+    return j.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum(p * F.log(p / qm)), 6).alias("kl"),
+    )

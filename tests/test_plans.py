@@ -1046,3 +1046,24 @@ def test_embedding_outliers_broadcast_moments(spark):
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "SortMergeJoin" not in p, p
     assert "partial_sum" in p
+
+
+def test_per_source_quantile_filter_one_exchange(spark):
+    """Ranking and counting windows share ONE HashPartitioning(source)
+    exchange; the quality score is a projection fused with the scan
+    (no joins, no aggregates)."""
+    import re
+
+    p = plan_of(spark, "per_source_quantile_filter")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert "Join" not in p, p
+
+
+def test_kl_divergence_broadcast_totals_shuffled_vocab(spark):
+    """Source totals and the one-row grand total broadcast back; the
+    vocab join stays a shuffle join (web-scale vocab must never
+    broadcast)."""
+    p = plan_of(spark, "kl_divergence_sources")
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "BroadcastNestedLoopJoin" in p  # one-row grand total
+    assert "partial_count" in p or "partial_sum" in p
