@@ -165,6 +165,7 @@ HEADLINE = [
     "embedding_outliers",
     "per_source_quantile_filter",
     "kl_divergence_sources",
+    "hits_scores",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -38,6 +38,7 @@ _GATE_PRIORITY = [
     "streaming_scd2_drained",
     "per_source_quantile_filter",
     "kl_divergence_sources",
+    "hits_scores",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -7149,3 +7149,148 @@ def kl_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.round(F.sum(p * F.log(p / qm)), 6).alias("kl"),
     )
+
+
+def _hits_sql(iters: int = 10) -> str:
+    """Unrolled HITS replay over the derived page graph (same docs /
+    edges CTEs as _pagerank_sql). Per iteration: authority = L1-
+    normalized weighted in-sum of hub scores, hub = L1-normalized
+    weighted out-sum of authorities; every sum an ascending-key left
+    fold, every CTE MATERIALIZED (each score table feeds two
+    consumers). 0.0-prepended folds match a 0.0-initialized Python
+    accumulator bit-for-bit, and LEFT-JOIN zeros are exact (x + 0.0
+    never changes an IEEE accumulator)."""
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    fold = "list_reduce(list_prepend(0.0, {lst}), (a, b) -> a + b)"
+    parts = [
+        f"""WITH docs AS MATERIALIZED (
+  SELECT source || '/' || CAST(doc_id % 13 AS VARCHAR) AS u,
+         'src' || CAST(CAST('0x' || substr({h}, 1, 4) AS BIGINT) % 20
+                       AS VARCHAR)
+          || '/' || CAST(CAST('0x' || substr({h}, 5, 4) AS BIGINT) % 13
+                         AS VARCHAR) AS v
+  FROM documents)""",
+        """edges AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS cnt FROM docs GROUP BY u, v)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS node FROM docs
+  UNION SELECT DISTINCT v FROM docs)""",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        """h0 AS MATERIALIZED (
+  SELECT node, 1.0 / n AS h FROM nodes CROSS JOIN nn)""",
+    ]
+    for k in range(iters):
+        insum = fold.format(lst="list(hh.h * e.cnt ORDER BY e.u)")
+        parts.append(
+            f"""sa{k} AS MATERIALIZED (
+  SELECT e.v AS node, {insum} AS s
+  FROM edges e JOIN h{k} hh ON hh.node = e.u GROUP BY e.v)"""
+        )
+        tsum = fold.format(lst="list(s ORDER BY node)")
+        parts.append(
+            f"at{k} AS MATERIALIZED (SELECT {tsum} AS t FROM sa{k})"
+        )
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT n0.node, coalesce(s, 0.0) / t AS a
+  FROM nodes n0 LEFT JOIN sa{k} ON sa{k}.node = n0.node
+       CROSS JOIN at{k})"""
+        )
+        outsum = fold.format(lst="list(aa.a * e.cnt ORDER BY e.v)")
+        parts.append(
+            f"""sh{k} AS MATERIALIZED (
+  SELECT e.u AS node, {outsum} AS s
+  FROM edges e JOIN a{k} aa ON aa.node = e.v GROUP BY e.u)"""
+        )
+        parts.append(
+            f"ht{k} AS MATERIALIZED (SELECT {tsum} AS t FROM sh{k})"
+        )
+        parts.append(
+            f"""h{k + 1} AS MATERIALIZED (
+  SELECT n0.node, coalesce(s, 0.0) / t AS h
+  FROM nodes n0 LEFT JOIN sh{k} ON sh{k}.node = n0.node
+       CROSS JOIN ht{k})"""
+        )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT a.node AS page,
+       round(a.a, 9) AS authority,
+       round(hh.h, 9) AS hub
+FROM a{iters - 1} a JOIN h{iters} hh ON hh.node = a.node"""
+
+
+@q("hits_scores", _hits_sql(10))
+def hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the derived
+    page-link graph — domain_pagerank's companion signal: PageRank
+    scores global endorsement, HITS separates pages that AGGREGATE
+    links (hubs — link farms, index pages) from pages that RECEIVE
+    them (authorities), the pair a link-spam filter in a web-curation
+    pipeline reads together.
+
+    Same determinism dissolution as domain_pagerank: the one
+    corpus-sized pass is the edge aggregation (map-side partials to a
+    page-key-bounded graph); the 10 iterations run driver-side over
+    the model-sized weighted graph with every in/out sum and both L1
+    normalizers explicit ascending-key left folds, and the oracle
+    replays the identical IEEE sequence as unrolled MATERIALIZED
+    CTEs. Web-scale graphs swap the driver folds for keyed joins per
+    iteration with 1e-12-grid quantization (the Pregel posture)."""
+    d = load_table(spark, sf, "documents")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    u = F.concat(
+        F.col("source"), F.lit("/"), (F.col("doc_id") % 13).cast("string")
+    )
+    v = F.concat(
+        F.lit("src"),
+        (F.conv(F.substring(hh, 1, 4), 16, 10).cast("long") % 20).cast(
+            "string"
+        ),
+        F.lit("/"),
+        (F.conv(F.substring(hh, 5, 4), 16, 10).cast("long") % 13).cast(
+            "string"
+        ),
+    )
+    docs = d.select(u.alias("u"), v.alias("v"))
+    edges = {  # model-sized collect: bounded by page-key cardinality^2
+        (r["u"], r["v"]): float(r["cnt"])
+        for r in docs.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("double").alias("cnt")
+        ).collect()
+    }
+    nodes = sorted({eu for eu, _ in edges} | {ev for _, ev in edges})
+    in_edges: dict = {nd: [] for nd in nodes}
+    out_edges: dict = {nd: [] for nd in nodes}
+    for (eu, ev), cnt in sorted(edges.items()):  # ascending (u, v)
+        in_edges[ev].append((eu, cnt))
+        out_edges[eu].append((ev, cnt))
+    n = float(len(nodes))
+    hub = {nd: 1.0 / n for nd in nodes}
+    auth = {}
+    for _ in range(10):
+        s = {}
+        for nd in nodes:
+            if in_edges[nd]:
+                acc = 0.0
+                for eu, cnt in in_edges[nd]:  # ascending u: ORDER BY e.u
+                    acc = acc + hub[eu] * cnt
+                s[nd] = acc
+        t = 0.0
+        for nd in sorted(s):  # ORDER BY node
+            t = t + s[nd]
+        auth = {nd: s.get(nd, 0.0) / t for nd in nodes}
+        s2 = {}
+        for nd in nodes:
+            if out_edges[nd]:
+                acc = 0.0
+                for ev, cnt in out_edges[nd]:  # ascending v: ORDER BY e.v
+                    acc = acc + auth[ev] * cnt
+                s2[nd] = acc
+        t2 = 0.0
+        for nd in sorted(s2):
+            t2 = t2 + s2[nd]
+        hub = {nd: s2.get(nd, 0.0) / t2 for nd in nodes}
+    return spark.createDataFrame(
+        [(nd, round(auth[nd], 9), round(hub[nd], 9)) for nd in nodes],
+        "page string, authority double, hub double",
+    )
