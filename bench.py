@@ -166,6 +166,7 @@ HEADLINE = [
     "per_source_quantile_filter",
     "kl_divergence_sources",
     "hits_scores",
+    "image_resize_real",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

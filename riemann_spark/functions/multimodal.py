@@ -33,6 +33,7 @@ from riemann_spark.operators.skew import spread_for_python as _spread
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -871,6 +872,83 @@ def audio_envelope_fp(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                     rows.append([int(mid), fp])
                 except (ValueError, IndexError, struct.error):
                     rows.append([int(mid), None])
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.mapInPandas(run, schema)
+
+
+def real_resize_box(
+    df: DataFrame, id_col: str = "media_id", factor: int = 4
+) -> DataFrame:
+    """REAL image resize over real decoded pixels: decode (PNG or P6
+    PPM via the pure-stdlib codecs), box-filter downsample by
+    ``factor`` (the INTER_AREA posture: each output pixel is the
+    exact INTEGER sum of a factor×factor box — order-equivalent to
+    the mean with zero float risk), and emit a verifiable digest of
+    the resized image (md5 over the box-sum sequence in (by, bx, c)
+    order) plus the global mean pixel value. This is the
+    decode→resize stage of a multimodal training pipeline with the
+    resized content reduced to an engine-checkable fingerprint;
+    resize_images keeps the opaque-payload API shape for deploys
+    with full codec libs. Images whose dimensions don't tile the box
+    grid dead-letter as a NULL row.
+
+    Arrow-batched mapInPandas; binary never shuffles."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from riemann_spark.functions.media_codecs import (
+        PNG_SIG,
+        decode_png,
+        decode_ppm,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("out_w", IntegerType()),
+            StructField("out_h", IntegerType()),
+            StructField("resize_digest", StringType()),
+            StructField("mean_px", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content or b"")
+                try:
+                    if b[: len(PNG_SIG)] == PNG_SIG:
+                        w, h, _ch, px = decode_png(b)
+                    elif b[:2] == b"P6":
+                        w, h, _maxval, px = decode_ppm(b)
+                    else:
+                        raise ValueError("not an image")
+                    if w % factor or h % factor:
+                        raise ValueError("boxes do not tile")
+                    w2, h2 = w // factor, h // factor
+                    arr = (
+                        np.frombuffer(px, dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(h, w, 3)
+                    )
+                    sums = arr.reshape(h2, factor, w2, factor, 3).sum(
+                        axis=(1, 3)
+                    )
+                    seq = ",".join(str(int(s)) for s in sums.ravel())
+                    rows.append(
+                        [
+                            int(mid),
+                            w2,
+                            h2,
+                            _hl.md5(seq.encode()).hexdigest(),
+                            float(sums.sum()) / (h * w * 3),
+                        ]
+                    )
+                except (ValueError, IndexError):
+                    rows.append([int(mid), None, None, None, None])
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return df.mapInPandas(run, schema)

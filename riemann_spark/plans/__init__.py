@@ -39,6 +39,7 @@ _GATE_PRIORITY = [
     "per_source_quantile_filter",
     "kl_divergence_sources",
     "hits_scores",
+    "image_resize_real",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -7294,3 +7294,57 @@ def hits_scores(spark: SparkSession, sf: str) -> DataFrame:
         [(nd, round(auth[nd], 9), round(hub[nd], 9)) for nd in nodes],
         "page string, authority double, hub double",
     )
+
+
+@q(
+    "image_resize_real",
+    """
+WITH ids AS (SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS r0,
+                    (doc_id * 53) % 1152 AS p
+             FROM documents),
+pos AS (SELECT media_id, g, r0,
+               (p % 36) // 4 AS bump_bx, (p // 36) // 4 AS bump_by
+        FROM ids),
+vals AS (SELECT media_id, r0, bump_bx, bump_by, bx, by, c,
+                ((g * 7 + 3) * (bx * 13 + by * 29 + 17) + c * 11) % 256 AS v
+         FROM pos CROSS JOIN generate_series(0, 8) AS gx(bx)
+                  CROSS JOIN generate_series(0, 7) AS gy(by)
+                  CROSS JOIN generate_series(0, 2) AS gc(c)),
+sums AS (SELECT media_id, bx, by, c,
+                16 * v + CASE WHEN c = 0 AND bx = bump_bx AND by = bump_by
+                              THEN least(v + r0 * 17, 255) - v
+                              ELSE 0 END AS s
+         FROM vals)
+SELECT media_id, 9 AS out_w, 8 AS out_h,
+       md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY by, bx, c))
+         AS resize_digest,
+       CAST(SUM(s) AS DOUBLE) / 3456.0 AS mean_px
+FROM sums GROUP BY media_id""",
+)
+def image_resize_real(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode→resize over REAL pixels: the synthetic 36×32 RGB grid
+    fixtures (real PNG for id%4==0, real P6 PPM otherwise) are
+    decoded by the pure-stdlib codecs and box-filter downsampled 4×
+    to 9×8 (multimodal.real_resize_box — exact integer box sums, the
+    INTER_AREA posture). The resized content is verified END-TO-END:
+    the oracle replays the generator's closed-form pixels plus the
+    single-pixel bump, re-derives every box sum with
+    generate_series, and must reproduce the md5 digest Spark
+    computed from the actually-decoded, actually-resized bytes —
+    decode, layout, and resize arithmetic all sit inside the checked
+    path.
+
+    Scale shape: Arrow-batched mapInPandas over the binary column
+    (never shuffled); output is 5 scalars per image. Linear, scales
+    with source partitions — the standard multimodal-ingest shape."""
+    from riemann_spark.functions import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.synthetic_image_grid(d, "doc_id")
+    return multimodal.real_resize_box(media).select(
+        "media_id",
+        F.col("out_w").cast("int").alias("out_w"),
+        F.col("out_h").cast("int").alias("out_h"),
+        "resize_digest",
+        "mean_px",
+    )
