@@ -1449,3 +1449,31 @@ def test_project_expiration_interval_vector(spark):
         [("foo", "expired", 2.0), ("bar", "ok", 2.0)],
         [(None, None, None), ("bar", "ok2", 3.0)],
     ]
+
+
+def test_rate_slow_even_vector(spark):
+    """streams_test.clj:1040-1076 rate-slow-even — (rate 1) fed 10
+    events/s for 5 s through the virtual clock: the summed tick
+    metrics conserve every input event, all middle intervals measure
+    exactly the generation rate, and the first+last pair is
+    complementary (a boundary event may slide one interval, never
+    vanish). rate-threaded (1078-1097) is n/a by design: the STM
+    thread race it exercises is replaced by partition-parallel
+    partial aggregation in Spark."""
+    from riemann_spark.streaming.stateful_ops import streaming_rate_interval
+
+    seq = []
+    for _ in range(50):
+        seq.append({"metric": 1.0, "service": "s", "host": "h"})
+        seq.append(0.1)
+    out = _intervals(
+        lambda s: streaming_rate_interval(s, 1.0),
+        seq,
+        row_fields=("event_id", "time", "metric", "state", "host",
+                    "service", "ttl"),
+        key_fields=(),
+    )
+    # all 50 events counted, every closed interval at exactly gen-rate
+    assert [(r["time"], r["metric"]) for r in out] == [
+        (1.0, 10.0), (2.0, 10.0), (3.0, 10.0), (4.0, 10.0), (5.0, 10.0)
+    ]
