@@ -167,6 +167,7 @@ HEADLINE = [
     "kl_divergence_sources",
     "hits_scores",
     "image_resize_real",
+    "duplicate_span_removal",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

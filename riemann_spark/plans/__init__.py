@@ -40,6 +40,7 @@ _GATE_PRIORITY = [
     "kl_divergence_sources",
     "hits_scores",
     "image_resize_real",
+    "duplicate_span_removal",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -7348,3 +7348,109 @@ def image_resize_real(spark: SparkSession, sf: str) -> DataFrame:
         "resize_digest",
         "mean_px",
     )
+
+
+@q(
+    "duplicate_span_removal",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (SELECT doc_id AS doc, i, gram FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 8 THEN
+                 generate_series(1, len(t) - 7) ELSE [] END) AS i,
+               t
+        FROM toks),
+      LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                   || ' ' || t[i+7] AS gram)),
+df AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+dp AS (SELECT doc, list_sort(list(i)) AS dup_pos
+       FROM g JOIN df USING (gram) WHERE cnt >= 2 GROUP BY doc),
+c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+             coalesce(dup_pos, []) AS dp
+      FROM toks LEFT JOIN dp ON dp.doc = toks.doc_id),
+cov AS (SELECT doc_id, t, n_tokens,
+              flatten(list_transform(dp, i -> generate_series(i, i + 7)))
+                AS covered
+       FROM c),
+k AS (SELECT doc_id, t, n_tokens,
+             list_filter(generate_series(1, CAST(n_tokens AS INTEGER)),
+               j -> NOT list_contains(covered, j)) AS kept
+      FROM cov)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(kept) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kept_frac,
+       md5(coalesce(array_to_string(list_transform(kept, j -> t[j]), ' '),
+                    '')) AS clean_fingerprint
+FROM k""",
+)
+def duplicate_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """The Lee et al. (arXiv:2107.06499) dedup TRANSFORM, not just the
+    signal: every token covered by any corpus-duplicated 8-gram is
+    removed, and the cleaned document is emitted as (kept-token
+    fingerprint, removal counts) — substring_dedup tells you how
+    much is duplicated, this produces the deduplicated corpus and
+    proves it byte-for-byte (the md5 is over the actual cleaned
+    token sequence).
+
+    Scale shape: gram df is one (gram) groupBy with map-side
+    partials; the join back is gram-keyed (uniform md5-free grams —
+    hot grams aggregate to ONE df row before the join); the coverage
+    mask is a per-doc array fold over the doc's OWN duplicated
+    positions (bounded by doc length), zero extra shuffles. Same
+    two-shuffle budget as substring_dedup with a projection on top."""
+    d = load_table(spark, sf, "documents")
+    t = text.tokens("text")
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    grams = toks.filter(F.col("n") >= 8).select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 7),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("t", i + off) for off in range(8)]
+                ),
+            )
+        ).alias("p0", "gram"),
+    ).select("doc", (F.col("p0") + 1).alias("i"), "gram")
+    df_ = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    dp = (
+        grams.join(df_, "gram")
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("i")).alias("dup_pos"))
+    )
+    c = toks.join(dp, toks.doc_id == dp.doc, "left").select(
+        "doc_id",
+        "t",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce("dup_pos", F.array().cast("array<int>")).alias("dp"),
+    )
+    # flattened coverage array + array_contains: a nested HOF lambda
+    # referencing the outer lambda variable mis-binds in Spark, so the
+    # membership test must be a plain function of the lambda var
+    cov = c.select(
+        "doc_id", "t", "n_tokens",
+        F.flatten(
+            F.transform("dp", lambda i: F.sequence(i, i + 7))
+        ).alias("covered"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
+        lambda j: ~F.array_contains("covered", j),
+    )
+    k = cov.select("doc_id", "t", "n_tokens", kept.alias("kept"))
+    return k.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        (
+            F.size("kept").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("kept_frac"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform("kept", lambda j: F.element_at("t", j))
+            )
+        ).alias("clean_fingerprint"),
+    )
