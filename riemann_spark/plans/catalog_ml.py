@@ -7354,18 +7354,18 @@ def image_resize_real(spark: SparkSession, sf: str) -> DataFrame:
     "duplicate_span_removal",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-g AS (SELECT doc_id AS doc, i, gram FROM (
-        SELECT doc_id,
-               unnest(CASE WHEN len(t) >= 8 THEN
-                 generate_series(1, len(t) - 7) ELSE [] END) AS i,
-               t
-        FROM toks),
-      LATERAL (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                   || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
-                   || ' ' || t[i+7] AS gram)),
-df AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+g AS (SELECT doc_id AS doc, i,
+             substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                 || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' '
+                 || t[i+6] || ' ' || t[i+7]), 1, 16) AS gk
+      FROM (SELECT doc_id,
+              unnest(CASE WHEN len(t) >= 8 THEN
+                generate_series(1, len(t) - 7) ELSE [] END) AS i,
+              t
+            FROM toks)),
+df AS (SELECT gk, COUNT(*) AS cnt FROM g GROUP BY gk),
 dp AS (SELECT doc, list_sort(list(i)) AS dup_pos
-       FROM g JOIN df USING (gram) WHERE cnt >= 2 GROUP BY doc),
+       FROM g JOIN df USING (gk) WHERE cnt >= 2 GROUP BY doc),
 c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
              coalesce(dup_pos, []) AS dp
       FROM toks LEFT JOIN dp ON dp.doc = toks.doc_id),
@@ -7402,20 +7402,30 @@ def duplicate_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     t = text.tokens("text")
     toks = d.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    # the shuffle key is a 64-bit md5 prefix, not the raw 8-gram: the
+    # gram groupBy + join back carry ~16 bytes/row instead of the full
+    # token string (the repo-wide md5-as-identity posture)
     grams = toks.filter(F.col("n") >= 8).select(
         F.col("doc_id").alias("doc"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n") - 7),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("t", i + off) for off in range(8)]
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("t", i + off) for off in range(8)],
+                        )
+                    ),
+                    1,
+                    16,
                 ),
             )
-        ).alias("p0", "gram"),
-    ).select("doc", (F.col("p0") + 1).alias("i"), "gram")
-    df_ = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+        ).alias("p0", "gk"),
+    ).select("doc", (F.col("p0") + 1).alias("i"), "gk")
+    df_ = grams.groupBy("gk").agg(F.count(F.lit(1)).alias("cnt"))
     dp = (
-        grams.join(df_, "gram")
+        grams.join(df_, "gk")
         .filter(F.col("cnt") >= 2)
         .groupBy("doc")
         .agg(F.sort_array(F.collect_list("i")).alias("dup_pos"))
@@ -7435,9 +7445,12 @@ def duplicate_span_removal(spark: SparkSession, sf: str) -> DataFrame:
             F.transform("dp", lambda i: F.sequence(i, i + 7))
         ).alias("covered"),
     )
-    kept = F.filter(
+    # array_except builds a hash set of `covered` once per doc —
+    # O(n + 8·dups), where the per-token array_contains scan was
+    # O(8·n²) on an adversarial all-duplicated corpus
+    kept = F.array_except(
         F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
-        lambda j: ~F.array_contains("covered", j),
+        F.col("covered"),
     )
     k = cov.select("doc_id", "t", "n_tokens", kept.alias("kept"))
     return k.select(
