@@ -168,6 +168,7 @@ HEADLINE = [
     "hits_scores",
     "image_resize_real",
     "duplicate_span_removal",
+    "event_funnel",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

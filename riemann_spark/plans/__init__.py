@@ -41,6 +41,7 @@ _GATE_PRIORITY = [
     "hits_scores",
     "image_resize_real",
     "duplicate_span_removal",
+    "event_funnel",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -5051,3 +5051,118 @@ def streaming_scd2_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "event_funnel",
+    """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+u1 AS (SELECT user_id,
+              MIN(CASE WHEN event_type = 'view' THEN t END) AS t1
+       FROM e GROUP BY user_id),
+u2 AS (SELECT e.user_id, MIN(t) AS t2
+       FROM e JOIN u1 USING (user_id)
+       WHERE event_type = 'click' AND t > t1 AND t <= t1 + 604800000000
+       GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, MIN(t) AS t3
+       FROM e JOIN u2 USING (user_id)
+       WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 604800000000
+       GROUP BY e.user_id),
+lv AS (SELECT u1.user_id,
+              CASE WHEN t3 IS NOT NULL THEN 3
+                   WHEN t2 IS NOT NULL THEN 2
+                   WHEN t1 IS NOT NULL THEN 1
+                   ELSE 0 END AS lvl
+       FROM u1 LEFT JOIN u2 ON u2.user_id = u1.user_id
+               LEFT JOIN u3 ON u3.user_id = u1.user_id),
+agg AS (SELECT CAST(SUM(CASE WHEN lvl >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN lvl >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN lvl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        FROM lv)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS name, n1 AS n_users,
+         1.0 AS conv_from_prev FROM agg
+  UNION ALL
+  SELECT 2, 'click', n2, n2 / CAST(n1 AS DOUBLE) FROM agg
+  UNION ALL
+  SELECT 3, 'purchase', n3, n3 / CAST(n2 AS DOUBLE) FROM agg)""",
+)
+def event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (the ClickHouse windowFunnel shape,
+    fixed-anchor variant): per user, the first 'view' anchors the
+    chain; a 'click' counts if it lands in the 7 days after that
+    view, a 'purchase' if it lands in the 7 days after that click.
+    Emits per-stage reach and step conversion — the product-analytics
+    staple over the same events table the monitoring operators read.
+
+    Anchor semantics are deliberately first-event (MIN-based) rather
+    than any-event sliding: every aggregate is a MIN/COUNT —
+    associative, partition-invariant, engine-exact — where the
+    sliding variant needs per-user ordered replay (that lane exists
+    as sessionize/streaming_sessions for bounded windows).
+
+    Scale shape: three user-keyed conditional MIN aggregates, each
+    map-side-combining to one row per user, chained by user-keyed
+    joins that reuse the same hash partitioning; the final rollup is
+    a ONE-row aggregate. No windows, no sorts, linear in events."""
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    e = normalize_ts(raw, "ts").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    wk = F.lit(604800000000)
+    u1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t1")
+    )
+    u2 = (
+        e.join(u1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("t") > F.col("t1"))
+            & (F.col("t") <= F.col("t1") + wk)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    u3 = (
+        e.join(u2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t") > F.col("t2"))
+            & (F.col("t") <= F.col("t2") + wk)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    lv = (
+        u1.join(u2, "user_id", "left")
+        .join(u3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("lvl")
+        )
+    )
+    agg = lv.agg(
+        F.sum((F.col("lvl") >= 1).cast("int")).cast("long").alias("n1"),
+        F.sum((F.col("lvl") >= 2).cast("int")).cast("long").alias("n2"),
+        F.sum((F.col("lvl") >= 3).cast("int")).cast("long").alias("n3"),
+    )
+    s1 = agg.select(
+        F.lit(1).alias("stage"), F.lit("view").alias("name"),
+        F.col("n1").alias("n_users"), F.lit(1.0).alias("conv_from_prev"),
+    )
+    s2 = agg.select(
+        F.lit(2).alias("stage"), F.lit("click").alias("name"),
+        F.col("n2").alias("n_users"),
+        (F.col("n2") / F.col("n1").cast("double")).alias("conv_from_prev"),
+    )
+    s3 = agg.select(
+        F.lit(3).alias("stage"), F.lit("purchase").alias("name"),
+        F.col("n3").alias("n_users"),
+        (F.col("n3") / F.col("n2").cast("double")).alias("conv_from_prev"),
+    )
+    return s1.unionByName(s2).unionByName(s3)
