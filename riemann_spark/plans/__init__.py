@@ -42,6 +42,7 @@ _GATE_PRIORITY = [
     "image_resize_real",
     "duplicate_span_removal",
     "event_funnel",
+    "streaming_funnel_drained",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

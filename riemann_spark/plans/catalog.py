@@ -5166,3 +5166,57 @@ def event_funnel(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n3") / F.col("n2").cast("double")).alias("conv_from_prev"),
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+@q(
+    "streaming_funnel_drained",
+    f"""{_EV},
+u1 AS (SELECT host, MIN(CASE WHEN service = 'view' THEN "time" END) AS t1
+       FROM ev GROUP BY host),
+u2 AS (SELECT ev.host, MIN("time") AS t2
+       FROM ev JOIN u1 USING (host)
+       WHERE service = 'click' AND "time" > t1
+         AND "time" <= t1 + 604800.0
+       GROUP BY ev.host),
+u3 AS (SELECT ev.host, MIN("time") AS t3
+       FROM ev JOIN u2 USING (host)
+       WHERE service = 'purchase' AND "time" > t2
+         AND "time" <= t2 + 604800.0
+       GROUP BY ev.host)
+SELECT host, CAST(1 AS BIGINT) AS stage, 'view' AS name, t1 AS stage_time
+FROM u1 WHERE t1 IS NOT NULL
+UNION ALL
+SELECT host, 2, 'click', t2 FROM u2
+UNION ALL
+SELECT host, 3, 'purchase', t3 FROM u3""",
+)
+def streaming_funnel_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming funnel value-checked: the per-user state machine's
+    drained emission log must equal the batch fixed-anchor funnel's
+    (t1, t2, t3) stage table — one row per stage advance, nothing
+    for stages never reached."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_funnel
+
+    name = f"cat_fnl_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fnl_ck_")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    raw = normalize_ts(raw, "ts")
+    stream = streaming_funnel(normalize_events(raw))
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

@@ -190,6 +190,12 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "closed validity interval per state transition",
     },
+    "streaming_funnel": {
+        "keys": ("host",),
+        "state": "(stage long, t double)  # reached stage + anchor time",
+        "timeout": "none",
+        "emission": "one row per stage advance",
+    },
     "index_stream (expire reaper)": {
         "keys": ("host", "service"),
         "state": "(latest event + ttl deadline)",

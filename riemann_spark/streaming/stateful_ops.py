@@ -2024,3 +2024,58 @@ def streaming_scd2(
         sdf, keys, update, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    sdf: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    window_s: float = 604800.0,
+    keys: Sequence[str] = ("host",),
+) -> DataFrame:
+    """Stateful conversion funnel (fixed-anchor windowFunnel, the
+    streaming twin of the event_funnel catalog query): per key, the
+    first stages[0] event anchors the chain and each later stage
+    counts when it lands strictly after the previous stage's time and
+    within ``window_s`` of it. Emits ONE row per stage advance —
+    (stage index, stage name, the advancing event's time) — so the
+    drained emission log IS the batch funnel's per-user (t1, t2, t3)
+    table. State per key: the reached stage + its anchor time, two
+    scalars regardless of stream length."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("stage", LongType()),
+            StructField("name", StringType()),
+            StructField("stage_time", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("stage", LongType()), StructField("t", DoubleType())]
+    )
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def update(key, pdfs, state: GroupState):
+        (host,) = key
+        stage, t_anchor = state.get if state.exists else (0, 0.0)
+        rows = _sorted_rows(pdfs, ["event_id", "time", "service"])
+        out = []
+        for row in rows.itertuples(index=False):
+            svc = row.service
+            if svc not in stage_of:
+                continue
+            want = stage_of[svc] + 1  # 1-based stage this event could reach
+            t = float(row.time)
+            if stage == 0 and want == 1:
+                stage, t_anchor = 1, t
+                out.append((host, 1, svc, t))
+            elif want == stage + 1 and t > t_anchor and t <= t_anchor + window_s:
+                stage, t_anchor = want, t
+                out.append((host, want, svc, t))
+        state.update((int(stage), float(t_anchor)))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+    )

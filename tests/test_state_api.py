@@ -450,6 +450,16 @@ def _state_table_cases():
                         h=["ab" * 16, "cd" * 16])),
              _data(_pdf(doc_id=[2], url=["a.com/p"], h=["ab" * 16]))],
         ),
+        "streaming_funnel": (
+            lambda: so.streaming_funnel(FAKE, window_s=10.0), ("u1",),
+            # view anchors; click advances inside the window; the
+            # second batch's purchase lands outside click+10 -> no emit
+            [_data(_pdf(event_id=[0, 1, 2],
+                        time=[0.0, 5.0, 6.0],
+                        service=["click", "view", "click"])),
+             _data(_pdf(event_id=[3], time=[17.0],
+                        service=["purchase"]))],
+        ),
         "streaming_scd2": (
             lambda: so.streaming_scd2(FAKE), ("h1", "svc"),
             # run carried across batches: ok×2, then critical closes
