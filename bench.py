@@ -169,6 +169,7 @@ HEADLINE = [
     "image_resize_real",
     "duplicate_span_removal",
     "event_funnel",
+    "watermark_sizing_report",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -43,6 +43,7 @@ _GATE_PRIORITY = [
     "duplicate_span_removal",
     "event_funnel",
     "streaming_funnel_drained",
+    "watermark_sizing_report",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

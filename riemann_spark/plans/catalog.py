@@ -5220,3 +5220,64 @@ def streaming_funnel_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "watermark_sizing_report",
+    f"""{_EV},
+lt AS (SELECT service, time_us,
+              MAX(time_us) OVER (PARTITION BY service ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                - time_us AS late_us
+       FROM ev),
+d AS (SELECT unnest([0, 10, 60, 300]) AS delay_s)
+SELECT delay_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       SUM(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS drop_frac
+FROM lt CROSS JOIN d GROUP BY delay_s""",
+)
+def watermark_sizing_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark sizing from observed disorder: per service, an
+    event's lateness is how far it sits behind the running maximum
+    event time in ARRIVAL order (event_id — the stream's delivery
+    order); for each candidate allowed-lateness (0/10/60/300 s) the
+    report counts the events a `withWatermark` of that delay would
+    drop. This is the measurement that turns "pick a watermark" from
+    folklore into data — the engine's own streaming operators
+    (streaming/ops.py windowed aggs, the index reaper) consume
+    exactly this delay parameter.
+
+    Scale shape: ONE (service) exchange + arrival-ordered running max
+    (the per-key posture a per-source-partition audit has at deploy —
+    a single global arrival order would serialize); the 4-delay frame
+    is a broadcast unnest; output is 4 rows. Integer µs lateness,
+    exact integer counts, one final division."""
+    ev = load_events(spark, sf)
+    wk = Window.partitionBy("service").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lt = ev.select(
+        "service",
+        (F.max("time_us").over(wk) - F.col("time_us")).alias("late_us"),
+    )
+    d = spark.range(1).select(
+        F.explode(F.array(F.lit(0), F.lit(10), F.lit(60), F.lit(300))).alias(
+            "delay_s"
+        )
+    )
+    dropped = (F.col("late_us") > F.col("delay_s") * 1000000).cast("int")
+    return (
+        lt.crossJoin(F.broadcast(d))
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            (F.sum(dropped) / F.count(F.lit(1)).cast("double")).alias(
+                "drop_frac"
+            ),
+        )
+    )
