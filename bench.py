@@ -170,6 +170,7 @@ HEADLINE = [
     "duplicate_span_removal",
     "event_funnel",
     "watermark_sizing_report",
+    "funnel_latency",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

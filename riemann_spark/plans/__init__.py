@@ -44,6 +44,7 @@ _GATE_PRIORITY = [
     "event_funnel",
     "streaming_funnel_drained",
     "watermark_sizing_report",
+    "funnel_latency",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

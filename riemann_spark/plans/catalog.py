@@ -5281,3 +5281,96 @@ def watermark_sizing_report(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "funnel_latency",
+    f"""{_EV},
+u1 AS (SELECT host, MIN(CASE WHEN service = 'view' THEN "time" END) AS t1
+       FROM ev GROUP BY host),
+u2 AS (SELECT ev.host, MIN("time") AS t2
+       FROM ev JOIN u1 USING (host)
+       WHERE service = 'click' AND "time" > t1
+         AND "time" <= t1 + 604800.0
+       GROUP BY ev.host),
+u3 AS (SELECT ev.host, MIN("time") AS t3
+       FROM ev JOIN u2 USING (host)
+       WHERE service = 'purchase' AND "time" > t2
+         AND "time" <= t2 + 604800.0
+       GROUP BY ev.host),
+d AS (SELECT 'view->click' AS step, t2 - t1 AS dt
+      FROM u1 JOIN u2 USING (host)
+      UNION ALL
+      SELECT 'click->purchase', t3 - t2 FROM u2 JOIN u3 USING (host))
+SELECT step, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       MIN(dt) AS min_s, MAX(dt) AS max_s,
+       (list_sort(list(dt)))[(COUNT(*) + 1) // 2] AS median_s,
+       CAST(SUM(CAST(round(dt * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_s
+FROM d GROUP BY step""",
+)
+def funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert per funnel step (view→click, click→purchase):
+    conversion counts, min/max, the floor-index median (sorted-list
+    element (n+1)//2 — the sorted_sample determinism contract, no
+    interpolation to disagree on), and the µs-quantized mean. The
+    latency companion every funnel report ships with.
+
+    Scale shape: reuses event_funnel's three user-keyed MIN
+    aggregates on one partitioning; the latency rollup is a 2-row
+    output with the median's sorted list bounded by conversions per
+    step (at deploy: swap for the histogram-sketch percentile lane
+    the percentiles operators provide)."""
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    ev = normalize_events(normalize_ts(raw, "ts"))
+    u1 = ev.groupBy("host").agg(
+        F.min(F.when(F.col("service") == "view", F.col("time"))).alias("t1")
+    )
+    u2 = (
+        ev.join(u1, "host")
+        .filter(
+            (F.col("service") == "click")
+            & (F.col("time") > F.col("t1"))
+            & (F.col("time") <= F.col("t1") + 604800.0)
+        )
+        .groupBy("host")
+        .agg(F.min("time").alias("t2"))
+    )
+    u3 = (
+        ev.join(u2, "host")
+        .filter(
+            (F.col("service") == "purchase")
+            & (F.col("time") > F.col("t2"))
+            & (F.col("time") <= F.col("t2") + 604800.0)
+        )
+        .groupBy("host")
+        .agg(F.min("time").alias("t3"))
+    )
+    d = (
+        u1.join(u2, "host")
+        .select(
+            F.lit("view->click").alias("step"),
+            (F.col("t2") - F.col("t1")).alias("dt"),
+        )
+        .unionByName(
+            u2.join(u3, "host").select(
+                F.lit("click->purchase").alias("step"),
+                (F.col("t3") - F.col("t2")).alias("dt"),
+            )
+        )
+    )
+    n = F.count(F.lit(1))
+    return d.groupBy("step").agg(
+        n.cast("long").alias("n_conversions"),
+        F.min("dt").alias("min_s"),
+        F.max("dt").alias("max_s"),
+        F.element_at(
+            F.array_sort(F.collect_list("dt")), ((n + 1) / 2).cast("int")
+        ).alias("median_s"),
+        (
+            F.sum(F.round(F.col("dt") * 1000000.0).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / 1000000.0
+            / n
+        ).alias("mean_s"),
+    )
