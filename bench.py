@@ -171,6 +171,7 @@ HEADLINE = [
     "event_funnel",
     "watermark_sizing_report",
     "funnel_latency",
+    "cohort_retention",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

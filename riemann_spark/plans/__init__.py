@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     "streaming_funnel_drained",
     "watermark_sizing_report",
     "funnel_latency",
+    "cohort_retention",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -5374,3 +5374,65 @@ def funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
             / n
         ).alias("mean_s"),
     )
+
+
+@q(
+    "cohort_retention",
+    """
+WITH f AS (SELECT user_id,
+                  MIN(epoch_us(ts)) // 604800000000 AS cohort_w
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+      FROM events),
+c0 AS (SELECT cohort_w, CAST(COUNT(*) AS BIGINT) AS cohort_size
+       FROM f GROUP BY cohort_w)
+SELECT f.cohort_w, a.w - f.cohort_w AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       MAX(cohort_size) AS cohort_size,
+       COUNT(*) / CAST(MAX(cohort_size) AS DOUBLE) AS retention
+FROM a JOIN f USING (user_id) JOIN c0 USING (cohort_w)
+WHERE a.w >= f.cohort_w
+GROUP BY f.cohort_w, week_offset""",
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of
+    their first 'signup' event, and each (cohort week, weeks-since)
+    cell counts the cohort members active in that week — the
+    product-analytics staple beside event_funnel, over the same
+    events the monitoring operators read.
+
+    Scale shape: first-signup and distinct-activity both shuffle on
+    user_id and the cohort join reuses that partitioning; weeks are
+    exact integer epoch-µs divisions (no timezone/date-parse
+    divergence possible); the cohort-size table is key-cardinality
+    and broadcasts. Output is cohorts × offsets rows; one final
+    division per cell."""
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    e = normalize_ts(raw, "ts").select(
+        "user_id",
+        F.col("event_type"),
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+    )
+    f = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_w"))
+    )
+    a = e.select("user_id", "w").distinct()
+    c0 = f.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    j = (
+        a.join(f, "user_id")
+        .filter(F.col("w") >= F.col("cohort_w"))
+        .join(F.broadcast(c0), "cohort_w")
+    )
+    return j.groupBy(
+        "cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.max("cohort_size").alias("cohort_size"),
+        (
+            F.count(F.lit(1)) / F.max("cohort_size").cast("double")
+        ).alias("retention"),
+    )
