@@ -29,7 +29,11 @@ _GATE_PRIORITY = [
     # (the r02/r03 overflow block carried from the round-6 list).
     #
     # -- new round-7 catalog entries first: ------------------------------
-    # (fourth batch)
+    # (fourth..seventh batches — warehouse/funnel/retrieval/graph/
+    # multimodal/span-dedup closers; 16 entries. With these in front,
+    # the window's position-50 cut lands inside the r02 rotation block
+    # at tpch_q4: every NEW r7 entry plus the two r6 stragglers plus
+    # apdex still gate, and 10 rotation rows refresh behind them.)
     "scd2_state_history",
     "coverage_gaps",
     "bm25_topk",
