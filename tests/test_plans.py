@@ -1067,3 +1067,36 @@ def test_kl_divergence_broadcast_totals_shuffled_vocab(spark):
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "BroadcastNestedLoopJoin" in p  # one-row grand total
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_scd2_intervals_match_changed_state_edges(spark):
+    """Cross-operator invariant: SCD2 emits exactly one versioned
+    interval per state run, and changed_state emits exactly one edge
+    event per state run — the two views of the same partition must
+    agree in count, per key."""
+    scd2 = QUERIES["scd2_state_history"](spark, SF)
+    edges = QUERIES["changed_state"](spark, SF)
+    a = {
+        (r["host"], r["service"]): r["n"]
+        for r in scd2.groupBy("host", "service").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    b = {
+        (r["host"], r["service"]): r["n"]
+        for r in edges.groupBy("host", "service").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert a == b
+
+
+def test_funnel_counts_consistent(spark):
+    """event_funnel's stage reach must be monotone non-increasing and
+    equal funnel_latency's per-step conversion counts (stage 2 = the
+    view->click conversions, stage 3 = click->purchase)."""
+    fn = {r["stage"]: r["n_users"]
+          for r in QUERIES["event_funnel"](spark, SF).collect()}
+    lat = {r["step"]: r["n_conversions"]
+           for r in QUERIES["funnel_latency"](spark, SF).collect()}
+    assert fn[1] >= fn[2] >= fn[3]
+    assert lat.get("view->click", 0) == fn[2]
+    assert lat.get("click->purchase", 0) == fn[3]
