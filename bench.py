@@ -172,6 +172,7 @@ HEADLINE = [
     "watermark_sizing_report",
     "funnel_latency",
     "cohort_retention",
+    "winnowing_keeplist",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "watermark_sizing_report",
     "funnel_latency",
     "cohort_retention",
+    "winnowing_keeplist",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

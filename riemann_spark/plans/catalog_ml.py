@@ -7467,3 +7467,55 @@ def duplicate_span_removal(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("clean_fingerprint"),
     )
+
+
+@q(
+    "winnowing_keeplist",
+    f"""
+WITH RECURSIVE {_WINNOW_CTES},
+d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+keep AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) <= 32),
+kd AS (SELECT d.doc_id, d.fp FROM d JOIN keep USING (fp)),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM kd a JOIN kd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+edges AS (SELECT d1 AS u, d2 AS v FROM inter
+          UNION SELECT d2, d1 FROM inter),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT dd.doc_id, 'unique' AS keep_reason
+FROM documents dd ANTI JOIN labels l ON dd.doc_id = l.doc
+UNION ALL
+SELECT doc AS doc_id, 'canonical' AS keep_reason
+FROM labels WHERE doc = cluster""",
+)
+def winnowing_keeplist(spark: SparkSession, sf: str) -> DataFrame:
+    """The MOSS family's deploy tier: winnowing overlap pairs
+    (n_shared >= 2 surviving fingerprints) grouped into clusters by
+    the large-star/small-star CC, reduced to the keep-list — every
+    non-overlapping doc plus the component-minimum canonical per
+    overlap cluster. Completes the winnowing lane the way
+    image_dhash_keeplist completes the perceptual lane: pair
+    enumeration stays the audit tier, the linear keep-list is what a
+    100 TB curation job actually joins.
+
+    Scale shape: the fingerprint posting-list join is bounded by the
+    max-df guard; CC rounds are keyed aggregates over the pair list
+    (O(log² n) rounds, 2-3 in practice); the final anti-join keys on
+    doc_id with AQE deciding broadcast."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.winnowing_overlap_pairs(d).filter(
+        F.col("n_shared") >= 2
+    )
+    labels = dedup.connected_components(pairs, "doc1", "doc2")
+    unique = d.join(
+        labels, d.doc_id == labels.node, "left_anti"
+    ).select("doc_id", F.lit("unique").alias("keep_reason"))
+    canonical = labels.filter(F.col("node") == F.col("cluster")).select(
+        F.col("node").alias("doc_id"),
+        F.lit("canonical").alias("keep_reason"),
+    )
+    return unique.unionByName(canonical)
