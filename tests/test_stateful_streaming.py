@@ -699,3 +699,61 @@ def test_streaming_bottomk_multi_batch_merges(spark, tmp_path):
 
     want = set(sorted(range(80), key=lambda i: (pri(i), i))[:5])
     assert got == want
+
+
+def test_streaming_scd2_survives_restart(spark, tmpdirs):
+    """Checkpoint recovery for streaming_scd2: the open run (prev
+    state, version, valid_from, n_events) must carry across a stop +
+    restart — the interval closed AFTER the restart still starts at
+    the pre-restart valid_from and counts the pre-restart events."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.streaming.stateful_ops import streaming_scd2
+
+    src, ckpt = tmpdirs
+    got: list = []
+
+    def start():
+        first = spark.read.parquet(f"{src}/b0")
+        stream = spark.readStream.schema(first.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{src}/*")
+        stream = stream.withColumn(
+            "time_us", (F.col("time") * 1000000.0).cast("long")
+        )
+        return (
+            streaming_scd2(stream)
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame(
+        [_mk(0, "a", "x", state="ok", t=100.0),
+         _mk(1, "a", "x", state="ok", t=130.0)],
+        FULL_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # crash point: the ok-run is open, nothing emitted yet
+    assert got == []
+
+    spark.createDataFrame(
+        [_mk(2, "a", "x", state="critical", t=160.0)], FULL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [_mk(3, "a", "x", state="ok", t=200.0)], FULL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = sorted(
+        (r.version, r.state, r.valid_from_us, r.valid_to_us, r.n_events)
+        for r in got
+    )
+    assert rows == [
+        (1, "ok", 100_000_000, 160_000_000, 2),  # pre-restart run intact
+        (2, "critical", 160_000_000, 200_000_000, 1),
+    ]
