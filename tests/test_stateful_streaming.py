@@ -757,3 +757,49 @@ def test_streaming_scd2_survives_restart(spark, tmpdirs):
         (1, "ok", 100_000_000, 160_000_000, 2),  # pre-restart run intact
         (2, "critical", 160_000_000, 200_000_000, 1),
     ]
+
+
+def test_streaming_funnel_survives_restart(spark, tmpdirs):
+    """Checkpoint recovery for streaming_funnel: the reached stage and
+    its anchor time survive a restart — a post-restart click converts
+    against the pre-restart view's anchor, and a purchase outside the
+    recovered click-window does not."""
+    from riemann_spark.streaming.stateful_ops import streaming_funnel
+
+    src, ckpt = tmpdirs
+    got: list = []
+
+    def start():
+        first = spark.read.parquet(f"{src}/b0")
+        stream = spark.readStream.schema(first.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{src}/*")
+        return (
+            streaming_funnel(stream, window_s=50.0)
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame(
+        [_mk(0, "u1", "view", t=100.0)], FULL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert [(r.stage, r.stage_time) for r in got] == [(1, 100.0)]
+    got.clear()
+
+    # click lands inside view+50 against the RECOVERED anchor;
+    # purchase at t=220 is outside click+50 -> must not emit
+    spark.createDataFrame(
+        [_mk(1, "u1", "click", t=140.0)], FULL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [_mk(2, "u1", "purchase", t=220.0)], FULL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert [(r.stage, r.stage_time) for r in got] == [(2, 140.0)]
