@@ -7011,9 +7011,13 @@ def embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
             lambda a, t: a + t,
         )
     )
+    # materialize the (vec_id, label, dist) table ONCE: three
+    # consumers (m1, m2, the final projection) would otherwise each
+    # replay the centroid join + fold over the full corpus — the same
+    # lineage-truncation move connected_components makes each round
     dist = e.join(F.broadcast(mua), "label").select(
         "vec_id", "label", dist_col.alias("dist")
-    )
+    ).localCheckpoint()
     m1 = dist.groupBy("label").agg(qmean(F.col("dist")).alias("mean"))
     dm = dist.join(F.broadcast(m1), "label")
     m2 = dm.groupBy("label").agg(
