@@ -51,6 +51,7 @@ _GATE_PRIORITY = [
     "funnel_latency",
     "cohort_retention",
     "winnowing_keeplist",
+    "topic_mixture",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -431,13 +431,13 @@ def _l2_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
-    """Unrolled Lloyd replay: the trainer quantizes component sums to
-    1e-12 integers (similarity.kmeans_centroids), which makes every
-    iteration bit-reproducible — so the 'iterative algorithms cannot
-    be oracle-checked' boundary dissolves into {iters} CTE blocks of
-    assign (L2 argmin, cell tie-break) + re-estimate (quantized mean,
-    empty-cell carryover)."""
+def _lloyd_parts(k: int, dim: int, iters: int) -> list:
+    """Shared Lloyd-replay prefix (e, c0, then {iters} blocks of
+    assign/re-estimate/carryover ending at c{iters}) — the trainer
+    quantizes component sums to 1e-12 integers
+    (similarity.kmeans_centroids), which makes every iteration
+    bit-reproducible, so any kmeans-derived oracle can replay
+    training as unrolled CTEs."""
     q12 = "1000000000000.0"
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -466,6 +466,15 @@ def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
             f"c{i + 1} AS (SELECT p.cell, COALESCE(nn.c, p.c) AS c"
             f" FROM c{i} p LEFT JOIN n{i} nn ON nn.cell = p.cell)"
         )
+    return parts
+
+
+def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
+    """Unrolled Lloyd replay + IVF search (see _lloyd_parts for the
+    determinism contract): assign (L2 argmin, cell tie-break) +
+    re-estimate (quantized mean, empty-cell carryover), then the
+    cosine cell assignment and cell-restricted top-k."""
+    parts = _lloyd_parts(k, dim, iters)
     cf = f"c{iters}"
     assign = (
         "SELECT {idc}, {vecc}, cell FROM ("
@@ -7523,3 +7532,90 @@ def winnowing_keeplist(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("canonical").alias("keep_reason"),
     )
     return unique.unionByName(canonical)
+
+
+def _topic_mixture_sql(k: int, dim: int, iters: int) -> str:
+    """topic_mixture oracle: Lloyd replay prefix + cosine cell
+    assignment + the (cell × source) mixture rollup."""
+    parts = _lloyd_parts(k, dim, iters)
+    cf = f"c{iters}"
+    parts.append(
+        "af AS (SELECT vec_id, cell FROM ("
+        " SELECT e.vec_id, c.cell,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {_cos_sql('e.v', 'c.c')} DESC, c.cell) AS r"
+        f" FROM e CROSS JOIN {cf} c) WHERE r = 1)"
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT cell, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY cell) AS DOUBLE)
+         AS cell_share,
+       COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS DOUBLE)
+         AS source_share
+FROM af JOIN documents d ON d.doc_id = af.vec_id
+GROUP BY cell, source"""
+
+
+@q("topic_mixture", _topic_mixture_sql(_IVF_CELLS, 64, 5))
+def topic_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """The topic × source mixture matrix: k-means over the embedding
+    corpus (the trained IVF quantizer reused as a topic model —
+    cluster-based data maps are the public posture for pretraining
+    mix analysis), every vector assigned to its nearest centroid by
+    cosine, joined to the documents table, and rolled up to per-cell
+    doc counts with each source's share of the cell and each cell's
+    share of the source. The table a mixture-rebalancing decision
+    reads: cells dominated by one source are redundancy candidates,
+    sources concentrated in one cell are topic-narrow.
+
+    Scale shape: training is kmeans_centroids (zero corpus shuffle
+    per iteration, 1e-12-quantized sums); assignment is a broadcast
+    centroid cross-join + per-vector argmax (pure projection + one
+    bounded window per vector id); the doc join keys on id; the
+    rollup is cells × sources rows. The oracle replays training with
+    _lloyd_parts' unrolled CTEs."""
+    e = load_table(spark, sf, "embeddings")
+    cents = similarity.kmeans_centroids(e, _IVF_CELLS, n_iter=5)
+    cb = F.broadcast(
+        cents.select(
+            "cell",
+            F.col("c_vec").cast("array<double>").alias("c_vec"),
+            similarity.norm(F.col("c_vec")).alias("c_n"),
+        )
+    )
+    v = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        similarity.norm(F.col("embedding")).alias("v_n"),
+    )
+    scored = v.crossJoin(cb).withColumn(
+        "c_cos",
+        similarity._dots(F.col("v"), F.col("c_vec"))
+        / (F.col("v_n") * F.col("c_n")),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.col("cell"))
+    af = (
+        scored.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell")
+    )
+    d = load_table(spark, sf, "documents")
+    g = (
+        af.join(d, af.vec_id == d.doc_id)
+        .groupBy("cell", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    wc = Window.partitionBy("cell")
+    ws = Window.partitionBy("source")
+    return g.select(
+        "cell",
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(wc).cast("double")).alias(
+            "cell_share"
+        ),
+        (F.col("n_docs") / F.sum("n_docs").over(ws).cast("double")).alias(
+            "source_share"
+        ),
+    )
