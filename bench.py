@@ -173,6 +173,7 @@ HEADLINE = [
     "funnel_latency",
     "cohort_retention",
     "winnowing_keeplist",
+    "quality_repetition_corr",
     "video_scene_cuts",
     "audio_vad_segments",
     "repetition_filter",

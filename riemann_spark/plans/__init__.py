@@ -52,6 +52,7 @@ _GATE_PRIORITY = [
     "cohort_retention",
     "winnowing_keeplist",
     "topic_mixture",
+    "quality_repetition_corr",
     "url_dedup",
     "domain_quality_rollup",
     "greedy_pack_tokens",

@@ -7619,3 +7619,73 @@ def topic_mixture(spark: SparkSession, sf: str) -> DataFrame:
             "source_share"
         ),
     )
+
+
+@q(
+    "quality_repetition_corr",
+    f"""
+WITH t AS (SELECT doc_id,
+                  {_QUALITY_SQL} AS x,
+                  CAST(1 AS DOUBLE)
+                    - (len(list_distinct(toks)) / len(toks)) AS y
+           FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {_qmean('x')} AS mx, {_qmean('y')} AS my,
+             {_qmean('x * y')} AS mxy,
+             {_qmean('x * x')} AS mxx, {_qmean('y * y')} AS myy
+      FROM t)
+SELECT n AS n_docs, mx AS mean_quality, my AS mean_dup_frac,
+       (mxy - mx * my)
+         / (sqrt(mxx - mx * mx) * sqrt(myy - my * my)) AS pearson_r
+FROM m""",
+)
+def quality_repetition_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-signal audit: the Pearson correlation between the
+    composite quality score and the duplicate-word fraction across
+    the corpus — the one-number answer to "does my repetition gate
+    duplicate my quality gate's work?" that decides whether two
+    filters are independent signals or the same cut twice
+    (filter-stack design, public curation posture).
+
+    Scale shape: both signals are pure projections fused with the
+    scan; the five moments are ONE single-row aggregate on the 1e-12
+    quantized grid (bit-reproducible under any partitioning); r is a
+    driver-free scalar expression on that one row. One pass, one
+    one-row shuffle."""
+    d = load_table(spark, sf, "documents")
+    toks = text.tokens("text")
+    t = d.select(
+        text.quality_score("text").alias("x"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.size(toks)
+        ).alias("y"),
+    )
+    q12 = F.lit(1e12)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q12).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q12
+            / F.count(F.lit(1))
+        )
+
+    m = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        qmean(F.col("x")).alias("mx"),
+        qmean(F.col("y")).alias("my"),
+        qmean(F.col("x") * F.col("y")).alias("mxy"),
+        qmean(F.col("x") * F.col("x")).alias("mxx"),
+        qmean(F.col("y") * F.col("y")).alias("myy"),
+    )
+    r = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.sqrt(F.col("mxx") - F.col("mx") * F.col("mx"))
+        * F.sqrt(F.col("myy") - F.col("my") * F.col("my"))
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("mx").alias("mean_quality"),
+        F.col("my").alias("mean_dup_frac"),
+        r.alias("pearson_r"),
+    )
