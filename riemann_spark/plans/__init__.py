@@ -30,7 +30,7 @@ _GATE_PRIORITY = [
     #
     # -- new round-7 catalog entries first: ------------------------------
     # (fourth..seventh batches — warehouse/funnel/retrieval/graph/
-    # multimodal/span-dedup closers; 18 entries. With these in front,
+    # multimodal/span-dedup closers; 19 entries. With these in front,
     # the window's position-50 cut lands inside the r02 rotation block
     # at tpch_q4: every NEW r7 entry plus the two r6 stragglers plus
     # apdex still gate, and 10 rotation rows refresh behind them.)
