@@ -31,9 +31,11 @@ _GATE_PRIORITY = [
     # -- new round-7 catalog entries first: ------------------------------
     # (fourth..seventh batches — warehouse/funnel/retrieval/graph/
     # multimodal/span-dedup closers; 19 entries. With these in front,
-    # the window's position-50 cut lands inside the r02 rotation block
-    # at tpch_q4: every NEW r7 entry plus the two r6 stragglers plus
-    # apdex still gate, and 10 rotation rows refresh behind them.)
+    # the position-50 cut lands at fill_in: every NEW r7 entry plus
+    # the two r6 stragglers plus apdex gate, and 7 of the directive's
+    # 8 named rotation rows refresh behind them — tpch_q1 is the
+    # first overflow (r02-hashed, bench-timed every round; new-entry
+    # precedence is the standing rotation rule).)
     "scd2_state_history",
     "coverage_gaps",
     "bm25_topk",
