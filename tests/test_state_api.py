@@ -551,3 +551,56 @@ def test_tws_shim_contract_index_reaper(spark):
     assert legacy._v is None and vs._v is None  # reaper cleared both
     # the shim's event-time timer was armed at time+ttl (3000 ms)
     assert legacy.timeout_set_ms == 3000
+
+
+def test_streaming_scd2_matches_reference_fold_property():
+    """Property: for ANY state sequence, streaming_scd2's emission log
+    (driven event-by-event through the virtual-clock harness, so state
+    crosses an invocation boundary between every pair of events)
+    equals a direct fold over the sequence — one closed interval per
+    state change, carrying the run's version, bounds, and count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riemann_spark.streaming.stateful_ops import streaming_scd2
+    from riemann_spark.streaming.testkit import run_stream_intervals
+
+    seqs = st.lists(
+        st.sampled_from(["ok", "warning", "critical"]),
+        min_size=0,
+        max_size=40,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(states=seqs)
+    def prop(states):
+        seq = []
+        for i, s in enumerate(states):
+            seq.append(
+                {"host": "h", "service": "s", "event_id": i,
+                 "time": float(i), "time_us": i * 1000000, "state": s}
+            )
+            seq.append(None)
+        out = run_stream_intervals(
+            lambda sdf: streaming_scd2(sdf),
+            seq,
+            row_fields=("event_id", "time", "time_us", "state"),
+        )
+        exp, prev, ver, vfrom, n = [], None, 0, 0, 0
+        for i, s in enumerate(states):
+            t = i * 1000000
+            if prev is None:
+                prev, ver, vfrom, n = s, 1, t, 1
+            elif s == prev:
+                n += 1
+            else:
+                exp.append((ver, prev, vfrom, t, n))
+                prev, ver, vfrom, n = s, ver + 1, t, 1
+        got = [
+            (r["version"], r["state"], r["valid_from_us"],
+             r["valid_to_us"], r["n_events"])
+            for r in out
+        ]
+        assert got == exp
+
+    prop()
