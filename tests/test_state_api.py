@@ -604,3 +604,59 @@ def test_streaming_scd2_matches_reference_fold_property():
         assert got == exp
 
     prop()
+
+
+def test_streaming_funnel_matches_reference_fold_property():
+    """Property: for ANY event-type sequence with ANY gaps, the funnel
+    state machine's emission log (one invocation per event) equals the
+    direct fixed-anchor fold — stage advances only on the next stage,
+    strictly after and within the window of the previous one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from riemann_spark.streaming.stateful_ops import streaming_funnel
+    from riemann_spark.streaming.testkit import run_stream_intervals
+
+    seqs = st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.floats(min_value=0.25, max_value=30.0),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(evs=seqs)
+    def prop(evs):
+        w = 20.0
+        t, seq, times = 0.0, [], []
+        for i, (svc, dt) in enumerate(evs):
+            t += dt
+            times.append(t)
+            seq.append(
+                {"host": "u", "event_id": i, "time": t, "service": svc}
+            )
+            seq.append(None)
+        out = run_stream_intervals(
+            lambda sdf: streaming_funnel(sdf, window_s=w),
+            seq,
+            row_fields=("event_id", "time", "service"),
+            key_fields=("host",),
+        )
+        stages = {"view": 1, "click": 2, "purchase": 3}
+        exp, stage, anchor = [], 0, 0.0
+        for (svc, _dt), t_i in zip(evs, times):
+            want = stages.get(svc)
+            if want is None:
+                continue
+            if stage == 0 and want == 1:
+                stage, anchor = 1, t_i
+                exp.append((1, svc, t_i))
+            elif want == stage + 1 and anchor < t_i <= anchor + w:
+                stage, anchor = want, t_i
+                exp.append((want, svc, t_i))
+        got = [(r["stage"], r["name"], r["stage_time"]) for r in out]
+        assert got == exp
+
+    prop()
