@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,6 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from riemann_spark.operators.skew import spread_for_python as _spread
+
+# Any malformed media payload dead-letters to a NULL row instead of
+# crashing the executor task: the pure-stdlib codecs surface corruption
+# as ValueError/IndexError/KeyError, truncated headers as struct.error
+# (unpack_from past EOF), and corrupt PNG IDAT streams as zlib.error.
+_DECODE_ERRS = (ValueError, IndexError, KeyError, struct.error, zlib.error)
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -233,7 +240,7 @@ def real_decode_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                         )
                     else:
                         raise ValueError("unknown magic")
-                except (ValueError, IndexError, ZeroDivisionError):
+                except _DECODE_ERRS + (ZeroDivisionError,):
                     rows.append([int(mid), None, None, None, None, 0, None, None, None])
             yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURE_SCHEMA.fields])
 
@@ -307,7 +314,7 @@ def real_video_frames(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                     for fi, blob in enumerate(frames):
                         fw, fh, _ch, px = decode_jpeg(blob)
                         rows.append([int(mid), fi, fw, fh, len(px)])
-                except (ValueError, IndexError, KeyError, struct.error):
+                except _DECODE_ERRS:
                     rows.append([int(mid), None, None, None, None])
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
@@ -494,7 +501,7 @@ def real_image_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                         for i in range(base, base + row_bytes - 3):
                             grad += abs(px[i + 3] - px[i])
                     rows.append([int(mid), "image", w, h, *sums, grad])
-                except (ValueError, IndexError):
+                except _DECODE_ERRS:
                     rows.append([int(mid), None, None, None, None, None, None, None])
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
@@ -585,7 +592,7 @@ def real_scene_cuts(
                         cut = prev is not None and abs(mean - prev) > threshold
                         rows.append([int(mid), fi, bool(cut)])
                         prev = mean
-                except (ValueError, IndexError, KeyError, struct.error):
+                except _DECODE_ERRS:
                     rows.append([int(mid), None, None])
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
@@ -666,7 +673,7 @@ def real_vad_segments(
             for mid, blob in zip(pdf[id_col], pdf["content"]):
                 try:
                     _rate, samples = decode_wav(bytes(blob))
-                except (ValueError, IndexError, struct.error):
+                except _DECODE_ERRS:
                     rows.append([int(mid), None, None, None, None])
                     continue
                 seg, prev_active = -1, False
@@ -793,7 +800,7 @@ def image_dhash_bands(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                             if cmp[by, bx]:
                                 bands[by // 2] |= 1 << ((by % 2) * 8 + bx)
                     rows.append([int(mid), *bands])
-                except (ValueError, IndexError):
+                except _DECODE_ERRS:
                     rows.append([int(mid), None, None, None, None])
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
@@ -870,7 +877,7 @@ def audio_envelope_fp(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                         if en[f] > en[f - 1]:
                             fp |= 1 << (f - 1)
                     rows.append([int(mid), fp])
-                except (ValueError, IndexError, struct.error):
+                except _DECODE_ERRS:
                     rows.append([int(mid), None])
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
@@ -947,7 +954,7 @@ def real_resize_box(
                             float(sums.sum()) / (h * w * 3),
                         ]
                     )
-                except (ValueError, IndexError):
+                except _DECODE_ERRS:
                     rows.append([int(mid), None, None, None, None])
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 

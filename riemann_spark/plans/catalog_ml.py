@@ -7461,8 +7461,15 @@ def duplicate_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     # array_except builds a hash set of `covered` once per doc —
     # O(n + 8·dups), where the per-token array_contains scan was
     # O(8·n²) on an adversarial all-duplicated corpus
+    # zero-token guard: Spark's sequence(1, 0) counts DOWN to [1, 0]
+    # (default step -1 when start > stop) while the oracle's
+    # generate_series(1, 0) is [] — so an empty tokenization must
+    # short-circuit to an empty position list explicitly
     kept = F.array_except(
-        F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
+        ).otherwise(F.array().cast("array<int>")),
         F.col("covered"),
     )
     k = cov.select("doc_id", "t", "n_tokens", kept.alias("kept"))

@@ -2005,7 +2005,11 @@ def streaming_scd2(
                 else str(cur)
             )
             t_us = int(row.time_us)
-            if prev is None:
+            # version == 0 marks "no run open yet" — NULL is a regular
+            # state value (IS DISTINCT FROM semantics, matching the
+            # batch scd2_state_history oracle), so a run of NULL states
+            # versions and emits like any other.
+            if version == 0:
                 prev, version, vfrom, n = cur, 1, t_us, 1
             elif cur == prev:
                 n += 1

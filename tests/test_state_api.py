@@ -565,8 +565,11 @@ def test_streaming_scd2_matches_reference_fold_property():
     from riemann_spark.streaming.stateful_ops import streaming_scd2
     from riemann_spark.streaming.testkit import run_stream_intervals
 
+    # None is a REGULAR state value (IS DISTINCT FROM semantics, like
+    # the batch scd2_state_history oracle): a run of NULLs versions and
+    # emits like any other run.
     seqs = st.lists(
-        st.sampled_from(["ok", "warning", "critical"]),
+        st.sampled_from(["ok", "warning", "critical", None]),
         min_size=0,
         max_size=40,
     )
@@ -589,7 +592,7 @@ def test_streaming_scd2_matches_reference_fold_property():
         exp, prev, ver, vfrom, n = [], None, 0, 0, 0
         for i, s in enumerate(states):
             t = i * 1000000
-            if prev is None:
+            if ver == 0:
                 prev, ver, vfrom, n = s, 1, t, 1
             elif s == prev:
                 n += 1
