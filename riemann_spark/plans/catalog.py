@@ -5151,21 +5151,27 @@ def event_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((F.col("lvl") >= 2).cast("int")).cast("long").alias("n2"),
         F.sum((F.col("lvl") >= 3).cast("int")).cast("long").alias("n3"),
     )
-    s1 = agg.select(
-        F.lit(1).alias("stage"), F.lit("view").alias("name"),
-        F.col("n1").alias("n_users"), F.lit(1.0).alias("conv_from_prev"),
+    # ONE pass over the one-row agg: exploding a literal 3-element
+    # stage-struct array replaces three selects unioned, which tripled
+    # the whole upstream lineage (18-Exchange plan -> ~6; ReusedExchange
+    # deduped some but not all of it)
+    def _stage(i, name, n_users, conv):
+        return F.struct(
+            F.lit(i).alias("stage"), F.lit(name).alias("name"),
+            n_users.cast("long").alias("n_users"),
+            conv.cast("double").alias("conv_from_prev"),
+        )
+
+    stages = F.array(
+        _stage(1, "view", F.col("n1"), F.lit(1.0)),
+        _stage(2, "click", F.col("n2"),
+               F.col("n2") / F.col("n1").cast("double")),
+        _stage(3, "purchase", F.col("n3"),
+               F.col("n3") / F.col("n2").cast("double")),
     )
-    s2 = agg.select(
-        F.lit(2).alias("stage"), F.lit("click").alias("name"),
-        F.col("n2").alias("n_users"),
-        (F.col("n2") / F.col("n1").cast("double")).alias("conv_from_prev"),
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.name", "s.n_users", "s.conv_from_prev"
     )
-    s3 = agg.select(
-        F.lit(3).alias("stage"), F.lit("purchase").alias("name"),
-        F.col("n3").alias("n_users"),
-        (F.col("n3") / F.col("n2").cast("double")).alias("conv_from_prev"),
-    )
-    return s1.unionByName(s2).unionByName(s3)
 
 
 @q(
@@ -5346,19 +5352,26 @@ def funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("host")
         .agg(F.min("time").alias("t3"))
     )
-    d = (
-        u1.join(u2, "host")
-        .select(
-            F.lit("view->click").alias("step"),
-            (F.col("t2") - F.col("t1")).alias("dt"),
-        )
-        .unionByName(
-            u2.join(u3, "host").select(
+    # one host-keyed join chain (u2 hosts all carry a non-null t1 by
+    # construction; t3 is null when the purchase never landed), then
+    # explode a 2-element step-struct array filtered to non-null dt —
+    # replaces two aggregated join branches unioned, which doubled the
+    # u1/u2 lineage (8-Exchange plan)
+    base = u2.join(u1, "host").join(u3, "host", "left")
+    pairs = F.filter(
+        F.array(
+            F.struct(
+                F.lit("view->click").alias("step"),
+                (F.col("t2") - F.col("t1")).alias("dt"),
+            ),
+            F.struct(
                 F.lit("click->purchase").alias("step"),
                 (F.col("t3") - F.col("t2")).alias("dt"),
-            )
-        )
+            ),
+        ),
+        lambda s: s["dt"].isNotNull(),
     )
+    d = base.select(F.explode(pairs).alias("p")).select("p.step", "p.dt")
     n = F.count(F.lit(1))
     return d.groupBy("step").agg(
         n.cast("long").alias("n_conversions"),

@@ -1100,3 +1100,29 @@ def test_funnel_counts_consistent(spark):
     assert fn[1] >= fn[2] >= fn[3]
     assert lat.get("view->click", 0) == fn[2]
     assert lat.get("click->purchase", 0) == fn[3]
+
+
+def test_event_funnel_single_agg_explode(spark):
+    """The per-stage funnel report must be ONE one-row aggregate with
+    a literal stage-struct array exploded over it — not three selects
+    unioned, which tripled the whole user-keyed upstream lineage
+    (an 18-Exchange plan before the rewrite; 6 after)."""
+    import re
+
+    p = plan_of(spark, "event_funnel")
+    assert len(re.findall(r"^\(\d+\) Union", p, re.M)) == 0, p
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 6, p
+
+
+def test_funnel_latency_single_join_chain(spark):
+    """Step latencies must come from one host-keyed u1-u2-u3 join
+    chain with the (step, dt) pairs exploded from a filtered literal
+    array — not two aggregated join branches unioned (8 Exchanges
+    before the rewrite; 6 after)."""
+    import re
+
+    p = plan_of(spark, "funnel_latency")
+    assert len(re.findall(r"^\(\d+\) Union", p, re.M)) == 0, p
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 6, p
