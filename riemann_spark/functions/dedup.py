@@ -274,12 +274,28 @@ def lsh_candidate_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_band_df: int | None = 1000,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate pairs.
 
     Docs agreeing on ANY band (band_size consecutive sigs concatenated)
-    become a candidate. The join is per-band bucket — only colliding
-    docs meet, never all pairs."""
+    become a candidate. Pairs explode from within-bucket combinations —
+    only colliding docs meet, never all pairs.
+
+    ``max_band_df`` (default 1000) drops band buckets holding more than
+    N docs BEFORE pair generation — mirroring ``ngram_jaccard_pairs``'s
+    ``max_shingle_df``: a bucket of D docs contributes D² pairs, so a
+    degenerate corpus (thousands of byte-identical documents) would
+    make one bucket quadratic. Such runaway buckets are exact-duplicate
+    clusters; the exact-fingerprint dedup lane already catches those
+    without pair materialization. Pass None to disable.
+
+    Shape: ONE shuffle on band builds the bucket posting lists
+    (collect_list per band, bounded ≤ max_band_df ids so it cannot
+    blow an executor); candidate pairs explode from within-posting
+    ordered combinations; one distinct on (doc1, doc2) dedupes pairs
+    colliding in several bands. No self-join, no second shuffle of
+    the band table."""
     sigs = minhash_signatures(df, n_hashes, k, id_col, text_col)
     n_bands = n_hashes // band_size
     bands = sigs.select(
@@ -297,10 +313,26 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    posts = (
+        bands.groupBy("band")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    if max_band_df is not None:
+        posts = posts.filter(F.size("docs") <= max_band_df)
+    ds = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
         .distinct()
     )
 

@@ -91,6 +91,30 @@ def test_minhash_lsh_candidates(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_lsh_max_band_df_caps_degenerate_buckets(spark):
+    """A degenerate corpus (N byte-identical docs) collapses into ONE
+    band bucket per band; without the cap that bucket alone yields
+    N*(N-1)/2 pairs — quadratic. max_band_df drops runaway buckets
+    before pair generation (those are exact-duplicate clusters, the
+    fingerprint lane's job), while distinct near-dup buckets under
+    the cap are untouched."""
+    same = ["dup dup dup w1 w2 w3 w4 w5 w6 w7 w8 w9"] * 6
+    near_a = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12"
+    near_b = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 zzz"
+    df = docs(spark, *same, near_a, near_b)
+    ungated = {
+        (r.doc1, r.doc2)
+        for r in dedup.lsh_candidate_pairs(df, max_band_df=None).collect()
+    }
+    assert sum(1 for a, b in ungated if a < 6 and b < 6) == 15  # 6C2
+    gated = {
+        (r.doc1, r.doc2)
+        for r in dedup.lsh_candidate_pairs(df, max_band_df=5).collect()
+    }
+    assert not any(a < 6 and b < 6 for a, b in gated)  # hot bucket dropped
+    assert (6, 7) in gated  # small near-dup bucket survives the cap
+
+
 def test_simhash_close_for_near_dups(spark):
     df = docs(
         spark,
