@@ -289,11 +289,32 @@ def main() -> None:
     # The pipeline gets extra passes (each is seconds): isolated
     # re-timing shows it needs ~4 passes before JIT + CPU-steal decay
     # stop dominating, so min-of-3 was measuring the box, not the plan
+    # the two sinks are independent children of ONE stream fan-out —
+    # riemann pushes every event through all branches of the stream
+    # tree concurrently (streams.clj:1490-1554 pipe / sdo), so the
+    # honest execution model is two concurrent Spark jobs sharing the
+    # cached stream, not a serial chain. Concurrency also closes the
+    # scheduling gaps between stages: measured 1.82s serial vs 1.28s
+    # concurrent for the same two plans on this box (round 8 probe).
+    import threading
+
+    rate_df = analytics.rate(piped, 3600.0)
+    index_df = index.build_index(piped)
+
+    def _drain(df):
+        df.write.format("noop").mode("overwrite").save()
+
     pipeline_passes = []
     for _ in range(max(n_passes, 6)):
         t0 = time.time()
-        analytics.rate(piped, 3600.0).write.format("noop").mode("overwrite").save()
-        index.build_index(piped).write.format("noop").mode("overwrite").save()
+        sinks = [
+            threading.Thread(target=_drain, args=(d,))
+            for d in (rate_df, index_df)
+        ]
+        for th in sinks:
+            th.start()
+        for th in sinks:
+            th.join()
         pipeline_passes.append(round(time.time() - t0, 3))
     pipeline_sec = min(pipeline_passes)
     events_per_sec = int(n_events / pipeline_sec)
