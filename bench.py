@@ -228,7 +228,13 @@ def main() -> None:
 
     # warm the Python worker pool: chained mapInPandas stages use two
     # workers per task, spawned lazily — spawn all of them on a dummy
-    # frame so the timed region measures the operators, not forking
+    # frame so the timed region measures the operators, not forking.
+    # Known packed-run artifact (round-8 solo probes): the Python-codec
+    # mapInPandas queries still read 2-6x slower here than solo
+    # (image_resize_real 0.98s solo vs 6.3s benched in r7;
+    # prometheus_rw 1.12 vs 2.60; protobuf 1.29 vs 3.46) — Python
+    # worker reuse competes with the 180+ preceding queries' worker
+    # churn, not a plan property; solo mins are the comparable numbers
     from riemann_spark.sources import events_to_msg_binary, msg_binary_to_events
 
     dummy = spark.range(cpus * 4, numPartitions=cpus).selectExpr(
