@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import socket
 import socketserver
+import ssl
 import struct
 import threading
 from collections.abc import Callable, Iterable
@@ -56,9 +57,20 @@ class TcpMsgServer:
 
     ``frames`` collects every received event-bearing payload (bytes);
     queries are answered inline and not spooled, mirroring the
-    reference's handle-request split."""
+    reference's handle-request split.
 
-    def __init__(self, query_handler: QueryHandler | None = None):
+    ``tls_context`` (an ``ssl.SSLContext``) enables the reference's
+    ``:tls?`` lane (transport/tcp.clj:222-226 ssl-handler, :260-270 —
+    an SslHandler prepended to the same pipeline): the accept loop
+    wraps each connection before the framed protocol runs, so the
+    wire format above is unchanged underneath the TLS record layer.
+    Build a context with :func:`server_tls_context`."""
+
+    def __init__(
+        self,
+        query_handler: QueryHandler | None = None,
+        tls_context: ssl.SSLContext | None = None,
+    ):
         self.frames: list[bytes] = []
         self._lock = threading.Lock()
         self._query_handler = query_handler
@@ -90,6 +102,15 @@ class TcpMsgServer:
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+
+            def get_request(self):
+                sock, addr = super().get_request()
+                if tls_context is not None:
+                    # per-connection handshake, exactly where netty's
+                    # SslHandler sits: between accept and the framed
+                    # Msg pipeline
+                    sock = tls_context.wrap_socket(sock, server_side=True)
+                return sock, addr
 
         self._server = Server(("127.0.0.1", 0), Handler)
         self.port: int = self._server.server_address[1]
@@ -153,20 +174,60 @@ class UdpMsgServer:
 # ------------------------------------------------------------------ #
 # clients (the riemann-client send/query verbs)
 
-def send_events_tcp(port: int, events: Iterable[dict], host: str = "127.0.0.1") -> dict:
+def send_events_tcp(
+    port: int,
+    events: Iterable[dict],
+    host: str = "127.0.0.1",
+    tls_context: ssl.SSLContext | None = None,
+) -> dict:
     """Send one event-bearing Msg frame; return the decoded ack."""
-    with socket.create_connection((host, port), timeout=10) as s:
+    with _connect(host, port, tls_context) as s:
         payload = encode_msg(list(events))
         s.sendall(struct.pack(">I", len(payload)) + payload)
         return _read_reply(s)
 
 
-def query_tcp(port: int, query: str, host: str = "127.0.0.1") -> dict:
+def query_tcp(
+    port: int,
+    query: str,
+    host: str = "127.0.0.1",
+    tls_context: ssl.SSLContext | None = None,
+) -> dict:
     """Send a query Msg; return the decoded reply (ok + events)."""
-    with socket.create_connection((host, port), timeout=10) as s:
+    with _connect(host, port, tls_context) as s:
         payload = encode_msg(query=query)
         s.sendall(struct.pack(">I", len(payload)) + payload)
         return _read_reply(s)
+
+
+def _connect(
+    host: str, port: int, tls_context: ssl.SSLContext | None
+) -> socket.socket:
+    s = socket.create_connection((host, port), timeout=10)
+    if tls_context is not None:
+        s = tls_context.wrap_socket(s, server_hostname=host)
+    return s
+
+
+def server_tls_context(cert_file: str, key_file: str) -> ssl.SSLContext:
+    """Server-side TLS context from a cert/key pair — the Spark-side
+    twin of the reference's ``:key``/``:cert`` options
+    (transport/tcp.clj:260-270, riemann/tls.clj)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=cert_file, keyfile=key_file)
+    return ctx
+
+
+def client_tls_context(ca_file: str | None = None) -> ssl.SSLContext:
+    """Client-side TLS context trusting ``ca_file`` (the reference's
+    ``:ca-cert``). Hostname checks stay on; pin the CA instead of
+    disabling verification."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    if ca_file is not None:
+        ctx.load_verify_locations(cafile=ca_file)
+    else:
+        ctx.load_default_certs()
+    return ctx
 
 
 def send_events_udp(port: int, events: Iterable[dict], host: str = "127.0.0.1") -> None:

@@ -104,3 +104,64 @@ def test_riemann_forward_sink_roundtrip(spark):
             for r in srv.received_events(spark).collect()
         )
     assert got == [("h1", "ok", 1.5, 10_000_000), ("h2", "warn", 2.5, 11_000_000)]
+
+
+def _self_signed_pair(tmp_path):
+    """Generate a throwaway self-signed cert/key with openssl — the
+    in-test stand-in for the reference's :key/:cert files
+    (transport/tcp.clj:260-270, riemann/tls.clj)."""
+    import subprocess
+
+    cert, key = str(tmp_path / "srv.crt"), str(tmp_path / "srv.key")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", cert, "-days", "1",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return cert, key
+
+
+def test_tcp_tls_roundtrip(spark, tmp_path):
+    """The :tls? lane (transport/tcp.clj:222-226): same int32-framed
+    Msg protocol under a TLS record layer — send, ack, query, and the
+    decoded event DataFrame all identical to the plaintext lane, with
+    the client verifying the pinned CA and hostname."""
+    import pytest
+
+    from riemann_spark.sources.servers import (
+        client_tls_context,
+        server_tls_context,
+    )
+
+    cert, key = _self_signed_pair(tmp_path)
+    srv_ctx = server_tls_context(cert, key)
+    cli_ctx = client_tls_context(ca_file=cert)
+    idx_events = [{"host": "h1", "service": "api latency", "state": "ok",
+                   "metric": 1.0, "time": 1000.0}]
+    with TcpMsgServer(query_handler=lambda q: idx_events,
+                      tls_context=srv_ctx) as srv:
+        ack = send_events_tcp(srv.port, EVENTS[:5], tls_context=cli_ctx)
+        assert ack["ok"]
+        reply = query_tcp(srv.port, 'service = "api latency"',
+                          tls_context=cli_ctx)
+        assert reply["ok"] and len(reply["events"]) == 1
+        got = srv.received_events(spark).collect()
+        assert len(got) == 5
+        assert {r["host"] for r in got} == {e["host"] for e in EVENTS[:5]}
+
+        # a client that does NOT trust the server's CA must fail the
+        # handshake — verification is on, not decorative
+        import ssl
+
+        strict = client_tls_context()  # system CAs only
+        with pytest.raises(ssl.SSLError):
+            send_events_tcp(srv.port, EVENTS[:1], tls_context=strict)
+
+        # and a plaintext client against the TLS port gets no ack
+        with pytest.raises((ConnectionError, OSError)):
+            send_events_tcp(srv.port, EVENTS[:1])
