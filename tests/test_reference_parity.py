@@ -1477,3 +1477,22 @@ def test_rate_slow_even_vector(spark):
     assert [(r["time"], r["metric"]) for r in out] == [
         (1.0, 10.0), (2.0, 10.0), (3.0, 10.0), (4.0, 10.0), (5.0, 10.0)
     ]
+
+
+def test_percentiles_service_suffix_vector(spark):
+    """Ports core_test.clj percentiles (core_test.clj:346-377): 101
+    shuffled metrics 0..100 through ``percentiles 1 [0 0.5 0.95 0.99
+    1]`` -> one service-suffixed event per point with the exact rank
+    value (50/95/99/100; integer rank positions, so interpolation
+    cannot diverge)."""
+    rows = [("h", "per", float(n), 0.5) for n in range(101)]
+    df = spark.createDataFrame(
+        rows, "host string, service string, metric double, time double"
+    )
+    out = analytics.percentiles(df, 1.0, [0, 0.5, 0.95, 0.99, 1])
+    got = {r["service"]: r["metric"] for r in out.collect()}
+    assert got["per 0.5"] == 50.0
+    assert got["per 0.95"] == 95.0
+    assert got["per 0.99"] == 99.0
+    assert got["per 1"] == 100.0
+    assert got["per 0"] == 0.0

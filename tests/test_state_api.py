@@ -663,3 +663,55 @@ def test_streaming_funnel_matches_reference_fold_property():
         assert got == exp
 
     prop()
+
+
+def test_interval_harness_controlled_clock_semantics():
+    """Ports time/controlled_test.clj (clock-test :11-18, once-test
+    :20-34, every-test :36-52) against our virtual-clock harness
+    (streaming/testkit.py IntervalHarness — the run-stream-intervals
+    stand-in every interval-vector test drives): due timers fire in
+    deadline order exactly once, an un-re-armed timer is cancelled,
+    and a self-re-arming timer (every!) repeats on its period."""
+    import pandas as pd
+
+    from riemann_spark.streaming.testkit import IntervalHarness
+
+    fired: list[tuple] = []
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            fired.append((key[0], h.now_ms / 1000.0))
+            if key[0] == "every":
+                # every! 1s period: re-arm relative to the fire time
+                state.setTimeoutTimestamp(h.now_ms + 1000)
+            else:
+                state.remove()
+            return iter(())
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                if rec["arm_ms"] is not None:
+                    state.update((1,))
+                    state.setTimeoutTimestamp(int(rec["arm_ms"]))
+        return iter(())
+
+    h = IntervalHarness(update, ("k",))
+    # clock: negative/zero advance keeps time monotone at 0
+    assert h.now_ms == 0
+
+    # once!: three one-shot timers at 1s, 2s, 3s
+    for k, at in (("o1", 1000), ("o2", 2000), ("o3", 3000)):
+        h.send({"k": k, "arm_ms": at}, ("k", "arm_ms"))
+    h.advance(0.5)
+    assert fired == []                       # nothing due yet
+    h.advance(2.0)                           # clock -> 2.5
+    assert fired == [("o1", 1.0), ("o2", 2.0)]  # in deadline order
+    # cancel once3: an invocation that does not re-arm drops the timer
+    h.send({"k": "o3", "arm_ms": None}, ("k", "arm_ms"))
+    h.advance(3.0)
+    assert [f for f in fired if f[0] == "o3"] == []
+
+    # every!: first fire at 6s, then every 1s (harness clock is 5.5)
+    fired.clear()
+    h.send({"k": "every", "arm_ms": 6000}, ("k", "arm_ms"))
+    h.advance(3.0)                           # clock -> 8.5
+    assert fired == [("every", 6.0), ("every", 7.0), ("every", 8.0)]

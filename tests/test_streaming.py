@@ -93,6 +93,42 @@ def test_streaming_index_latest_and_expiry(spark, tmpdirs):
     assert ("a", "x") in expired
 
 
+def test_streaming_index_reaper_keep_keys(spark, tmpdirs):
+    """reaper :keep-keys (core.clj:284-301; core_test.clj
+    reaper-keep-keys / reaper-keep-keys-all): the synthetic expired
+    row carries the requested fields of the indexed event — none
+    beyond the key by default, metric+ttl with keep_keys="all" —
+    while state and time are always overwritten."""
+    import functools
+
+    src, ckpt = tmpdirs
+    batches = [
+        [_mk(0, "a", "x", metric=7.5, t=100.0, ttl=50.0)],
+        # far-future event pushes the watermark past a/x's expiry
+        [_mk(1, "c", "y", metric=3.0, t=10000.0, ttl=50000.0)],
+        [_mk(2, "c", "z", metric=4.0, t=20000.0, ttl=50000.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt,
+        functools.partial(streaming_index, keep_keys="all"),
+        f"idxkk_{uuid.uuid4().hex[:8]}", batches,
+    )
+    exp = [r for r in rows if r.state == "expired" and r.host == "a"]
+    assert len(exp) == 1
+    assert exp[0].metric == 7.5 and exp[0].ttl == 50.0
+    assert exp[0].time > 100.0  # time is the reaper clock, not the event's
+
+    # default: only the key survives (the reference's [:host :service])
+    src2, ckpt2 = str(src) + "_d", str(ckpt) + "_d"
+    rows_d = _run_stream(
+        spark, src2, ckpt2, streaming_index,
+        f"idxkd_{uuid.uuid4().hex[:8]}", batches,
+    )
+    exp_d = [r for r in rows_d if r.state == "expired" and r.host == "a"]
+    assert len(exp_d) == 1
+    assert exp_d[0].metric is None and exp_d[0].ttl is None
+
+
 def test_streaming_index_tombstone(spark, tmpdirs):
     src, ckpt = tmpdirs
     name = f"idx_{uuid.uuid4().hex[:8]}"
