@@ -210,6 +210,10 @@ HEADLINE = [
     "graphite_roundtrip",
     "attribute_search",
     "events_heatmap",
+    # round-8 additions
+    "retrieval_eval_report",
+    "incremental_cc_warmstart",
+    "embedding_drift_report",
 ]
 
 

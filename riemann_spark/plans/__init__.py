@@ -20,117 +20,96 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-7 WINDOW (positions 1-50) -------------------------------
-    # Composition per VERDICT r6 directives #1/#2/#7: new round-7
-    # catalog entries in FRONT (standing rotation rule), then the two
-    # snapshot-commit stragglers that missed the r6 driver gate, then
-    # apdex (expired-events semantics + oracle changed in r6 — its
-    # last driver row is r01), then the committed staleness rotation
-    # (the r02/r03 overflow block carried from the round-6 list).
-    #
-    # -- new round-7 catalog entries first: ------------------------------
-    # (fourth..seventh batches — warehouse/funnel/retrieval/graph/
-    # multimodal/span-dedup closers; 19 entries. With these in front,
-    # the position-50 cut lands at fill_in: every NEW r7 entry plus
-    # the two r6 stragglers plus apdex gate, and 7 of the directive's
-    # 8 named rotation rows refresh behind them — tpch_q1 is the
-    # first overflow (r02-hashed, bench-timed every round; new-entry
-    # precedence is the standing rotation rule).)
-    "scd2_state_history",
-    "coverage_gaps",
-    "bm25_topk",
-    "rrf_fusion",
-    "embedding_outliers",
-    "streaming_scd2_drained",
-    "per_source_quantile_filter",
-    "kl_divergence_sources",
-    "hits_scores",
-    "image_resize_real",
-    "duplicate_span_removal",
-    "event_funnel",
-    "streaming_funnel_drained",
-    "watermark_sizing_report",
-    "funnel_latency",
-    "cohort_retention",
-    "winnowing_keeplist",
-    "topic_mixture",
-    "quality_repetition_corr",
-    "url_dedup",
-    "domain_quality_rollup",
-    "greedy_pack_tokens",
-    "token_pack_efficiency",
-    "streaming_ann_gate",
-    "ann_gate_report",
-    # -- round-7 second batch: -------------------------------------------
-    "curriculum_order",
-    "edit_distance_verify",
-    "containment_dedup",
-    "streaming_token_budget_drained",
-    # -- round-7 third batch: --------------------------------------------
-    "streaming_url_gate_drained",
-    "streaming_drift_gate",
-    "weighted_sample",
-    "streaming_stable_drained",
-    "incremental_dedup",
-    "embedding_pca1",
-    "burst_interval_join",
-    "corpus_cube",
-    "whitened_semantic_dedup",
-    "zorder_layout",
-    "domain_pagerank",
-    # -- r6 snapshot-commit queries with no driver hash row yet: ---------
-    "dedup_threshold_sweep",
-    "dup_rate_by_source",
-    # -- re-gate: semantics changed in r6 (expired-events fix): ----------
-    "apdex",
-    # -- committed rotation: r02-gated rows, staleness order -------------
-    "stable_2h",
-    "top10",
-    "throttle",
-    "clock_skew",
-    "predict_linear",
-    "project2",
-    "fill_in",
-    "tpch_q1",
+    # ---- ROUND-8 WINDOW (positions 1-50) -------------------------------
+    # Per VERDICT r7 directive #1: staleness recomputed from
+    # CORRECTNESS_r01-r07 (24 rows last hashed r02, 48 last hashed r03).
+    # New r8 entries capped at 3 (standing front rule), so 47 rotation
+    # slots survive: ALL 24 r02 rows + the oldest 23 r03 rows. (The
+    # directive's two sub-criteria — '~10 new' and '>=half the r03
+    # rows' — cannot both fit in 50; we bias to rotation: 23/48 r03
+    # refresh now, the remaining 25 are the committed FRONT of the
+    # round-9 list below.)
+    # -- new round-8 catalog entries first: ------------------------------
+    "retrieval_eval_report",
+    "incremental_cc_warmstart",
+    "embedding_drift_report",
+    # -- all 24 r02-hashed rows: ------------------------------------------
+    "by_derived_key",
+    "canonical_pipeline",
+    "ddt_real",
+    "deps_suppression",
+    "filter_agg",
+    "fixed_time_window",
+    "fold_difference",
+    "fold_product",
+    "graphite_roundtrip",
+    "json_roundtrip",
+    "moving_time_window",
+    "protobuf_roundtrip",
+    "rate_zero_fill",
+    "regional_revenue",
     "revenue_top10",
-    "tpch_q4",
+    "rollup",
+    "sorted_sample",
+    "streaming_index_snapshot",
+    "tpch_q1",
     "tpch_q12",
     "tpch_q14",
     "tpch_q16",
-    "regional_revenue",
-    "fixed_time_window",
-    "moving_time_window",
-    "rollup",
-    "ddt_real",
-    "sorted_sample",
-    "fold_product",
-    "deps_suppression",
-    "by_derived_key",
-    "graphite_roundtrip",
-    "protobuf_roundtrip",
-    "json_roundtrip",
-    "fold_difference",
-    "streaming_index_snapshot",
-    "filter_agg",
-    # -- committed rotation: oldest r03 rows fill the remaining slots ----
-    "streaming_window_folds_closed",
-    "streaming_percentiles_closed",
-    "streaming_count_windows",
-    "streaming_trailing_window",
-    "streaming_dedup_fingerprints",
-    "streaming_changed_edges",
-    "streaming_throttle_weekly",
-    "streaming_apdex_closed",
-    "streaming_sessions_closed",
-    "fold_quotient",
+    "tpch_q4",
+    "window_folds",
+    # -- oldest 23 r03-hashed rows: ---------------------------------------
+    "asof_enrich",
+    "contamination",
+    "contamination_bloom",
+    "corpus_profile",
+    "curation_pipeline",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_keep_list",
+    "deps_algebra",
+    "distinct_ngrams_hll",
+    "distinct_ngrams_kmv",
+    "embedding_quantize",
+    "ewma_r01",
+    "fold_generic",
     "fold_mode",
-    "smapcat_tags",
+    "fold_mode_hourly",
+    "fold_quotient",
+    "fold_quotient_take5",
+    "gopher_gates",
+    "hash_split",
+    "index_delete_cohort",
+    "knn_bruteforce",
+    "knn_ivf",
+    # ---- ROUND-9 FRONT (positions 51+): the 25 remaining r03 rows -------
+    # (unless round-9 directives say otherwise, these rotate in next,
+    # after any new round-9 entries)
+    "knn_lsh",
+    "mix_upsample",
+    "multimodal_frames",
+    "multimodal_real_decode",
+    "opentsdb_roundtrip",
+    "pii_scrub",
+    "repetition_filter",
     "sflatten_regroup",
-    # ---- ROUND-8 OVERFLOW (positions 51+) ------------------------------
-    # Additional round-7 entries added later this round go in FRONT
-    # above (pushing this tail out); unlisted catalog rows follow in
-    # catalog order. Recompute staleness from CORRECTNESS_r01-r07
-    # next round.
+    "simhash",
+    "simhash_candidates",
+    "smapcat_tags",
+    "sreduce_runmax",
+    "stratified_sample",
+    "streaming_apdex_closed",
+    "streaming_changed_edges",
+    "streaming_count_windows",
+    "streaming_dedup_fingerprints",
+    "streaming_percentiles_closed",
+    "streaming_sessions_closed",
+    "streaming_throttle_weekly",
+    "streaming_trailing_window",
+    "streaming_window_folds_closed",
+    "tfidf_top_terms",
+    "token_stats",
+    "unigram_lm_score",
 ]
 
 

@@ -7696,3 +7696,351 @@ def quality_repetition_corr(spark: SparkSession, sf: str) -> DataFrame:
         F.col("my").alias("mean_dup_frac"),
         r.alias("pearson_r"),
     )
+
+
+# ---------------------------------------------- retrieval-quality eval
+
+import math as _math
+
+# rank -> 1/log2(rank+1) as repr'd literals injected into BOTH engines'
+# plans, so no libm log call can diverge between them; gains 2^g - 1
+# are exact small doubles
+_NDCG_K = (5, 10, 20)
+_DISC = [repr(1.0 / _math.log2(r + 1)) for r in range(1, 21)]
+_GAIN_SQL = "[0.0, 1.0, 3.0, 7.0][grade + 1]"
+_GRADE_SQL = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5(CAST({id} AS VARCHAR)), 1, 1)) - 1) % 4"
+)
+_QSUM = (
+    "CAST(SUM(CAST(round({x} * 1000000000000.0) AS BIGINT)) AS DOUBLE)"
+    " / 1000000000000.0"
+)
+
+
+@q(
+    "retrieval_eval_report",
+    f"""WITH {_BM25_CORE.lstrip()},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+vr AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY {_cos_sql('v', 'q')} DESC, vec_id)
+                AS rank
+       FROM e CROSS JOIN qv),
+ranked AS (
+  SELECT 'lex' AS ranker, doc_id, CAST(rank AS BIGINT) AS rank
+  FROM lex WHERE rank <= 20
+  UNION ALL
+  SELECT 'vec', doc_id, CAST(rank AS BIGINT) FROM vr WHERE rank <= 20),
+gr AS (SELECT ranker, rank, {_GRADE_SQL.format(id='doc_id')} AS grade
+       FROM ranked),
+uni AS (
+  SELECT 'lex' AS ranker, doc_id, {_GRADE_SQL.format(id='doc_id')} AS grade
+  FROM sc WHERE score > 0.0
+  UNION ALL
+  SELECT 'vec', vec_id, {_GRADE_SQL.format(id='vec_id')} FROM e),
+ideal AS (SELECT ranker, grade,
+                 row_number() OVER (PARTITION BY ranker
+                                    ORDER BY grade DESC, doc_id) AS rank
+          FROM uni),
+ks AS (SELECT unnest([{', '.join(str(k) for k in _NDCG_K)}]) AS k),
+m AS (SELECT g.ranker, CAST(k.k AS BIGINT) AS k,
+        {_QSUM.format(x=f"CASE WHEN g.rank <= k.k THEN {_GAIN_SQL.replace('grade', 'g.grade')} * ([{', '.join(_DISC)}][g.rank]) ELSE 0.0 END")} AS dcg,
+        CAST(SUM(CASE WHEN g.rank <= k.k AND g.grade >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / k.k AS p_at_k,
+        COALESCE(1.0 / MIN(CASE WHEN g.grade >= 2 THEN g.rank END), 0.0)
+          AS mrr
+      FROM gr g CROSS JOIN ks k GROUP BY g.ranker, k.k),
+i AS (SELECT ranker, CAST(k.k AS BIGINT) AS k,
+        {_QSUM.format(x=f"CASE WHEN ideal.rank <= k.k THEN {_GAIN_SQL.replace('grade', 'ideal.grade')} * ([{', '.join(_DISC)}][ideal.rank]) ELSE 0.0 END")} AS idcg
+      FROM ideal CROSS JOIN ks k WHERE ideal.rank <= 20
+      GROUP BY ideal.ranker, k.k)
+SELECT m.ranker, m.k, round(m.dcg / i.idcg, 9) AS ndcg,
+       round(m.mrr, 9) AS mrr, m.p_at_k
+FROM m JOIN i USING (ranker, k)""",
+)
+def retrieval_eval_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality eval — the loop that closes the r7 retrieval
+    batch: nDCG@{{5,10,20}}, MRR@20 and precision@k for BOTH retrieval
+    tiers (the BM25 lexical ranking and the dense cosine ranking used
+    by rrf_fusion), against hash-derived graded labels (grade 0-3 from
+    the doc id's md5 — deterministic, engine-identical, and exactly
+    the shape a real eval harness has once human labels land in a
+    table). The ideal ranking (IDCG) is computed over each ranker's
+    own candidate universe.
+
+    Engine-exactness: rank discounts 1/log2(r+1) are injected as
+    repr'd literals into both plans (no libm log in either engine),
+    gains are exact small doubles, and DCG sums ride the 1e-12
+    quantized-integer grid so partition order cannot reorder IEEE
+    adds.
+
+    Scale shape: both rankings are rank<=20 tables (TakeOrdered-
+    bounded); the ideal pass is a per-ranker top-20 of (grade, id) —
+    a k-heap, no global sort of the universe; metrics are a 6-row
+    aggregate. Nothing corpus-sized shuffles beyond bm25's one-row
+    stats agg."""
+    grade = lambda c: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col(c).cast("string")), 1, 1),
+        )
+        - 1
+    ) % 4
+    disc = F.array(*[F.lit(float(d)) for d in _DISC])
+    gain = F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0))
+
+    lex_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sc = _bm25_frame(spark, sf)
+    lex = sc.select(
+        F.lit("lex").alias("ranker"),
+        "doc_id",
+        F.row_number().over(lex_w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= 20)
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    vec_w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    vr = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", similarity.cosine(F.col("v"), F.col("q")).alias("cos"))
+        .select(
+            F.lit("vec").alias("ranker"),
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(vec_w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    ranked = lex.unionByName(vr).withColumn("grade", grade("doc_id"))
+
+    uni = sc.select(
+        F.lit("lex").alias("ranker"), F.col("doc_id")
+    ).unionByName(
+        e.select(F.lit("vec").alias("ranker"), F.col("vec_id").alias("doc_id"))
+    ).withColumn("grade", grade("doc_id"))
+    ideal_w = Window.partitionBy("ranker").orderBy(
+        F.desc("grade"), F.asc("doc_id")
+    )
+    ideal = uni.select(
+        "ranker", "grade", F.row_number().over(ideal_w).alias("rank")
+    ).filter(F.col("rank") <= 20)
+
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _NDCG_K])).alias("k")
+    )
+
+    def qsum(col):
+        return (
+            F.sum(F.round(col * 1e12).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / 1e12
+        )
+
+    term = F.when(
+        F.col("rank") <= F.col("k"),
+        F.element_at(gain, F.col("grade").cast("int") + 1)
+        * F.element_at(disc, F.col("rank").cast("int")),
+    ).otherwise(F.lit(0.0))
+    m = (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("ranker", F.col("k").cast("long").alias("k"))
+        .agg(
+            qsum(term).alias("dcg"),
+            (
+                F.sum(
+                    ((F.col("rank") <= F.col("k")) & (F.col("grade") >= 2))
+                    .cast("int")
+                ).cast("double")
+                / F.first("k").cast("double")
+            ).alias("p_at_k"),
+            F.coalesce(
+                1.0 / F.min(F.when(F.col("grade") >= 2, F.col("rank"))),
+                F.lit(0.0),
+            ).alias("mrr"),
+        )
+    )
+    i = (
+        ideal.crossJoin(F.broadcast(ks))
+        .groupBy("ranker", F.col("k").cast("long").alias("k"))
+        .agg(qsum(term).alias("idcg"))
+    )
+    return m.join(i, ["ranker", "k"]).select(
+        "ranker",
+        "k",
+        F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        F.round("mrr", 9).alias("mrr"),
+        "p_at_k",
+    )
+
+
+@q(
+    "incremental_cc_warmstart",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
+ledges AS (SELECT d1 AS u, d2 AS v FROM lpairs UNION SELECT d2, d1 FROM lpairs),
+lnodes AS (SELECT DISTINCT u FROM ledges),
+lreach AS (SELECT u AS id, u AS r FROM lnodes
+           UNION
+           SELECT e.u, lreach.r FROM ledges e JOIN lreach ON e.v = lreach.id),
+prior AS (SELECT id AS doc, MIN(r) AS cluster FROM lreach GROUP BY id),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT l.doc, l.cluster, p.cluster AS prior_cluster,
+       l.doc % 5 = 0 AS is_arrival,
+       p.cluster IS NULL OR p.cluster != l.cluster AS cluster_changed
+FROM labels l LEFT JOIN prior p USING (doc)""",
+)
+def incremental_cc_warmstart(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot incremental clustering — the recrawl posture for
+    incremental_dedup: the lake's duplicate clusters (doc_id % 5 != 0,
+    the prior snapshot) are standing state kept as their STAR EDGES
+    (node -> cluster representative, the keep-list form
+    dedup_keep_list already materializes), and a new arrival batch
+    (doc_id % 5 == 0) is clustered by running connected components
+    over {{prior star edges}} UNION {{candidate pairs touching an
+    arrival}} — NEVER re-generating lake-vs-lake pairs. Star
+    compression preserves components and the min-id representative,
+    so the warm-start fixpoint provably equals a from-scratch CC over
+    the full pair set (which is exactly what the oracle computes,
+    via recursive transitive closure); the output also reports each
+    doc's prior cluster and whether an arrival merged clusters
+    (cluster_changed).
+
+    Scale shape: the incremental input is O(lake nodes + batch
+    pairs) edges, not O(corpus²) pairs; CC is the same alternating
+    star algorithm (2-3 rounds here since stars are depth-1 already);
+    the prior join is node-keyed. At 100 TB the star edges are a
+    bucketed table and each recrawl batch pays only its own band
+    probes plus log-round star contractions."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND).localCheckpoint()
+    arrival = lambda c: F.col(c) % 5 == 0  # noqa: E731
+    lake_pairs = pairs.filter(~arrival("doc1") & ~arrival("doc2"))
+    new_pairs = pairs.filter(arrival("doc1") | arrival("doc2"))
+    prior = dedup.connected_components(lake_pairs)
+    star = prior.select(
+        F.col("node").alias("doc1"), F.col("cluster").alias("doc2")
+    )
+    warm = dedup.connected_components(star.unionByName(new_pairs))
+    p = prior.select(
+        F.col("node").alias("doc"), F.col("cluster").alias("prior_cluster")
+    )
+    return (
+        warm.select(F.col("node").alias("doc"), "cluster")
+        .join(p, "doc", "left")
+        .select(
+            "doc",
+            "cluster",
+            "prior_cluster",
+            arrival("doc").alias("is_arrival"),
+            (
+                F.col("prior_cluster").isNull()
+                | (F.col("prior_cluster") != F.col("cluster"))
+            ).alias("cluster_changed"),
+        )
+    )
+
+
+@q(
+    "embedding_drift_report",
+    f"""
+WITH e AS (SELECT CAST(vec_id % 4 AS BIGINT) AS w, label,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+mu0 AS (SELECT w, label, d, {_qmean('v[d]')} AS m
+        FROM e CROSS JOIN generate_series(1, 64) AS g(d)
+        GROUP BY w, label, d),
+cent AS (SELECT w, label, list(m ORDER BY d) AS mu FROM mu0 GROUP BY w, label),
+n AS (SELECT w, label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM e GROUP BY w, label),
+s AS (SELECT c.w, c.label,
+        sqrt(list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 64),
+                         d -> (c.mu[d] - b.mu[d]) * (c.mu[d] - b.mu[d]))),
+          (a, x) -> a + x)) AS shift
+      FROM cent c JOIN (SELECT label, mu FROM cent WHERE w = 0) b
+        USING (label)
+      WHERE c.w > 0)
+SELECT s.w, s.label, n.n_vecs, round(s.shift, 9) AS centroid_shift,
+       s.shift > 0.4 AS drifted
+FROM s JOIN n ON n.w = s.w AND n.label = s.label""",
+)
+def embedding_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-drift monitor — the REPORT row that pairs with
+    streaming_drift_gate's per-event flag: ingest windows (vec_id % 4
+    here; wall-clock windows in production) are compared per label
+    against the baseline window's centroid (window 0 — the stand-in
+    for the trained quantizer's reference geometry), and a window
+    whose per-label centroid moved more than the threshold in L2 is
+    flagged drifted. This is the retrain/recalibrate trigger an
+    embedding-curated corpus monitors: centroid shift beyond the
+    quantizer's cell radius silently degrades IVF/PQ recall
+    (ann_recall_report measures the symptom; this names the cause).
+
+    Scale shape: the centroid pass shuffles windows×labels×dim rows
+    on the 1e-12 quantized grid (model-sized, map-side partials —
+    corpus size only affects the scan); the baseline join is
+    label-keyed over a model-sized frame; the shift is a 64-element
+    zip_with fold per (window, label). Zero corpus-sized shuffles,
+    bit-identical flags in both engines."""
+    e = load_table(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 4).cast("long").alias("w"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q12 = F.lit(1e12)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q12).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q12
+            / F.count(F.lit(1))
+        )
+
+    mu0 = (
+        e.select("w", "label", F.posexplode("v").alias("d", "x"))
+        .groupBy("w", "label", "d")
+        .agg(qmean(F.col("x")).alias("m"))
+    )
+    cent = mu0.groupBy("w", "label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m
+        ).alias("mu")
+    )
+    n = e.groupBy("w", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    base = cent.filter(F.col("w") == 0).select(
+        "label", F.col("mu").alias("mu0")
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with("mu", "mu0", lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+    )
+    s = (
+        cent.filter(F.col("w") > 0)
+        .join(F.broadcast(base), "label")
+        .select("w", "label", shift.alias("shift"))
+    )
+    return s.join(n, ["w", "label"]).select(
+        "w",
+        "label",
+        "n_vecs",
+        F.round("shift", 9).alias("centroid_shift"),
+        (F.col("shift") > 0.4).alias("drifted"),
+    )

@@ -1479,3 +1479,30 @@ def test_containment_pairs_directional(spark):
     assert (r["doc1"], r["doc2"]) == (1, 2)
     assert r["c12"] == 1.0  # short's 3 shingles all inside long
     assert r["c21"] < 0.1
+
+
+def test_cc_warmstart_equals_scratch(spark):
+    """Star compression preserves components and min-id reps: CC over
+    (prior star edges UNION new edges) must equal from-scratch CC over
+    (old UNION new) — including the hard cases: a new edge merging two
+    old clusters, a chain crossing the old/new boundary, and new nodes
+    never seen by the prior snapshot."""
+    cases = [
+        # (old edges, new edges)
+        ([(1, 2), (2, 3), (10, 11)], [(3, 10)]),          # merge two priors
+        ([(1, 2), (4, 5)], [(2, 4), (5, 6), (7, 8)]),     # chain + fresh pair
+        ([(1, 2)], [(3, 4)]),                             # disjoint new
+        ([(5, 9), (9, 7), (20, 30), (30, 40)], [(7, 20), (100, 40)]),
+    ]
+    for old, new in cases:
+        old_df = spark.createDataFrame(old, "doc1 long, doc2 long")
+        new_df = spark.createDataFrame(new, "doc1 long, doc2 long")
+        prior = dedup.connected_components(old_df)
+        star = prior.select(
+            F.col("node").alias("doc1"), F.col("cluster").alias("doc2")
+        )
+        warm = dedup.connected_components(star.unionByName(new_df))
+        scratch = dedup.connected_components(old_df.unionByName(new_df))
+        assert sorted(map(tuple, warm.collect())) == sorted(
+            map(tuple, scratch.collect())
+        ), (old, new)
