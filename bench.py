@@ -212,8 +212,12 @@ HEADLINE = [
     "events_heatmap",
     # round-8 additions
     "retrieval_eval_report",
+    "retrieval_eval_rrf",
     "incremental_cc_warmstart",
     "embedding_drift_report",
+    # warmstart_savings_report stays OUT: it runs two full CC fixpoints
+    # per invocation (prior + warm), so its wall time measures iterative
+    # trainer cost like knn_pq_trained; the correctness gate covers it
 ]
 
 

@@ -23,14 +23,16 @@ _GATE_PRIORITY = [
     # ---- ROUND-8 WINDOW (positions 1-50) -------------------------------
     # Per VERDICT r7 directive #1: staleness recomputed from
     # CORRECTNESS_r01-r07 (24 rows last hashed r02, 48 last hashed r03).
-    # New r8 entries capped at 3 (standing front rule), so 47 rotation
-    # slots survive: ALL 24 r02 rows + the oldest 23 r03 rows. (The
+    # New r8 entries capped at 5 (standing front rule), so 45 rotation
+    # slots survive: ALL 24 r02 rows + the oldest 21 r03 rows. (The
     # directive's two sub-criteria — '~10 new' and '>=half the r03
-    # rows' — cannot both fit in 50; we bias to rotation: 23/48 r03
-    # refresh now, the remaining 25 are the committed FRONT of the
+    # rows' — cannot both fit in 50; we bias to rotation: 21/48 r03
+    # refresh now, the remaining 27 are the committed FRONT of the
     # round-9 list below.)
     # -- new round-8 catalog entries first: ------------------------------
     "retrieval_eval_report",
+    "retrieval_eval_rrf",
+    "warmstart_savings_report",
     "incremental_cc_warmstart",
     "embedding_drift_report",
     # -- all 24 r02-hashed rows: ------------------------------------------
@@ -80,11 +82,13 @@ _GATE_PRIORITY = [
     "gopher_gates",
     "hash_split",
     "index_delete_cohort",
-    "knn_bruteforce",
-    "knn_ivf",
     # ---- ROUND-9 FRONT (positions 51+): the 25 remaining r03 rows -------
     # (unless round-9 directives say otherwise, these rotate in next,
-    # after any new round-9 entries)
+    # after any new round-9 entries; knn_bruteforce/knn_ivf were pushed
+    # out of the r8 window by the late retrieval_eval_rrf +
+    # warmstart_savings_report additions)
+    "knn_bruteforce",
+    "knn_ivf",
     "knn_lsh",
     "mix_upsample",
     "multimodal_frames",

@@ -8044,3 +8044,241 @@ def embedding_drift_report(spark: SparkSession, sf: str) -> DataFrame:
         F.round("shift", 9).alias("centroid_shift"),
         (F.col("shift") > 0.4).alias("drifted"),
     )
+
+
+@q(
+    "retrieval_eval_rrf",
+    f"""WITH {_BM25_CORE.lstrip()},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+vr AS (SELECT vec_id,
+              row_number() OVER (ORDER BY {_cos_sql('v', 'q')} DESC, vec_id)
+                AS rank
+       FROM e CROSS JOIN qv),
+fused AS (SELECT lex.doc_id,
+                 round(1.0 / (60.0 + lex.rank) + 1.0 / (60.0 + vr.rank), 9)
+                   AS rrf
+          FROM lex JOIN vr ON vr.vec_id = lex.doc_id),
+fr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+              {_GRADE_SQL.format(id='doc_id')} AS grade
+       FROM fused),
+ideal AS (SELECT {_GRADE_SQL.format(id='doc_id')} AS grade,
+                 row_number() OVER (
+                   ORDER BY {_GRADE_SQL.format(id='doc_id')} DESC, doc_id)
+                   AS rank
+          FROM fused),
+ks AS (SELECT unnest([{', '.join(str(k) for k in _NDCG_K)}]) AS k),
+m AS (SELECT CAST(k.k AS BIGINT) AS k,
+        {_QSUM.format(x=f"CASE WHEN g.rank <= k.k THEN {_GAIN_SQL.replace('grade', 'g.grade')} * ([{', '.join(_DISC)}][g.rank]) ELSE 0.0 END")} AS dcg,
+        CAST(SUM(CASE WHEN g.rank <= k.k AND g.grade >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / k.k AS p_at_k,
+        COALESCE(1.0 / MIN(CASE WHEN g.grade >= 2 AND g.rank <= 20
+                           THEN g.rank END), 0.0) AS mrr
+      FROM (SELECT * FROM fr WHERE rank <= 20) g
+      CROSS JOIN ks k GROUP BY k.k),
+i AS (SELECT CAST(k.k AS BIGINT) AS k,
+        {_QSUM.format(x=f"CASE WHEN ideal.rank <= k.k THEN {_GAIN_SQL.replace('grade', 'ideal.grade')} * ([{', '.join(_DISC)}][ideal.rank]) ELSE 0.0 END")} AS idcg
+      FROM ideal CROSS JOIN ks k WHERE ideal.rank <= 20 GROUP BY k.k)
+SELECT m.k, round(m.dcg / i.idcg, 9) AS ndcg, round(m.mrr, 9) AS mrr,
+       m.p_at_k
+FROM m JOIN i USING (k)""",
+)
+def retrieval_eval_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """The eval row that answers "did fusion help?": the same
+    nDCG/MRR/P@k battery as retrieval_eval_report, computed for the
+    reciprocal-rank-fused ranking (rrf_fusion's k=60 fusion of the
+    BM25 and cosine rankers), with the ideal ranking over the fused
+    candidate universe (docs ranked by BOTH tiers). Read beside
+    retrieval_eval_report: fusion should dominate each single tier on
+    nDCG if the rankers err independently — the comparison a real
+    retrieval stack checks before enabling hybrid search.
+
+    Scale shape: identical to rrf_fusion (rank-bounded fusion join on
+    doc_id, zero corpus shuffles beyond bm25's one-row stats) plus a
+    3-row metric aggregate on the quantized grid."""
+    grade = lambda c: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col(c).cast("string")), 1, 1),
+        )
+        - 1
+    ) % 4
+    disc = F.array(*[F.lit(float(d)) for d in _DISC])
+    gain = F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0))
+
+    lex_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = _bm25_frame(spark, sf).select(
+        "doc_id", F.row_number().over(lex_w).cast("long").alias("lex_rank")
+    )
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    vec_w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    vr = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", similarity.cosine(F.col("v"), F.col("q")).alias("cos"))
+        .select(
+            "vec_id", F.row_number().over(vec_w).cast("long").alias("vec_rank")
+        )
+    )
+    fused = lex.join(vr, lex.doc_id == vr.vec_id).select(
+        "doc_id",
+        F.round(
+            1.0 / (60.0 + F.col("lex_rank")) + 1.0 / (60.0 + F.col("vec_rank")),
+            9,
+        ).alias("rrf"),
+    )
+    fr_w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    fr = fused.select(
+        "doc_id", F.row_number().over(fr_w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= 20).withColumn("grade", grade("doc_id"))
+    ideal_w = Window.orderBy(F.desc("grade"), F.asc("doc_id"))
+    ideal = (
+        fused.withColumn("grade", grade("doc_id"))
+        .select("grade", F.row_number().over(ideal_w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= 20)
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _NDCG_K])).alias("k")
+    )
+
+    def qsum(col):
+        return (
+            F.sum(F.round(col * 1e12).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / 1e12
+        )
+
+    term = F.when(
+        F.col("rank") <= F.col("k"),
+        F.element_at(gain, F.col("grade").cast("int") + 1)
+        * F.element_at(disc, F.col("rank").cast("int")),
+    ).otherwise(F.lit(0.0))
+    m = (
+        fr.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            qsum(term).alias("dcg"),
+            (
+                F.sum(
+                    ((F.col("rank") <= F.col("k")) & (F.col("grade") >= 2))
+                    .cast("int")
+                ).cast("double")
+                / F.first("k").cast("double")
+            ).alias("p_at_k"),
+            F.coalesce(
+                1.0 / F.min(F.when(F.col("grade") >= 2, F.col("rank"))),
+                F.lit(0.0),
+            ).alias("mrr"),
+        )
+    )
+    i = (
+        ideal.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(qsum(term).alias("idcg"))
+    )
+    return m.join(i, ["k"]).select(
+        "k",
+        F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        F.round("mrr", 9).alias("mrr"),
+        "p_at_k",
+    )
+
+
+@q(
+    "warmstart_savings_report",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
+npairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 = 0 OR d2 % 5 = 0),
+ledges AS (SELECT d1 AS u, d2 AS v FROM lpairs UNION SELECT d2, d1 FROM lpairs),
+lnodes AS (SELECT DISTINCT u FROM ledges),
+lreach AS (SELECT u AS id, u AS r FROM lnodes
+           UNION
+           SELECT e.u, lreach.r FROM ledges e JOIN lreach ON e.v = lreach.id),
+prior AS (SELECT id AS doc, MIN(r) AS cluster FROM lreach GROUP BY id),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs_scratch,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lpairs) AS n_lake_pairs_avoided,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM npairs) AS n_arrival_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM prior) AS n_star_edges,
+       CAST((SELECT COUNT(*) FROM npairs) + (SELECT COUNT(*) FROM prior)
+            AS DOUBLE)
+         / (SELECT COUNT(*) FROM pairs) AS warm_edge_ratio,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM labels l LEFT JOIN prior p USING (doc)
+        WHERE p.cluster IS NOT NULL AND p.cluster != l.cluster)
+         AS n_docs_reclustered""",
+)
+def warmstart_savings_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The efficiency claim behind incremental_cc_warmstart, AS DATA:
+    one row comparing the edge volume a from-scratch re-cluster would
+    process (all candidate pairs) against the warm-start input (prior
+    star edges + arrival-touching pairs only), plus how many lake
+    docs an arrival actually re-clustered. warm_edge_ratio is the
+    recrawl's cost fraction — at a real 100 TB recrawl where the
+    batch is a small fraction of the lake, this approaches
+    |lake nodes| / |lake pairs| (stars are linear in nodes while the
+    avoided pair set is superlinear in bucket density).
+
+    Scale shape: same lineage as incremental_cc_warmstart; every
+    output is a count aggregate (map-side combinable), the final row
+    is a literal-width crossJoin of six scalars."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND).localCheckpoint()
+    arrival = lambda c: F.col(c) % 5 == 0  # noqa: E731
+    lake_pairs = pairs.filter(~arrival("doc1") & ~arrival("doc2"))
+    new_pairs = pairs.filter(arrival("doc1") | arrival("doc2"))
+    prior = dedup.connected_components(lake_pairs).localCheckpoint()
+    star = prior.select(
+        F.col("node").alias("doc1"), F.col("cluster").alias("doc2")
+    )
+    warm = dedup.connected_components(star.unionByName(new_pairs))
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_scratch"))
+    n_lake = lake_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lake_pairs_avoided")
+    )
+    n_new = new_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrival_pairs")
+    )
+    n_star = prior.agg(F.count(F.lit(1)).cast("long").alias("n_star_edges"))
+    p = prior.select(
+        F.col("node").alias("doc"), F.col("cluster").alias("prior_cluster")
+    )
+    n_re = (
+        warm.select(F.col("node").alias("doc"), "cluster")
+        .join(p, "doc")
+        .filter(F.col("prior_cluster") != F.col("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_reclustered"))
+    )
+    return (
+        n_pairs.crossJoin(n_lake)
+        .crossJoin(n_new)
+        .crossJoin(n_star)
+        .crossJoin(n_re)
+        .select(
+            "n_pairs_scratch",
+            "n_lake_pairs_avoided",
+            "n_arrival_pairs",
+            "n_star_edges",
+            (
+                (F.col("n_arrival_pairs") + F.col("n_star_edges"))
+                .cast("double")
+                / F.col("n_pairs_scratch")
+            ).alias("warm_edge_ratio"),
+            "n_docs_reclustered",
+        )
+    )
