@@ -425,16 +425,29 @@ def _email_sink(
 
 
 @register_sink("riemann")
-def _riemann_forward_sink(host: str, port: int, batch_limit: int = 5000) -> SinkFn:
+def _riemann_forward_sink(
+    host: str,
+    port: int,
+    batch_limit: int = 5000,
+    ca_cert: str | None = None,
+) -> SinkFn:
     """``forward`` (streams.clj:1255-1261): push events to another
     riemann server over the real TCP wire protocol (int32-framed
-    protobuf Msg, acked). Alert-volume streams only (collects up to
-    batch_limit rows per micro-batch on the driver, like the http
+    protobuf Msg, acked). ``ca_cert`` enables the client half of the
+    reference's TLS lane (transport/tcp.clj:260-270 — the forwarder
+    pair's usual production posture): TLS with the peer's CA pinned,
+    hostname verification on. Alert-volume streams only (collects up
+    to batch_limit rows per micro-batch on the driver, like the http
     sink); raw-volume egress belongs on the kafka sink carrying Msg
     frames."""
 
     def write(df: DataFrame, batch_id: int) -> None:
-        from riemann_spark.sources.servers import send_events_tcp
+        from riemann_spark.sources.servers import (
+            client_tls_context,
+            send_events_tcp,
+        )
+
+        ctx = client_tls_context(ca_cert) if ca_cert is not None else None
 
         cols = [c for c in ("host", "service", "state", "description",
                             "metric", "tags", "time", "ttl") if c in df.columns]
@@ -443,7 +456,7 @@ def _riemann_forward_sink(host: str, port: int, batch_limit: int = 5000) -> Sink
             {k: v for k, v in row.asDict().items() if v is not None} for row in rows
         ]
         if events:
-            ack = send_events_tcp(port, events, host=host)
+            ack = send_events_tcp(port, events, host=host, tls_context=ctx)
             if not ack.get("ok"):
                 raise RuntimeError(f"riemann forward rejected: {ack.get('error')}")
 

@@ -165,3 +165,26 @@ def test_tcp_tls_roundtrip(spark, tmp_path):
         # and a plaintext client against the TLS port gets no ack
         with pytest.raises((ConnectionError, OSError)):
             send_events_tcp(srv.port, EVENTS[:1])
+
+
+def test_riemann_forward_sink_tls(spark, tmp_path):
+    """The forwarder pair's production posture: the riemann sink
+    speaks the same framed Msg protocol through TLS with the peer's
+    CA pinned (transport/tcp.clj:260-270)."""
+    from riemann_spark.sources.servers import server_tls_context
+    from riemann_spark.streaming.sinks import make_sink
+
+    cert, key = _self_signed_pair(tmp_path)
+    df = spark.createDataFrame(
+        [("h1", "svc", "ok", 1.5, 10.0)],
+        "host string, service string, state string, metric double, time double",
+    )
+    with TcpMsgServer(tls_context=server_tls_context(cert, key)) as srv:
+        sink = make_sink("riemann", host="127.0.0.1", port=srv.port,
+                         ca_cert=cert)
+        sink(df, 0)
+        got = [
+            (r["host"], r["state"], r["metric"])
+            for r in srv.received_events(spark).collect()
+        ]
+    assert got == [("h1", "ok", 1.5)]
