@@ -227,6 +227,32 @@ def sdo(df: DataFrame, *fns: Callable[[DataFrame], DataFrame]) -> list[DataFrame
     return [fn(df) for fn in fns]
 
 
+def ensure_event_times(df: DataFrame, now: float | None = None) -> DataFrame:
+    """post-load-event (common.clj:86-89) / ensure-event-time
+    (common.clj:132-137): events arriving without a time get the
+    ingest clock. ``now`` pins the clock (tests, replays); the default
+    is the query-constant current timestamp — every event in a
+    micro-batch shares the ingest instant, which is exactly the
+    batch-granular semantic a distributed ingest has (per-row clock
+    calls would make the column nondeterministic under retries).
+    ``time_us`` mirrors the fill when present."""
+    t = (
+        F.lit(float(now))
+        if now is not None
+        else F.unix_micros(F.current_timestamp()) / F.lit(1000000.0)
+    )
+    out = df.withColumn("time", F.coalesce(F.col("time"), t))
+    if "time_us" in df.columns:
+        out = out.withColumn(
+            "time_us",
+            F.coalesce(
+                F.col("time_us"),
+                F.round(F.col("time") * 1000000.0).cast("long"),
+            ),
+        )
+    return out
+
+
 def dual(df: DataFrame, pred: str | Column) -> tuple[DataFrame, DataFrame]:
     """Mirror-image split (streams.clj:127-152): matching events go to
     the first stream; the second receives the complement with

@@ -18,6 +18,23 @@ from riemann_spark.schema import EVENT_SCHEMA
 _CORE = [f.name for f in EVENT_SCHEMA.fields if f.name != "attributes"]
 
 
+def iso8601_to_unix(col: F.Column) -> F.Column:
+    """ISO8601 string -> whole unix seconds (common.clj:76-84
+    iso8601->unix): offset-carrying datetimes (with or without
+    fractional seconds), 'Z', and bare dates (UTC midnight). Returns
+    NULL for non-ISO input (try_to_timestamp, never a parse error)."""
+    ts = F.coalesce(
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        # bare date == UTC midnight, independent of session timezone
+        F.try_to_timestamp(
+            F.concat(col, F.lit("T00:00:00Z")),
+            F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"),
+        ),
+    )
+    return F.unix_timestamp(ts).cast("double")
+
+
 def events_from_json(
     df: DataFrame, json_col: str = "value", keep_extra: bool = False
 ) -> DataFrame:
@@ -26,6 +43,17 @@ def events_from_json(
         F.col(json_col).cast("string").alias("__raw"),
     )
     out = parsed.select("e.*", "__raw")
+    # the reference's JSON wire carries ISO8601 times (event-to-json
+    # emits them, ensure-event-time parses them back — common.clj:
+    # 126-137): the schema parse nulls a string time, so recover it
+    # from the raw scalar; numeric times take the schema-parsed value
+    out = out.withColumn(
+        "time",
+        F.coalesce(
+            F.col("time"),
+            iso8601_to_unix(F.get_json_object(F.col("__raw"), "$.time")),
+        ),
+    )
     if keep_extra:
         # open-schema tail: any key not in the core field set lands in
         # the attributes map
@@ -41,7 +69,26 @@ def events_from_json(
     return out.drop("__raw")
 
 
-def events_to_json(df: DataFrame) -> DataFrame:
-    """Event frame → one JSON string column (event-to-json)."""
+def events_to_json(df: DataFrame, iso_times: bool = False) -> DataFrame:
+    """Event frame → one JSON string column (event-to-json).
+
+    ``iso_times`` emits ``time`` as an ISO8601 UTC string — the
+    reference's wire form (common.clj:126-130 unix-to-iso8601);
+    default stays numeric (both forms round-trip through
+    ``events_from_json``)."""
     cols = [c for c in df.columns if c in {f.name for f in EVENT_SCHEMA.fields}]
-    return df.select(F.to_json(F.struct(*cols)).alias("value"))
+    out = df
+    if iso_times and "time" in out.columns:
+        out = out.withColumn(
+            "time",
+            F.date_format(
+                F.to_utc_timestamp(
+                    F.timestamp_seconds(F.col("time")),
+                    F.current_timezone(),
+                ),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+            ),
+        )
+        cols = [c for c in cols]  # same core projection, string time
+        return out.select(F.to_json(F.struct(*cols)).alias("value"))
+    return out.select(F.to_json(F.struct(*cols)).alias("value"))

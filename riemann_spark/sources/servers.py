@@ -124,14 +124,19 @@ class TcpMsgServer:
         self._server.shutdown()
         self._server.server_close()
 
-    def received_events(self, spark: SparkSession) -> DataFrame:
+    def received_events(
+        self, spark: SparkSession, now: float | None = None
+    ) -> DataFrame:
         """Decode spooled frames into event rows (multi-event frames
         fan out), through the same mapInPandas codec as the Kafka
-        bridge."""
+        bridge. Time-less events get the ingest clock — the decode-msg
+        -> post-load-event seam (common.clj:86-98); ``now`` pins it."""
+        from riemann_spark.operators.stateless import ensure_event_times
+
         with self._lock:
             rows = [(f,) for f in self.frames]
         raw = spark.createDataFrame(rows, "msg binary")
-        return msg_binary_to_events(raw)
+        return ensure_event_times(msg_binary_to_events(raw), now=now)
 
 
 class UdpMsgServer:
@@ -164,11 +169,15 @@ class UdpMsgServer:
         self._server.shutdown()
         self._server.server_close()
 
-    def received_events(self, spark: SparkSession) -> DataFrame:
+    def received_events(
+        self, spark: SparkSession, now: float | None = None
+    ) -> DataFrame:
+        from riemann_spark.operators.stateless import ensure_event_times
+
         with self._lock:
             rows = [(f,) for f in self.frames]
         raw = spark.createDataFrame(rows, "msg binary")
-        return msg_binary_to_events(raw)
+        return ensure_event_times(msg_binary_to_events(raw), now=now)
 
 
 # ------------------------------------------------------------------ #

@@ -1496,3 +1496,82 @@ def test_percentiles_service_suffix_vector(spark):
     assert got["per 0.99"] == 99.0
     assert got["per 1"] == 100.0
     assert got["per 0"] == 0.0
+
+
+def test_sdo_fans_out_to_every_child(spark):
+    """Ports sdo-test (streams_test.clj): every child sees every
+    event, a single child is pass-through, and zero children is a
+    no-op that feeds nothing anywhere."""
+    df = spark.createDataFrame([(1,), (2,), (3,)], "metric long")
+    outs = stateless.sdo(
+        df,
+        lambda d: d.select((F.col("metric") + 1).alias("metric")),
+        lambda d: d.select((F.col("metric") * 10).alias("metric")),
+    )
+    assert [sorted(r.metric for r in o.collect()) for o in outs] == [
+        [2, 3, 4],
+        [10, 20, 30],
+    ]
+    assert stateless.sdo(df) == []
+
+
+def test_ensure_event_times_defaults_ingest_clock(spark):
+    """Ports post-load-event (common.clj:86-89) and core_test
+    ensures-event-times: a time-less event gets the ingest clock
+    (pinned here), an event with a time keeps it, and time_us mirrors
+    the fill."""
+    df = spark.createDataFrame(
+        [("h1", None, None), ("h2", 50.0, 50_000_000)],
+        "host string, time double, time_us long",
+    )
+    out = {r.host: (r.time, r.time_us)
+           for r in stateless.ensure_event_times(df, now=123.5).collect()}
+    assert out == {"h1": (123.5, 123_500_000), "h2": (50.0, 50_000_000)}
+    # unpinned: the query-constant clock fills every null identically
+    live = stateless.ensure_event_times(df).collect()
+    filled = [r.time for r in live if r.host == "h1"]
+    assert filled[0] is not None and filled[0] > 1.7e9
+
+
+def test_iso8601_to_unix_reference_vectors(spark):
+    """Ports iso8601->unix-test (common_test.clj): offset datetimes,
+    fractional seconds, Z, and bare dates (UTC midnight) — the exact
+    four reference vectors — plus numeric passthrough on the JSON
+    ingest path."""
+    from riemann_spark.sources.json_codec import events_from_json
+
+    rows = [
+        ('{"host":"a","time":"2013-04-15T18:06:58-07:00"}',),
+        ('{"host":"b","time":"2013-04-15T18:06:58.123+11:00"}',),
+        ('{"host":"c","time":"2013-04-15T18:06:58Z"}',),
+        ('{"host":"d","time":"2013-04-15"}',),
+        ('{"host":"e","time":1366074418.5}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = {r.host: r.time for r in events_from_json(df).collect()}
+    assert got == {
+        "a": 1366074418.0,
+        "b": 1366009618.0,
+        "c": 1366049218.0,
+        "d": 1365984000.0,
+        "e": 1366074418.5,
+    }
+
+
+def test_json_iso_time_emission_roundtrips(spark):
+    """event-to-json emits ISO8601 times (common.clj:126-130); our
+    opt-in iso_times lane must round-trip through the ingest parser
+    to the same unix seconds."""
+    from riemann_spark.sources.json_codec import (
+        events_from_json,
+        events_to_json,
+    )
+
+    ev = spark.createDataFrame(
+        [("h", "s", 1366074418.0)],
+        "host string, service string, time double",
+    )
+    j = events_to_json(ev, iso_times=True)
+    assert '"time":"20' in j.collect()[0]["value"]  # ISO string on the wire
+    back = events_from_json(j).collect()[0]
+    assert back["time"] == 1366074418.0
