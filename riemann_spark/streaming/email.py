@@ -36,6 +36,33 @@ EVENT_KEYS = frozenset(
 SMTP_KEYS = frozenset({"host", "port", "user", "password", "ssl", "tls", "sender"})
 
 
+def count_string_bytes(s: str) -> int:
+    """UTF-8 byte length (common.clj count-string-bytes)."""
+    return len(s.encode("utf-8"))
+
+
+def truncate(s: str, n: int) -> str:
+    """First n CHARACTERS, "" for n <= 0 (common.clj truncate)."""
+    if n <= 0:
+        return ""
+    return s[:n] if len(s) > n else s
+
+
+def truncate_bytes(s: str, n: int) -> str:
+    """Longest character prefix whose UTF-8 encoding fits n bytes
+    (common.clj truncate-bytes) — never splits a multi-byte
+    character. The payload cap the byte-limited egress sinks
+    (logentries/logstash-shaped) apply before the wire."""
+    total = i = 0
+    for ch in s:
+        b = count_string_bytes(ch)
+        if total + b > n:
+            break
+        total += b
+        i += 1
+    return truncate(s, i)
+
+
 def human_uniq(things: Iterable[Any], type_name: str) -> str | None:
     """common.clj:246-260 — 'api1, api2, api4' up to 4 distinct
     items, '23 services' beyond."""

@@ -127,3 +127,31 @@ def test_email_sink_end_to_end(spark):
         # empty batch sends nothing
         sink(df.filter("metric > 100"), 1)
         assert len(srv.messages) == 1
+
+
+def test_byte_truncation_reference_vectors():
+    """Ports common_test.clj count-string-bytes-test / truncate-test /
+    truncate-bytes-test: UTF-8 byte counting across 1-4 byte
+    characters, character truncation, and byte truncation that never
+    splits a character."""
+    from riemann_spark.streaming.email import (
+        count_string_bytes,
+        truncate,
+        truncate_bytes,
+    )
+
+    assert [count_string_bytes(s) for s in ["", "a", "é", "あ", "𠜎", "あいう"]] \
+        == [0, 1, 2, 3, 4, 9]
+    assert [truncate("あいう", n) for n in (-1, 0, 1, 3, 4)] == \
+        ["", "", "あ", "あいう", "あいう"]
+    assert truncate_bytes("あいう", -1) == ""
+    assert truncate_bytes("あいう", 0) == ""
+    assert truncate_bytes("あいう", 1) == ""
+    assert truncate_bytes("あいう", 2) == ""      # first char needs 3 bytes
+    assert truncate_bytes("あいう", 3) == "あ"
+    assert truncate_bytes("あいう", 4) == "あ"
+    assert truncate_bytes("あいう", 5) == "あ"
+    assert truncate_bytes("あいう", 6) == "あい"
+    assert truncate_bytes("あいう", 9) == "あいう"
+    assert truncate_bytes("あいう", 10) == "あいう"
+    assert truncate_bytes("あいう", 100) == "あいう"
