@@ -26,7 +26,7 @@ from riemann_spark.streaming.sinks import SinkFn, fan_out
 @dataclass
 class PubSub:
     channels: dict[str, DataFrame] = field(default_factory=dict)
-    _queries: list = field(default_factory=list)
+    _queries: list = field(default_factory=list)  # (query, persistent)
 
     def publish(self, channel: str, df: DataFrame) -> None:
         """Register a (streaming or batch) frame as a channel. The
@@ -54,8 +54,13 @@ class PubSub:
         sinks: list[SinkFn],
         checkpoint: str,
         name: str | None = None,
+        persistent: bool = False,
     ):
-        """Wire a subscription to sinks and start it."""
+        """Wire a subscription to sinks and start it. ``persistent``
+        marks it as surviving ``sweep()`` (pubsub.clj:60-76
+        subscribe!'s persistent flag): transport-bound subscriptions
+        (a ws connection) are temporary; config-declared ones are
+        persistent."""
         df = self.subscribe(channel, query)
         q = (
             df.writeStream.foreachBatch(fan_out(sinks))
@@ -63,10 +68,22 @@ class PubSub:
             .queryName(name or f"{channel}-sub")
             .start()
         )
-        self._queries.append(q)
+        self._queries.append((q, persistent))
         return q
 
+    def sweep(self) -> None:
+        """Stop every non-persistent subscription (pubsub.clj:96-103
+        sweep! — the connection-churn reset: transport restarts drop
+        their subscribers, config-declared ones keep flowing)."""
+        keep = []
+        for q, persistent in self._queries:
+            if persistent:
+                keep.append((q, persistent))
+            else:
+                q.stop()
+        self._queries = keep
+
     def stop_all(self) -> None:
-        for q in self._queries:
+        for q, _persistent in self._queries:
             q.stop()
         self._queries.clear()

@@ -297,3 +297,38 @@ def test_reinject_feedback_loop(spark, tmpdirs):
     assert len(crit) == 2                          # original + exactly one re-entry
     assert REINJECT_TAG not in (crit[0].tags or [])
     assert REINJECT_TAG in crit[1].tags            # the fed-back copy is marked
+
+
+def test_pubsub_sweep_stops_temporary_keeps_persistent(spark, tmpdirs):
+    """Ports pubsub_test.clj sweep-test: a persistent subscriber sees
+    events published before AND after the sweep; a temporary one
+    (a transport-bound ws connection) only sees the pre-sweep batch."""
+    from riemann_spark.streaming.pubsub import PubSub
+
+    src, ckpt = tmpdirs
+    pers, temp = [], []
+
+    def mk_sink(acc):
+        def sink(df, batch_id):
+            acc.extend(r.metric for r in df.collect())
+        return sink
+
+    _write_batch(spark, src, [_mk(0, "a", "x", metric=1.0)], 0)
+    stream = spark.readStream.schema(FULL_SCHEMA).parquet(f"{src}/*")
+    ps = PubSub()
+    ps.publish("index", stream)
+    q1 = ps.start("index", None, [mk_sink(pers)], f"{ckpt}/p",
+                  name=f"ps_p_{uuid.uuid4().hex[:8]}", persistent=True)
+    q2 = ps.start("index", None, [mk_sink(temp)], f"{ckpt}/t",
+                  name=f"ps_t_{uuid.uuid4().hex[:8]}")
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        ps.sweep()  # q2 (temporary) stops; q1 keeps flowing
+        _write_batch(spark, src, [_mk(1, "a", "x", metric=2.0)], 1)
+        q1.processAllAvailable()
+        assert sorted(pers) == [1.0, 2.0]
+        assert temp == [1.0]
+        assert not q2.isActive and q1.isActive
+    finally:
+        ps.stop_all()
