@@ -7790,13 +7790,21 @@ def retrieval_eval_report(spark: SparkSession, sf: str) -> DataFrame:
     disc = F.array(*[F.lit(float(d)) for d in _DISC])
     gain = F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0))
 
+    # every ranking is TakeOrdered-bounded BEFORE any rank window runs
+    # (bm25_topk's shape): orderBy().limit(20) is local k-heaps + a
+    # 20-row driver merge, and the row_number window then sorts 20
+    # rows — never a corpus-sized single-partition sort
     lex_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     sc = _bm25_frame(spark, sf)
-    lex = sc.select(
-        F.lit("lex").alias("ranker"),
-        "doc_id",
-        F.row_number().over(lex_w).cast("long").alias("rank"),
-    ).filter(F.col("rank") <= 20)
+    lex = (
+        sc.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            F.lit("lex").alias("ranker"),
+            "doc_id",
+            F.row_number().over(lex_w).cast("long").alias("rank"),
+        )
+    )
     e = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -7805,26 +7813,34 @@ def retrieval_eval_report(spark: SparkSession, sf: str) -> DataFrame:
     vr = (
         e.crossJoin(F.broadcast(qv))
         .select("vec_id", similarity.cosine(F.col("v"), F.col("q")).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
         .select(
             F.lit("vec").alias("ranker"),
             F.col("vec_id").alias("doc_id"),
             F.row_number().over(vec_w).cast("long").alias("rank"),
         )
-        .filter(F.col("rank") <= 20)
     )
     ranked = lex.unionByName(vr).withColumn("grade", grade("doc_id"))
 
-    uni = sc.select(
-        F.lit("lex").alias("ranker"), F.col("doc_id")
-    ).unionByName(
-        e.select(F.lit("vec").alias("ranker"), F.col("vec_id").alias("doc_id"))
-    ).withColumn("grade", grade("doc_id"))
-    ideal_w = Window.partitionBy("ranker").orderBy(
-        F.desc("grade"), F.asc("doc_id")
+    # the ideal (IDCG) ranking per ranker universe: one TakeOrdered
+    # per universe (grade desc, id asc), window over the 20 survivors
+    def ideal_top(df, ranker):
+        g = df.withColumn("grade", grade("doc_id"))
+        w = Window.orderBy(F.desc("grade"), F.asc("doc_id"))
+        return (
+            g.orderBy(F.desc("grade"), F.asc("doc_id"))
+            .limit(20)
+            .select(
+                F.lit(ranker).alias("ranker"),
+                "grade",
+                F.row_number().over(w).alias("rank"),
+            )
+        )
+
+    ideal = ideal_top(sc.select("doc_id"), "lex").unionByName(
+        ideal_top(e.select(F.col("vec_id").alias("doc_id")), "vec")
     )
-    ideal = uni.select(
-        "ranker", "grade", F.row_number().over(ideal_w).alias("rank")
-    ).filter(F.col("rank") <= 20)
 
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in _NDCG_K])).alias("k")
@@ -8130,15 +8146,27 @@ def retrieval_eval_rrf(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("rrf"),
     )
+    # the lex/vec windows above are semantically FULL rankings (a doc
+    # ranked 500 lexically still contributes 1/(60+500) to the fusion),
+    # same as rrf_fusion; the fused top-20 and the ideal are
+    # TakeOrdered-bounded before their 20-row rank windows
     fr_w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
-    fr = fused.select(
-        "doc_id", F.row_number().over(fr_w).cast("long").alias("rank")
-    ).filter(F.col("rank") <= 20).withColumn("grade", grade("doc_id"))
+    fr = (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id", F.row_number().over(fr_w).cast("long").alias("rank")
+        )
+        .withColumn("grade", grade("doc_id"))
+    )
     ideal_w = Window.orderBy(F.desc("grade"), F.asc("doc_id"))
     ideal = (
         fused.withColumn("grade", grade("doc_id"))
-        .select("grade", F.row_number().over(ideal_w).cast("long").alias("rank"))
-        .filter(F.col("rank") <= 20)
+        .orderBy(F.desc("grade"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "grade", F.row_number().over(ideal_w).cast("long").alias("rank")
+        )
     )
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in _NDCG_K])).alias("k")

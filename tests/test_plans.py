@@ -1163,3 +1163,17 @@ def test_core_corpus_parity_audit():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.audit() == []
+
+
+def test_retrieval_eval_rankings_take_ordered(spark):
+    """Every ranking in retrieval_eval_report must be TakeOrdered-
+    bounded before its rank window runs (bm25_topk's shape): local
+    k-heaps + a 20-row merge, never a corpus-sized single-partition
+    sort. Four rankings (lex, vec, two ideals) -> 4 TakeOrdered, 4
+    Windows over <=20 rows, zero global Sorts."""
+    import re
+
+    p = plan_of(spark, "retrieval_eval_report")
+    assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", p, re.M)) == 4, p
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 4, p
+    assert not re.search(r"^\(\d+\) Sort\b", p, re.M), p
