@@ -86,7 +86,11 @@ _GATE_PRIORITY = [
     # (unless round-9 directives say otherwise, these rotate in next,
     # after any new round-9 entries; knn_bruteforce/knn_ivf were pushed
     # out of the r8 window by the late retrieval_eval_rrf +
-    # warmstart_savings_report additions)
+    # warmstart_savings_report additions; quality_calibration_report is
+    # a late r8 entry deliberately placed HERE, not in the window, to
+    # protect the rotation directive — it is check.py-verified this
+    # round and takes the first r9 driver slot)
+    "quality_calibration_report",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",

@@ -8310,3 +8310,85 @@ def warmstart_savings_report(spark: SparkSession, sf: str) -> DataFrame:
             "n_docs_reclustered",
         )
     )
+
+
+@q(
+    "quality_calibration_report",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+        list_reduce(
+          list_prepend(0.0, list_transform(toks,
+            tok -> ({_W52}) / 4503599627370496.0 * 2.0 - 1.0)),
+          (a, b) -> a + b) / len(toks) AS score
+      FROM t),
+p AS (SELECT doc_id, score, (score + 1.0) / 2.0 AS prob,
+             CASE WHEN {_GRADE_SQL.format(id='doc_id')} >= 2
+                  THEN 1 ELSE 0 END AS y
+      FROM s),
+b AS (SELECT least(CAST(floor(prob * 10.0) AS BIGINT), 9) AS bin,
+             score, prob, y FROM p)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {_qmean('score')} AS mean_score,
+       {_qmean('prob')} AS mean_p,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate,
+       abs({_qmean('prob')} - CAST(SUM(y) AS DOUBLE) / COUNT(*))
+         AS calib_gap
+FROM b GROUP BY bin""",
+)
+def quality_calibration_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-calibration audit — the reliability diagram behind
+    every curation threshold decision: the hashed-linear quality
+    score is mapped to a probability, binned into 10 reliability
+    buckets, and each bucket reports its mean predicted probability
+    against the empirical positive rate on hash-derived golden labels
+    (the same grade>=2 labels the retrieval evals use — the shape a
+    real eval has once human labels land in a table). |mean_p -
+    pos_rate| per bin is the ECE contribution; a threshold picked off
+    an uncalibrated score silently shifts the kept-corpus mix, which
+    is why this report gates quality_classifier's use in
+    curation_pipeline_cls.
+
+    Scale shape: inference is the same zero-shuffle projection as
+    quality_classifier; the report is ONE 10-group aggregate with
+    map-side partials, quantized-grid means, and integer label
+    counts — bit-identical in both engines at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    grade = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 4
+    score = text.hashed_linear_score("text", _CLS_DIM)
+    p = d.select(
+        score.alias("score"),
+        ((score + 1.0) / 2.0).alias("prob"),
+        (grade >= 2).cast("int").alias("y"),
+    )
+    q12 = F.lit(1e12)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q12).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q12
+            / F.count(F.lit(1))
+        )
+
+    b = p.select(
+        F.least(F.floor(F.col("prob") * 10.0).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        "score",
+        "prob",
+        "y",
+    )
+    mean_p = qmean(F.col("prob"))
+    pos = F.sum("y").cast("double") / F.count(F.lit(1))
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        qmean(F.col("score")).alias("mean_score"),
+        mean_p.alias("mean_p"),
+        pos.alias("pos_rate"),
+        F.abs(mean_p - pos).alias("calib_gap"),
+    )
