@@ -315,9 +315,13 @@ def main() -> None:
 
     rate_df = analytics.rate(piped, 3600.0)
     index_df = index.build_index(piped)
+    sink_errors: list[BaseException] = []
 
     def _drain(df):
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        except BaseException as exc:  # propagate: a swallowed sink error
+            sink_errors.append(exc)   # would silently fake the timing
 
     pipeline_passes = []
     for _ in range(max(n_passes, 6)):
@@ -330,6 +334,8 @@ def main() -> None:
             th.start()
         for th in sinks:
             th.join()
+        if sink_errors:
+            raise sink_errors[0]
         pipeline_passes.append(round(time.time() - t0, 3))
     pipeline_sec = min(pipeline_passes)
     events_per_sec = int(n_events / pipeline_sec)
