@@ -91,6 +91,8 @@ _GATE_PRIORITY = [
     # protect the rotation directive — it is check.py-verified this
     # round and takes the first r9 driver slot)
     "quality_calibration_report",
+    "mad_outliers",
+    "retrieval_eval_multiquery",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",

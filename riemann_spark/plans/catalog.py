@@ -5449,3 +5449,58 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)) / F.max("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+# ------------------------------------------------- round-8 additions
+
+@q(
+    "mad_outliers",
+    f"""{_EV},
+m AS (SELECT service,
+        (list_sort(list(metric)))[(COUNT(*) + 1) // 2] AS med
+      FROM ev WHERE metric IS NOT NULL GROUP BY service),
+a AS (SELECT ev.event_id, ev.service, ev.metric, m.med
+      FROM ev JOIN m USING (service) WHERE ev.metric IS NOT NULL),
+d AS (SELECT service,
+        (list_sort(list(abs(metric - med))))[(COUNT(*) + 1) // 2] AS mad
+      FROM a GROUP BY service)
+SELECT a.event_id, a.service, a.metric, a.med, d.mad,
+       0.6745 * (a.metric - a.med) / d.mad AS rz
+FROM a JOIN d USING (service)
+WHERE d.mad > 0.0
+  AND abs(0.6745 * (a.metric - a.med) / d.mad) > 3.5""",
+)
+def mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection by modified z-score (Iglewicz-Hoaglin
+    0.6745*(x-median)/MAD, |rz| > 3.5) — the heavy-tail-safe sibling
+    of anomaly_zscore: mean/stddev break on the very outliers being
+    hunted, medians don't. Medians use the repo's floor-index
+    convention (sorted-list element (n+1)//2 — no interpolation for
+    engines to disagree on).
+
+    Scale shape: two service-keyed aggregates on one partitioning +
+    two model-sized broadcast joins back; the sorted list per service
+    is the exact tier (at deploy: swap for the histogram-sketch
+    median the percentiles lane provides, same shape as
+    funnel_latency's documented swap). Zero corpus-sized shuffles
+    beyond the one service exchange."""
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    n = F.count(F.lit(1))
+    med_at = F.element_at(
+        F.array_sort(F.collect_list("metric")), ((n + 1) / 2).cast("int")
+    )
+    m = ev.groupBy("service").agg(med_at.alias("med"))
+    a = ev.join(F.broadcast(m), "service").select(
+        "event_id", "service", "metric", "med"
+    )
+    mad_at = F.element_at(
+        F.array_sort(F.collect_list(F.abs(F.col("metric") - F.col("med")))),
+        ((n + 1) / 2).cast("int"),
+    )
+    d = a.groupBy("service").agg(mad_at.alias("mad"))
+    rz = 0.6745 * (F.col("metric") - F.col("med")) / F.col("mad")
+    return (
+        a.join(F.broadcast(d), "service")
+        .filter((F.col("mad") > 0.0) & (F.abs(rz) > 3.5))
+        .select("event_id", "service", "metric", "med", "mad", rz.alias("rz"))
+    )

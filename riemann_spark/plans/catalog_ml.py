@@ -8392,3 +8392,116 @@ def quality_calibration_report(spark: SparkSession, sf: str) -> DataFrame:
         pos.alias("pos_rate"),
         F.abs(mean_p - pos).alias("calib_gap"),
     )
+
+
+@q(
+    "retrieval_eval_multiquery",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 8),
+r AS (SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY {_cos_sql('v', 'q')} DESC, vec_id)
+               AS rank
+      FROM e CROSS JOIN qs),
+g AS (SELECT q_id, rank, {_GRADE_SQL.format(id='vec_id')} AS grade
+      FROM r WHERE rank <= 20),
+iu AS (SELECT {_GRADE_SQL.format(id='vec_id')} AS grade,
+              row_number() OVER (
+                ORDER BY {_GRADE_SQL.format(id='vec_id')} DESC, vec_id)
+                AS rank
+       FROM e),
+i AS (SELECT {_QSUM.format(x=f"CASE WHEN rank <= 10 THEN {_GAIN_SQL} * ([{', '.join(_DISC)}][rank]) ELSE 0.0 END")} AS idcg10
+      FROM iu WHERE rank <= 20),
+m AS (SELECT q_id,
+        {_QSUM.format(x=f"CASE WHEN rank <= 10 THEN {_GAIN_SQL} * ([{', '.join(_DISC)}][rank]) ELSE 0.0 END")} AS dcg10,
+        CAST(SUM(CASE WHEN rank <= 10 AND grade >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / 10.0 AS p_at_10,
+        COALESCE(1.0 / MIN(CASE WHEN grade >= 2 THEN rank END), 0.0) AS mrr
+      FROM g GROUP BY q_id)
+SELECT m.q_id, round(m.dcg10 / i.idcg10, 9) AS ndcg10,
+       round(m.mrr, 9) AS mrr, m.p_at_10
+FROM m CROSS JOIN i""",
+)
+def retrieval_eval_multiquery(spark: SparkSession, sf: str) -> DataFrame:
+    """The multi-query form of the retrieval eval — one fixed query
+    is an anecdote, a query SET is an eval: 8 query vectors (vec_id
+    0-7) each ranked against the corpus by cosine, per-query
+    nDCG@10 / MRR@20 / P@10 against the hash-derived graded labels,
+    with the ideal ranking computed ONCE (the label universe is
+    query-independent) and broadcast as a scalar. The per-query rows
+    feed a mean-or-worst-case gate; variance across queries is what
+    the single-query eval cannot see.
+
+    Scale shape: knn_bruteforce's posture — the 8-row query table
+    broadcasts into the corpus scan, per-query ranking is one window
+    over the q_id partition (8 partitions; at deploy the dense tier
+    swaps to knn_ivf/pq fan-out, rank math unchanged); metrics are an
+    8-row aggregate on the quantized grid with literal-injected
+    discounts."""
+    grade = lambda c: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col(c).cast("string")), 1, 1),
+        )
+        - 1
+    ) % 4
+    disc = F.array(*[F.lit(float(dd)) for dd in _DISC])
+    gain = F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0))
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    r = (
+        e.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id", "vec_id",
+            similarity.cosine(F.col("v"), F.col("q")).alias("cos"),
+        )
+        .select("q_id", "vec_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 20)
+    )
+    g = r.withColumn("grade", grade("vec_id"))
+
+    def qsum(col):
+        return (
+            F.sum(F.round(col * 1e12).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / 1e12
+        )
+
+    term10 = F.when(
+        F.col("rank") <= 10,
+        F.element_at(gain, F.col("grade").cast("int") + 1)
+        * F.element_at(disc, F.col("rank").cast("int")),
+    ).otherwise(F.lit(0.0))
+    iw = Window.orderBy(F.desc("grade"), F.asc("vec_id"))
+    iu = (
+        e.select("vec_id").withColumn("grade", grade("vec_id"))
+        .orderBy(F.desc("grade"), F.asc("vec_id"))
+        .limit(20)
+        .select("grade", F.row_number().over(iw).alias("rank"))
+    )
+    i = iu.agg(qsum(term10).alias("idcg10"))
+    m = g.groupBy("q_id").agg(
+        qsum(term10).alias("dcg10"),
+        (
+            F.sum(
+                ((F.col("rank") <= 10) & (F.col("grade") >= 2)).cast("int")
+            ).cast("double")
+            / 10.0
+        ).alias("p_at_10"),
+        F.coalesce(
+            1.0 / F.min(F.when(F.col("grade") >= 2, F.col("rank"))),
+            F.lit(0.0),
+        ).alias("mrr"),
+    )
+    return m.crossJoin(F.broadcast(i)).select(
+        "q_id",
+        F.round(F.col("dcg10") / F.col("idcg10"), 9).alias("ndcg10"),
+        F.round("mrr", 9).alias("mrr"),
+        "p_at_10",
+    )
