@@ -19,7 +19,12 @@ event-time TTL timers).
 Deviation note (documented per SURVEY §2.9): the reference's insert is
 unconditional last-write-wins in *arrival* order; batch mode has no
 arrival order, so we take max-by ``(time, event_id)`` — the event-time
-winner with a deterministic tie-break.
+winner with a deterministic tie-break. A second deviation: inserting a
+time-less event THROWS in the reference (index_test.clj
+missing-time-throws); here the ingest boundary assigns the clock
+instead (``stateless.ensure_event_times``, the post-load-event seam),
+so the index never sees one — a null time that does reach batch
+``build_index`` simply never wins (desc ordering puts nulls last).
 """
 
 from __future__ import annotations
