@@ -1575,3 +1575,48 @@ def test_json_iso_time_emission_roundtrips(spark):
     assert '"time":"20' in j.collect()[0]["value"]  # ISO string on the wire
     back = events_from_json(j).collect()[0]
     assert back["time"] == 1366074418.0
+
+
+def test_iso8601_to_unix_random_vectors(spark):
+    """Randomized ISO8601 parsing check in ONE Spark job: 60 seeded
+    datetimes across offsets/fractional-seconds/date-only forms,
+    expected epochs computed independently with Python's datetime —
+    whole-second truncation like the reference's iso8601->unix."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from riemann_spark.sources.json_codec import iso8601_to_unix
+
+    rng = random.Random(8)
+    rows, exp = [], {}
+    for i in range(60):
+        epoch = rng.randint(0, 2_000_000_000)
+        off_min = rng.choice([0, 0, 60, -420, 330, 765, -720])
+        tz = timezone(timedelta(minutes=off_min))
+        dt = datetime.fromtimestamp(epoch, tz)
+        form = rng.choice(["sec", "ms", "date"])
+        if form == "date":
+            d = datetime.fromtimestamp(epoch, timezone.utc).date()
+            s = d.isoformat()
+            expected = datetime(
+                d.year, d.month, d.day, tzinfo=timezone.utc
+            ).timestamp()
+        elif form == "ms":
+            ms = rng.randint(0, 999)
+            s = dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ms:03d}" + (
+                "Z" if off_min == 0 else dt.strftime("%z")[:3] + ":" + dt.strftime("%z")[3:]
+            )
+            expected = float(epoch)  # whole-second truncation
+        else:
+            s = dt.strftime("%Y-%m-%dT%H:%M:%S") + (
+                "Z" if off_min == 0 else dt.strftime("%z")[:3] + ":" + dt.strftime("%z")[3:]
+            )
+            expected = float(epoch)
+        rows.append((i, s))
+        exp[i] = expected
+    df = spark.createDataFrame(rows, "i int, s string")
+    got = {
+        r.i: r.t
+        for r in df.select("i", iso8601_to_unix(F.col("s")).alias("t")).collect()
+    }
+    assert got == exp
