@@ -218,6 +218,7 @@ HEADLINE = [
     "quality_calibration_report",
     "mad_outliers",
     "retrieval_eval_multiquery",
+    "session_funnel",
     # warmstart_savings_report stays OUT: it runs two full CC fixpoints
     # per invocation (prior + warm), so its wall time measures iterative
     # trainer cost like knn_pq_trained; the correctness gate covers it

@@ -93,6 +93,7 @@ _GATE_PRIORITY = [
     "quality_calibration_report",
     "mad_outliers",
     "retrieval_eval_multiquery",
+    "session_funnel",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",

@@ -5504,3 +5504,117 @@ def mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("mad") > 0.0) & (F.abs(rz) > 3.5))
         .select("event_id", "service", "metric", "med", "mad", rz.alias("rz"))
     )
+
+
+@q(
+    "session_funnel",
+    f"""{_EV},
+s AS (SELECT host, service, event_id, time_us,
+        CASE WHEN lag(time_us) OVER w IS NULL
+                  OR time_us - lag(time_us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS nw
+      FROM ev WINDOW w AS (PARTITION BY host ORDER BY time_us, event_id)),
+sid AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY host ORDER BY time_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM s),
+u1 AS (SELECT host, session_id,
+              MIN(CASE WHEN service = 'view' THEN time_us END) AS t1
+       FROM sid GROUP BY host, session_id),
+u2 AS (SELECT sid.host, sid.session_id, MIN(time_us) AS t2
+       FROM sid JOIN u1 USING (host, session_id)
+       WHERE service = 'click' AND time_us > t1
+       GROUP BY sid.host, sid.session_id),
+u3 AS (SELECT sid.host, sid.session_id, MIN(time_us) AS t3
+       FROM sid JOIN u2 USING (host, session_id)
+       WHERE service = 'purchase' AND time_us > t2
+       GROUP BY sid.host, sid.session_id),
+agg AS (SELECT
+   CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+   CAST(COUNT(t2) AS BIGINT) AS n2,
+   CAST(COUNT(t3) AS BIGINT) AS n3
+ FROM u1 LEFT JOIN u2 USING (host, session_id)
+         LEFT JOIN u3 USING (host, session_id))
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS name, n1 AS n_sessions,
+         1.0 AS conv_from_prev FROM agg
+  UNION ALL
+  SELECT 2, 'click', n2, n2 / CAST(n1 AS DOUBLE) FROM agg
+  UNION ALL
+  SELECT 3, 'purchase', n3, n3 / CAST(n2 AS DOUBLE) FROM agg)""",
+)
+def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-scoped conversion funnel: the fixed-anchor view ->
+    click -> purchase chain of event_funnel, bounded by the SESSION
+    instead of a 7-day window — conversions must complete within one
+    30-minute-gap activity session (sessionize's islands), which is
+    how product funnels are usually read day-to-day. Composes the two
+    verified shapes: gaps-and-islands session ids, then per-(host,
+    session) conditional MINs chained by strictly-after, then ONE
+    one-row aggregate exploded into the literal stage array
+    (event_funnel's single-agg plan).
+
+    Scale shape: session numbering and all three MIN chains ride the
+    host partitioning (the session aggregates' (host, session_id)
+    clustering is satisfied by the subset rule); the rollup is a
+    one-row agg. Same budget as sessionize + event_funnel combined,
+    minus a shuffle (no user-keyed re-partition needed)."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("host").orderBy("time_us", "event_id")
+    nw = F.when(
+        F.lag("time_us").over(w).isNull()
+        | (F.col("time_us") - F.lag("time_us").over(w) > 1800000000),
+        1,
+    ).otherwise(0)
+    sid = ev.select(
+        "host", "service", "event_id", "time_us", nw.alias("nw")
+    ).withColumn(
+        "session_id",
+        F.sum("nw").over(
+            Window.partitionBy("host")
+            .orderBy("time_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    keys = ["host", "session_id"]
+    u1 = sid.groupBy(*keys).agg(
+        F.min(F.when(F.col("service") == "view", F.col("time_us"))).alias("t1")
+    )
+    u2 = (
+        sid.join(u1, keys)
+        .filter((F.col("service") == "click") & (F.col("time_us") > F.col("t1")))
+        .groupBy(*keys)
+        .agg(F.min("time_us").alias("t2"))
+    )
+    u3 = (
+        sid.join(u2, keys)
+        .filter(
+            (F.col("service") == "purchase") & (F.col("time_us") > F.col("t2"))
+        )
+        .groupBy(*keys)
+        .agg(F.min("time_us").alias("t3"))
+    )
+    agg = (
+        u1.join(u2, keys, "left")
+        .join(u3, keys, "left")
+        .agg(
+            F.sum(F.col("t1").isNotNull().cast("int")).cast("long").alias("n1"),
+            F.count("t2").cast("long").alias("n2"),
+            F.count("t3").cast("long").alias("n3"),
+        )
+    )
+
+    def _stage(i, name, n, conv):
+        return F.struct(
+            F.lit(i).alias("stage"), F.lit(name).alias("name"),
+            n.cast("long").alias("n_sessions"),
+            conv.cast("double").alias("conv_from_prev"),
+        )
+
+    stages = F.array(
+        _stage(1, "view", F.col("n1"), F.lit(1.0)),
+        _stage(2, "click", F.col("n2"), F.col("n2") / F.col("n1").cast("double")),
+        _stage(3, "purchase", F.col("n3"), F.col("n3") / F.col("n2").cast("double")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.name", "s.n_sessions", "s.conv_from_prev"
+    )
