@@ -2453,7 +2453,11 @@ def streaming_sessions_closed(spark: SparkSession, sf: str) -> DataFrame:
 ), g AS (
   SELECT host, service,
          MAX(CASE WHEN metric <= 0 THEN 1 ELSE 0 END) AS any_bad,
-         SUM(ln(metric)) AS sum_ln
+         -- guard INSIDE the aggregate: DuckDB evaluates ln() on every
+         -- row before the outer CASE can null the group, so a single
+         -- zero metric anywhere errors the whole query (surfaced by
+         -- the round-8 full-catalog sweep at sf0.1)
+         SUM(CASE WHEN metric > 0 THEN ln(metric) END) AS sum_ln
   FROM ev GROUP BY host, service
 )
 SELECT g.host, g.service,
