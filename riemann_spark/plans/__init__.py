@@ -94,6 +94,7 @@ _GATE_PRIORITY = [
     "mad_outliers",
     "retrieval_eval_multiquery",
     "session_funnel",
+    "streaming_mad_gate",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",

@@ -5622,3 +5622,103 @@ def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(F.explode(stages).alias("s")).select(
         "s.stage", "s.name", "s.n_sessions", "s.conv_from_prev"
     )
+
+
+@q(
+    "streaming_mad_gate",
+    f"""{_EV},
+mid AS (SELECT (MIN(time_us) + MAX(time_us)) // 2 AS m FROM ev),
+b AS (SELECT service, metric FROM ev CROSS JOIN mid
+      WHERE time_us <= m AND metric IS NOT NULL),
+md AS (SELECT service,
+         (list_sort(list(metric)))[(COUNT(*) + 1) // 2] AS med
+       FROM b GROUP BY service),
+dd AS (SELECT b.service,
+         (list_sort(list(abs(b.metric - md.med))))[(COUNT(*) + 1) // 2]
+           AS mad
+       FROM b JOIN md USING (service) GROUP BY b.service),
+live AS (SELECT event_id, service, metric FROM ev CROSS JOIN mid
+         WHERE time_us > m AND metric IS NOT NULL)
+SELECT live.event_id, live.service, live.metric, md.med, dd.mad,
+       CASE WHEN dd.mad > 0.0
+            THEN 0.6745 * (live.metric - md.med) / dd.mad END AS rz,
+       dd.mad > 0.0
+         AND abs(0.6745 * (live.metric - md.med) / dd.mad) > 3.5
+         AS flagged
+FROM live JOIN md USING (service) JOIN dd USING (service)""",
+)
+def streaming_mad_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-TIME robust-outlier gate — the streaming sibling of
+    mad_outliers, in streaming_drift_gate's posture: the reference
+    half of the stream trains per-service (median, MAD) baselines
+    (floor-index medians, the exact tier), and every LIVE event is
+    scored at arrival by the modified z-score — |rz| > 3.5 flags,
+    heavy-tail-safe where a trailing mean/stddev gate
+    (anomaly_zscore) is itself skewed by the outliers being hunted.
+
+    STATELESS streaming plan: the baseline is a model-sized static
+    frame (|services| rows) broadcast into a stream-static join — no
+    state, no watermark, scales with source partitions; retraining
+    is redeploying the baseline frame, the same operational shape a
+    quantizer or classifier gate has."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_smg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="smg_ck_")
+    ev = load_events(spark, sf)
+    mid = ev.agg(
+        F.expr("(MIN(time_us) + MAX(time_us)) DIV 2").alias("m")
+    ).first()["m"]
+    b = ev.filter(
+        (F.col("time_us") <= mid) & F.col("metric").isNotNull()
+    ).select("service", "metric")
+    n = F.count(F.lit(1))
+    md = b.groupBy("service").agg(
+        F.element_at(
+            F.array_sort(F.collect_list("metric")), ((n + 1) / 2).cast("int")
+        ).alias("med")
+    )
+    dd = (
+        b.join(F.broadcast(md), "service")
+        .groupBy("service")
+        .agg(
+            F.element_at(
+                F.array_sort(
+                    F.collect_list(F.abs(F.col("metric") - F.col("med")))
+                ),
+                ((n + 1) / 2).cast("int"),
+            ).alias("mad")
+        )
+    )
+    base = md.join(dd, "service")
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    sev = normalize_events(normalize_ts(raw, "ts")).filter(
+        (F.col("time_us") > mid) & F.col("metric").isNotNull()
+    ).select("event_id", "service", "metric")
+    rz = 0.6745 * (F.col("metric") - F.col("med")) / F.col("mad")
+    flagged = sev.join(F.broadcast(base), "service").select(
+        "event_id",
+        "service",
+        "metric",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0.0, rz).alias("rz"),
+        ((F.col("mad") > 0.0) & (F.abs(rz) > 3.5)).alias("flagged"),
+    )
+    q_ = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
