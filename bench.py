@@ -219,6 +219,7 @@ HEADLINE = [
     "mad_outliers",
     "retrieval_eval_multiquery",
     "session_funnel",
+    "cusum_alerts",
     # warmstart_savings_report stays OUT: it runs two full CC fixpoints
     # per invocation (prior + warm), so its wall time measures iterative
     # trainer cost like knn_pq_trained; the correctness gate covers it

@@ -95,6 +95,7 @@ _GATE_PRIORITY = [
     "retrieval_eval_multiquery",
     "session_funnel",
     "streaming_mad_gate",
+    "cusum_alerts",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",

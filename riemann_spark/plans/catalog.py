@@ -5722,3 +5722,143 @@ def streaming_mad_gate(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+_QM = (
+    "CAST(SUM(CAST(round({x} * 1000000.0) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0 / COUNT(*)"
+)
+
+
+@q(
+    "cusum_alerts",
+    f"""{_EV},
+st AS (SELECT host, service,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {_QM.format(x='metric')} AS mu,
+         {_QM.format(x='metric * metric')} AS m2
+       FROM ev WHERE metric IS NOT NULL GROUP BY host, service),
+p AS (SELECT host, service, n_events, mu,
+             sqrt(greatest(m2 - mu * mu, 0.0)) AS sd FROM st),
+d AS (SELECT ev.host, ev.service,
+             CAST(round((ev.metric - p.mu - 0.5 * p.sd) * 1000000.0)
+                  AS BIGINT) AS dq,
+             CAST(round(5.0 * p.sd * 1000000.0) AS BIGINT) AS hq,
+             ev.time_us, ev.event_id
+      FROM ev JOIN p USING (host, service)
+      WHERE ev.metric IS NOT NULL),
+c0 AS (SELECT host, service, hq,
+              row_number() OVER w AS rn,
+              SUM(dq) OVER w AS cum
+       FROM d
+       WINDOW w AS (PARTITION BY host, service ORDER BY time_us, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+c AS (SELECT host, service, hq, rn, cum,
+             least(CAST(0 AS BIGINT),
+                   MIN(cum) OVER (PARTITION BY host, service ORDER BY rn
+                                  ROWS UNBOUNDED PRECEDING)) AS runmin
+      FROM c0),
+x AS (SELECT host, service, rn, hq, cum - runmin AS s,
+             lag(cum - runmin, 1, CAST(0 AS BIGINT))
+               OVER (PARTITION BY host, service ORDER BY rn) AS s_prev
+      FROM c),
+a AS (SELECT host, service,
+             CAST(SUM(CASE WHEN s > hq AND s_prev <= hq
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+             MIN(CASE WHEN s > hq AND s_prev <= hq THEN rn END)
+               AS first_alarm_pos
+      FROM x GROUP BY host, service)
+SELECT p.host, p.service, p.n_events, p.mu, p.sd,
+       a.n_alarms, a.first_alarm_pos
+FROM p JOIN a USING (host, service)""",
+)
+def cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint alarms (Page 1954, one-sided positive
+    scheme, non-restart form): per key, S_i = max(0, S_(i-1) + x_i -
+    mu - k) with slack k = 0.5*sigma; a crossing of h = 5*sigma is an
+    alarm — the small-persistent-shift detector a threshold or
+    z-score gate misses (each sample individually unremarkable, the
+    cumulative drift is not). Output per key: crossing count and the
+    1-based position of the first alarm.
+
+    The recursion has a closed form — S_i = cum_i - min(0,
+    min_(j<=i) cum_j), the running sum minus its running minimum —
+    so the whole detector is WINDOW algebra: no per-key array, no
+    sequential fold, one (host, service) exchange shared by every
+    pass. Increments ride a 1e-6 quantized-integer grid, so the
+    windowed running sums are exact integers in both engines (a
+    double running sum would diverge: DuckDB computes windowed
+    aggregates via segment trees, reordering IEEE adds). Chosen over
+    the fold form deliberately: the fold oracle hit a DuckDB 1.0.0
+    executor bug (list_reduce results permuted across grouped rows at
+    sf0.1 data volume, thread-count dependent — key-filtered runs
+    correct, full runs misassociated; Spark and a Python replay
+    agree), and the window form is the better 100 TB plan anyway."""
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    q6 = F.lit(1e6)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q6).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q6
+            / F.count(F.lit(1))
+        )
+
+    st = ev.groupBy("host", "service").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        qmean(F.col("metric")).alias("mu"),
+        qmean(F.col("metric") * F.col("metric")).alias("m2"),
+    )
+    p = st.select(
+        "host", "service", "n_events", "mu",
+        F.sqrt(
+            F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0))
+        ).alias("sd"),
+    )
+    d = ev.join(F.broadcast(p), ["host", "service"]).select(
+        "host", "service", "time_us", "event_id",
+        F.round((F.col("metric") - F.col("mu") - 0.5 * F.col("sd")) * q6)
+        .cast("long").alias("dq"),
+        F.round(5.0 * F.col("sd") * q6).cast("long").alias("hq"),
+    )
+    w = (
+        Window.partitionBy("host", "service")
+        .orderBy("time_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "host", "service", "hq",
+        F.row_number().over(
+            Window.partitionBy("host", "service").orderBy("time_us", "event_id")
+        ).alias("rn"),
+        F.sum("dq").over(w).alias("cum"),
+    ).withColumn(
+        "runmin",
+        F.least(
+            F.lit(0).cast("long"),
+            F.min("cum").over(
+                Window.partitionBy("host", "service")
+                .orderBy("rn")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+    )
+    x = c.select(
+        "host", "service", "rn", "hq",
+        (F.col("cum") - F.col("runmin")).alias("s"),
+    ).withColumn(
+        "s_prev",
+        F.lag("s", 1, 0).over(
+            Window.partitionBy("host", "service").orderBy("rn")
+        ),
+    )
+    crossing = (F.col("s") > F.col("hq")) & (F.col("s_prev") <= F.col("hq"))
+    a = x.groupBy("host", "service").agg(
+        F.sum(crossing.cast("int")).cast("long").alias("n_alarms"),
+        F.min(F.when(crossing, F.col("rn"))).alias("first_alarm_pos"),
+    )
+    return p.join(a, ["host", "service"]).select(
+        "host", "service", "n_events", "mu", "sd",
+        "n_alarms", "first_alarm_pos",
+    )
