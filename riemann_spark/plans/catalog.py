@@ -5757,7 +5757,7 @@ c AS (SELECT host, service, hq, rn, cum,
              least(CAST(0 AS BIGINT),
                    MIN(cum) OVER (PARTITION BY host, service ORDER BY rn
                                   ROWS UNBOUNDED PRECEDING)) AS runmin
-      FROM c0),
+      FROM c0),  -- rn preserves (time_us, event_id) order: same fold
 x AS (SELECT host, service, rn, hq, cum - runmin AS s,
              lag(cum - runmin, 1, CAST(0 AS BIGINT))
                OVER (PARTITION BY host, service ORDER BY rn) AS s_prev
@@ -5816,43 +5816,30 @@ def cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
             F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0))
         ).alias("sd"),
     )
-    d = ev.join(F.broadcast(p), ["host", "service"]).select(
+    # p is KEY-cardinality (one row per host x service) — never
+    # broadcast it; the sort-merge join shares the same (host,
+    # service) exchange every window below rides, and all four window
+    # passes keep ONE sort order so Catalyst reuses the sort
+    d = ev.join(p, ["host", "service"]).select(
         "host", "service", "time_us", "event_id",
         F.round((F.col("metric") - F.col("mu") - 0.5 * F.col("sd")) * q6)
         .cast("long").alias("dq"),
         F.round(5.0 * F.col("sd") * q6).cast("long").alias("hq"),
     )
-    w = (
-        Window.partitionBy("host", "service")
-        .orderBy("time_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    ww = Window.partitionBy("host", "service").orderBy("time_us", "event_id")
+    w = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = d.select(
-        "host", "service", "hq",
-        F.row_number().over(
-            Window.partitionBy("host", "service").orderBy("time_us", "event_id")
-        ).alias("rn"),
+        "host", "service", "hq", "time_us", "event_id",
+        F.row_number().over(ww).alias("rn"),
         F.sum("dq").over(w).alias("cum"),
     ).withColumn(
         "runmin",
-        F.least(
-            F.lit(0).cast("long"),
-            F.min("cum").over(
-                Window.partitionBy("host", "service")
-                .orderBy("rn")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        ),
+        F.least(F.lit(0).cast("long"), F.min("cum").over(w)),
     )
     x = c.select(
-        "host", "service", "rn", "hq",
+        "host", "service", "rn", "hq", "time_us", "event_id",
         (F.col("cum") - F.col("runmin")).alias("s"),
-    ).withColumn(
-        "s_prev",
-        F.lag("s", 1, 0).over(
-            Window.partitionBy("host", "service").orderBy("rn")
-        ),
-    )
+    ).withColumn("s_prev", F.lag("s", 1, 0).over(ww))
     crossing = (F.col("s") > F.col("hq")) & (F.col("s_prev") <= F.col("hq"))
     a = x.groupBy("host", "service").agg(
         F.sum(crossing.cast("int")).cast("long").alias("n_alarms"),
