@@ -82,14 +82,16 @@ _GATE_PRIORITY = [
     "gopher_gates",
     "hash_split",
     "index_delete_cohort",
-    # ---- ROUND-9 FRONT (positions 51+): the 25 remaining r03 rows -------
+    # ---- ROUND-9 FRONT (positions 51+) ----------------------------------
     # (unless round-9 directives say otherwise, these rotate in next,
-    # after any new round-9 entries; knn_bruteforce/knn_ivf were pushed
-    # out of the r8 window by the late retrieval_eval_rrf +
-    # warmstart_savings_report additions; quality_calibration_report is
-    # a late r8 entry deliberately placed HERE, not in the window, to
-    # protect the rotation directive — it is check.py-verified this
-    # round and takes the first r9 driver slot)
+    # after any new round-9 entries. First the six LATE r8 entries
+    # deliberately placed HERE, not in the window, to protect the
+    # rotation directive — each was verified against its exact oracle
+    # at sf0.001 + sf0.01 (and sf0.1 for the monitoring trio) via
+    # tools/check.py this round; they take the first r9 driver slots.
+    # knn_bruteforce/knn_ivf follow: pushed out of the r8 window by
+    # the in-window retrieval_eval_rrf + warmstart_savings_report
+    # additions. Then the 25 remaining r03-hashed rotation rows.)
     "quality_calibration_report",
     "mad_outliers",
     "retrieval_eval_multiquery",
