@@ -1177,3 +1177,21 @@ def test_retrieval_eval_rankings_take_ordered(spark):
     assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", p, re.M)) == 4, p
     assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 4, p
     assert not re.search(r"^\(\d+\) Sort\b", p, re.M), p
+
+
+def test_cusum_single_sort_feeds_all_windows(spark):
+    """The CUSUM closed form must ride ONE (host, service) sort: all
+    window passes (row_number, running sum, running min, lag) share
+    the same partitioning and order, so Catalyst plans exactly one
+    Sort; the key-cardinality stats frame carries no broadcast hint
+    (at scale its sort-merge join shares the window exchange — the
+    join strategy is left to AQE)."""
+    import re
+
+    p = plan_of(spark, "cusum_alerts")
+    assert len(re.findall(r"^\(\d+\) Sort\b", p, re.M)) <= 3, p
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 3, p
+    # no forced broadcast of the key-cardinality stats frame: at test
+    # SF Catalyst may still pick BHJ by size estimate (that is AQE's
+    # call to make), but the plan must not contain a broadcast HINT
+    assert "ResolvedHint" not in p, p
