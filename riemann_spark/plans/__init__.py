@@ -98,6 +98,7 @@ _GATE_PRIORITY = [
     "session_funnel",
     "streaming_mad_gate",
     "cusum_alerts",
+    "streaming_cusum_drained",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",

@@ -5849,3 +5849,99 @@ def cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
         "host", "service", "n_events", "mu", "sd",
         "n_alarms", "first_alarm_pos",
     )
+
+
+@q(
+    "streaming_cusum_drained",
+    f"""{_EV},
+st AS (SELECT host, service,
+         {_QM.format(x='metric')} AS mu,
+         {_QM.format(x='metric * metric')} AS m2
+       FROM ev WHERE metric IS NOT NULL GROUP BY host, service),
+p AS (SELECT host, service, mu,
+             sqrt(greatest(m2 - mu * mu, 0.0)) AS sd FROM st),
+d AS (SELECT ev.host, ev.service, ev.event_id,
+             CAST(round((ev.metric - p.mu - 0.5 * p.sd) * 1000000.0)
+                  AS BIGINT) AS dq,
+             -- h = 2.5*sigma here (the batch report uses 5): the
+             -- drained gate needs a healthy crossing set at sf0.01
+             CAST(round(2.5 * p.sd * 1000000.0) AS BIGINT) AS hq,
+             ev.time_us
+      FROM ev JOIN p USING (host, service)
+      WHERE ev.metric IS NOT NULL),
+c0 AS (SELECT host, service, event_id, hq,
+              row_number() OVER w AS rn,
+              SUM(dq) OVER w AS cum
+       FROM d
+       WINDOW w AS (PARTITION BY host, service ORDER BY time_us, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+c AS (SELECT host, service, event_id, hq, rn, cum,
+             least(CAST(0 AS BIGINT),
+                   MIN(cum) OVER (PARTITION BY host, service ORDER BY rn
+                                  ROWS UNBOUNDED PRECEDING)) AS runmin
+      FROM c0),
+x AS (SELECT host, service, event_id, rn, hq, cum - runmin AS s,
+             lag(cum - runmin, 1, CAST(0 AS BIGINT))
+               OVER (PARTITION BY host, service ORDER BY rn) AS s_prev
+      FROM c)
+SELECT host, service, CAST(rn AS BIGINT) AS pos, event_id,
+       CAST(s AS BIGINT) AS s_q
+FROM x WHERE s > hq AND s_prev <= hq""",
+)
+def streaming_cusum_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """streaming_cusum value-checked: the stateful alert stream's
+    drained emission log (per-key integer CUSUM on the 1e-6 grid,
+    per-event baselines stream-static-joined) must equal the batch
+    window algebra's crossing rows — same positions, same event ids,
+    same exact integer statistic at the crossing. The recursion
+    max(0, S + d) IS the closed form cum - min(0, running-min cum),
+    so the two lanes are provably the same fold."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import streaming_cusum
+
+    name = f"cat_scsm_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scsm_ck_")
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    q6 = F.lit(1e6)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q6).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q6
+            / F.count(F.lit(1))
+        )
+
+    st = ev.groupBy("host", "service").agg(
+        qmean(F.col("metric")).alias("mu"),
+        qmean(F.col("metric") * F.col("metric")).alias("m2"),
+    )
+    p = st.select(
+        "host", "service", "mu",
+        F.sqrt(
+            F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0))
+        ).alias("sd"),
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    sev = normalize_events(normalize_ts(raw, "ts")).filter(
+        F.col("metric").isNotNull()
+    ).join(F.broadcast(p), ["host", "service"])
+    out = streaming_cusum(sev, h_sigma=2.5)
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

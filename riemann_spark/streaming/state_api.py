@@ -48,6 +48,12 @@ from pyspark.sql.types import StructType
 # "timeout" is the GroupStateTimeout mode; "emission" says when rows
 # leave the operator — the two things a state-API migration can break.
 STATE_TABLE = {
+    "streaming_cusum": {
+        "keys": ("host", "service"),
+        "state": "(s long, i long)  # quantized CUSUM statistic + ordinal",
+        "timeout": "none",
+        "emission": "one row per upward threshold crossing",
+    },
     "streaming_ewma": {
         "keys": ("host", "service"),
         "state": "(m double, t double)",

@@ -2083,3 +2083,70 @@ def streaming_funnel(
         sdf, keys, update, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(
+    sdf: DataFrame,
+    keys: Sequence[str] = ("host", "service"),
+    k_sigma: float = 0.5,
+    h_sigma: float = 5.0,
+) -> DataFrame:
+    """Stateful CUSUM alert stream — the streaming twin of the batch
+    cusum_alerts window algebra: per key, S := max(0, S + dq) on the
+    1e-6 quantized-integer grid, emitting ONE row per upward crossing
+    of the threshold (S_new > hq while S_old <= hq). Input events must
+    carry per-key ``mu``/``sd`` baseline columns (a stream-static
+    broadcast join upstream — streaming_mad_gate's posture; the batch
+    query derives them from the full series). State per key: the
+    integer S plus the event ordinal — two scalars regardless of
+    stream length, exactly what Page's scheme keeps on a control
+    chart."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("pos", LongType()),
+            StructField("event_id", LongType()),
+            StructField("s_q", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("s", LongType()), StructField("i", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        s, i = state.get if state.exists else (0, 0)
+        rows = _sorted_rows(
+            pdfs, ["event_id", "time", "metric", "mu", "sd"]
+        )
+        out = []
+        def rq(v: float) -> int:
+            # HALF_UP away from zero — Spark's F.round / DuckDB round();
+            # Python's round() is banker's and would diverge on exact .5
+            return (
+                int(math.floor(v * 1e6 + 0.5))
+                if v >= 0
+                else -int(math.floor(-v * 1e6 + 0.5))
+            )
+
+        for row in rows.itertuples(index=False):
+            if row.metric is None or pd.isna(row.metric):
+                continue
+            i += 1
+            dq = rq(row.metric - row.mu - k_sigma * row.sd)
+            hq = rq(h_sigma * row.sd)
+            s_new = max(0, s + dq)
+            if s_new > hq and s <= hq:
+                out.append((host, service, int(i), int(row.event_id), s_new))
+            s = s_new
+        state.update((int(s), int(i)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+    )

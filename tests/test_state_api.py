@@ -460,6 +460,19 @@ def _state_table_cases():
              _data(_pdf(event_id=[3], time=[17.0],
                         service=["purchase"]))],
         ),
+        "streaming_cusum": (
+            lambda: so.streaming_cusum(FAKE), ("h1", "svc"),
+            # mu=0, sd=1 baselines ride the rows; slack 0.5, h=5.0:
+            # the first batch accumulates S to 5.5e6 > 5e6 (crossing
+            # emitted), the second batch stays above without a new
+            # crossing then decays
+            [_data(_pdf(event_id=[0, 1], time=[0.0, 1.0],
+                        metric=[3.0, 3.5], mu=[0.0, 0.0],
+                        sd=[1.0, 1.0])),
+             _data(_pdf(event_id=[2, 3], time=[2.0, 3.0],
+                        metric=[1.0, -4.0], mu=[0.0, 0.0],
+                        sd=[1.0, 1.0]))],
+        ),
         "streaming_scd2": (
             lambda: so.streaming_scd2(FAKE), ("h1", "svc"),
             # run carried across batches: ok×2, then critical closes
