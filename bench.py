@@ -220,6 +220,7 @@ HEADLINE = [
     "retrieval_eval_multiquery",
     "session_funnel",
     "cusum_alerts",
+    "holt_winters_forecast",
     # warmstart_savings_report stays OUT: it runs two full CC fixpoints
     # per invocation (prior + warm), so its wall time measures iterative
     # trainer cost like knn_pq_trained; the correctness gate covers it

@@ -99,6 +99,7 @@ _GATE_PRIORITY = [
     "streaming_mad_gate",
     "cusum_alerts",
     "streaming_cusum_drained",
+    "holt_winters_forecast",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",

@@ -5945,3 +5945,153 @@ def streaming_cusum_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+_HW_A, _HW_B, _HW_G, _HW_M = 0.2, 0.1, 0.3, 6
+
+
+@q(
+    "holt_winters_forecast",
+    f"""{_EV.replace('WITH ', 'WITH RECURSIVE ', 1)},
+hr AS (SELECT host, service,
+              time_us // 3600000000 AS b,
+              CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS y
+       FROM ev WHERE metric IS NOT NULL GROUP BY host, service, b),
+srt AS (SELECT host, service, y,
+               row_number() OVER (PARTITION BY host, service ORDER BY b)
+                 AS t
+        FROM hr),
+g AS (SELECT host, service,
+             array_agg(y ORDER BY t) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM srt GROUP BY host, service
+      HAVING COUNT(*) >= 2 * {_HW_M}),
+ini AS (SELECT host, service, ys, n,
+          CAST(SUM(CASE WHEN t <= {_HW_M}
+                   THEN CAST(round(y * 1000000.0) AS BIGINT) END) AS DOUBLE)
+            / 1000000.0 / {_HW_M} AS l0,
+          (CAST(SUM(CASE WHEN t > {_HW_M} AND t <= 2 * {_HW_M}
+                    THEN CAST(round(y * 1000000.0) AS BIGINT) END) AS DOUBLE)
+             / 1000000.0 / {_HW_M}
+           - CAST(SUM(CASE WHEN t <= {_HW_M}
+                     THEN CAST(round(y * 1000000.0) AS BIGINT) END) AS DOUBLE)
+             / 1000000.0 / {_HW_M})
+            / {_HW_M}.0 AS t0
+        FROM srt JOIN g USING (host, service)
+        WHERE t <= 2 * {_HW_M}
+        GROUP BY host, service, ys, n),
+rec AS (
+  SELECT host, service, ys, n,
+         CAST({_HW_M} AS BIGINT) AS t, l0 AS lv, t0 AS tr,
+         list_transform(ys[1:{_HW_M}], v -> v - l0) AS ring
+  FROM ini
+  UNION ALL
+  SELECT host, service, ys, n, t + 1,
+         {_HW_A} * (ys[t + 1] - ring[1])
+           + (1.0 - {_HW_A}) * (lv + tr),
+         {_HW_B} * (({_HW_A} * (ys[t + 1] - ring[1])
+                     + (1.0 - {_HW_A}) * (lv + tr)) - lv)
+           + (1.0 - {_HW_B}) * tr,
+         list_append(ring[2:],
+           {_HW_G} * (ys[t + 1]
+                      - ({_HW_A} * (ys[t + 1] - ring[1])
+                         + (1.0 - {_HW_A}) * (lv + tr)))
+             + (1.0 - {_HW_G}) * ring[1])
+  FROM rec WHERE t < n)
+SELECT host, service, n AS n_points,
+       round(lv, 9) AS level, round(tr, 9) AS trend,
+       round(lv + tr + ring[1], 9) AS forecast_next
+FROM rec WHERE t = n""",
+)
+def holt_winters_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt-Winters additive seasonal forecast (the triple-exponential
+    sibling of holt_forecast): per key the events roll up to an exact
+    hourly series, then the standard three coupled recursions (level
+    alpha={_HW_A}, trend beta={_HW_B}, season gamma={_HW_G}, period
+    m={_HW_M}) run over it; output is the final level/trend and the
+    one-step-ahead forecast level+trend+season — the capacity-planning
+    operator a plain trend forecast gets wrong on anything with a
+    daily rhythm. Keys need >= 2m points (init takes the first two
+    periods: level = first-period mean, trend = period-mean slope,
+    seasonals = first-period residuals).
+
+    Engine-exactness: hourly sums are exact decimals, init means ride
+    the 1e-6 quantized grid, and the recursion is evaluated in the
+    identical scalar order on both sides — Spark folds the series
+    with a struct accumulator; the oracle runs the same recursion as
+    a RECURSIVE CTE (deliberately NOT a grouped list_reduce — the
+    DuckDB 1.0.0 fold-permutation bug documented at cusum_alerts),
+    one row per (key, step), ~n-m steps. Scale shape: the rollup and
+    ordered collect share one (host, service) exchange; the fold is
+    per-key linear over ~dozens of hourly points, never raw events."""
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    m = _HW_M
+    hr = ev.groupBy(
+        "host", "service",
+        F.expr("time_us DIV 3600000000").alias("b"),
+    ).agg(
+        F.sum(F.col("metric").cast("decimal(38,6)"))
+        .cast("double").alias("y")
+    )
+    w = Window.partitionBy("host", "service").orderBy("b")
+    srt = hr.select(
+        "host", "service", "y", F.row_number().over(w).alias("t")
+    )
+    q6 = F.lit(1e6)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q6).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q6
+            / F.count(col)
+        )
+
+    g = srt.groupBy("host", "service").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "y"))), lambda s: s.y
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        qmean(F.when(F.col("t") <= m, F.col("y"))).alias("l0"),
+        (
+            (
+                qmean(F.when((F.col("t") > m) & (F.col("t") <= 2 * m), F.col("y")))
+                - qmean(F.when(F.col("t") <= m, F.col("y")))
+            )
+            / float(m)
+        ).alias("t0"),
+    ).filter(F.col("n") >= 2 * m)
+
+    a, b_, gm = F.lit(_HW_A), F.lit(_HW_B), F.lit(_HW_G)
+    init = F.struct(
+        F.col("l0").alias("lv"),
+        F.col("t0").alias("tr"),
+        F.transform(
+            F.slice("ys", 1, m), lambda v: v - F.col("l0")
+        ).alias("ring"),
+    )
+
+    def step(acc, y):
+        lv2 = a * (y - F.element_at(acc["ring"], 1)) + (1.0 - a) * (
+            acc["lv"] + acc["tr"]
+        )
+        tr2 = b_ * (lv2 - acc["lv"]) + (1.0 - b_) * acc["tr"]
+        s2 = gm * (y - lv2) + (1.0 - gm) * F.element_at(acc["ring"], 1)
+        return F.struct(
+            lv2.alias("lv"),
+            tr2.alias("tr"),
+            F.concat(
+                F.slice(acc["ring"], 2, m - 1), F.array(s2)
+            ).alias("ring"),
+        )
+
+    r = F.aggregate(
+        F.slice("ys", m + 1, F.size("ys") - m), init, step
+    )
+    return g.select(
+        "host", "service", F.col("n").alias("n_points"),
+        F.round(r["lv"], 9).alias("level"),
+        F.round(r["tr"], 9).alias("trend"),
+        F.round(r["lv"] + r["tr"] + F.element_at(r["ring"], 1), 9)
+        .alias("forecast_next"),
+    )
