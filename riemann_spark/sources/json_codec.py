@@ -31,6 +31,13 @@ def iso8601_to_unix(col: F.Column) -> F.Column:
             F.concat(col, F.lit("T00:00:00Z")),
             F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"),
         ),
+        # variable-fraction / long-fraction offset forms the explicit
+        # patterns miss ('…58.1Z', '…58.123456+02:00') — the reference's
+        # :date-time-parser accepts these (common.clj:76-84); Spark's
+        # default ISO8601 parser handles them (tried last so the
+        # UTC-midnight bare-date branch keeps its timezone-independent
+        # semantics)
+        F.try_to_timestamp(col),
     )
     return F.unix_timestamp(ts).cast("double")
 
@@ -79,6 +86,10 @@ def events_to_json(df: DataFrame, iso_times: bool = False) -> DataFrame:
     cols = [c for c in df.columns if c in {f.name for f in EVENT_SCHEMA.fields}]
     out = df
     if iso_times and "time" in out.columns:
+        # to_utc_timestamp shifts the instant so the session-tz wall
+        # clock reads UTC; the offset must then be a literal 'Z' — the
+        # XXX pattern would print the *session* offset, emitting a
+        # wrong instant whenever spark.sql.session.timeZone != UTC
         out = out.withColumn(
             "time",
             F.date_format(
@@ -86,7 +97,7 @@ def events_to_json(df: DataFrame, iso_times: bool = False) -> DataFrame:
                     F.timestamp_seconds(F.col("time")),
                     F.current_timezone(),
                 ),
-                "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+                "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
             ),
         )
         cols = [c for c in cols]  # same core projection, string time

@@ -137,9 +137,21 @@ def streaming_index(
     acyclic, so feedback is a Kafka round-trip)."""
     from riemann_spark.streaming.state_api import apply_with_state
 
-    kk: tuple[str, ...] = (
-        ("metric", "ttl") if keep_keys == "all" else tuple(keep_keys)
-    )
+    # a bare string ("metric") must become a one-element tuple —
+    # tuple("metric") would silently explode it into characters
+    if isinstance(keep_keys, str):
+        kk: tuple[str, ...] = (
+            ("metric", "ttl") if keep_keys == "all" else (keep_keys,)
+        )
+    else:
+        kk = tuple(keep_keys)
+    valid = {f.name for f in OUTPUT_SCHEMA.fields}
+    unknown = [k for k in kk if k not in valid]
+    if unknown:
+        raise ValueError(
+            f"streaming_index keep_keys: unknown field(s) {unknown}; "
+            f"indexed fields are {sorted(valid)}"
+        )
 
     def update(key, pdfs, state):
         yield from _update(key, pdfs, state, keep_keys=kk)

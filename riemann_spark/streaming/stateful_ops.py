@@ -2131,7 +2131,9 @@ def streaming_cusum(
             )
 
         for row in rows.itertuples(index=False):
-            if row.metric is None or pd.isna(row.metric):
+            # mu/sd can be null for keys the upstream stream-static
+            # baseline left-join missed — skip, don't floor(nan)
+            if any(v is None or pd.isna(v) for v in (row.metric, row.mu, row.sd)):
                 continue
             i += 1
             dq = rq(row.metric - row.mu - k_sigma * row.sd)

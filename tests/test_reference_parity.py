@@ -1558,6 +1558,56 @@ def test_iso8601_to_unix_reference_vectors(spark):
     }
 
 
+def test_iso8601_variable_fraction_vectors(spark):
+    """The reference's :date-time-parser accepts any fractional-second
+    width (common.clj:76-84). Variable-fraction forms ('…58.1Z',
+    '…58.123456+02:00') must parse — not NULL out and silently fall
+    back to the ingest clock downstream."""
+    from riemann_spark.sources.json_codec import iso8601_to_unix
+
+    rows = [
+        (0, "2013-04-15T18:06:58.1Z"),
+        (1, "2013-04-15T18:06:58.123456+02:00"),
+        (2, "2013-04-15T18:06:58.12-07:00"),
+        (3, "not-a-time"),
+    ]
+    df = spark.createDataFrame(rows, "i int, s string")
+    got = {
+        r.i: r.t
+        for r in df.select("i", iso8601_to_unix(F.col("s")).alias("t")).collect()
+    }
+    assert got[0] == 1366049218.0
+    assert got[1] == 1366042018.0
+    assert got[2] == 1366074418.0
+    assert got[3] is None
+
+
+def test_json_iso_emission_timezone_independent(spark):
+    """events_to_json(iso_times=True) must emit the correct UTC
+    instant with a literal 'Z' even when the session timezone is not
+    UTC — an XXX offset pattern would print the session offset against
+    a UTC wall clock, shifting the instant."""
+    from riemann_spark.sources.json_codec import (
+        events_from_json,
+        events_to_json,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        ev = spark.createDataFrame(
+            [("h", 1366074418.0)], "host string, time double"
+        )
+        raw = events_to_json(ev, iso_times=True).collect()[0]["value"]
+        assert '"time":"2013-04-16T01:06:58.000Z"' in raw
+        back = events_from_json(
+            spark.createDataFrame([(raw,)], "value string")
+        ).collect()[0]
+        assert back["time"] == 1366074418.0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_json_iso_time_emission_roundtrips(spark):
     """event-to-json emits ISO8601 times (common.clj:126-130); our
     opt-in iso_times lane must round-trip through the ingest parser

@@ -537,6 +537,56 @@ def test_tws_shim_contract_full_state_table(spark, monkeypatch, op):
     assert legacy._v == vs._v  # identical final state (or both cleared)
 
 
+def test_streaming_cusum_skips_null_baseline(monkeypatch):
+    """A key the upstream stream-static baseline left-join missed
+    carries null mu/sd; those rows must be skipped (like a null
+    metric), not crash the executor with math.floor(nan)."""
+    import riemann_spark.streaming.stateful_ops as so
+
+    update = _capture_update(
+        monkeypatch, lambda: so.streaming_cusum(_FakeSdf())
+    )
+    script = [
+        _data(_pdf(event_id=[0, 1, 2], time=[0.0, 1.0, 2.0],
+                   metric=[3.0, 3.5, 9.9],
+                   mu=[0.0, None, 0.0],
+                   sd=[1.0, 1.0, None])),
+        _data(_pdf(event_id=[3], time=[3.0], metric=[3.0],
+                   mu=[0.0], sd=[1.0])),
+    ]
+    out = _run_script(update, ("h1", "svc"), script, _FakeLegacyState())
+    # only rows 0 and 3 count: S = 2.5e6 after batch 1, crossing at
+    # row 3 (S -> 5.0e6... = 2.5+2.5) stays <= h=5e6 -> no emission;
+    # the point is it RAN and skipped the two null-baseline rows
+    assert all(len(df) == 0 or (df["s_q"] <= 10_000_000).all() for df in out)
+
+
+def test_streaming_index_keep_keys_string_and_unknown(spark):
+    """keep_keys as a bare string must mean that ONE field — not be
+    exploded into characters by tuple() — and unknown names raise."""
+    import pytest as _pytest
+
+    from riemann_spark.streaming.index_stream import streaming_index
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "cast(value as long) as event_id", "'h' as host",
+            "'s' as service", "'ok' as state",
+            "cast(value as double) as metric",
+            "cast(unix_timestamp(timestamp) as double) as time",
+            "60.0 as ttl",
+        )
+    )
+    # bare string: builds without error (would raise on field-name
+    # validation if exploded into ('m','e','t','r','i','c'))
+    streaming_index(sdf, keep_keys="metric")
+    with _pytest.raises(ValueError, match="unknown field"):
+        streaming_index(sdf, keep_keys="nope")
+    with _pytest.raises(ValueError, match="unknown field"):
+        streaming_index(sdf, keep_keys=("metric", "bogus"))
+
+
 def test_tws_shim_contract_index_reaper(spark):
     """The 14th STATE_TABLE row — index_stream's event-time TTL
     reaper — through both surfaces: upsert arms setTimeoutTimestamp,
