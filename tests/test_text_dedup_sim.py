@@ -898,6 +898,34 @@ def test_bpe_train_learns_expected_merges(spark):
     assert out == {1: 9, 2: 9}
 
 
+def test_bpe_train_on_sample_tokenizes_full_corpus(spark):
+    """sample_fraction trains on a deterministic md5-hash subcorpus
+    (the 100 TB posture — Sennrich alg. 1 is one full aggregation job
+    per merge, so vocabularies train on a sample in practice); the
+    learned merges then tokenize the FULL corpus. The sample must be
+    reproducible (same fraction -> same merges) and a fraction of 1.0
+    must equal unsampled training."""
+    from riemann_spark.functions import text as tx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m_full = tx.bpe_train(docs, 3)
+    m_one = tx.bpe_train(docs, 3, sample_fraction=1.0)
+    assert m_one == m_full
+    m_half_a = tx.bpe_train(docs, 3, sample_fraction=0.5)
+    m_half_b = tx.bpe_train(docs, 3, sample_fraction=0.5)
+    assert m_half_a == m_half_b  # deterministic hash sample
+    assert len(m_half_a) == 3
+    # sampled-trained merges segment the FULL corpus: every doc gets a
+    # positive BPE token count no larger than its character count
+    out = docs.select(
+        tx.bpe_trained_token_count("text", m_half_a).alias("n"),
+        F.length("text").alias("c"),
+    ).agg(
+        F.min("n").alias("lo"), F.max(F.col("n") > F.col("c")).alias("bad")
+    ).collect()[0]
+    assert out.lo > 0 and out.bad is False
+
+
 def test_bpe_segmentation_sentinel_blocks_cross_token_merge(spark):
     """The pair (a,b) must never merge inside 'xa b' (symbol 'xa' ends
     in 'a' but is not 'a') — the sentinel-delimited replace guarantee."""
