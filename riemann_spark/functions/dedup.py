@@ -79,6 +79,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
@@ -101,8 +102,16 @@ def ngram_jaccard_pairs(
     candidate pairs explode from within-posting combinations — no
     self-join, no second shuffle of the shingle table. Posting lists
     are bounded by the guard (≤ max_shingle_df ids), so collect_list
-    cannot blow an executor regardless of corpus size."""
-    sh = _shingle_table(df, id_col, text_col, k)
+    cannot blow an executor regardless of corpus size.
+
+    ``shingle_frame``: optional precomputed (doc, shingle) table —
+    pass a persisted one to share the shingle scan with a sibling
+    pipeline (e.g. the LSH tier in dedup_recall_report)."""
+    sh = (
+        shingle_frame
+        if shingle_frame is not None
+        else _shingle_table(df, id_col, text_col, k)
+    )
     posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     if max_shingle_df is not None:
         posts = posts.filter(F.size("docs") <= max_shingle_df)
@@ -215,6 +224,7 @@ def minhash_signatures(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of the
     (i mod 4)-th disjoint 8-hex-char (32-bit) chunk of the (i div 4)-th
@@ -241,12 +251,13 @@ def minhash_signatures(
     if n_hashes > 8:
         raise ValueError("n_hashes > 8 needs more than two md5s per shingle")
     n_md5 = (n_hashes + 3) // 4
+    base = (
+        shingle_frame
+        if shingle_frame is not None
+        else _shingle_table(df, id_col, text_col, k)
+    )
     sh = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(shingles(text_col, k)).alias("shingle"),
-        )
+        base
         .select(
             "doc",
             *[
@@ -275,6 +286,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_df: int | None = 1000,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate pairs.
 
@@ -296,7 +308,9 @@ def lsh_candidate_pairs(
     ordered combinations; one distinct on (doc1, doc2) dedupes pairs
     colliding in several bands. No self-join, no second shuffle of
     the band table."""
-    sigs = minhash_signatures(df, n_hashes, k, id_col, text_col)
+    sigs = minhash_signatures(
+        df, n_hashes, k, id_col, text_col, shingle_frame=shingle_frame
+    )
     n_bands = n_hashes // band_size
     bands = sigs.select(
         "doc",

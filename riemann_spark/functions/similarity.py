@@ -78,6 +78,55 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_grouped(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per (group, query) — brute_force_topk fanned over a
+    group key in ONE corpus pass: queries (broadcast) and corpus join
+    on ``group_col``, so N tier variants (e.g. dim-truncation tiers,
+    per-shard sub-indexes) score in a single stage instead of N
+    sequential scans each with its own shuffle. The per-pair cosine
+    expression is identical to brute_force_topk (norms precomputed per
+    row, left-fold dot), so tier results are bit-equal to running each
+    tier alone."""
+    qa = F.broadcast(
+        queries.select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_n"),
+        )
+    )
+    ca = corpus.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_n"),
+    )
+    scored = (
+        ca.join(qa, "__g")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            _dots(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_n") * F.col("n_n")),
+        )
+    )
+    w = Window.partitionBy("__g", "q_id").orderBy(F.desc("cos"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__g").alias(group_col), "q_id", "n_id", "cos", "rank"
+        )
+    )
+
+
 def plane_signs(plane: int, dim: int) -> list[float]:
     """±1 hyperplane derived from md5(plane:dim-index) — deterministic
     pseudo-random, zero model state, and identical in any engine

@@ -1128,6 +1128,42 @@ def test_funnel_latency_single_join_chain(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 6, p
 
 
+def test_dedup_recall_report_consolidated_plan(spark):
+    """The recall/precision report must read tp and cand ONCE each
+    through a single full-outer join + one aggregate over a SHARED
+    persisted shingle frame — not three count jobs recomputing both
+    pipelines (19 Exchanges before the VERDICT r8 #3 rewrite; 10
+    after, two of which are _spread's deliberate RoundRobin fan-out)."""
+    import re
+
+    from riemann_spark.plans.catalog_ml import _dedup_recall_frame
+
+    result, sh = _dedup_recall_frame(spark, SF)
+    try:
+        p = plan_of_df(result)
+    finally:
+        sh.unpersist()
+    n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n <= 10, p[:2000]
+    # the shared shingle frame: both tiers read the SAME cached scan
+    assert p.count("InMemoryTableScan") >= 2, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_ann_truncation_report_single_pass_plan(spark):
+    """All truncation tiers (8/16/32 + the full-dim baseline) must
+    score in ONE grouped brute-force pass — a single window over
+    (dim, q_id) — not four sequential corpus scans (18 Exchanges
+    before the VERDICT r8 #3 rewrite; ≤5 after)."""
+    import re
+
+    p = plan_of(spark, "ann_truncation_report")
+    n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n <= 5, p[:2000]
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) <= 1, p[:2000]
+    assert "CartesianProduct" not in p
+
+
 def test_interval_vector_audit():
     """The round-7 'interval-vector sweep is exhaustive' claim, made
     checkable (VERDICT r7 #8): every deftest in the reference test
