@@ -8619,6 +8619,172 @@ def quality_calibration_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---- in-engine trained quality classifier ---------------------------
+# Training must replay bit-exactly in the oracle, so the trainer is
+# built from engine-portable pieces: a RATIONAL sigmoid surrogate
+# sig(z) = 0.5 + 0.5·z/(1+|z|) (the 'fast sigmoid' — same monotone
+# S-family and the same z>=0 decision boundary as the logistic, but
+# division/abs only, no exp), per-doc gradient terms quantized to a
+# 1e-9 integer grid before the order-sensitive SUM (the _QSUM trick),
+# and the weight-update arithmetic written with the identical IEEE op
+# sequence on both sides.
+_LRN_STEPS, _LRN_RATE = 3, 0.5
+
+
+def _lrn_sig(z: str) -> str:
+    return f"(0.5 + 0.5 * (({z}) / (1.0 + abs({z}))))"
+
+
+def _lrn_gq(term: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({term}) * 1000000000.0) AS BIGINT))"
+        " AS DOUBLE) / 1000000000.0"
+    )
+
+
+def _lrn_sql() -> str:
+    ctes = [
+        f"t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)",
+        f"""f AS (SELECT
+        list_reduce(list_prepend(0.0, list_transform(toks,
+          tok -> ({_W52}) / 4503599627370496.0 * 2.0 - 1.0)),
+          (a, b) -> a + b) / len(toks) AS score,
+        {_sw_count('toks', 'en')} / CAST(len(toks) AS DOUBLE) AS stop,
+        CASE WHEN {_GRADE_SQL.format(id='doc_id')} >= 2
+             THEN 1.0 ELSE 0.0 END AS y
+      FROM t)""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_d FROM f)",
+    ]
+    parts = []
+    for s in range(1, _LRN_STEPS + 1):
+        if s == 1:
+            ws, wt, wb = "1.0", "0.0", "0.0"
+        else:
+            ws, wt, wb = f"w{s-1}.ws", f"w{s-1}.wt", f"w{s-1}.wb"
+        z = f"({ws} * score + {wt} * stop + {wb})"
+        sig = _lrn_sig(z)
+        prev = f", w{s-1}" if s > 1 else ""
+        ctes.append(
+            f"""g{s} AS (SELECT
+        {_lrn_gq(f'((y - {sig}) * score)')} AS gs,
+        {_lrn_gq(f'((y - {sig}) * stop)')} AS gt,
+        {_lrn_gq(f'((y - {sig}) * 1.0)')} AS gb
+      FROM f{prev})"""
+        )
+        ctes.append(
+            f"""w{s} AS (SELECT
+        {ws} + {_LRN_RATE} * (g{s}.gs / nn.n_d) AS ws,
+        {wt} + {_LRN_RATE} * (g{s}.gt / nn.n_d) AS wt,
+        {wb} + {_LRN_RATE} * (g{s}.gb / nn.n_d) AS wb
+      FROM g{s}, nn{prev})"""
+        )
+        zk = f"(w{s}.ws * score + w{s}.wt * stop + w{s}.wb)"
+        ctes.append(
+            f"""a{s} AS (SELECT CAST(SUM(CASE WHEN ({zk} >= 0.0) = (y = 1.0)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM f, w{s})"""
+        )
+        parts.append(
+            f"SELECT CAST({s} AS BIGINT) AS step, w{s}.ws AS w_score,"
+            f" w{s}.wt AS w_stop, w{s}.wb AS w_bias, a{s}.n_correct"
+            f" FROM w{s}, a{s}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@q("quality_classifier_train", _lrn_sql())
+def quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine TRAINED quality classifier — closes the loop that
+    hashed_linear_score (fixed pseudo-random weights) and
+    quality_calibration_report (is the score calibrated?) opened:
+    full-batch gradient descent on a logistic-family model
+    p = sig(w·x) over (hashed-linear score, stopword ratio, bias)
+    against the same hash-derived golden labels (grade >= 2) the
+    retrieval evals use. Three unrolled steps from w0 = (1, 0, 0);
+    each step is ONE distributed aggregation producing the 3-float
+    gradient (the bpe_train/Lloyd driver-loop pattern — only
+    model-sized rows reach the driver), plus a one-row accuracy probe
+    with the updated weights. Output: one row per step with the
+    weights and the training accuracy count — the oracle re-derives
+    the whole trajectory from unrolled SQL CTEs, so a green row means
+    both engines trained the SAME model.
+
+    Cross-engine exactness: rational sigmoid (no exp), 1e-9-quantized
+    integer gradient sums (exact under any partitioning/order, DECIMAL
+    accumulate vs DuckDB HUGEINT), identical IEEE op sequence in the
+    weight updates. Scale shape: the feature frame persists once
+    (zero-shuffle projections); each step is a map-side-partial
+    aggregate — at 100 TB, 2·steps scans of a cached 3-column frame,
+    no shuffle wider than one row."""
+    d = load_table(spark, sf, "documents")
+    grade = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 4
+    feat = d.select(
+        text.hashed_linear_score("text", _CLS_DIM).alias("score"),
+        (
+            text.stopword_count("text")
+            / text.token_count("text").cast("double")
+        ).alias("stop"),
+        F.when(grade >= 2, 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+
+    def gq(term):
+        return (
+            F.sum(
+                F.round(term * F.lit(1000000000.0))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000000.0)
+        )
+
+    w = [1.0, 0.0, 0.0]
+    rows = []
+    try:
+        for step in range(1, _LRN_STEPS + 1):
+            z = (
+                F.lit(w[0]) * F.col("score")
+                + F.lit(w[1]) * F.col("stop")
+                + F.lit(w[2])
+            )
+            sig = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+            err = F.col("y") - sig
+            g = feat.agg(
+                gq(err * F.col("score")).alias("gs"),
+                gq(err * F.col("stop")).alias("gt"),
+                gq(err * F.lit(1.0)).alias("gb"),
+                F.count(F.lit(1)).cast("double").alias("n"),
+            ).collect()[0]
+            w = [
+                w[0] + _LRN_RATE * (g.gs / g.n),
+                w[1] + _LRN_RATE * (g.gt / g.n),
+                w[2] + _LRN_RATE * (g.gb / g.n),
+            ]
+            zk = (
+                F.lit(w[0]) * F.col("score")
+                + F.lit(w[1]) * F.col("stop")
+                + F.lit(w[2])
+            )
+            acc = feat.agg(
+                F.sum(((zk >= 0.0) == (F.col("y") == 1.0)).cast("int"))
+                .cast("long")
+                .alias("n_correct")
+            ).collect()[0]
+            rows.append((step, w[0], w[1], w[2], acc.n_correct))
+    finally:
+        feat.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "step long, w_score double, w_stop double, w_bias double,"
+        " n_correct long",
+    )
+
+
 @q(
     "retrieval_eval_multiquery",
     f"""
