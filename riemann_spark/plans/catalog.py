@@ -5947,6 +5947,106 @@ def streaming_cusum_drained(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+@q(
+    "streaming_retrain_trigger_drained",
+    f"""{_EV},
+st AS (SELECT host, service,
+         {_QM.format(x='metric')} AS mu,
+         {_QM.format(x='metric * metric')} AS m2
+       FROM ev WHERE metric IS NOT NULL GROUP BY host, service),
+p AS (SELECT host, service,
+             CAST(round(mu * 1000000.0) AS BIGINT) AS mu_q,
+             CAST(round(sqrt(greatest(m2 - mu * mu, 0.0)) * 1000000.0)
+                  AS BIGINT) AS sd_q
+      FROM st),
+w AS (SELECT host, service, time_us // 3600000000 AS b,
+             CAST(SUM(CAST(round(metric * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS sum_q,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev WHERE metric IS NOT NULL GROUP BY host, service, b),
+mx AS (SELECT host, service, MAX(b) AS maxb FROM w GROUP BY host, service),
+c AS (SELECT w.host, w.service, w.b, w.sum_q, w.n,
+             4 * abs(w.sum_q - w.n * p.mu_q) > 1 * w.n * p.sd_q AS drifted
+      FROM w JOIN p USING (host, service) JOIN mx USING (host, service)
+      WHERE w.b < mx.maxb),
+r AS (SELECT *, SUM(CASE WHEN drifted THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY host, service ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS grp
+      FROM c),
+k AS (SELECT host, service, b, sum_q, n,
+             row_number() OVER (PARTITION BY host, service, grp
+                                ORDER BY b) AS consec
+      FROM r WHERE drifted)
+SELECT host, service, CAST(b AS BIGINT) AS window_id, n, sum_q
+FROM k WHERE consec = 2""",
+)
+def streaming_retrain_trigger_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """streaming_retrain_trigger value-checked: the stateful trigger
+    stream's drained emission log — per-key hourly windows, drift =
+    |mean − mu| > sd/4 as pure integer algebra on the 1e-6 grid,
+    trigger at the 2nd consecutive drifted CLOSED window — must equal
+    the batch window algebra over the same series: the oracle rebuilds
+    the closed-window sequence (each key's last window never closes —
+    excluded on both sides by construction), marks drift with the
+    identical integer inequality, and numbers consecutive drifts with
+    a run-partitioned row_number. Green means the streaming fold and
+    the relational closed form are the same function.
+
+    Scale: the baseline is a model-sized broadcast; state is four
+    scalars per key; emission is crossing-only (sparse at any rate)."""
+    import tempfile
+    import uuid as _uuid
+
+    from riemann_spark.streaming.stateful_ops import (
+        streaming_retrain_trigger,
+    )
+
+    name = f"cat_srt_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="srt_ck_")
+    ev = load_events(spark, sf).filter(F.col("metric").isNotNull())
+    q6 = F.lit(1e6)
+
+    def qmean(col):
+        return (
+            F.sum(F.round(col * q6).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / q6
+            / F.count(F.lit(1))
+        )
+
+    st = ev.groupBy("host", "service").agg(
+        qmean(F.col("metric")).alias("mu"),
+        qmean(F.col("metric") * F.col("metric")).alias("m2"),
+    )
+    p = st.select(
+        "host", "service", "mu",
+        F.sqrt(
+            F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0))
+        ).alias("sd"),
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    sev = normalize_events(normalize_ts(raw, "ts")).filter(
+        F.col("metric").isNotNull()
+    ).join(F.broadcast(p), ["host", "service"])
+    out = streaming_retrain_trigger(sev, m_windows=2, frac_num=1, frac_den=4)
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
+
+
 _HW_A, _HW_B, _HW_G, _HW_M = 0.2, 0.1, 0.3, 6
 
 

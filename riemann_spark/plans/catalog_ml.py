@@ -8896,3 +8896,75 @@ def retrieval_eval_multiquery(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mrr", 9).alias("mrr"),
         "p_at_10",
     )
+
+
+@q(
+    "hard_negative_mining",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                  {_cos_sql('q.v', 'c.v')} AS cos
+           FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id),
+top AS (SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS rank
+        FROM scored),
+t20 AS (SELECT q_id, n_id, cos, rank,
+               {_GRADE_SQL.format(id='n_id')} AS grade
+        FROM top WHERE rank <= 20),
+bp AS (SELECT q_id, MAX(cos) AS best_pos_cos
+       FROM t20 WHERE grade >= 2 GROUP BY q_id),
+neg AS (SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS neg_rank
+        FROM t20 WHERE grade < 2)
+SELECT n.q_id, n.n_id, n.rank, CAST(n.neg_rank AS BIGINT) AS neg_rank,
+       n.cos, b.best_pos_cos - n.cos AS margin
+FROM neg n JOIN bp b USING (q_id)
+WHERE n.neg_rank <= 5""",
+)
+def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for the retrieval lane (VERDICT r8 #6) —
+    the training-data step contrastive retrievers need: per query
+    (vec_id < 8), the 5 highest-cosine NON-relevant docs (grade < 2 on
+    the hash-derived golden labels) inside the retrieved top-20, each
+    with its retrieval rank, its rank among negatives, and its margin
+    below the query's best in-window positive (small margin = hardest
+    — the negative the model most confuses with a true positive). A
+    query whose top-20 holds no positive yields no rows: there is no
+    anchor to contrast against (inner join semantics, deliberate).
+
+    Engine-exactness: cosines are left-fold dots (bit-equal in both
+    engines, like knn_bruteforce); margins are single subtractions;
+    MAX is order-insensitive. Scale shape: one broadcast-queries ×
+    corpus pass, one |Q|-partition top-k, then joins over ≤ 20·|Q|
+    rows — mining cost is the retrieval cost, nothing more."""
+    e = load_table(spark, sf, "embeddings")
+    top = similarity.brute_force_topk(e.filter(F.col("vec_id") < 8), e, 20)
+    grade_n = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("n_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 4
+    t20 = top.withColumn("grade", grade_n)
+    bp = (
+        t20.filter(F.col("grade") >= 2)
+        .groupBy("q_id")
+        .agg(F.max("cos").alias("best_pos_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    neg = (
+        t20.filter(F.col("grade") < 2)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+    )
+    return neg.join(bp, "q_id").select(
+        "q_id",
+        "n_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "cos",
+        (F.col("best_pos_cos") - F.col("cos")).alias("margin"),
+    )

@@ -54,6 +54,13 @@ STATE_TABLE = {
         "timeout": "none",
         "emission": "one row per upward threshold crossing",
     },
+    "streaming_retrain_trigger": {
+        "keys": ("host", "service"),
+        "state": "(b long, sum_q long, n long, consec long)  # open "
+                 "hourly window + consecutive-drift counter",
+        "timeout": "none",
+        "emission": "one row when m consecutive closed windows drift",
+    },
     "streaming_ewma": {
         "keys": ("host", "service"),
         "state": "(m double, t double)",

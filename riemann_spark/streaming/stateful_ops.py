@@ -2152,3 +2152,97 @@ def streaming_cusum(
         sdf, keys, update, out_schema, state_schema,
         timeout=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_retrain_trigger(
+    sdf: DataFrame,
+    keys: Sequence[str] = ("host", "service"),
+    m_windows: int = 2,
+    frac_num: int = 1,
+    frac_den: int = 4,
+) -> DataFrame:
+    """Stateful RETRAIN trigger — the composition VERDICT r8 #6 asked
+    for: per-key hourly windows are folded in event-time order; a
+    CLOSED window is *drifted* when its mean metric sits more than
+    ``sd * frac_num/frac_den`` from the key's baseline mean (mu/sd
+    ride every row via an upstream stream-static broadcast join —
+    streaming_cusum's posture), and when ``m_windows`` CONSECUTIVE
+    observed windows drift, ONE trigger row fires at the crossing —
+    the "stop serving this quantizer / retrain the classifier" signal
+    that embedding_drift_report computes in batch.
+
+    The drift test is pure integer algebra on the 1e-6 quantized
+    grid: |mean - mu| > sd·num/den  ⟺  den·|sum_q − n·mu_q| >
+    num·n·sd_q — no division, engine-exact. State per key: the open
+    window id, its (sum_q, n), and the consecutive-drift counter —
+    four scalars regardless of stream length. A key's final window
+    never closes (no later event arrives), so the drained value set
+    covers every window except each key's last — mirrored in the
+    oracle."""
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("service", StringType()),
+            StructField("window_id", LongType()),
+            StructField("n", LongType()),
+            StructField("sum_q", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("b", LongType()),
+            StructField("sum_q", LongType()),
+            StructField("n", LongType()),
+            StructField("consec", LongType()),
+        ]
+    )
+
+    def rq(v: float) -> int:
+        # HALF_UP away from zero — Spark F.round / DuckDB round()
+        return (
+            int(math.floor(v * 1e6 + 0.5))
+            if v >= 0
+            else -int(math.floor(-v * 1e6 + 0.5))
+        )
+
+    def update(key, pdfs, state: GroupState):
+        host, service = key
+        b, sum_q, n, consec = (
+            state.get if state.exists else (-1, 0, 0, 0)
+        )
+        rows = _sorted_rows(
+            pdfs, ["event_id", "time", "time_us", "metric", "mu", "sd"]
+        )
+        out = []
+        for row in rows.itertuples(index=False):
+            if any(
+                v is None or pd.isna(v)
+                for v in (row.metric, row.mu, row.sd)
+            ):
+                continue
+            rb = int(row.time_us) // 3_600_000_000
+            if b != -1 and rb != b:
+                mu_q, sd_q = rq(row.mu * 1.0), rq(row.sd * 1.0)
+                drifted = (
+                    frac_den * abs(sum_q - n * mu_q)
+                    > frac_num * n * sd_q
+                )
+                consec = consec + 1 if drifted else 0
+                if drifted and consec == m_windows:
+                    out.append(
+                        (host, service, int(b), int(n), int(sum_q))
+                    )
+                sum_q, n = 0, 0
+            b = rb
+            sum_q += rq(row.metric)
+            n += 1
+        state.update((int(b), int(sum_q), int(n), int(consec)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    return apply_with_state(
+        sdf, keys, update, out_schema, state_schema,
+        timeout=GroupStateTimeout.NoTimeout,
+    )

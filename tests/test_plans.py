@@ -1138,6 +1138,9 @@ def test_dedup_recall_report_consolidated_plan(spark):
 
     from riemann_spark.plans.catalog_ml import _dedup_recall_frame
 
+    # other tests' persisted frames get substituted into this plan and
+    # shift the Exchange count — pin against a clean cache
+    spark.catalog.clearCache()
     result, sh = _dedup_recall_frame(spark, SF)
     try:
         p = plan_of_df(result)

@@ -473,6 +473,23 @@ def _state_table_cases():
                         metric=[1.0, -4.0], mu=[0.0, 0.0],
                         sd=[1.0, 1.0]))],
         ),
+        "streaming_retrain_trigger": (
+            lambda: so.streaming_retrain_trigger(FAKE), ("h1", "svc"),
+            # mu=0, sd=1 baselines; hour-1 window mean 10 and hour-2
+            # window mean 10 both drift (|mean| > sd/4) -> the hour-2
+            # close in the second batch is the 2nd consecutive drift
+            # and fires ONE trigger for window 1
+            [_data(_pdf(event_id=[0, 1, 2],
+                        time=[0.0, 1.0, 3600.0],
+                        time_us=[0, 1_000_000, 3_600_000_000],
+                        metric=[10.0, 10.0, 10.0],
+                        mu=[0.0, 0.0, 0.0], sd=[1.0, 1.0, 1.0])),
+             _data(_pdf(event_id=[3],
+                        time=[7200.0],
+                        time_us=[7_200_000_000],
+                        metric=[0.0],
+                        mu=[0.0], sd=[1.0]))],
+        ),
         "streaming_scd2": (
             lambda: so.streaming_scd2(FAKE), ("h1", "svc"),
             # run carried across batches: ok×2, then critical closes
