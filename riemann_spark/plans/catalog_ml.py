@@ -8642,10 +8642,13 @@ def _lrn_gq(term: str) -> str:
     )
 
 
-def _lrn_sql() -> str:
+def _lrn_train_ctes() -> list[str]:
+    """The shared training CTE chain: features f (with source, which
+    the gradient sums ignore), count nn, and the unrolled g{s}/w{s}
+    gradient-step chain ending at w{_LRN_STEPS}."""
     ctes = [
-        f"t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)",
-        f"""f AS (SELECT
+        f"t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents)",
+        f"""f AS (SELECT source,
         list_reduce(list_prepend(0.0, list_transform(toks,
           tok -> ({_W52}) / 4503599627370496.0 * 2.0 - 1.0)),
           (a, b) -> a + b) / len(toks) AS score,
@@ -8655,7 +8658,6 @@ def _lrn_sql() -> str:
       FROM t)""",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_d FROM f)",
     ]
-    parts = []
     for s in range(1, _LRN_STEPS + 1):
         if s == 1:
             ws, wt, wb = "1.0", "0.0", "0.0"
@@ -8678,6 +8680,13 @@ def _lrn_sql() -> str:
         {wb} + {_LRN_RATE} * (g{s}.gb / nn.n_d) AS wb
       FROM g{s}, nn{prev})"""
         )
+    return ctes
+
+
+def _lrn_sql() -> str:
+    ctes = _lrn_train_ctes()
+    parts = []
+    for s in range(1, _LRN_STEPS + 1):
         zk = f"(w{s}.ws * score + w{s}.wt * stop + w{s}.wb)"
         ctes.append(
             f"""a{s} AS (SELECT CAST(SUM(CASE WHEN ({zk} >= 0.0) = (y = 1.0)
@@ -8690,6 +8699,26 @@ def _lrn_sql() -> str:
             f" FROM w{s}, a{s}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+def _lrn_gate_sql() -> str:
+    s = _LRN_STEPS
+    zk = f"(w{s}.ws * score + w{s}.wt * stop + w{s}.wb)"
+    ctes = _lrn_train_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {zk} >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN {zk} >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS kept_rate,
+       CAST(SUM(CASE WHEN ({zk} >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree
+FROM f, w{s}
+GROUP BY source"""
+    )
 
 
 @q("quality_classifier_train", _lrn_sql())
@@ -8716,60 +8745,11 @@ def quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
     (zero-shuffle projections); each step is a map-side-partial
     aggregate — at 100 TB, 2·steps scans of a cached 3-column frame,
     no shuffle wider than one row."""
-    d = load_table(spark, sf, "documents")
-    grade = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    ) % 4
-    feat = d.select(
-        text.hashed_linear_score("text", _CLS_DIM).alias("score"),
-        (
-            text.stopword_count("text")
-            / text.token_count("text").cast("double")
-        ).alias("stop"),
-        F.when(grade >= 2, 1.0).otherwise(0.0).alias("y"),
-    ).persist()
-
-    def gq(term):
-        return (
-            F.sum(
-                F.round(term * F.lit(1000000000.0))
-                .cast("long")
-                .cast("decimal(38,0)")
-            ).cast("double")
-            / F.lit(1000000000.0)
-        )
-
-    w = [1.0, 0.0, 0.0]
+    feat = _lrn_features(spark, sf).persist()
     rows = []
     try:
-        for step in range(1, _LRN_STEPS + 1):
-            z = (
-                F.lit(w[0]) * F.col("score")
-                + F.lit(w[1]) * F.col("stop")
-                + F.lit(w[2])
-            )
-            sig = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
-            err = F.col("y") - sig
-            g = feat.agg(
-                gq(err * F.col("score")).alias("gs"),
-                gq(err * F.col("stop")).alias("gt"),
-                gq(err * F.lit(1.0)).alias("gb"),
-                F.count(F.lit(1)).cast("double").alias("n"),
-            ).collect()[0]
-            w = [
-                w[0] + _LRN_RATE * (g.gs / g.n),
-                w[1] + _LRN_RATE * (g.gt / g.n),
-                w[2] + _LRN_RATE * (g.gb / g.n),
-            ]
-            zk = (
-                F.lit(w[0]) * F.col("score")
-                + F.lit(w[1]) * F.col("stop")
-                + F.lit(w[2])
-            )
+        for step, w in _lrn_train_steps(feat):
+            zk = _lrn_z(w)
             acc = feat.agg(
                 F.sum(((zk >= 0.0) == (F.col("y") == 1.0)).cast("int"))
                 .cast("long")
@@ -8783,6 +8763,109 @@ def quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
         "step long, w_score double, w_stop double, w_bias double,"
         " n_correct long",
     )
+
+
+def _lrn_features(spark: SparkSession, sf: str) -> DataFrame:
+    """(source, score, stop, y) — the training projection; pure
+    Column work, fuses with the scan."""
+    d = load_table(spark, sf, "documents")
+    grade = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 4
+    return d.select(
+        "source",
+        text.hashed_linear_score("text", _CLS_DIM).alias("score"),
+        (
+            text.stopword_count("text")
+            / text.token_count("text").cast("double")
+        ).alias("stop"),
+        F.when(grade >= 2, 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _lrn_z(w: list[float]):
+    return (
+        F.lit(w[0]) * F.col("score")
+        + F.lit(w[1]) * F.col("stop")
+        + F.lit(w[2])
+    )
+
+
+def _lrn_train_steps(feat: DataFrame):
+    """Yield (step, weights-after-step) running full-batch gradient
+    descent over the (persisted) feature frame — one distributed
+    aggregation per step, 3 floats to the driver."""
+
+    def gq(term):
+        return (
+            F.sum(
+                F.round(term * F.lit(1000000000.0))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000000.0)
+        )
+
+    w = [1.0, 0.0, 0.0]
+    for step in range(1, _LRN_STEPS + 1):
+        z = _lrn_z(w)
+        sig = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+        err = F.col("y") - sig
+        g = feat.agg(
+            gq(err * F.col("score")).alias("gs"),
+            gq(err * F.col("stop")).alias("gt"),
+            gq(err * F.lit(1.0)).alias("gb"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        ).collect()[0]
+        w = [
+            w[0] + _LRN_RATE * (g.gs / g.n),
+            w[1] + _LRN_RATE * (g.gt / g.n),
+            w[2] + _LRN_RATE * (g.gb / g.n),
+        ]
+        yield step, w
+
+
+@q("classifier_train_gate", _lrn_gate_sql())
+def classifier_train_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train -> DEPLOY, in one lineage: the weights
+    quality_classifier_train learns are applied as a curation gate
+    and reported per source — docs kept (trained score z >= 0),
+    kept rate, and agreement with the golden labels. This is the
+    decision table a curation run reads before committing a corpus
+    mix change; per-source kept-rate deltas are how a retrained gate
+    is smoke-checked against the incumbent (source_quality_matrix's
+    posture, but with a TRAINED model instead of a fixed score).
+
+    The oracle re-trains the identical model in unrolled SQL CTEs and
+    applies the same integer-free decision rule, so a green row means
+    the two engines agree on the model AND on every gating decision.
+    Scale shape: training is _LRN_STEPS model-sized aggregates over a
+    persisted 4-column frame; inference + report is ONE source-keyed
+    aggregate fused with the cached scan."""
+    feat = _lrn_features(spark, sf).persist()
+    try:
+        for _step, w in _lrn_train_steps(feat):
+            pass
+        zk = _lrn_z(w)
+        kept = (zk >= 0.0).cast("int")
+        result = feat.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.sum(kept).cast("double") / F.count(F.lit(1))).alias(
+                "kept_rate"
+            ),
+            F.sum(((zk >= 0.0) == (F.col("y") == 1.0)).cast("int"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        rows = result.collect()
+    finally:
+        feat.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 @q(
