@@ -70,6 +70,7 @@ _GATE_PRIORITY = [
     "quality_classifier_train",
     "hard_negative_mining",
     "streaming_retrain_trigger_drained",
+    "classifier_train_gate",
     # -- (d) oldest r04-hashed rows fill the remaining slots: --------------
     "ann_recall_report",
     "anomaly_zscore",
