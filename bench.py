@@ -224,6 +224,14 @@ HEADLINE = [
     # warmstart_savings_report stays OUT: it runs two full CC fixpoints
     # per invocation (prior + warm), so its wall time measures iterative
     # trainer cost like knn_pq_trained; the correctness gate covers it
+    # round-9 additions
+    "fingerprint_df_report",
+    "hard_negative_mining",
+    "quality_classifier_train",
+    "classifier_train_gate",
+    "incremental_cc_from_table",
+    # streaming_retrain_trigger_drained stays OUT with the other
+    # *_drained queries (harness fixed cost dominates)
 ]
 
 
