@@ -71,6 +71,7 @@ _GATE_PRIORITY = [
     "hard_negative_mining",
     "streaming_retrain_trigger_drained",
     "classifier_train_gate",
+    "streaming_classifier_gate_drained",
     # -- (d) oldest r04-hashed rows fill the remaining slots: --------------
     "ann_recall_report",
     "anomaly_zscore",

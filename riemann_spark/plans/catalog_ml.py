@@ -8648,7 +8648,7 @@ def _lrn_train_ctes() -> list[str]:
     gradient-step chain ending at w{_LRN_STEPS}."""
     ctes = [
         f"t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents)",
-        f"""f AS (SELECT source,
+        f"""f AS (SELECT doc_id, source,
         list_reduce(list_prepend(0.0, list_transform(toks,
           tok -> ({_W52}) / 4503599627370496.0 * 2.0 - 1.0)),
           (a, b) -> a + b) / len(toks) AS score,
@@ -8827,6 +8827,70 @@ def _lrn_train_steps(feat: DataFrame):
             w[2] + _LRN_RATE * (g.gb / g.n),
         ]
         yield step, w
+
+
+def _lrn_stream_sql() -> str:
+    s = _LRN_STEPS
+    zk = f"(w{s}.ws * score + w{s}.wt * stop + w{s}.wb)"
+    return (
+        "WITH "
+        + ",\n".join(_lrn_train_ctes())
+        + f"\nSELECT doc_id, {zk} >= 0.0 AS kept FROM f, w{s}"
+    )
+
+
+@q("streaming_classifier_gate_drained", _lrn_stream_sql())
+def streaming_classifier_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Train OFFLINE, gate AT INGEST — the production serving shape
+    for a trained quality filter: the batch gradient-descent weights
+    (quality_classifier_train's trainer, 3 floats to the driver)
+    are baked into a STATELESS streaming projection that scores every
+    document as it arrives and flags kept = (w·x >= 0). Fourth member
+    of the ingest-gate family (fingerprints, MinHash, contamination,
+    Gopher rules) — but with a TRAINED model, and the same plan
+    shape: no state store, no watermark, one fused projection, so
+    throughput scales with source partitions alone; retraining swaps
+    three literals (streaming_retrain_trigger says when).
+
+    The oracle re-trains the model in unrolled SQL and replays every
+    per-document decision — a green row means offline training and
+    online serving agree doc-for-doc."""
+    import tempfile
+    import uuid as _uuid
+
+    feat = _lrn_features(spark, sf).persist()
+    try:
+        for _step, w in _lrn_train_steps(feat):
+            pass
+    finally:
+        feat.unpersist()
+
+    name = f"cat_scg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scg_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    scored = raw.select(
+        "doc_id",
+        text.hashed_linear_score("text", _CLS_DIM).alias("score"),
+        (
+            text.stopword_count("text")
+            / text.token_count("text").cast("double")
+        ).alias("stop"),
+    ).select("doc_id", (_lrn_z(w) >= 0.0).alias("kept"))
+    q_ = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
 
 
 @q("classifier_train_gate", _lrn_gate_sql())
