@@ -278,6 +278,41 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_frame: DataFrame | None = None,
+) -> DataFrame:
+    """(doc, band) rows — each doc's LSH band keys (band_size
+    consecutive MinHash sigs concatenated, prefixed by the band
+    ordinal). This IS the LSH index: stored as a table, a later batch
+    probes it without touching the indexed corpus (see
+    incremental_lsh_pairs)."""
+    sigs = minhash_signatures(
+        df, n_hashes, k, id_col, text_col, shingle_frame=shingle_frame
+    )
+    n_bands = n_hashes // band_size
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"sig{b * band_size + j}") for j in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     n_hashes: int = 8,
@@ -308,24 +343,9 @@ def lsh_candidate_pairs(
     ordered combinations; one distinct on (doc1, doc2) dedupes pairs
     colliding in several bands. No self-join, no second shuffle of
     the band table."""
-    sigs = minhash_signatures(
-        df, n_hashes, k, id_col, text_col, shingle_frame=shingle_frame
-    )
-    n_bands = n_hashes // band_size
-    bands = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[F.col(f"sig{b * band_size + j}") for j in range(band_size)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+    bands = minhash_bands(
+        df, n_hashes, band_size, k, id_col, text_col,
+        shingle_frame=shingle_frame,
     )
     posts = (
         bands.groupBy("band")
@@ -346,6 +366,75 @@ def lsh_candidate_pairs(
     )
     return (
         posts.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+        .distinct()
+    )
+
+
+def incremental_lsh_pairs(
+    arrivals: DataFrame,
+    lake_bands: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_band_df: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs TOUCHING an arrival batch against a STORED LSH
+    band index — the true incremental posture: only the arrival docs
+    are shingled/hashed (O(batch), never O(corpus)); the lake side is
+    a (doc, band) table the previous run wrote (minhash_bands), probed
+    band-keyed. Provably equals
+    ``lsh_candidate_pairs(lake ∪ arrivals)`` restricted to pairs with
+    an arrival endpoint: a full-corpus bucket's arrival-touching pairs
+    are exactly {arrival × lake-in-bucket} ∪ {arrival × arrival
+    in-bucket}, and the ``max_band_df`` guard is applied to the SAME
+    full bucket size (stored postings + arrival postings), so the cap
+    semantics match the from-scratch run bucket-for-bucket.
+
+    Shape: one groupBy(band) on each side (the arrival side is
+    batch-sized; the lake side is the stored index, bucketable by
+    band at deploy so the re-read shuffles nothing), a band-keyed
+    left join, bounded in-bucket pair explosion, one distinct."""
+    a_bands = minhash_bands(
+        arrivals, n_hashes, band_size, k, id_col, text_col
+    )
+    lp = lake_bands.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc")).alias("ldocs")
+    )
+    ap = a_bands.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc")).alias("adocs")
+    )
+    j = ap.join(lp, "band", "left").select(
+        "adocs",
+        F.coalesce("ldocs", F.array().cast("array<long>")).alias("ldocs"),
+    )
+    if max_band_df is not None:
+        j = j.filter(F.size("adocs") + F.size("ldocs") <= max_band_df)
+    ad, ld = F.col("adocs"), F.col("ldocs")
+    cross = F.flatten(
+        F.transform(
+            ad,
+            lambda x: F.transform(
+                ld,
+                lambda y: F.struct(
+                    F.least(x, y).alias("d1"), F.greatest(x, y).alias("d2")
+                ),
+            ),
+        )
+    )
+    within = F.flatten(
+        F.transform(
+            ad,
+            lambda x, i: F.transform(
+                F.slice(ad, i + F.lit(2), F.size(ad)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    return (
+        j.select(F.explode(F.concat(cross, within)).alias("p"))
         .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
         .distinct()
     )

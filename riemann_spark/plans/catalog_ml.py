@@ -7981,20 +7981,20 @@ def retrieval_eval_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _prior_star_state(spark: SparkSession, sf: str) -> DataFrame:
-    """Prior-snapshot cluster state as a STORED parquet table — the
-    deploy read path for warm-start clustering (VERDICT r8 #4).
+def _warmstart_state(spark: SparkSession, sf: str):
+    """Prior-snapshot state as STORED parquet tables — the deploy read
+    path for warm-start clustering (VERDICT r8 #4): (star edges, LSH
+    band index) of the lake (doc_id % 5 != 0).
 
-    The lake's duplicate clusters (doc_id % 5 != 0) are computed once
-    per testdata dir and landed as their star edges (doc -> min-id
-    cluster representative — the keep-list form dedup_keep_list
-    materializes) at a /tmp path keyed by the sf dir, stamped with the
-    source table's mtime so a regenerated corpus rebuilds the state.
-    Subsequent calls — including every bench run after the first —
-    read the parquet table only, so the warm-start queries pay just
-    the incremental work: arrival-batch candidate pairs + log-round
-    star contraction. At deploy this table is the bucketed cluster
-    keep-list the previous crawl's pipeline wrote."""
+    Built once per testdata dir (mtime-stamped /tmp path keyed by the
+    sf dir; a regenerated corpus rebuilds). The star edges (doc ->
+    min-id cluster representative, the keep-list form dedup_keep_list
+    materializes) carry the clustering; the (doc, band) index carries
+    the LSH geometry, so a later batch probes it WITHOUT re-hashing
+    the lake (dedup.incremental_lsh_pairs) — the warm-start queries
+    pay only O(arrival batch): shingle/hash the arrivals, band-keyed
+    probe, star contraction. At deploy these are the two bucketed
+    tables the previous crawl's pipeline wrote."""
     import os
     import shutil
     import tempfile
@@ -8003,31 +8003,37 @@ def _prior_star_state(spark: SparkSession, sf: str) -> DataFrame:
     stamp = str(os.stat(src).st_mtime_ns)
     key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"riemann_spark_state_{key}")
-    path = os.path.join(root, "prior_star")
-    meta = os.path.join(root, "STAMP")
+    star_path = os.path.join(root, "prior_star")
+    bands_path = os.path.join(root, "lake_bands")
+    meta = os.path.join(root, "STAMP2")
     fresh = (
-        os.path.exists(os.path.join(path, "_SUCCESS"))
+        os.path.exists(os.path.join(star_path, "_SUCCESS"))
+        and os.path.exists(os.path.join(bands_path, "_SUCCESS"))
         and os.path.exists(meta)
         and open(meta).read() == stamp
     )
     if not fresh:
         d = load_table(spark, sf, "documents")
+        lake_docs = d.filter(F.col("doc_id") % 5 != 0)
+        bands = dedup.minhash_bands(lake_docs, _N_HASHES, _BAND)
         pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
-        lake = pairs.filter((F.col("doc1") % 5 != 0) & (F.col("doc2") % 5 != 0))
-        prior = dedup.connected_components(lake)
-        staging = f"{path}.staging-{os.getpid()}"
-        (
-            prior.select(F.col("node").alias("doc"), "cluster")
-            .write.mode("overwrite")
-            .parquet(staging)
+        lake = pairs.filter(
+            (F.col("doc1") % 5 != 0) & (F.col("doc2") % 5 != 0)
         )
+        prior = dedup.connected_components(lake)
         os.makedirs(root, exist_ok=True)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(staging, path)
+        for path, frame in (
+            (star_path, prior.select(F.col("node").alias("doc"), "cluster")),
+            (bands_path, bands),
+        ):
+            staging = f"{path}.staging-{os.getpid()}"
+            frame.write.mode("overwrite").parquet(staging)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(staging, path)
         with open(meta, "w") as fh:
             fh.write(stamp)
-    return spark.read.parquet(path)
+    return spark.read.parquet(star_path), spark.read.parquet(bands_path)
 
 
 @q(
@@ -8064,7 +8070,7 @@ def incremental_cc_warmstart(spark: SparkSession, sf: str) -> DataFrame:
     the prior snapshot) are standing state kept as their STAR EDGES
     (node -> cluster representative, the keep-list form
     dedup_keep_list already materializes) in a STORED parquet table
-    (_prior_star_state — built once per corpus, read thereafter), and
+    (_warmstart_state — built once per corpus, read thereafter), and
     a new arrival batch (doc_id % 5 == 0) is clustered by running
     connected components over {{prior star edges read from the
     table}} UNION {{candidate pairs touching an arrival}} — NEVER
@@ -8083,13 +8089,11 @@ def incremental_cc_warmstart(spark: SparkSession, sf: str) -> DataFrame:
     bucketed table and each recrawl batch pays only its own band
     probes plus log-round star contractions."""
     d = load_table(spark, sf, "documents")
-    prior = _prior_star_state(spark, sf)  # (doc, cluster) parquet read
+    prior, lake_bands = _warmstart_state(spark, sf)  # parquet reads
     arrival = lambda c: F.col(c) % 5 == 0  # noqa: E731
-    new_pairs = (
-        dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
-        .filter(arrival("doc1") | arrival("doc2"))
-        .localCheckpoint()
-    )
+    new_pairs = dedup.incremental_lsh_pairs(
+        d.filter(arrival("doc_id")), lake_bands, _N_HASHES, _BAND
+    ).localCheckpoint()
     star = prior.select(
         F.col("doc").alias("doc1"), F.col("cluster").alias("doc2")
     )
@@ -8148,27 +8152,28 @@ FROM outp""",
 )
 def incremental_cc_from_table(spark: SparkSession, sf: str) -> DataFrame:
     """The warm-start READ path, proven end-to-end (VERDICT r8 #4):
-    prior cluster state round-trips through a stored parquet table
-    (_prior_star_state) — this query's Spark side never recomputes
-    the lake's connected components; it reads (doc, cluster) star
-    edges with spark.read.parquet, unions the arrival batch's
-    candidate pairs, and contracts. Output is the recrawl ops
-    summary: state size, prior/posterior cluster counts, arrivals,
-    and docs whose cluster changed. The oracle recomputes the same
-    fixpoint from scratch via recursive transitive closure — green
-    means the stored-state path equals from-scratch clustering.
+    prior cluster state round-trips through stored parquet tables
+    (_warmstart_state) — this query's Spark side never recomputes the
+    lake's connected components AND never re-hashes the lake: it
+    reads (doc, cluster) star edges and the (doc, band) LSH index
+    with spark.read.parquet, shingles ONLY the arrival batch, probes
+    the stored index band-keyed (dedup.incremental_lsh_pairs), unions,
+    and contracts. Output is the recrawl ops summary: state size,
+    prior/posterior cluster counts, arrivals, and docs whose cluster
+    changed. The oracle recomputes the same fixpoint from scratch via
+    recursive transitive closure — green means the stored-state path
+    equals from-scratch clustering pair-for-pair.
 
-    Scale shape: the state read is a bucketed-table scan (node-keyed,
-    no shuffle on re-read); everything else is the arrival batch's
-    own work. The summary aggregate is a single model-sized row."""
-    prior = _prior_star_state(spark, sf)
+    Scale shape: the state reads are bucketable-table scans; the
+    query-time work is O(arrival batch) — hash 20% of the docs here,
+    one band-keyed probe join, log-round star contraction. The
+    summary aggregate is a single model-sized row."""
+    prior, lake_bands = _warmstart_state(spark, sf)
     d = load_table(spark, sf, "documents")
     arrival = lambda c: F.col(c) % 5 == 0  # noqa: E731
-    new_pairs = (
-        dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
-        .filter(arrival("doc1") | arrival("doc2"))
-        .localCheckpoint()
-    )
+    new_pairs = dedup.incremental_lsh_pairs(
+        d.filter(arrival("doc_id")), lake_bands, _N_HASHES, _BAND
+    ).localCheckpoint()
     star = prior.select(
         F.col("doc").alias("doc1"), F.col("cluster").alias("doc2")
     )

@@ -115,6 +115,32 @@ def test_lsh_max_band_df_caps_degenerate_buckets(spark):
     assert (6, 7) in gated  # small near-dup bucket survives the cap
 
 
+def test_incremental_lsh_pairs_equals_full_banding(spark):
+    """Probing a STORED band index with only the arrival batch must
+    produce EXACTLY the arrival-touching pairs of full-corpus banding
+    — under the same max_band_df semantics (cap on the FULL bucket
+    size: stored + arrival postings). Checked on the sf0.001 corpus
+    (arrivals = doc_id % 5 == 0, the warm-start queries' split) both
+    uncapped and with a cap low enough to drop buckets."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    arr = F.col("doc_id") % 5 == 0
+    lake_bands = dedup.minhash_bands(d.filter(~arr))
+    for cap in (None, 3):
+        full = {
+            (r.doc1, r.doc2)
+            for r in dedup.lsh_candidate_pairs(d, max_band_df=cap).collect()
+            if r.doc1 % 5 == 0 or r.doc2 % 5 == 0
+        }
+        inc = {
+            (r.doc1, r.doc2)
+            for r in dedup.incremental_lsh_pairs(
+                d.filter(arr), lake_bands, max_band_df=cap
+            ).collect()
+        }
+        assert inc == full, f"cap={cap}: {inc ^ full}"
+    assert full, "probe corpus produced no arrival-touching pairs"
+
+
 def test_simhash_close_for_near_dups(spark):
     df = docs(
         spark,
