@@ -141,6 +141,46 @@ def test_incremental_lsh_pairs_equals_full_banding(spark):
     assert full, "probe corpus produced no arrival-touching pairs"
 
 
+def test_warmstart_state_rebuilds_on_corpus_change(spark, tmp_path):
+    """_warmstart_state is mtime-stamped: the same corpus reuses the
+    stored tables (no second build), and a regenerated corpus MUST
+    rebuild — silently serving stale cluster state would corrupt
+    every downstream recrawl. Exercised on a private copy of the
+    sf0.001 corpus so /root/testdata stays untouched."""
+    import os
+    import shutil
+
+    from riemann_spark.plans.catalog_ml import _warmstart_state
+
+    sf = str(tmp_path)
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        f"{sf}/documents.parquet",
+    )
+    star1, bands1 = _warmstart_state(spark, sf)
+    n1 = star1.count()
+    assert n1 > 0 and bands1.count() > 0
+    # same corpus -> cache hit: the state dir's mtime must not change
+    import hashlib as _h
+    import tempfile as _t
+
+    key = _h.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(_t.gettempdir(), f"riemann_spark_state_{key}")
+    stamp1 = open(os.path.join(root, "STAMP2")).read()
+    _warmstart_state(spark, sf)
+    assert open(os.path.join(root, "STAMP2")).read() == stamp1
+    # regenerated corpus (new mtime) -> rebuild with the new content
+    df = spark.read.parquet(f"{sf}/documents.parquet").limit(100)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/stage")
+    part = [p for p in os.listdir(f"{sf}/stage") if p.endswith(".parquet")][0]
+    os.remove(f"{sf}/documents.parquet")
+    shutil.move(f"{sf}/stage/{part}", f"{sf}/documents.parquet")
+    star2, _bands2 = _warmstart_state(spark, sf)
+    assert open(os.path.join(root, "STAMP2")).read() != stamp1
+    assert star2.count() < n1  # state reflects the smaller corpus
+    shutil.rmtree(root)
+
+
 def test_simhash_close_for_near_dups(spark):
     df = docs(
         spark,
