@@ -9090,9 +9090,13 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     engines, like knn_bruteforce); margins are single subtractions;
     MAX is order-insensitive. Scale shape: one broadcast-queries ×
     corpus pass, one |Q|-partition top-k, then joins over ≤ 20·|Q|
-    rows — mining cost is the retrieval cost, nothing more."""
+    rows — mining cost is the retrieval cost, nothing more. The tiny
+    top frame (20·|Q| rows) is checkpointed so the positive-anchor
+    branch and the negative branch don't each re-score the corpus."""
     e = load_table(spark, sf, "embeddings")
-    top = similarity.brute_force_topk(e.filter(F.col("vec_id") < 8), e, 20)
+    top = similarity.brute_force_topk(
+        e.filter(F.col("vec_id") < 8), e, 20
+    ).localCheckpoint()
     grade_n = (
         F.instr(
             F.lit("0123456789abcdef"),
