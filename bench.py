@@ -230,6 +230,7 @@ HEADLINE = [
     "quality_classifier_train",
     "classifier_train_gate",
     "incremental_cc_from_table",
+    "knn_ivf_from_table",
     # streaming_retrain_trigger_drained stays OUT with the other
     # *_drained queries (harness fixed cost dominates)
 ]

@@ -72,6 +72,7 @@ _GATE_PRIORITY = [
     "streaming_retrain_trigger_drained",
     "classifier_train_gate",
     "streaming_classifier_gate_drained",
+    "knn_ivf_from_table",
     # -- (d) oldest r04-hashed rows fill the remaining slots: --------------
     "ann_recall_report",
     "anomaly_zscore",
