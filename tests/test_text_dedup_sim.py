@@ -202,6 +202,37 @@ def vecs(spark, *vs):
     )
 
 
+def test_bruteforce_topk_grouped_bit_equals_per_group(spark):
+    """brute_force_topk_grouped must be bit-equal to running
+    brute_force_topk once per tier on the sliced vectors — same
+    cosine expression tree, one corpus pass for all tiers."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q8 = e.filter(F.col("vec_id") < 4)
+    dims = [8, 16]
+    tiers = F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim")
+
+    def tiered(df):
+        return df.select("vec_id", tiers, "embedding").select(
+            "vec_id", "dim",
+            F.expr("slice(embedding, 1, dim)").alias("embedding"),
+        )
+
+    got = {
+        (r.dim, r.q_id, r.rank): (r.n_id, r.cos)
+        for r in similarity.brute_force_topk_grouped(
+            tiered(q8), tiered(e), 3, "dim"
+        ).collect()
+    }
+    for d in dims:
+        sl = F.slice(F.col("embedding"), 1, d).alias("embedding")
+        solo = similarity.brute_force_topk(
+            q8.select("vec_id", sl), e.select("vec_id", sl), 3
+        ).collect()
+        for r in solo:
+            assert got[(d, r.q_id, r.rank)] == (r.n_id, r.cos)  # bit-equal
+    assert len(got) == len(dims) * 4 * 3
+
+
 def test_cosine_and_bruteforce_topk(spark):
     df = vecs(spark, [1, 0, 0], [0.9, 0.1, 0], [0, 1, 0], [-1, 0, 0])
     out = similarity.brute_force_topk(df.filter(F.col("vec_id") == 0), df, 2).collect()
