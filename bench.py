@@ -231,6 +231,7 @@ HEADLINE = [
     "classifier_train_gate",
     "incremental_cc_from_table",
     "knn_ivf_from_table",
+    "ivf_cell_balance_report",
     # streaming_retrain_trigger_drained stays OUT with the other
     # *_drained queries (harness fixed cost dominates)
 ]

@@ -407,6 +407,46 @@ def ivf_topk(
     )
 
 
+def ivf_cell_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) for every corpus vector under a trained codebook —
+    the corpus-side IVF assignment, expression-identical to
+    ivf_topk's (cosine, descending, cell tie-break), exposed so index
+    maintenance (cell-balance reports, re-bucketing jobs) shares the
+    exact geometry the search path uses. Broadcast centroids × one
+    corpus pass, one |corpus|-keyed window."""
+    cents = F.broadcast(
+        centroids.select(
+            "cell",
+            F.col("c_vec").cast("array<double>").alias("c_vec"),
+            norm(F.col("c_vec")).alias("c_n"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            norm(F.col(vec_col)).alias("n_n"),
+        )
+        .crossJoin(cents)
+        .withColumn(
+            "c_cos",
+            _dots(F.col("n_vec"), F.col("c_vec"))
+            / (F.col("n_n") * F.col("c_n")),
+        )
+    )
+    w = Window.partitionBy("n_id").orderBy(F.desc("c_cos"), F.col("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col("n_id").alias(id_col), "cell")
+    )
+
+
 # ------------------------------------------------------------------ #
 # k-means coarse quantizer (the production IVF training step)
 

@@ -73,6 +73,7 @@ _GATE_PRIORITY = [
     "classifier_train_gate",
     "streaming_classifier_gate_drained",
     "knn_ivf_from_table",
+    "ivf_cell_balance_report",
     # -- (d) oldest r04-hashed rows fill the remaining slots: --------------
     "ann_recall_report",
     "anomaly_zscore",

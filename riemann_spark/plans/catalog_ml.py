@@ -564,6 +564,75 @@ def _ivf_codebook_state(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _cell_balance_sql(k: int, dim: int, iters: int) -> str:
+    parts = _lloyd_parts(k, dim, iters)
+    cf = f"c{iters}"
+    parts.append(
+        "ca AS (SELECT vec_id, cell FROM ("
+        " SELECT e.vec_id, c.cell,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {_cos_sql('e.v', 'c.c')} DESC, c.cell) AS r"
+        f" FROM e CROSS JOIN {cf} c) WHERE r = 1)"
+    )
+    parts.append(
+        "cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs"
+        " FROM ca GROUP BY cell)"
+    )
+    parts.append("tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e)")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT g.cell, COALESCE(cnt.n_vecs, 0) AS n_vecs,
+       COALESCE(cnt.n_vecs, 0) / CAST(tot.n_total AS DOUBLE) AS share,
+       COALESCE(cnt.n_vecs, 0) * {k} > 2 * tot.n_total AS hot
+FROM (SELECT cell FROM {cf}) g
+LEFT JOIN cnt USING (cell)
+CROSS JOIN tot"""
+
+
+@q("ivf_cell_balance_report", _cell_balance_sql(_IVF_CELLS, 64, 5))
+def ivf_cell_balance_report(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index-health report — the ops metric behind the
+    knn_ivf_from_table serving path: every corpus vector's cell under
+    the STORED trained codebook (similarity.ivf_cell_assignments —
+    expression-identical to the search path's assignment), rolled up
+    to per-cell occupancy, share, and a hot flag (cell holding more
+    than 2× the uniform share, as a pure integer inequality
+    n_vecs·k > 2·n_total). Hot cells are where nprobe=1 recall decays
+    and scan cost concentrates — embedding_drift_report names the
+    cause (centroid shift), this names the symptom's location; both
+    feed the retrain trigger. Empty cells appear with n_vecs = 0 (a
+    left join against the codebook's cell grid), since a dead cell
+    wastes a probe everywhere.
+
+    Scale shape: one broadcast-codebook corpus pass, one
+    |corpus|-keyed window for the argmin, one k-row aggregate — at
+    100 TB the report costs one scan, the same as the index build's
+    assignment step. The oracle replays the full Lloyd training and
+    the identical assignment in unrolled SQL."""
+    e = load_table(spark, sf, "embeddings")
+    cents = _ivf_codebook_state(spark, sf)
+    a = similarity.ivf_cell_assignments(e, cents)
+    cnt = a.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grid = cents.select("cell")
+    return (
+        grid.join(cnt, "cell", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+            (
+                F.coalesce(F.col("n_vecs"), F.lit(0))
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+            (
+                F.coalesce(F.col("n_vecs"), F.lit(0)) * _IVF_CELLS
+                > 2 * F.col("n_total")
+            ).alias("hot"),
+        )
+    )
+
+
 @q("knn_ivf_from_table", _kmeans_oracle(_IVF_CELLS, 64, 5))
 def knn_ivf_from_table(spark: SparkSession, sf: str) -> DataFrame:
     """The ANN SERVING read path: identical search to knn_ivf_kmeans,
