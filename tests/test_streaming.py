@@ -332,3 +332,42 @@ def test_pubsub_sweep_stops_temporary_keeps_persistent(spark, tmpdirs):
         assert not q2.isActive and q1.isActive
     finally:
         ps.stop_all()
+
+
+def test_streaming_retrain_trigger_state_across_batches(spark, tmpdirs):
+    """The retrain trigger's four-scalar state must carry across
+    micro-batches: an hourly window whose events SPAN a batch boundary
+    accumulates into one (sum_q, n), and the consecutive-drift counter
+    survives the restartable state store — one trigger fires at the
+    2nd consecutive drifted closed window, counting rows from BOTH
+    batches, and a calm window resets the counter (no later trigger)."""
+    from riemann_spark.streaming.stateful_ops import streaming_retrain_trigger
+
+    RT = ("event_id long, host string, service string, time double, "
+          "time_us long, metric double, mu double, sd double")
+
+    def ev(i, t_s, metric):
+        return (i, "h", "s", float(t_s), int(t_s) * 1_000_000, metric, 0.0, 1.0)
+
+    src, ckpt = tmpdirs
+    name = f"srt_{uuid.uuid4().hex[:8]}"
+    batches = [
+        # hour 0 (2 events, mean 10 => drifted when closed) + the
+        # FIRST event of hour 1 (closes hour 0, opens hour 1)
+        [ev(0, 0, 10.0), ev(1, 60, 10.0), ev(2, 3600, 10.0)],
+        # hour 1 continues ACROSS the batch boundary, then hour 2
+        # opens (closes hour 1: 2nd consecutive drift -> TRIGGER with
+        # n = 3 rows, 1 from batch 1 + 2 from batch 2)
+        [ev(3, 3660, 10.0), ev(4, 3720, 10.0), ev(5, 7200, 0.0)],
+        # hour 3 opens (closes hour 2: mean 0, calm -> counter resets)
+        [ev(6, 10800, 10.0)],
+        # hour 4 opens (closes hour 3: drifted again, but consec == 1
+        # after the reset -> no second trigger)
+        [ev(7, 14400, 0.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, streaming_retrain_trigger, name, batches,
+        spark_rows_schema=RT,
+    )
+    got = [(r.host, r.service, r.window_id, r.n, r.sum_q) for r in rows]
+    assert got == [("h", "s", 1, 3, 30_000_000)]
