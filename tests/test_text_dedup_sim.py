@@ -753,6 +753,51 @@ def test_cms_never_undercounts_property(spark):
 
 
 @pytest.mark.slow
+def test_incremental_lsh_equivalence_property(spark):
+    """Property form of the stored-index equivalence: on RANDOM small
+    corpora (shared word pool so near-dup cliques actually form, any
+    lake/arrival split), probing the lake's stored band index with the
+    arrival batch must equal full-corpus banding restricted to
+    arrival-touching pairs — for several max_band_df caps including
+    ones low enough to drop buckets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=4, max_size=10,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=3, max_size=12),
+        split=st.integers(min_value=2, max_value=7),
+        cap=st.sampled_from([None, 2, 4]),
+    )
+    def prop(texts, split, cap):
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        arr = F.col("doc_id") % split == 0
+        lake_bands = dedup.minhash_bands(df.filter(~arr))
+        full = {
+            (r.doc1, r.doc2)
+            for r in dedup.lsh_candidate_pairs(df, max_band_df=cap).collect()
+            if r.doc1 % split == 0 or r.doc2 % split == 0
+        }
+        inc = {
+            (r.doc1, r.doc2)
+            for r in dedup.incremental_lsh_pairs(
+                df.filter(arr), lake_bands, max_band_df=cap
+            ).collect()
+        }
+        assert inc == full
+
+    prop()
+
+
+@pytest.mark.slow
 def test_segment_dedup_identity_on_unique_corpus_property(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st
