@@ -2178,7 +2178,15 @@ def streaming_retrain_trigger(
     four scalars regardless of stream length. A key's final window
     never closes (no later event arrives), so the drained value set
     covers every window except each key's last — mirrored in the
-    oracle."""
+    oracle.
+
+    Ordering contract (same as streaming_cusum's running sum): rows
+    sort by (time, event_id) WITHIN each micro-batch, and batches are
+    assumed event-time ordered across the boundary — a cross-batch
+    straggler older than the open window would close it early and
+    reopen a stale window id. At deploy, bound disorder upstream with
+    a watermark-delayed feed (the fill-in/coalesce lanes' posture);
+    the closed-window algebra models in-order arrival."""
     out_schema = StructType(
         [
             StructField("host", StringType()),
