@@ -616,7 +616,10 @@ def ivf_cell_balance_report(spark: SparkSession, sf: str) -> DataFrame:
     tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     grid = cents.select("cell")
     return (
-        grid.join(cnt, "cell", "left")
+        # both sides are k rows; without the hint Catalyst plans a
+        # sort-merge join because the parquet-scanned grid has no
+        # size stats at plan time
+        grid.join(F.broadcast(cnt), "cell", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "cell",

@@ -1167,6 +1167,43 @@ def test_ann_truncation_report_single_pass_plan(spark):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_cell_balance_single_broadcast_pass(spark):
+    """The index-health report must be one broadcast-codebook corpus
+    pass (argmin window) + a k-row rollup — no sort-merge join, no
+    cartesian, and the corpus never shuffles except into the
+    |corpus|-keyed assignment window."""
+    import re
+
+    p = plan_of(spark, "ivf_cell_balance_report")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 4, p[:1500]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_incremental_cc_from_table_reads_stored_state(spark):
+    """The warm-start summary must READ both state tables (two extra
+    parquet scans beyond documents) and never re-run the lake CC —
+    bounded Exchange count, no cartesian."""
+    import re
+
+    p = plan_of(spark, "incremental_cc_from_table")
+    assert p.count("Scan parquet") >= 3, p[:1500]  # docs + star + bands
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 8, p[:1500]
+
+
+def test_hard_negative_mining_single_scoring_pass(spark):
+    """One brute-force scoring pass feeds both the positive-anchor
+    and negative branches via the checkpointed top frame — at most
+    one corpus scan plus the checkpoint scans, and ≤3 windows."""
+    import re
+
+    p = plan_of(spark, "hard_negative_mining")
+    assert p.count("Scan parquet") == 0, p[:1200]  # checkpointed input
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) <= 3, p[:1200]
+    assert "CartesianProduct" not in p
+
+
 def test_interval_vector_audit():
     """The round-7 'interval-vector sweep is exhaustive' claim, made
     checkable (VERDICT r7 #8): every deftest in the reference test
