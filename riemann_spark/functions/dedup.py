@@ -408,7 +408,9 @@ def incremental_lsh_pairs(
     )
     j = ap.join(lp, "band", "left").select(
         "adocs",
-        F.coalesce("ldocs", F.array().cast("array<long>")).alias("ldocs"),
+        # empty-posting default typed from the arrival side, so the
+        # function stays id-type agnostic like its siblings
+        F.coalesce("ldocs", F.slice("adocs", 1, 0)).alias("ldocs"),
     )
     if max_band_df is not None:
         j = j.filter(F.size("adocs") + F.size("ldocs") <= max_band_df)

@@ -128,117 +128,6 @@ _GATE_PRIORITY = [
     "tpch_q9",
 ]
 
-_GATE_PRIORITY_R8 = [
-    # ---- ROUND-8 WINDOW (kept for the historical record) ----------------
-    # Per VERDICT r7 directive #1: staleness recomputed from
-    # CORRECTNESS_r01-r07 (24 rows last hashed r02, 48 last hashed r03).
-    # New r8 entries capped at 5 (standing front rule), so 45 rotation
-    # slots survive: ALL 24 r02 rows + the oldest 21 r03 rows. (The
-    # directive's two sub-criteria — '~10 new' and '>=half the r03
-    # rows' — cannot both fit in 50; we bias to rotation: 21/48 r03
-    # refresh now, the remaining 27 are the committed FRONT of the
-    # round-9 list below.)
-    # -- new round-8 catalog entries first: ------------------------------
-    "retrieval_eval_report",
-    "retrieval_eval_rrf",
-    "warmstart_savings_report",
-    "incremental_cc_warmstart",
-    "embedding_drift_report",
-    # -- all 24 r02-hashed rows: ------------------------------------------
-    "by_derived_key",
-    "canonical_pipeline",
-    "ddt_real",
-    "deps_suppression",
-    "filter_agg",
-    "fixed_time_window",
-    "fold_difference",
-    "fold_product",
-    "graphite_roundtrip",
-    "json_roundtrip",
-    "moving_time_window",
-    "protobuf_roundtrip",
-    "rate_zero_fill",
-    "regional_revenue",
-    "revenue_top10",
-    "rollup",
-    "sorted_sample",
-    "streaming_index_snapshot",
-    "tpch_q1",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q4",
-    "window_folds",
-    # -- oldest 23 r03-hashed rows: ---------------------------------------
-    "asof_enrich",
-    "contamination",
-    "contamination_bloom",
-    "corpus_profile",
-    "curation_pipeline",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_keep_list",
-    "deps_algebra",
-    "distinct_ngrams_hll",
-    "distinct_ngrams_kmv",
-    "embedding_quantize",
-    "ewma_r01",
-    "fold_generic",
-    "fold_mode",
-    "fold_mode_hourly",
-    "fold_quotient",
-    "fold_quotient_take5",
-    "gopher_gates",
-    "hash_split",
-    "index_delete_cohort",
-    # ---- ROUND-9 FRONT (positions 51+) ----------------------------------
-    # (unless round-9 directives say otherwise, these rotate in next,
-    # after any new round-9 entries. First the six LATE r8 entries
-    # deliberately placed HERE, not in the window, to protect the
-    # rotation directive — each was verified against its exact oracle
-    # at sf0.001 + sf0.01 (and sf0.1 for the monitoring trio) via
-    # tools/check.py this round; they take the first r9 driver slots.
-    # knn_bruteforce/knn_ivf follow: pushed out of the r8 window by
-    # the in-window retrieval_eval_rrf + warmstart_savings_report
-    # additions. Then the 25 remaining r03-hashed rotation rows.)
-    "quality_calibration_report",
-    "mad_outliers",
-    "retrieval_eval_multiquery",
-    "session_funnel",
-    "streaming_mad_gate",
-    "cusum_alerts",
-    "streaming_cusum_drained",
-    "holt_winters_forecast",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "mix_upsample",
-    "multimodal_frames",
-    "multimodal_real_decode",
-    "opentsdb_roundtrip",
-    "pii_scrub",
-    "repetition_filter",
-    "sflatten_regroup",
-    "simhash",
-    "simhash_candidates",
-    "smapcat_tags",
-    "sreduce_runmax",
-    "stratified_sample",
-    "streaming_apdex_closed",
-    "streaming_changed_edges",
-    "streaming_count_windows",
-    "streaming_dedup_fingerprints",
-    "streaming_percentiles_closed",
-    "streaming_sessions_closed",
-    "streaming_throttle_weekly",
-    "streaming_trailing_window",
-    "streaming_window_folds_closed",
-    "tfidf_top_terms",
-    "token_stats",
-    "unigram_lm_score",
-]
-
-
 def _reorder(d: dict) -> dict:
     prio = [n for n in _GATE_PRIORITY if n in d]
     rest = [n for n in d if n not in set(prio)]

@@ -36,8 +36,16 @@ def iso8601_to_unix(col: F.Column) -> F.Column:
         # :date-time-parser accepts these (common.clj:76-84); Spark's
         # default ISO8601 parser handles them (tried last so the
         # UTC-midnight bare-date branch keeps its timezone-independent
-        # semantics)
-        F.try_to_timestamp(col),
+        # semantics). An OFFSET-LESS datetime would parse in the
+        # session timezone, so it is re-anchored to UTC (the
+        # reference's clj-time default zone) — without this, the same
+        # event gets a different instant per session config.
+        F.when(
+            col.rlike("([Zz]|[+-][0-9]{2}:?[0-9]{2})$"),
+            F.try_to_timestamp(col),
+        ).otherwise(
+            F.from_utc_timestamp(F.try_to_timestamp(col), F.current_timezone())
+        ),
     )
     return F.unix_timestamp(ts).cast("double")
 

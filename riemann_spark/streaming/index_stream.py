@@ -145,12 +145,17 @@ def streaming_index(
         )
     else:
         kk = tuple(keep_keys)
-    valid = {f.name for f in OUTPUT_SCHEMA.fields}
+    # only the fields the reaper actually carries onto the expired row
+    # are valid — accepting any indexed field (e.g. 'time', 'state',
+    # which the reaper always overwrites) would make those silent
+    # no-ops, the exact misconfiguration class this check exists for
+    valid = {"metric", "ttl"}
     unknown = [k for k in kk if k not in valid]
     if unknown:
         raise ValueError(
-            f"streaming_index keep_keys: unknown field(s) {unknown}; "
-            f"indexed fields are {sorted(valid)}"
+            f"streaming_index keep_keys: unknown/uncarryable field(s) "
+            f"{unknown}; the reaper can carry {sorted(valid)} "
+            f'(or "all")'
         )
 
     def update(key, pdfs, state):

@@ -2213,10 +2213,15 @@ def streaming_retrain_trigger(
             else -int(math.floor(-v * 1e6 + 0.5))
         )
 
+    # 'no open window yet' sentinel: far below any reachable hourly
+    # bucket (a plain -1 would collide with the legitimate window id
+    # of pre-epoch events, time_us in [-3600s, 0))
+    NO_WINDOW = -(1 << 62)
+
     def update(key, pdfs, state: GroupState):
         host, service = key
         b, sum_q, n, consec = (
-            state.get if state.exists else (-1, 0, 0, 0)
+            state.get if state.exists else (NO_WINDOW, 0, 0, 0)
         )
         rows = _sorted_rows(
             pdfs, ["event_id", "time", "time_us", "metric", "mu", "sd"]
@@ -2229,7 +2234,7 @@ def streaming_retrain_trigger(
             ):
                 continue
             rb = int(row.time_us) // 3_600_000_000
-            if b != -1 and rb != b:
+            if b != NO_WINDOW and rb != b:
                 mu_q, sd_q = rq(row.mu * 1.0), rq(row.sd * 1.0)
                 drifted = (
                     frac_den * abs(sum_q - n * mu_q)

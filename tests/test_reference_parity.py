@@ -1570,16 +1570,36 @@ def test_iso8601_variable_fraction_vectors(spark):
         (1, "2013-04-15T18:06:58.123456+02:00"),
         (2, "2013-04-15T18:06:58.12-07:00"),
         (3, "not-a-time"),
+        (4, "2013-04-15T18:06:58"),  # offset-less -> UTC
     ]
     df = spark.createDataFrame(rows, "i int, s string")
+    expected = {
+        0: 1366049218.0,
+        1: 1366042018.0,
+        2: 1366074418.0,
+        3: None,
+        4: 1366049218.0,
+    }
     got = {
         r.i: r.t
         for r in df.select("i", iso8601_to_unix(F.col("s")).alias("t")).collect()
     }
-    assert got[0] == 1366049218.0
-    assert got[1] == 1366042018.0
-    assert got[2] == 1366074418.0
-    assert got[3] is None
+    assert got == expected
+    # every vector must be SESSION-TIMEZONE-INDEPENDENT — offset-less
+    # forms anchor to UTC (the reference's clj-time default zone),
+    # they must not drift with spark.sql.session.timeZone
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        got_la = {
+            r.i: r.t
+            for r in df.select(
+                "i", iso8601_to_unix(F.col("s")).alias("t")
+            ).collect()
+        }
+        assert got_la == expected
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def test_json_iso_emission_timezone_independent(spark):

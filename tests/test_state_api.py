@@ -598,9 +598,9 @@ def test_streaming_index_keep_keys_string_and_unknown(spark):
     # bare string: builds without error (would raise on field-name
     # validation if exploded into ('m','e','t','r','i','c'))
     streaming_index(sdf, keep_keys="metric")
-    with _pytest.raises(ValueError, match="unknown field"):
+    with _pytest.raises(ValueError, match="uncarryable"):
         streaming_index(sdf, keep_keys="nope")
-    with _pytest.raises(ValueError, match="unknown field"):
+    with _pytest.raises(ValueError, match="uncarryable"):
         streaming_index(sdf, keep_keys=("metric", "bogus"))
 
 

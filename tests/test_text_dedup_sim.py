@@ -160,23 +160,25 @@ def test_warmstart_state_rebuilds_on_corpus_change(spark, tmp_path):
     star1, bands1 = _warmstart_state(spark, sf)
     n1 = star1.count()
     assert n1 > 0 and bands1.count() > 0
-    # same corpus -> cache hit: the state dir's mtime must not change
+    # same corpus -> cache hit: the stamp-suffixed dir set is stable
     import hashlib as _h
     import tempfile as _t
 
     key = _h.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
     root = os.path.join(_t.gettempdir(), f"riemann_spark_state_{key}")
-    stamp1 = open(os.path.join(root, "STAMP2")).read()
+    dirs1 = sorted(os.listdir(root))
     _warmstart_state(spark, sf)
-    assert open(os.path.join(root, "STAMP2")).read() == stamp1
-    # regenerated corpus (new mtime) -> rebuild with the new content
+    assert sorted(os.listdir(root)) == dirs1
+    # regenerated corpus (new mtime) -> a NEW stamp dir is created
+    # (never replaced under a reader) and stale dirs are swept
     df = spark.read.parquet(f"{sf}/documents.parquet").limit(100)
     df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/stage")
     part = [p for p in os.listdir(f"{sf}/stage") if p.endswith(".parquet")][0]
     os.remove(f"{sf}/documents.parquet")
     shutil.move(f"{sf}/stage/{part}", f"{sf}/documents.parquet")
     star2, _bands2 = _warmstart_state(spark, sf)
-    assert open(os.path.join(root, "STAMP2")).read() != stamp1
+    dirs2 = sorted(d for d in os.listdir(root) if d.startswith(("prior_star", "lake_bands")))
+    assert dirs2 != [d for d in dirs1 if d.startswith(("prior_star", "lake_bands"))]
     assert star2.count() < n1  # state reflects the smaller corpus
     shutil.rmtree(root)
 
