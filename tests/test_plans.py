@@ -800,6 +800,22 @@ def test_docs_query_count_matches_catalog():
     )
 
 
+def test_readme_query_count_matches_catalog():
+    """README.md's '<N> queries' layout line drifts like QUERIES.md
+    did — pin it to len(QUERIES)."""
+    import re
+
+    from riemann_spark.plans import QUERIES
+
+    with open("/root/repo/README.md") as fh:
+        text = fh.read()
+    m = re.search(r"catalog_ml\.py   (\d+) queries", text)
+    assert m, "README.md missing the catalog query-count line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, catalog has {len(QUERIES)}"
+    )
+
+
 def test_coverage_state_table_count_matches():
     """COVERAGE.md's 'ALL N STATE_TABLE rows' claim drifts when ops
     land after the text is written (VERDICT r6: said 17, table had
