@@ -800,6 +800,56 @@ def test_docs_query_count_matches_catalog():
     )
 
 
+def test_value_exactness_survives_partition_count(spark):
+    """The quantized-fold determinism claims, empirically: two
+    value-sensitive queries (a trained-model trajectory and an exact
+    integer-grid fold) must match their DuckDB oracles bit-for-bit
+    under an adversarial shuffle-partition setting — prime partition
+    count, nothing divides evenly."""
+    import duckdb
+    import pandas as pd
+
+    from riemann_spark.plans import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64")
+            elif pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+            elif df[c].dtype == object:
+                df[c] = df[c].map(str)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    # drop the trainer memo so the gradient jobs genuinely run under
+    # the adversarial partitioning (a warm cache would test nothing)
+    from riemann_spark.plans.catalog_ml import _LRN_CACHE
+
+    _LRN_CACHE.clear()
+    try:
+        for name in ("quality_classifier_train", "fold_quotient"):
+            s = norm(QUERIES[name](spark, SF).toPandas())
+            o = norm(con.execute(ORACLES[name]).fetchdf())
+            assert s.shape == o.shape, name
+            assert (s.values == o.values).all(), name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_readme_query_count_matches_catalog():
     """README.md's '<N> queries' layout line drifts like QUERIES.md
     did — pin it to len(QUERIES)."""
