@@ -438,6 +438,10 @@ def incremental_lsh_pairs(
     return (
         j.select(F.explode(F.concat(cross, within)).alias("p"))
         .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+        # a re-crawled doc id present in BOTH the arrival batch and the
+        # stored lake index makes least/greatest collapse to (x, x) —
+        # a self-pair full-corpus lsh_candidate_pairs never emits
+        .filter(F.col("doc1") != F.col("doc2"))
         .distinct()
     )
 

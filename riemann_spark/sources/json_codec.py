@@ -36,16 +36,17 @@ def iso8601_to_unix(col: F.Column) -> F.Column:
         # :date-time-parser accepts these (common.clj:76-84); Spark's
         # default ISO8601 parser handles them (tried last so the
         # UTC-midnight bare-date branch keeps its timezone-independent
-        # semantics). An OFFSET-LESS datetime would parse in the
-        # session timezone, so it is re-anchored to UTC (the
-        # reference's clj-time default zone) — without this, the same
-        # event gets a different instant per session config.
+        # semantics). The offset's minutes group is optional: ISO8601
+        # hour-only offsets ('+02') are valid and the reference's
+        # parser accepts them. An OFFSET-LESS datetime is anchored to
+        # UTC (the reference's clj-time default zone) by appending a
+        # literal 'Z' BEFORE parsing — parsing in the session zone and
+        # shifting back would pick the session offset at two different
+        # wall clocks and drift by an hour inside DST transitions.
         F.when(
-            col.rlike("([Zz]|[+-][0-9]{2}:?[0-9]{2})$"),
+            col.rlike("([Zz]|[+-][0-9]{2}(:?[0-9]{2})?)$"),
             F.try_to_timestamp(col),
-        ).otherwise(
-            F.from_utc_timestamp(F.try_to_timestamp(col), F.current_timezone())
-        ),
+        ).otherwise(F.try_to_timestamp(F.concat(col, F.lit("Z")))),
     )
     return F.unix_timestamp(ts).cast("double")
 

@@ -2215,7 +2215,8 @@ def streaming_retrain_trigger(
 
     # 'no open window yet' sentinel: far below any reachable hourly
     # bucket (a plain -1 would collide with the legitimate window id
-    # of pre-epoch events, time_us in [-3600s, 0))
+    # of pre-epoch events, time_us in [-7200s, -3600s) under
+    # toward-zero truncation)
     NO_WINDOW = -(1 << 62)
 
     def update(key, pdfs, state: GroupState):
@@ -2233,7 +2234,16 @@ def streaming_retrain_trigger(
                 for v in (row.metric, row.mu, row.sd)
             ):
                 continue
-            rb = int(row.time_us) // 3_600_000_000
+            # truncate toward ZERO, not floor — the oracle's DuckDB
+            # '//' and the repo's batch DIV convention both truncate,
+            # so a pre-epoch event (time_us in [-3600s, 0)) must land
+            # in window 0, not Python-floor's -1
+            t_us = int(row.time_us)
+            rb = (
+                -((-t_us) // 3_600_000_000)
+                if t_us < 0
+                else t_us // 3_600_000_000
+            )
             if b != NO_WINDOW and rb != b:
                 mu_q, sd_q = rq(row.mu * 1.0), rq(row.sd * 1.0)
                 drifted = (

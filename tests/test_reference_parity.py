@@ -1571,6 +1571,13 @@ def test_iso8601_variable_fraction_vectors(spark):
         (2, "2013-04-15T18:06:58.12-07:00"),
         (3, "not-a-time"),
         (4, "2013-04-15T18:06:58"),  # offset-less -> UTC
+        (5, "2013-04-15T18:06:58+02"),  # hour-only ISO offset
+        (6, "2013-04-15T18:06:58-07"),
+        (7, "2013-04-15T18:06:58.25"),  # offset-less + fraction -> UTC
+        # offset-less INSIDE a DST skip window (02:30 local does not
+        # exist in America/Los_Angeles on 2013-03-10) — must still be
+        # the plain UTC instant, independent of the session zone
+        (8, "2013-03-10T02:30:00"),
     ]
     df = spark.createDataFrame(rows, "i int, s string")
     expected = {
@@ -1579,6 +1586,10 @@ def test_iso8601_variable_fraction_vectors(spark):
         2: 1366074418.0,
         3: None,
         4: 1366049218.0,
+        5: 1366042018.0,
+        6: 1366074418.0,
+        7: 1366049218.0,
+        8: 1362882600.0,
     }
     got = {
         r.i: r.t

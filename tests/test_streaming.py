@@ -371,3 +371,39 @@ def test_streaming_retrain_trigger_state_across_batches(spark, tmpdirs):
     )
     got = [(r.host, r.service, r.window_id, r.n, r.sum_q) for r in rows]
     assert got == [("h", "s", 1, 3, 30_000_000)]
+
+
+def test_streaming_retrain_trigger_pre_epoch_truncates_toward_zero(
+    spark, tmpdirs
+):
+    """Window ids for pre-epoch events truncate toward ZERO (DuckDB
+    '//' / Spark DIV — the repo's bucketing convention), not Python
+    floor: time_us in [-3600s, 0) is window 0, the same window as
+    [0, 3600s). Python's // would put the pre-epoch rows in window -1,
+    splitting one oracle window into two stream windows."""
+    from riemann_spark.streaming.stateful_ops import streaming_retrain_trigger
+
+    RT = ("event_id long, host string, service string, time double, "
+          "time_us long, metric double, mu double, sd double")
+
+    def ev(i, t_s, metric):
+        return (i, "h", "s", float(t_s), int(t_s) * 1_000_000, metric, 0.0, 1.0)
+
+    src, ckpt = tmpdirs
+    name = f"srtz_{uuid.uuid4().hex[:8]}"
+    batches = [
+        # window 0 spans [-3600s, 3600s) under toward-zero truncation:
+        # a pre-epoch and a post-epoch event must share it (4 rows,
+        # mean 10 => drift #1 when hour 1 opens)
+        [ev(0, -1800, 10.0), ev(1, -60, 10.0), ev(2, 0, 10.0),
+         ev(3, 60, 10.0), ev(4, 3600, 10.0)],
+        # hour 2 opens -> closes hour 1 (drift #2) -> ONE trigger for
+        # window 1; n=1 proves window 0 really held all 4 earlier rows
+        [ev(5, 7200, 0.0)],
+    ]
+    rows = _run_stream(
+        spark, src, ckpt, streaming_retrain_trigger, name, batches,
+        spark_rows_schema=RT,
+    )
+    got = [(r.host, r.service, r.window_id, r.n, r.sum_q) for r in rows]
+    assert got == [("h", "s", 1, 1, 10_000_000)]

@@ -141,6 +141,30 @@ def test_incremental_lsh_pairs_equals_full_banding(spark):
     assert full, "probe corpus produced no arrival-touching pairs"
 
 
+def test_incremental_lsh_pairs_recrawl_emits_no_self_pairs(spark):
+    """A RE-CRAWLED doc — same id in the arrival batch AND the stored
+    lake index — lands in its own band buckets on both sides;
+    least/greatest of equal ids would fabricate a (x, x) self-pair
+    that full-corpus banding never emits. The probe must drop equal-id
+    pairs while keeping the doc's genuine neighbors."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # lake = everything; arrivals = a slice of the SAME docs (re-crawl)
+    lake_bands = dedup.minhash_bands(d)
+    arrivals = d.filter(F.col("doc_id") % 7 == 0)
+    pairs = [
+        (r.doc1, r.doc2)
+        for r in dedup.incremental_lsh_pairs(arrivals, lake_bands).collect()
+    ]
+    assert all(a != b for a, b in pairs), "self-pair leaked"
+    # genuine arrival-touching neighbors survive the self-pair filter
+    full = {
+        (r.doc1, r.doc2)
+        for r in dedup.lsh_candidate_pairs(d).collect()
+        if r.doc1 % 7 == 0 or r.doc2 % 7 == 0
+    }
+    assert set(pairs) == full
+
+
 def test_warmstart_state_rebuilds_on_corpus_change(spark, tmp_path):
     """_warmstart_state is mtime-stamped: the same corpus reuses the
     stored tables (no second build), and a regenerated corpus MUST
