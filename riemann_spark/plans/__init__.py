@@ -20,72 +20,18 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-9 WINDOW (positions 1-50) -------------------------------
-    # Per VERDICT r8 directive #1: (a) the 8 queries that have NEVER
-    # had an external driver row take the first slots, (b) then the 27
-    # remaining r03-hashed rows, (c) new r9 catalog entries, (d) the
-    # oldest r04-hashed rows fill whatever slots remain. Staleness was
-    # recomputed from CORRECTNESS_r01-r08 this round (script in the
-    # commit message); after r9 gates, the floor moves to r04.
-    # -- (a) never-gated (verified via tools/check.py r8, driver-owed):
-    "quality_calibration_report",
-    "mad_outliers",
-    "retrieval_eval_multiquery",
-    "session_funnel",
-    "streaming_mad_gate",
-    "cusum_alerts",
-    "streaming_cusum_drained",
-    "holt_winters_forecast",
-    # -- (b) all 27 r03-hashed rows: --------------------------------------
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "mix_upsample",
-    "multimodal_frames",
-    "multimodal_real_decode",
-    "opentsdb_roundtrip",
-    "pii_scrub",
-    "repetition_filter",
-    "sflatten_regroup",
-    "simhash",
-    "simhash_candidates",
-    "smapcat_tags",
-    "sreduce_runmax",
-    "stratified_sample",
-    "streaming_apdex_closed",
-    "streaming_changed_edges",
-    "streaming_count_windows",
-    "streaming_dedup_fingerprints",
-    "streaming_percentiles_closed",
-    "streaming_sessions_closed",
-    "streaming_throttle_weekly",
-    "streaming_trailing_window",
-    "streaming_window_folds_closed",
-    "tfidf_top_terms",
-    "token_stats",
-    "unigram_lm_score",
-    # -- (c) new round-9 catalog entries: ----------------------------------
-    "incremental_cc_from_table",
-    "fingerprint_df_report",
-    "quality_classifier_train",
-    "hard_negative_mining",
-    "streaming_retrain_trigger_drained",
-    "classifier_train_gate",
-    "streaming_classifier_gate_drained",
-    "knn_ivf_from_table",
-    "ivf_cell_balance_report",
-    # -- (d) oldest r04-hashed rows fill the remaining slots: --------------
-    "ann_recall_report",
-    "anomaly_zscore",
-    "attribute_search",
-    "audio_features",
-    "config_topology",
-    "contamination_report",
+    # ---- ROUND-10 WINDOW (positions 1-50) ------------------------------
+    # Per VERDICT r9 directive #1: finish the stale-hash rotation. The
+    # 44 rows whose latest driver hash is r04 (recomputed from
+    # CORRECTNESS_r01-r09: histogram r4=44, r5..r9=50 each, zero
+    # never-gated) take positions 1-44; the new round-10 catalog
+    # entries fill the remaining ≤6 slots. After r10 gates, the
+    # staleness floor moves to r05.
+    # -- (a) all 44 r04-hashed rows: --------------------------------------
     "curation_pipeline_cls",
     "dedup_cluster_sizes",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
-    # ---- ROUND-10 FRONT (positions 51+): remaining r04 rows ------------
     "dedup_pair_provenance",
     "doc_fingerprint",
     "events_heatmap",
@@ -126,6 +72,65 @@ _GATE_PRIORITY = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
+    # -- (b) new round-10 catalog entries (≤6 to keep 44+new ≤ 50): -------
+    "incremental_index_writeback",
+    "knn_lsh_multiprobe",
+    "ivf_index_maintenance",
+    "mixture_replan_after_dedup",
+    "classifier_calibration_drift",
+    # ---- ROUND-11 FRONT (positions 51+): the 50 r05-hashed rows — the
+    # next-stalest tier once r10 gates (latest-gate histogram after
+    # this round: r5=50, r6=50, r7=50, r8=50, r9=50, r10=50) ------------
+    "bpe_tokenize",
+    "curation_funnel",
+    "customers_without_orders",
+    "dedup_embedding_keeplist",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_token_savings",
+    "dsir_selection",
+    "graphite_dead_letter",
+    "holt_forecast",
+    "index_expired",
+    "index_latest",
+    "index_search",
+    "influx_line_roundtrip",
+    "knn_hamming",
+    "knn_ivf_kmeans",
+    "lang_id",
+    "mix_temperature",
+    "multimodal_features",
+    "prometheus_rw_roundtrip",
+    "prometheus_text_roundtrip",
+    "quality_score",
+    "rate_per_hour",
+    "salted_agg_by_state",
+    "sample_per_source",
+    "segment_dedup_keep_first",
+    "shuffle_shards",
+    "split_route",
+    "streaming_anomaly_drained",
+    "streaming_batch_drained",
+    "streaming_coalesce_drained",
+    "streaming_dedup_minhash_drained",
+    "streaming_ewma_halflife",
+    "streaming_fill_in_last_drained",
+    "streaming_heavy_hitters_closed",
+    "streaming_moving_time_drained",
+    "streaming_percentiles_histogram_closed",
+    "streaming_project_drained",
+    "streaming_rate_closed",
+    "streaming_slo_burn_drained",
+    "streaming_top_drained",
+    "tagged_filter",
+    "text_features",
+    "top_suppliers_per_part",
+    "tpch_q11",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "transform_fields",
+    "where_filter",
 ]
 
 def _reorder(d: dict) -> dict:
