@@ -39,19 +39,36 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _gram_array(col: str | Column, k: int) -> Column:
+    """Positional (non-distinct) word k-gram array.
+
+    The token array is BOUND through a single-element transform so the
+    regex split evaluates ONCE per row — Catalyst does not CSE across
+    higher-order functions (the bloom_hit_from_md5 lesson), so an
+    unbound ``toks`` embedded at every ``element_at`` site re-split
+    the document k times per gram: ~4·n_tokens regex splits per doc,
+    ~20× the whole-expression cost at sf0.1."""
+    c = tokens(col)
+
+    def _grams(toks: Column) -> Column:
+        # guard: Spark's sequence(0, -1) is DESCENDING, so short docs
+        # need an explicit empty-array branch (mirrors the oracle's CASE)
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(c), _grams), 0)
+
+
 def shingles(col: str | Column = "text", k: int = 3) -> Column:
     """Distinct word k-gram shingles, space-joined."""
-    toks = tokens(col)
-    # guard: Spark's sequence(0, -1) is DESCENDING, so short docs need
-    # an explicit empty-array branch (mirrors the oracle's CASE)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(_gram_array(col, k))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -458,21 +475,31 @@ def simhash16(col: str | Column = "text") -> Column:
 
     For each of 16 bit positions p (hex chars 1-4 of md5(token), 4 bits
     each): sum over tokens of ±1 by the token's bit → sign → bit p of
-    the signature. Pure array/string ops, cross-engine exact."""
+    the signature. Pure array/string ops, cross-engine exact. The
+    hash array is BOUND through a single-element transform (the
+    _gram_array discipline): the 16 per-bit vote aggregates read one
+    materialized array instead of re-running tokenize+distinct+md5
+    sixteen times per row."""
     toks = F.array_distinct(tokens(col))
     hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 4))
-    out = F.lit(0)
-    for p in range(16):
-        char_idx = p // 4 + 1
-        bit = p % 4
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(_hex_nibble_bits(F.substring(h, char_idx, 1), bit) == 1, 1).otherwise(-1),
-        )
-        out = out + F.when(votes > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return out
+
+    def _sig(hs: Column) -> Column:
+        out = F.lit(0)
+        for p in range(16):
+            char_idx = p // 4 + 1
+            bit = p % 4
+            votes = F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    _hex_nibble_bits(F.substring(h, char_idx, 1), bit) == 1, 1
+                ).otherwise(-1),
+            )
+            out = out + F.when(votes > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        return out
+
+    return F.get(F.transform(F.array(hashes), _sig), 0)
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -678,18 +705,9 @@ def duplicated_spans(
     shuffles (gram, then doc), both map-side combinable at the rollup.
     No posting-list join-back, so a hot gram costs its row count, not
     its square."""
-    toks = tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     g = _spread(df).select(
-        F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gram")
+        F.col(id_col).alias("doc"),
+        F.posexplode(_gram_array(text_col, k)).alias("pos", "gram"),
     )
     w = Window.partitionBy("gram")
     flagged = g.select(
