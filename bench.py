@@ -234,6 +234,16 @@ HEADLINE = [
     "ivf_cell_balance_report",
     # streaming_retrain_trigger_drained stays OUT with the other
     # *_drained queries (harness fixed cost dominates)
+    # round-10 additions
+    "knn_lsh_multiprobe",
+    "ivf_index_maintenance",
+    "mixture_replan_after_dedup",
+    "classifier_calibration_drift",
+    # incremental_index_writeback stays OUT: one invocation builds the
+    # lake state and runs THREE CC fixpoints plus two state writes —
+    # maintenance-fixture cost, not a query plan (the
+    # warmstart_savings_report rationale); the correctness gate covers
+    # the full two-batch write-back equality
 ]
 
 

@@ -299,18 +299,39 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: same-LSH-bucket candidates, exact re-rank.
 
     The corpus is bucketed once (pure projection); the join is
     bucket-equality — shuffle on a low-cardinality int key instead of
     a crossJoin. Recall is tunable via n_planes (fewer planes → bigger
-    buckets → higher recall, more compute)."""
+    buckets → higher recall, more compute).
+
+    ``multiprobe`` (default ON — Lv et al., VLDB 2007): each query
+    ALSO probes the n_planes buckets at Hamming distance 1 from its
+    own (flip one sign bit), because a near neighbor that lands just
+    across one hyperplane is the dominant LSH miss mode. Measured at
+    sf0.01 defaults: recall@5 0.15 single-bucket → 0.525 multiprobe.
+    Cost: the QUERY side fans out ×(n_planes+1) — the corpus is still
+    bucketed once, the join is still bucket-equality, and no
+    candidate repeats (a corpus vector lives in exactly one bucket
+    and the probe buckets are distinct). At 4 planes that scans ~5/16
+    of the corpus per query — for tighter scans raise n_planes, not
+    single-bucket probing. Single-bucket (multiprobe=False) remains
+    the diagnostic tier ann_recall_report tracks as the floor."""
+    b0 = lsh_bucket(F.col(vec_col), n_planes, dim)
+    if multiprobe:
+        probes = F.explode(
+            F.array(b0, *[b0.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+        )
+    else:
+        probes = b0
     qa = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_n"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        probes.alias("bucket"),
     )
     ca = corpus.select(
         F.col(id_col).alias("n_id"),

@@ -278,7 +278,50 @@ def test_lsh_topk_finds_same_bucket_neighbor(spark):
     out = similarity.lsh_topk(df.filter(F.col("vec_id") == 0), df, 2, n_planes=4, dim=16)
     got = [(r.n_id, r.rank) for r in out.collect()]
     assert (1, 1) in got
-    assert all(n != 2 for n, _ in got)  # anti-parallel is in another bucket
+    # anti-parallel flips ALL plane signs (Hamming 4) — out of reach
+    # even for the flip-1 multiprobe default
+    assert all(n != 2 for n, _ in got)
+
+
+def test_lsh_topk_multiprobe_reaches_one_flip_neighbor(spark):
+    """Multi-probe recovers the dominant LSH miss: a true neighbor
+    that lands ONE hyperplane flip away. Build a neighbor whose
+    bucket differs from the query's in exactly one bit — single-
+    bucket probing must miss it, the flip-1 default must rank it."""
+    import hashlib
+
+    def plane(p):
+        return [
+            1.0 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] >= "8" else -1.0
+            for i in range(16)
+        ]
+
+    def bucket(v):
+        return sum(
+            2 ** p
+            for p in range(4)
+            if sum(x * s for x, s in zip(v, plane(p))) > 0
+        )
+
+    base = [1.0] * 16
+    # walk along one plane's normal until exactly that sign flips —
+    # moving along a normal can graze OTHER planes' zero crossings
+    # (and a balanced plane dotted with all-ones is exactly 0), so
+    # search the 4 candidates for the one that lands Hamming-1 away
+    near = next(
+        cand
+        for p in range(4)
+        for d in [sum(b * s for b, s in zip(base, plane(p)))]
+        if abs(d) >= 2.0
+        for cand in [[b - 1.1 * d * s / 16.0 for b, s in zip(base, plane(p))]]
+        if bin(bucket(base) ^ bucket(cand)).count("1") == 1
+    )
+    df = vecs(spark, base, near)
+    q_ = df.filter(F.col("vec_id") == 0)
+    single = similarity.lsh_topk(q_, df, 2, 4, 16, multiprobe=False).collect()
+    multi = similarity.lsh_topk(q_, df, 2, 4, 16).collect()
+    assert all(r.n_id != 1 for r in single)  # one flip away: missed
+    assert any(r.n_id == 1 for r in multi)  # ...and recovered
 
 
 def test_ivf_topk(spark):
