@@ -9505,17 +9505,19 @@ def ivf_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     SQL."""
     e = load_table(spark, sf, "embeddings")
     cents = _ivf_codebook_state(spark, sf)
-    arrives = F.col("vec_id") % 4 == 3
     a = similarity.ivf_cell_assignments(e, cents).withColumn(
         "is_new", F.col("vec_id") % 4 == 3
     )
+    # one corpus assignment pass -> a k-row per-cell count table
+    # (checkpointed); the totals are a second k-row fold over it, so
+    # the corpus is scanned exactly ONCE
     cnt = a.groupBy("cell").agg(
         F.sum((~F.col("is_new")).cast("long")).cast("long").alias("nb"),
         F.sum(F.col("is_new").cast("long")).cast("long").alias("na"),
-    )
-    tot = e.agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.sum((~arrives).cast("long")).cast("long").alias("n_lake"),
+    ).localCheckpoint()
+    tot = cnt.agg(
+        F.sum(F.col("nb") + F.col("na")).cast("long").alias("n_total"),
+        F.sum("nb").cast("long").alias("n_lake"),
     )
     nb = F.coalesce(F.col("nb"), F.lit(0)).cast("long")
     na = F.coalesce(F.col("na"), F.lit(0)).cast("long")
@@ -9612,35 +9614,27 @@ def mixture_replan_after_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
     labels = dedup.connected_components(pairs)
-    keep_ids = (
-        d.join(labels, d.doc_id == labels.node, "left_anti")
-        .select("doc_id")
-        .unionByName(
-            labels.filter(F.col("node") == F.col("cluster")).select(
-                F.col("node").alias("doc_id")
-            )
-        )
-    )
+    # keep = not in any near-dup cluster, OR the cluster's canonical
+    # (min-id) member — derived from ONE labels left join instead of
+    # materializing a keep-id list, so BOTH rollups come out of a
+    # single tokenization pass over a single documents scan
     t = d.select(
         "doc_id", "source", text.token_count("text").cast("long").alias("n_toks")
     )
-    before = t.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_toks").cast("long").alias("n_tokens"),
-    )
-    after = t.join(keep_ids, "doc_id").groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
-        F.sum("n_toks").cast("long").alias("n_tokens_kept"),
-    )
+    lab = labels.select(F.col("node").alias("doc_id"), "cluster")
+    kept = F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
     wv = Window.partitionBy()
-    j = before.join(after, "source", "left").select(
-        "source",
-        "n_docs",
-        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
-        "n_tokens",
-        F.coalesce("n_tokens_kept", F.lit(0))
-        .cast("long")
-        .alias("n_tokens_kept"),
+    j = (
+        t.join(lab, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("n_docs_kept"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
     )
 
     def p_of(col):
@@ -9763,10 +9757,13 @@ def classifier_calibration_drift(spark: SparkSession, sf: str) -> DataFrame:
         / F.count(F.lit(1))
     )
     pr = F.sum("y").cast("double") / F.count(F.lit(1))
+    # g is (≤4 windows × 10 bins) rows — checkpoint it so the e / wr /
+    # baseline branches read the tiny aggregate instead of each
+    # re-running inference over the corpus (3 extra full scans)
     g = bb.groupBy("w", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.abs(mp - pr).alias("gap"),
-    )
+    ).localCheckpoint()
     e = g.groupBy("w").agg(
         F.sum("n").cast("long").alias("n_docs"),
         F.round(

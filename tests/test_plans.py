@@ -1270,6 +1270,71 @@ def test_hard_negative_mining_single_scoring_pass(spark):
     assert "CartesianProduct" not in p
 
 
+def test_knn_lsh_multiprobe_stays_bucket_join_shaped(spark):
+    """VERDICT r9 #4's 'plan still bucket-join-shaped' bar: the
+    multiprobe default must keep ONE bucket-equality broadcast join
+    (only the 8-row query side fans out ×(n_planes+1)) — no
+    cartesian, no sort-merge, corpus bucketed in one pass."""
+    import re
+
+    p = plan_of(spark, "knn_lsh_multiprobe")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2, p[:1500]
+
+
+def test_ivf_index_maintenance_single_assignment_pass(spark):
+    """The maintenance report must reuse the search path's single
+    broadcast-codebook assignment pass (one corpus scan split by an
+    arrival flag — never two reads), plus model-sized rollup joins."""
+    import re
+
+    p = plan_of(spark, "ivf_index_maintenance")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # embeddings scanned at most twice: the assignment pass and the
+    # two-scalar totals row — the arrival split rides a flag, not a
+    # second assignment
+    assert p.count("Scan parquet") <= 3, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 4, p[:1500]
+
+
+def test_mixture_replan_single_tokenization(spark):
+    """Both token rollups (raw and keep-list) must come from ONE
+    tokenization projection — the documents parquet is scanned at
+    most twice (tokens + the keep-list anti-join side) and the
+    re-plan windows run over the source-cardinality frame."""
+    import re
+
+    p = plan_of(spark, "mixture_replan_after_dedup")
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") <= 3, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 7, p[:1500]
+
+
+def test_classifier_calibration_drift_projection_inference(spark):
+    """Inference must stay a zero-shuffle projection feeding one
+    (window × bin) aggregate: no cartesian except the broadcast
+    one-row baseline, ≤2 corpus scans (e/wr branches), bounded
+    exchanges."""
+    import re
+
+    p = plan_of(spark, "classifier_calibration_drift")
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") <= 2, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 6, p[:1500]
+
+
+def test_incremental_index_writeback_reads_stored_state(spark):
+    """The two-batch loop's OUTPUT plan must read stored state (the
+    final star parquet) and the checkpointed phase pairs — never
+    re-run the lake banding — and join clusters by doc key only."""
+    import re
+
+    p = plan_of(spark, "incremental_index_writeback")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 4, p[:1500]
+
+
 def test_interval_vector_audit():
     """The round-7 'interval-vector sweep is exhaustive' claim, made
     checkable (VERDICT r7 #8): every deftest in the reference test
