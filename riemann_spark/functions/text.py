@@ -537,16 +537,22 @@ def mix_temperature(
 def segments(col: str | Column = "text", seg_tokens: int = 10) -> Column:
     """Non-overlapping token chunks of ``seg_tokens`` — the dedup unit
     for corpora without line structure (a paragraph/line proxy; C4 and
-    CCNet dedup at exactly this granularity when line breaks exist)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    n_segs = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
-    return F.transform(
-        F.sequence(F.lit(1), n_segs),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, (i - 1) * seg_tokens + 1, seg_tokens)
-        ),
-    )
+    CCNet dedup at exactly this granularity when line breaks exist).
+    The token array is bound through a single-element transform (the
+    dedup._gram_array discipline) so the regex split runs once per
+    row, not once per segment."""
+    c = tokens(col)
+
+    def _segs(toks: Column) -> Column:
+        n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * seg_tokens + 1, seg_tokens)
+            ),
+        )
+
+    return F.get(F.transform(F.array(c), _segs), 0)
 
 
 def segment_dedup(

@@ -4702,16 +4702,19 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     explosion anywhere, unlike overlap joins) → join back → per-doc
     rollup bounded by document length. Linear at any corpus size."""
     d = load_table(spark, sf, "documents")
-    toks = text.tokens("text")
-    grams = F.when(
-        F.size(toks) >= _NOV_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - _NOV_N + 1),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i, _NOV_N))
+
+    def _grams(tk):
+        # bound token array (dedup._gram_array discipline): one regex
+        # split per row, not one per gram
+        return F.when(
+            F.size(tk) >= _NOV_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - _NOV_N + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, _NOV_N))),
             ),
-        ),
-    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", tk))))
+
+    grams = F.get(F.transform(F.array(text.tokens("text")), _grams), 0)
     g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
     freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     shared = F.sum((F.col("df") > 1).cast("int"))
