@@ -9422,7 +9422,12 @@ def incremental_index_writeback(spark: SparkSession, sf: str) -> DataFrame:
             F.col("node").alias("doc1"), F.col("cluster").alias("doc2")
         )
 
-    # batch 1: probe stored state, then WRITE BACK
+    # batch 1: probe stored state, then WRITE BACK. Overwriting
+    # star_path under star1 is safe ONLY because connected_components
+    # eagerly localCheckpoints its edge input (and every round), so
+    # star1's lineage no longer reads the parquet being replaced — at
+    # deploy, write a new snapshot dir and swap, as _warmstart_state
+    # does.
     p1 = dedup.incremental_lsh_pairs(
         b1, spark.read.parquet(idx_path), _N_HASHES, _BAND
     ).localCheckpoint()

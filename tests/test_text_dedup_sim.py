@@ -1745,3 +1745,38 @@ def test_cc_warmstart_equals_scratch(spark):
         assert sorted(map(tuple, warm.collect())) == sorted(
             map(tuple, scratch.collect())
         ), (old, new)
+
+
+def test_incremental_index_writeback_batch2_sees_batch1(spark, tmp_path):
+    """The write-back loop's defining property, asserted directly: a
+    batch2 doc near-duplicating a BATCH1 doc (no lake copy) can only
+    pair with it through the (doc, band) rows batch 1 APPENDED to the
+    stored index — the initial lake state contains neither endpoint.
+    Crafted corpus: ids 5 (lake), 10 (batch1), 11 (batch2) share one
+    text; the catalog query must emit (10, 11) in phase batch2, and
+    all three docs must land in ONE final cluster."""
+    from riemann_spark.plans import QUERIES
+
+    dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    other = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    # doc_id % 5: lake in {2,3,4}, batch1 == 0, batch2 == 1
+    rows = [(2, dup), (10, dup), (11, dup), (7, other), (16, other)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        (r.doc1, r.doc2): (r.phase, r.cluster)
+        for r in QUERIES["incremental_index_writeback"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # batch2(11) x batch1(10) — exists ONLY via the written-back rows
+    assert got[(10, 11)][0] == "batch2"
+    # batch1 x lake via the initial index; batch2 x lake likewise
+    assert got[(2, 10)][0] == "batch1"
+    assert got[(2, 11)][0] == "batch2"
+    # one component, min-id representative, across all three phases
+    assert all(c == 2 for (_, c) in [got[(2, 10)], got[(2, 11)], got[(10, 11)]])
+    # the second family: lake(7) x batch2(16) only
+    assert got[(7, 16)] == ("batch2", 7)
+    assert len(got) == 4
