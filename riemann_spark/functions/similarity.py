@@ -321,18 +321,27 @@ def lsh_topk(
     single-bucket probing. Single-bucket (multiprobe=False) remains
     the diagnostic tier ann_recall_report tracks as the floor."""
     b0 = lsh_bucket(F.col(vec_col), n_planes, dim)
-    if multiprobe:
-        probes = F.explode(
-            F.array(b0, *[b0.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
-        )
-    else:
-        probes = b0
     qa = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_n"),
-        probes.alias("bucket"),
+        # materialize the home bucket behind a projection boundary so
+        # the probe expansion reads an attribute instead of embedding
+        # the n_planes-fold bucket expression once per probe
+        b0.alias("bucket"),
     )
+    if multiprobe:
+        b = F.col("bucket")
+        qa = qa.select(
+            "q_id",
+            "q_vec",
+            "q_n",
+            F.explode(
+                F.array(
+                    b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+                )
+            ).alias("bucket"),
+        )
     ca = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
