@@ -477,6 +477,58 @@ def ivf_cell_assignments(
     )
 
 
+def centroid_literals(centroid_rows) -> list:
+    """Collected (cell, c_vec) rows → sorted (cell, vec, norm)
+    triples for ``ivf_assign_expr``. The norm is computed with the
+    IDENTICAL IEEE sequence as ``norm``'s left fold ((0.0 + x₁²) + x₂²
+    + …, then sqrt), so the expression path lands bit-equal cosines
+    to the join path."""
+    out = []
+    for r in centroid_rows:
+        vec = [float(x) for x in r["c_vec"]]
+        n = 0.0
+        for x in vec:
+            n += x * x
+        out.append((int(r["cell"]), vec, math.sqrt(n)))
+    return sorted(out)
+
+
+def ivf_assign_expr(vec: Column, centroids: list) -> Column:
+    """Nearest-centroid cell as a PURE COLUMN EXPRESSION over codebook
+    literals — the ingest-time form of ``ivf_cell_assignments``. The
+    window/crossJoin assignment cannot run inside a streaming append
+    plan (no windows on streams), so the serve lineage's ingest leg
+    needs this: cosine against each of the k broadcast-sized centroid
+    literals, argmax via array_max over (cos, -cell) structs — struct
+    ordering gives exactly the join path's tie-break (cos DESC, cell
+    ASC). ``centroids`` is ``centroid_literals(...)`` output (the
+    model artifact, k·dim floats — a literal the planner ships with
+    the task, no join, no shuffle, no state).
+
+    Exactness: per-cell cosine is the same ``_dots`` fold over the
+    same doubles with the same precomputed norms, so assignments are
+    bit-identical to the batch path — tested head-to-head. The query
+    vector's norm is bound through a single-element transform (one
+    fold per row, not one per cell)."""
+
+    def _best(qn: Column) -> Column:
+        entries = []
+        for cell, cv, cn in centroids:
+            cos = _dots(vec, F.array(*[F.lit(x) for x in cv])) / (
+                qn * F.lit(cn)
+            )
+            entries.append(
+                F.struct(
+                    cos.alias("cos"),
+                    F.lit(-cell).cast("long").alias("negcell"),
+                    F.lit(cell).cast("long").alias("cell"),
+                )
+            )
+        return F.array_max(F.array(*entries))["cell"]
+
+    return F.get(F.transform(F.array(norm(vec)), _best), 0)
+
+
 # ------------------------------------------------------------------ #
 # k-means coarse quantizer (the production IVF training step)
 

@@ -72,12 +72,13 @@ _GATE_PRIORITY = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
-    # -- (b) new round-10 catalog entries (≤6 to keep 44+new ≤ 50): -------
+    # -- (b) new round-10 catalog entries (exactly 6: 44 + 6 = 50): -------
     "incremental_index_writeback",
     "knn_lsh_multiprobe",
     "ivf_index_maintenance",
     "mixture_replan_after_dedup",
     "classifier_calibration_drift",
+    "streaming_ivf_assign_drained",
     # ---- ROUND-11 FRONT (positions 51+): the 50 r05-hashed rows — the
     # next-stalest tier once r10 gates (latest-gate histogram after
     # this round: r5=50, r6=50, r7=50, r8=50, r9=50, r10=50) ------------

@@ -9805,3 +9805,67 @@ def classifier_calibration_drift(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("ece") > 2 * F.col("ece0")).alias("drifted"),
         )
     )
+
+
+def _ivf_assign_sql(k: int, dim: int, iters: int) -> str:
+    parts = _lloyd_parts(k, dim, iters)
+    cf = f"c{iters}"
+    parts.append(
+        "ca AS (SELECT vec_id, cell FROM ("
+        " SELECT e.vec_id, c.cell,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {_cos_sql('e.v', 'c.c')} DESC, c.cell) AS r"
+        f" FROM e CROSS JOIN {cf} c) WHERE r = 1)"
+    )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM ca"
+
+
+@q("streaming_ivf_assign_drained", _ivf_assign_sql(_IVF_CELLS, 64, 5))
+def streaming_ivf_assign_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cell assignment AT INGEST — the serve lineage's ingest leg
+    (train: knn_ivf_kmeans → store: _ivf_codebook_state → serve:
+    knn_ivf_from_table → maintain: ivf_index_maintenance → monitor:
+    ivf_cell_balance_report → retrain: streaming_retrain_trigger —
+    and now arriving vectors are routed to their cell BEFORE landing,
+    so the lake can be written cell-partitioned and a later search
+    never re-assigns). The window/crossJoin assignment cannot run in
+    an append-mode stream, so this rides
+    similarity.ivf_assign_expr: the stored codebook collects into
+    k·dim literals (the model artifact — 16×64 doubles here) and the
+    argmax is a pure expression with the join path's exact tie-break;
+    assignments are bit-identical to ivf_cell_assignments
+    (head-to-head test). STATELESS append mode: no state store, no
+    watermark; at 100 TB the stage scales with source partitions
+    alone, like the other ingest gates. The oracle replays the full
+    Lloyd training and the window-form assignment in unrolled SQL —
+    green means expression inference == replayed training + join
+    assignment."""
+    import tempfile
+    import uuid as _uuid
+
+    name = f"cat_sia_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sia_ck_")
+    lits = similarity.centroid_literals(
+        _ivf_codebook_state(spark, sf).collect()
+    )
+    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    out = raw.select(
+        "vec_id",
+        similarity.ivf_assign_expr(F.col("embedding"), lits).alias("cell"),
+    )
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

@@ -1780,3 +1780,25 @@ def test_incremental_index_writeback_batch2_sees_batch1(spark, tmp_path):
     # the second family: lake(7) x batch2(16) only
     assert got[(7, 16)] == ("batch2", 7)
     assert len(got) == 4
+
+
+def test_ivf_assign_expr_matches_window_assignment(spark):
+    """The ingest-time expression argmin must be BIT-IDENTICAL to the
+    crossJoin+window assignment the batch/search paths use — same
+    _dots folds, same precomputed norms, same (cos DESC, cell ASC)
+    tie-break via the (cos, -cell) struct max."""
+    from riemann_spark.plans.catalog_ml import _ivf_codebook_state
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = _ivf_codebook_state(spark, sf)
+    lits = similarity.centroid_literals(cents.collect())
+    a = {r.vec_id: r.cell for r in similarity.ivf_cell_assignments(e, cents).collect()}
+    b = {
+        r.vec_id: r.cell
+        for r in e.select(
+            "vec_id",
+            similarity.ivf_assign_expr(F.col("embedding"), lits).alias("cell"),
+        ).collect()
+    }
+    assert a == b and len(a) == e.count()
