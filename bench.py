@@ -239,6 +239,7 @@ HEADLINE = [
     "ivf_index_maintenance",
     "mixture_replan_after_dedup",
     "classifier_calibration_drift",
+    "knn_pq_from_table",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

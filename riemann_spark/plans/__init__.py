@@ -79,9 +79,11 @@ _GATE_PRIORITY = [
     "mixture_replan_after_dedup",
     "classifier_calibration_drift",
     "streaming_ivf_assign_drained",
-    # ---- ROUND-11 FRONT (positions 51+): the 50 r05-hashed rows — the
-    # next-stalest tier once r10 gates (latest-gate histogram after
-    # this round: r5=50, r6=50, r7=50, r8=50, r9=50, r10=50) ------------
+    # ---- ROUND-11 FRONT (positions 51+): first the one r10 entry that
+    # missed the full window (strict-checked green at sf0.001/sf0.01
+    # this round, driver row owed), then the 50 r05-hashed rows — the
+    # next-stalest tier once r10 gates --------------------------------
+    "knn_pq_from_table",
     "bpe_tokenize",
     "curation_funnel",
     "customers_without_orders",

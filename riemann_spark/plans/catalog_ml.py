@@ -9869,3 +9869,52 @@ def streaming_ivf_assign_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+def _pq_codebook_state(spark: SparkSession, sf: str) -> DataFrame:
+    """The trained PQ codebooks as a STORED parquet table — the
+    _ivf_codebook_state posture for the compressed tier: the keyed
+    Lloyd (pq_kmeans_codebook) runs ONCE per corpus, the (m, code,
+    cw) table lands in the shared mtime-stamped state root, and every
+    ADC search READS it. Parquet doubles are IEEE round-trip-stable,
+    so served results are bit-equal to train-then-search."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf, "embeddings.parquet")
+    stamp = str(os.stat(src).st_mtime_ns)
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"riemann_spark_state_{key}")
+    path = os.path.join(root, f"pq_codebooks-{stamp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = load_table(spark, sf, "embeddings")
+        cb = similarity.pq_kmeans_codebook(e, n_iter=5)
+        os.makedirs(root, exist_ok=True)
+        staging = f"{path}.staging-{os.getpid()}"
+        cb.write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:  # a concurrent builder won; content identical
+            shutil.rmtree(staging, ignore_errors=True)
+        for stale in glob.glob(os.path.join(root, "pq_codebooks-*")):
+            if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
+                shutil.rmtree(stale, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+@q("knn_pq_from_table", _pq_trained_oracle(16, 5))
+def knn_pq_from_table(spark: SparkSession, sf: str) -> DataFrame:
+    """The PQ SERVING read path — knn_ivf_from_table's pattern on the
+    compressed tier: identical ADC search to knn_pq_trained, but the
+    trained per-subspace codebooks are READ from the stored table
+    (_pq_codebook_state) instead of re-running the keyed Lloyd
+    in-query. Green against the full replay-the-training oracle means
+    the stored model serves the same shortlists as train-then-search;
+    and since query-time cost is code-table scan + LUT only, this
+    variant is benchable where knn_pq_trained (5 sequential trainer
+    jobs) is not."""
+    e = load_table(spark, sf, "embeddings")
+    cb = _pq_codebook_state(spark, sf)
+    return similarity.pq_topk(e.filter(F.col("vec_id") < 8), e, 5, codebook=cb)
