@@ -240,6 +240,9 @@ HEADLINE = [
     "mixture_replan_after_dedup",
     "classifier_calibration_drift",
     "knn_pq_from_table",
+    "pq_code_maintenance",
+    "dedup_tier_agreement",
+    "classifier_uncertainty_sampling",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

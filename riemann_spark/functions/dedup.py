@@ -330,6 +330,71 @@ def minhash_bands(
     )
 
 
+def minhash_band_array(
+    col: str | Column = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> Column:
+    """The doc's LSH band keys as a PURE per-row expression — the exact
+    band strings ``minhash_bands`` emits (head-to-head-tested), with no
+    explode/groupBy, so it runs where aggregations can't: stateless
+    append-mode streams (an ingest-time near-dup probe against a stored
+    band index is a stream-static join on ``explode(this)``) and plain
+    ingest projections. sig_i = min over distinct shingles of the
+    (i mod 4)-th 8-hex chunk of the (i div 4)-th salted md5 — the same
+    two-md5 hash family as ``minhash_signatures`` (see its saturation
+    note). Docs with no shingles (< k tokens) yield an EMPTY array,
+    matching the grouped form where such docs contribute no rows.
+
+    Shape: the per-shingle salted md5s bind ONCE via the
+    single-element-transform trick (one k-gram build + n_md5 md5s per
+    shingle per row — the grouped form's hash count exactly); each
+    signature is then one substring traversal of the bound hash array.
+    Everything stays in whole-stage codegen."""
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 needs more than two md5s per shingle")
+    n_md5 = (n_hashes + 3) // 4
+    n_bands = n_hashes // band_size
+    hashed = F.transform(
+        shingles(col, k),
+        lambda s: F.concat(
+            *[
+                F.md5(s) if m == 0 else F.md5(F.concat(F.lit(str(m)), s))
+                for m in range(n_md5)
+            ]
+        ),
+    )
+
+    def _bands(hs: Column) -> Column:
+        def sig(i: int) -> Column:
+            return F.array_min(
+                F.transform(
+                    hs,
+                    lambda h: F.substring(
+                        h, 32 * (i // 4) + 8 * (i % 4) + 1, 8
+                    ),
+                )
+            )
+
+        sigs = [sig(i) for i in range(n_hashes)]
+        return F.when(
+            F.size(hs) > 0,
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[sigs[b * band_size + j] for j in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(hashed), _bands), 0)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     n_hashes: int = 8,

@@ -647,6 +647,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    with_dist: bool = False,
 ) -> DataFrame:
     """PQ codes: the vector splits into ``n_sub`` subvectors; each maps
     to its nearest codeword (squared L2 in the subspace) from a
@@ -655,6 +656,12 @@ def pq_encode(
     per-subspace k-means offline for production). A 64-float vector
     compresses to n_sub small ints — the 32x memory cut that makes
     billion-vector indexes fit executor RAM at 100 TB.
+
+    ``with_dist`` adds ``d2q``: the winning squared-L2 residual
+    quantized to a 1e-9 integer (the repo's cross-engine-exact-sum
+    device) — the per-row quantization error that index-health
+    reports aggregate (mean residual drift is the 'codebook no
+    longer fits the data' retrain signal).
 
     Shape: (id, subspace, code) rows via one explode + broadcast
     codebook join + per-(id, subspace) argmin — the corpus is scanned
@@ -689,13 +696,20 @@ def pq_encode(
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("id", "m").orderBy("d2", "code")
-    return (
+    winners = (
         slices.join(F.broadcast(cb), "m")
         .withColumn("d2", d2)
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
-        .select("id", "m", "code")
     )
+    if with_dist:
+        return winners.select(
+            "id",
+            "m",
+            "code",
+            F.round(F.col("d2") * F.lit(1e9)).cast("long").alias("d2q"),
+        )
+    return winners.select("id", "m", "code")
 
 
 def pq_codebook(

@@ -79,11 +79,15 @@ _GATE_PRIORITY = [
     "mixture_replan_after_dedup",
     "classifier_calibration_drift",
     "streaming_ivf_assign_drained",
-    # ---- ROUND-11 FRONT (positions 51+): first the one r10 entry that
-    # missed the full window (strict-checked green at sf0.001/sf0.01
-    # this round, driver row owed), then the 50 r05-hashed rows — the
-    # next-stalest tier once r10 gates --------------------------------
+    # ---- ROUND-11 FRONT (positions 51+): first the five r10 entries
+    # that missed the full window (strict-checked green at
+    # sf0.001/sf0.01 this round, driver row owed), then the 50
+    # r05-hashed rows — the next-stalest tier once r10 gates ----------
     "knn_pq_from_table",
+    "pq_code_maintenance",
+    "dedup_tier_agreement",
+    "classifier_uncertainty_sampling",
+    "streaming_neardup_probe_drained",
     "bpe_tokenize",
     "curation_funnel",
     "customers_without_orders",

@@ -2694,11 +2694,11 @@ def knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_topk_rerank(e.filter(F.col("vec_id") < 8), e, 5, 50)
 
 
-def _pq_trained_oracle(n_codes: int, iters: int) -> str:
-    """Keyed Lloyd replay for per-subspace PQ codebooks: one CTE chain
-    where the subspace m rides every key — n_sub k-means runs replay
-    as a single sequence of {iters} assign/re-estimate blocks, then
-    encode + ADC + top-k with the trained cb{iters}."""
+def _pq_train_parts(n_codes: int, iters: int) -> list[str]:
+    """The shared keyed-Lloyd CTE chain (e/ms/cb0/sl + {iters}
+    assign/re-estimate blocks ending at cb{iters}) — byte-identical
+    to what _pq_trained_oracle always emitted, factored so the PQ
+    maintenance oracle replays the SAME training."""
     q12 = "1000000000000.0"
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -2730,6 +2730,15 @@ def _pq_trained_oracle(n_codes: int, iters: int) -> str:
             f"cb{i + 1} AS (SELECT p.m, p.code, COALESCE(nn.cw, p.cw) AS cw"
             f" FROM cb{i} p LEFT JOIN n{i} nn ON nn.m = p.m AND nn.code = p.code)"
         )
+    return parts
+
+
+def _pq_trained_oracle(n_codes: int, iters: int) -> str:
+    """Keyed Lloyd replay for per-subspace PQ codebooks: one CTE chain
+    where the subspace m rides every key — n_sub k-means runs replay
+    as a single sequence of {iters} assign/re-estimate blocks, then
+    encode + ADC + top-k with the trained cb{iters}."""
+    parts = _pq_train_parts(n_codes, iters)
     cbf = f"cb{iters}"
     parts.append(
         f"codes AS (SELECT id, m, code FROM ("
@@ -9918,3 +9927,501 @@ def knn_pq_from_table(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     cb = _pq_codebook_state(spark, sf)
     return similarity.pq_topk(e.filter(F.col("vec_id") < 8), e, 5, codebook=cb)
+
+# ------------------------------------------------ round-10 continuation:
+# index maintenance on the compressed tier, tier cross-validation, and
+# active-learning selection from the stored classifier
+
+
+def _pq_maint_sql(n_codes: int, iters: int) -> str:
+    """PQ code-space maintenance oracle: replay the keyed Lloyd
+    (identical chain to _pq_trained_oracle via _pq_train_parts),
+    encode EVERY vector keeping the winning quantized residual, then
+    the per-(m, code) occupancy/residual rollup split by the arrival
+    flag (vec_id % 4 == 3)."""
+    parts = _pq_train_parts(n_codes, iters)
+    cbf = f"cb{iters}"
+    parts.append(
+        f"codes AS (SELECT id, m, code,"
+        f" CAST(round(d2 * 1000000000.0) AS BIGINT) AS d2q FROM ("
+        f" SELECT sl.id, sl.m, c.code,"
+        f" {_PQ_L2.format(a='sl.s', b='c.cw')} AS d2,"
+        f" row_number() OVER (PARTITION BY sl.id, sl.m"
+        f" ORDER BY {_PQ_L2.format(a='sl.s', b='c.cw')}, c.code) AS r"
+        f" FROM sl JOIN {cbf} c ON c.m = sl.m) WHERE r = 1)"
+    )
+    parts.append(
+        "cnt AS (SELECT m, code,"
+        " CAST(COUNT(*) FILTER (WHERE id % 4 != 3) AS BIGINT) AS nb,"
+        " CAST(COUNT(*) FILTER (WHERE id % 4 = 3) AS BIGINT) AS na,"
+        " CAST(COALESCE(SUM(d2q) FILTER (WHERE id % 4 != 3), 0) AS BIGINT)"
+        "   AS sb,"
+        " CAST(COALESCE(SUM(d2q) FILTER (WHERE id % 4 = 3), 0) AS BIGINT)"
+        "   AS sa"
+        " FROM codes GROUP BY 1, 2)"
+    )
+    parts.append(
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,"
+        " CAST(COUNT(*) FILTER (WHERE vec_id % 4 != 3) AS BIGINT) AS n_lake"
+        " FROM e)"
+    )
+    body = ",\n".join(parts)
+    nb = "COALESCE(cnt.nb, 0)"
+    na = "COALESCE(cnt.na, 0)"
+    hot_b = f"{nb} * {n_codes} > 2 * tot.n_lake"
+    hot_a = f"({nb} + {na}) * {n_codes} > 2 * tot.n_total"
+    return f"""{body}
+SELECT CAST(g.m AS BIGINT) AS m, CAST(g.code AS BIGINT) AS code,
+       {nb} AS n_before, {na} AS n_added,
+       {nb} + {na} AS n_after,
+       ({nb} + {na}) / CAST(tot.n_total AS DOUBLE) AS share_after,
+       {hot_b} AS hot_before,
+       {hot_a} AS hot_after,
+       ({hot_a}) AND NOT ({hot_b}) AS became_hot,
+       CASE WHEN {nb} > 0
+            THEN CAST(cnt.sb AS DOUBLE) / 1000000000.0 / cnt.nb
+            ELSE 0.0 END AS mean_resid_before,
+       CASE WHEN {na} > 0
+            THEN CAST(cnt.sa AS DOUBLE) / 1000000000.0 / cnt.na
+            ELSE 0.0 END AS mean_resid_added
+FROM (SELECT m, code FROM {cbf}) g
+LEFT JOIN cnt USING (m, code)
+CROSS JOIN tot"""
+
+
+@q("pq_code_maintenance", _pq_maint_sql(16, 5))
+def pq_code_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ code-space MAINTENANCE — ivf_index_maintenance's sibling on
+    the compressed tier: the arrival batch (vec_id % 4 == 3) is
+    encoded into the STORED per-subspace codebooks (_pq_codebook_state
+    — the serve path's exact argmin, pq_encode) and the report shows,
+    per (subspace m, code): standing occupancy, adds, the hot-code
+    rebalance inequality (occupancy*n_codes > 2*total — the IVF
+    family's integer signal), AND the quantization-error drift: mean
+    winning squared-L2 residual of lake vs arrivals (1e-9-quantized
+    integer sums, exact under any partitioning). A rising
+    mean_resid_added against mean_resid_before is the 'codebook no
+    longer fits the arriving distribution' retrain trigger — the PQ
+    leg of the serve → maintain → monitor → retrain lineage
+    (knn_pq_from_table → here → streaming_retrain_trigger).
+
+    Scale shape: ONE corpus pass against the broadcast codebook
+    (arrivals ride the same scan, split by a flag), a per-(id, m)
+    argmin window, then a 128-row rollup; totals fold over the
+    checkpointed rollup, so the corpus is scanned exactly once. The
+    oracle replays the full keyed-Lloyd training and the identical
+    encode in unrolled SQL."""
+    e = load_table(spark, sf, "embeddings")
+    cb = _pq_codebook_state(spark, sf)
+    codes = similarity.pq_encode(e, codebook=cb, with_dist=True).withColumn(
+        "is_new", F.col("id") % 4 == 3
+    )
+    cnt = (
+        codes.groupBy("m", "code")
+        .agg(
+            F.sum((~F.col("is_new")).cast("long")).cast("long").alias("nb"),
+            F.sum(F.col("is_new").cast("long")).cast("long").alias("na"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_new"), F.col("d2q"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("sb"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_new"), F.col("d2q"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("sa"),
+        )
+        .localCheckpoint()
+    )
+    # per-m totals are the corpus count (every vector emits one row per
+    # subspace), so fold the m=0 slice of the 128-row rollup — no
+    # second corpus scan
+    tot = cnt.filter(F.col("m") == 0).agg(
+        F.sum(F.col("nb") + F.col("na")).cast("long").alias("n_total"),
+        F.sum("nb").cast("long").alias("n_lake"),
+    )
+    nb = F.coalesce(F.col("nb"), F.lit(0)).cast("long")
+    na = F.coalesce(F.col("na"), F.lit(0)).cast("long")
+    hot_b = nb * 16 > 2 * F.col("n_lake")
+    hot_a = (nb + na) * 16 > 2 * F.col("n_total")
+    return (
+        cb.select(F.col("m").cast("long"), F.col("code").cast("long"))
+        .join(F.broadcast(cnt), ["m", "code"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m",
+            "code",
+            nb.alias("n_before"),
+            na.alias("n_added"),
+            (nb + na).cast("long").alias("n_after"),
+            ((nb + na) / F.col("n_total").cast("double")).alias(
+                "share_after"
+            ),
+            hot_b.alias("hot_before"),
+            hot_a.alias("hot_after"),
+            (hot_a & ~hot_b).alias("became_hot"),
+            F.when(
+                nb > 0,
+                F.col("sb").cast("double") / F.lit(1e9) / F.col("nb"),
+            )
+            .otherwise(0.0)
+            .alias("mean_resid_before"),
+            F.when(
+                na > 0,
+                F.col("sa").cast("double") / F.lit(1e9) / F.col("na"),
+            )
+            .otherwise(0.0)
+            .alias("mean_resid_added"),
+        )
+    )
+
+
+@q(
+    "dedup_tier_agreement",
+    f"""
+WITH {_SHINGLE_SQL},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
+inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2),
+jac AS (SELECT doc1, doc2 FROM (
+  SELECT doc1, doc2, n_inter / (s1.n + s2.n - n_inter) AS jaccard
+  FROM inter JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
+) WHERE jaccard >= 0.5),
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+mh AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+       FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+st AS (SELECT doc_id, list_transform(list_distinct({_TOKS}),
+                                     x -> substr(md5(x), 1, 4)) AS hs
+       FROM documents),
+ss AS (SELECT doc_id AS doc, {_SIMHASH_TERMS_SQL} AS simhash FROM st),
+sb AS (SELECT doc,
+              unnest(['h|' || CAST(simhash // 256 AS VARCHAR),
+                      'l|' || CAST(simhash % 256 AS VARCHAR)]) AS band
+       FROM ss),
+sim AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+        FROM sb a JOIN sb b ON a.band = b.band AND a.doc < b.doc),
+mem AS (SELECT doc1, doc2, MAX(j) AS j, MAX(m) AS m, MAX(s) AS s FROM (
+          SELECT doc1, doc2, 1 AS j, 0 AS m, 0 AS s FROM jac
+          UNION ALL SELECT doc1, doc2, 0, 1, 0 FROM mh
+          UNION ALL SELECT doc1, doc2, 0, 0, 1 FROM sim)
+        GROUP BY doc1, doc2),
+agg AS (SELECT CAST(SUM(j) AS BIGINT) AS nj, CAST(SUM(m) AS BIGINT) AS nm,
+               CAST(SUM(s) AS BIGINT) AS ns,
+               CAST(SUM(j * m) AS BIGINT) AS njm,
+               CAST(SUM(j * s) AS BIGINT) AS njs,
+               CAST(SUM(m * s) AS BIGINT) AS nms
+        FROM mem)
+SELECT 'jaccard' AS tier_a, 'minhash' AS tier_b,
+       nj AS n_a, nm AS n_b, njm AS n_both,
+       nj - njm AS n_only_a, nm - njm AS n_only_b,
+       CASE WHEN nj + nm - njm > 0
+            THEN round(njm / CAST(nj + nm - njm AS DOUBLE), 6)
+            ELSE 0.0 END AS pair_jaccard
+FROM agg
+UNION ALL
+SELECT 'jaccard', 'simhash', nj, ns, njs, nj - njs, ns - njs,
+       CASE WHEN nj + ns - njs > 0
+            THEN round(njs / CAST(nj + ns - njs AS DOUBLE), 6)
+            ELSE 0.0 END
+FROM agg
+UNION ALL
+SELECT 'minhash', 'simhash', nm, ns, nms, nm - nms, ns - nms,
+       CASE WHEN nm + ns - nms > 0
+            THEN round(nms / CAST(nm + ns - nms AS DOUBLE), 6)
+            ELSE 0.0 END
+FROM agg""",
+)
+def dedup_tier_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-TIER dedup agreement matrix — dedup_recall_report
+    generalized from one tier-vs-truth row to every tier pair: the
+    exact-Jaccard (≥0.5), MinHash-LSH, and SimHash candidate pair sets
+    meet in one membership frame, and each tier pair gets
+    |A|, |B|, |A∩B|, the exclusive counts, and the pair-set Jaccard.
+    This is the report that says whether the cheap tiers agree enough
+    to gate each other at 100 TB (run the cheapest first, verify only
+    its disagreements), and it surfaces tier drift when a corpus
+    shifts (e.g. SimHash collapsing on short docs while MinHash
+    holds).
+
+    Shape: the two shingle tiers consume ONE persisted (doc, shingle)
+    frame (corpus_profile's shared-scan discipline); SimHash is a
+    pure projection + bucket join; membership is a 3-way unionByName
+    + one groupBy on the pair key; the matrix is a one-row integer
+    aggregate exploded to 3 rows. Integer counts end-to-end, one
+    final division."""
+    result, sh = _tier_agreement_frame(spark, sf)
+    # dedup_recall_report's release discipline: materialize the 3-row
+    # matrix while the shared shingle scan is cached, then unpin it
+    try:
+        rows = result.collect()
+    finally:
+        sh.unpersist()
+    return spark.createDataFrame(rows, result.schema)
+
+
+def _tier_agreement_frame(spark: SparkSession, sf: str):
+    """The lazy 3-row agreement frame + the shared persisted shingle
+    frame (caller unpersists after materializing) — split out so
+    tests/test_plans.py can pin the REAL plan shape, as with
+    _dedup_recall_frame."""
+    d = load_table(spark, sf, "documents")
+    sh = dedup._shingle_table(d, "doc_id", "text", 3).persist()
+    jac = (
+        dedup.ngram_jaccard_pairs(
+            d, 0.5, max_shingle_df=1000, shingle_frame=sh
+        )
+        .select("doc1", "doc2")
+        .select("*", F.lit(1).alias("j"), F.lit(0).alias("m"), F.lit(0).alias("s"))
+    )
+    # MinHash tier via the pure-EXPRESSION band keys (bit-identical to
+    # the grouped minhash_bands — head-to-head-tested): no signature
+    # groupBy, so the tier costs ONE band shuffle; in-bucket pair dups
+    # across bands are absorbed by the membership groupBy below
+    mh_bands = d.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            dedup.minhash_band_array("text", _N_HASHES, _BAND)
+        ).alias("band"),
+    )
+    mh_posts = (
+        mh_bands.groupBy("band")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= 1000))
+    )
+    mds = F.col("docs")
+    mh_pairs = F.flatten(
+        F.transform(
+            mds,
+            lambda x, i: F.transform(
+                F.slice(mds, i + F.lit(2), F.size(mds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    mh = (
+        mh_posts.select(F.explode(mh_pairs).alias("p"))
+        .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+        .select("*", F.lit(0).alias("j"), F.lit(1).alias("m"), F.lit(0).alias("s"))
+    )
+    bk = dedup.simhash_buckets(d)
+    sbands = bk.select(
+        "doc",
+        F.explode(
+            F.array(
+                F.concat(F.lit("h|"), F.col("band_hi").cast("string")),
+                F.concat(F.lit("l|"), F.col("band_lo").cast("string")),
+            )
+        ).alias("band"),
+    )
+    # posting-list idiom (lsh_candidate_pairs's shape): ONE shuffle on
+    # band, in-bucket ordered combinations — no self-join; the pair
+    # duplicates a two-band collision produces are absorbed by the
+    # membership groupBy below, so no distinct either
+    posts = (
+        sbands.groupBy("band")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    ds = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    sim = (
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+        .select("*", F.lit(0).alias("j"), F.lit(0).alias("m"), F.lit(1).alias("s"))
+    )
+    mem = (
+        jac.unionByName(mh)
+        .unionByName(sim)
+        .groupBy("doc1", "doc2")
+        .agg(F.max("j").alias("j"), F.max("m").alias("m"), F.max("s").alias("s"))
+    )
+    one = mem.agg(
+        F.sum("j").cast("long").alias("nj"),
+        F.sum("m").cast("long").alias("nm"),
+        F.sum("s").cast("long").alias("ns"),
+        F.sum(F.col("j") * F.col("m")).cast("long").alias("njm"),
+        F.sum(F.col("j") * F.col("s")).cast("long").alias("njs"),
+        F.sum(F.col("m") * F.col("s")).cast("long").alias("nms"),
+    )
+
+    def _row(ta: str, tb: str, n_a, n_b, n_both):
+        union = n_a + n_b - n_both
+        return F.struct(
+            F.lit(ta).alias("tier_a"),
+            F.lit(tb).alias("tier_b"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            n_both.alias("n_both"),
+            (n_a - n_both).alias("n_only_a"),
+            (n_b - n_both).alias("n_only_b"),
+            F.when(
+                union > 0,
+                F.round(n_both / union.cast("double"), 6),
+            )
+            .otherwise(0.0)
+            .alias("pair_jaccard"),
+        )
+
+    result = one.select(
+        F.explode(
+            F.array(
+                _row("jaccard", "minhash", F.col("nj"), F.col("nm"), F.col("njm")),
+                _row("jaccard", "simhash", F.col("nj"), F.col("ns"), F.col("njs")),
+                _row("minhash", "simhash", F.col("nm"), F.col("ns"), F.col("nms")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return result, sh
+
+
+def _lrn_uncertainty_sql(k: int) -> str:
+    s = _LRN_STEPS
+    zk = f"(w{s}.ws * score + w{s}.wt * stop + w{s}.wb)"
+    ctes = _lrn_train_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+z AS (SELECT doc_id, source, {zk} AS margin FROM f, w{s})
+SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id, margin
+FROM (SELECT doc_id, source, margin,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY abs(margin), doc_id) AS rnk
+      FROM z)
+WHERE rnk <= {k}"""
+    )
+
+
+_UNC_K = 5
+
+
+@q("classifier_uncertainty_sampling", _lrn_uncertainty_sql(_UNC_K))
+def classifier_uncertainty_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """ACTIVE-LEARNING selection from the trained classifier — the
+    label-efficiency leg of the quality lineage (train:
+    quality_classifier_train → deploy: classifier_train_gate →
+    monitor: classifier_calibration_drift → and now: which docs to
+    label NEXT): per source, the k docs whose decision margin
+    |w·x| is smallest under the FINAL trained weights (uncertainty
+    sampling — the standard margin criterion), deterministic
+    (|margin|, doc_id) tie-break. The weights come from the memoized
+    trajectory (_lrn_trajectory — zero extra gradient jobs when the
+    trainer already ran this corpus).
+
+    Scale shape: one zero-shuffle feature projection, one margin
+    expression, one per-source top-k window (source cardinality is
+    small; the window is the standard keyed top-k that AQE handles) —
+    nothing collects but the 3-float weight vector. The oracle
+    re-trains the identical model in unrolled SQL CTEs and replays
+    the same windowed selection, so green means both engines agree on
+    the MODEL and on the chosen docs."""
+    w = _lrn_trajectory(spark, sf)[-1][1]
+    d = load_table(spark, sf, "documents")
+    feat = d.select(
+        "doc_id",
+        "source",
+        text.hashed_linear_score("text", _CLS_DIM).alias("score"),
+        (
+            text.stopword_count("text")
+            / text.token_count("text").cast("double")
+        ).alias("stop"),
+    )
+    margin = (
+        F.lit(w[0]) * F.col("score")
+        + F.lit(w[1]) * F.col("stop")
+        + F.lit(w[2])
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.abs(F.col("margin")), "doc_id"
+    )
+    return (
+        feat.withColumn("margin", margin)
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= _UNC_K)
+        .select("source", "rank", "doc_id", "margin")
+    )
+
+
+@q(
+    "streaming_neardup_probe_drained",
+    f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs)
+SELECT a.band AS band, a.doc AS doc_new, l.doc AS doc_lake
+FROM (SELECT * FROM bands WHERE doc % 4 = 3) a
+JOIN (SELECT * FROM bands WHERE doc % 4 != 3) l ON a.band = l.band""",
+)
+def streaming_neardup_probe_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup flagging AT INGEST — the streaming leg of the
+    incremental dedup lineage (index: minhash_bands → probe:
+    incremental_lsh_pairs → write-back: incremental_index_writeback →
+    and now the arrival stream itself): arriving documents compute
+    their LSH band keys as a PURE per-row expression
+    (dedup.minhash_band_array — bit-identical to the grouped
+    minhash_bands, head-to-head-tested) and STREAM-STATIC JOIN against
+    the STORED lake band index, emitting one row per band collision
+    (band, doc_new, doc_lake). STATELESS append mode: no state store,
+    no watermark — the static side is the band index the batch
+    pipeline maintains, so a duplicate is flagged the moment it
+    arrives, before it lands in the lake.
+
+    At 100 TB the static side is a band-bucketed parquet table; Spark
+    re-plans the stream-static join per micro-batch, so index
+    write-backs between batches are picked up without restarting the
+    stream. Per-batch cost is O(batch shingles) hashing + a band-keyed
+    probe — the lake is never re-hashed. The oracle replays both
+    sides' banding and the same collision join in one SQL query."""
+    import tempfile
+    import uuid as _uuid
+
+    d = load_table(spark, sf, "documents")
+    lake = d.filter(F.col("doc_id") % 4 != 3)
+    idx_path = tempfile.mkdtemp(prefix="rs_ndprobe_") + "/band_index"
+    dedup.minhash_bands(lake, _N_HASHES, _BAND).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path).select(
+        "band", F.col("doc").alias("doc_lake")
+    )
+
+    name = f"cat_ndp_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ndp_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    arrivals = raw.filter(F.col("doc_id") % 4 == 3).select(
+        F.col("doc_id").alias("doc_new"),
+        F.explode(
+            dedup.minhash_band_array("text", _N_HASHES, _BAND)
+        ).alias("band"),
+    )
+    out = arrivals.join(idx, "band").select("band", "doc_new", "doc_lake")
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)

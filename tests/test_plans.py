@@ -1402,3 +1402,56 @@ def test_cusum_single_sort_feeds_all_windows(spark):
     # SF Catalyst may still pick BHJ by size estimate (that is AQE's
     # call to make), but the plan must not contain a broadcast HINT
     assert "ResolvedHint" not in p, p
+
+
+def test_pq_code_maintenance_single_encode_pass(spark):
+    """The PQ maintenance report must reuse the serve path's single
+    broadcast-codebook encode (one corpus scan split by the arrival
+    flag), with only model-sized rollup joins after the checkpointed
+    128-row count table — mirroring ivf_index_maintenance's pin."""
+    import re
+
+    p = plan_of(spark, "pq_code_maintenance")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # the output plan reads the stored codebook grid + broadcasts the
+    # checkpointed rollup and the one-row totals — never the corpus
+    assert p.count("Scan parquet") <= 2, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2, p[:1500]
+
+
+def test_classifier_uncertainty_sampling_one_scan_one_window(spark):
+    """Uncertainty sampling must stay a zero-shuffle feature projection
+    feeding ONE per-source top-k window: one documents scan, one
+    exchange (the window's source partitioning), no joins."""
+    import re
+
+    p = plan_of(spark, "classifier_uncertainty_sampling")
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert p.count("Scan parquet") <= 2, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 1, p[:1500]
+    assert p.count("Window") >= 1
+
+
+def test_tier_agreement_real_plan_shape(spark):
+    """dedup_tier_agreement collects a 3-row matrix, so PLANS.md sees a
+    LocalTableScan — pin the REAL lazy plan here (the
+    _dedup_recall_frame pattern): three complete tiers + membership
+    rollup, every shuffle a map-side-combined aggregation. Budget: 2
+    deliberate _spread round-robins + jaccard tier 4 + expression-band
+    minhash tier 1 + simhash tier 2 + membership groupBy + one-row
+    fold = 11; no cartesian, no sort-merge, posting lists bounded."""
+    import re
+
+    from riemann_spark.plans.catalog_ml import _tier_agreement_frame
+
+    result, sh = _tier_agreement_frame(spark, SF)
+    try:
+        p = plan_of_df(result)
+        assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 11, p[:2000]
+        # the minhash tier must ride the EXPRESSION band keys — no
+        # signature groupBy: exactly one band-keyed exchange between
+        # the two posting builds
+        assert p.count("sort_array(collect_list") >= 1
+    finally:
+        sh.unpersist()

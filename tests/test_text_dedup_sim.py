@@ -1802,3 +1802,110 @@ def test_ivf_assign_expr_matches_window_assignment(spark):
         ).collect()
     }
     assert a == b and len(a) == e.count()
+
+
+def test_minhash_band_array_matches_grouped(spark):
+    """The pure-expression band keys (minhash_band_array — the
+    stateless-stream lane) must emit EXACTLY the grouped
+    minhash_bands rows: same two-md5 hash family, same 8-hex chunks,
+    same band strings; docs with < k tokens contribute nothing on
+    either side."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grouped = sorted(
+        (r.doc, r.band) for r in dedup.minhash_bands(d).collect()
+    )
+    expr = sorted(
+        (r.doc, r.band)
+        for r in d.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(dedup.minhash_band_array("text")).alias("band"),
+        ).collect()
+    )
+    assert grouped == expr and len(grouped) > 0
+
+
+def test_minhash_band_array_short_doc_empty(spark):
+    """A doc with fewer than k tokens has no shingles: the expression
+    form must yield an EMPTY array (not null bands), mirroring the
+    grouped form where such docs simply have no shingle rows."""
+    d = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    rows = d.select(
+        dedup.minhash_band_array("text").alias("bands")
+    ).collect()
+    assert rows[0].bands == []
+
+
+def test_pq_encode_with_dist_consistent(spark):
+    """with_dist=True must not perturb the code assignment, and d2q
+    must equal the independently recomputed quantized squared-L2
+    between the subvector and its WINNING codeword."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebook(e)
+    plain = {
+        (r.id, r.m): r.code
+        for r in similarity.pq_encode(e, codebook=cb).collect()
+    }
+    withd = similarity.pq_encode(e, codebook=cb, with_dist=True)
+    got = {(r.id, r.m): (r.code, r.d2q) for r in withd.collect()}
+    assert plain == {k: v[0] for k, v in got.items()}
+    # recompute the winner's distance through the same expression tree
+    sub_w = 8
+    recomputed = {
+        (r.id, r.m): r.d2q_chk
+        for r in withd.join(cb, ["m", "code"])
+        .join(
+            e.select(F.col("vec_id").alias("id"), "embedding"), "id"
+        )
+        .select(
+            "id",
+            "m",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(
+                            F.col("embedding").cast("array<double>"),
+                            F.col("m") * sub_w + 1,
+                            sub_w,
+                        ),
+                        F.col("cw"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("d2q_chk"),
+        )
+        .collect()
+    }
+    assert recomputed == {k: v[1] for k, v in got.items()}
+
+
+def test_streaming_neardup_probe_matches_batch(spark):
+    """The stream-static probe (expression bands + static index join)
+    must emit exactly the batch band-collision set between arrivals
+    (doc_id % 4 == 3) and the lake index."""
+    from riemann_spark.plans.catalog_ml import (
+        streaming_neardup_probe_drained,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.band, r.doc_new, r.doc_lake)
+        for r in streaming_neardup_probe_drained(spark, sf).collect()
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    bands = dedup.minhash_bands(d)
+    arr = bands.filter(F.col("doc") % 4 == 3).select(
+        "band", F.col("doc").alias("doc_new")
+    )
+    lake = bands.filter(F.col("doc") % 4 != 3).select(
+        "band", F.col("doc").alias("doc_lake")
+    )
+    want = sorted(
+        (r.band, r.doc_new, r.doc_lake)
+        for r in arr.join(lake, "band").collect()
+    )
+    assert got == want and len(want) > 0
