@@ -243,6 +243,8 @@ HEADLINE = [
     "pq_code_maintenance",
     "dedup_tier_agreement",
     "classifier_uncertainty_sampling",
+    "knn_ivfpq",
+    "mixture_anneal_schedule",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

@@ -863,6 +863,156 @@ def pq_topk_rerank(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed index — the production billion-vector
+    architecture (coarse quantizer prunes to ``nprobe`` cells, product
+    quantization compresses what's left): every corpus vector is
+    assigned to its nearest coarse cell (cosine — ivf_topk's exact
+    geometry), its RESIDUAL against the cell centroid is PQ-encoded
+    with ONE global codebook (the first ``n_codes`` vectors' residual
+    slices — deterministic like pq_encode's seed; swap in
+    pq_kmeans_codebook over residuals offline), and a query scans
+    only the codes of its ``nprobe`` nearest cells via the ADC lookup
+    table built from ITS residual in each probed cell. Residual
+    encoding is why IVF-PQ beats flat PQ at the same bits: within a
+    cell the residuals span a far smaller ball than raw vectors, so
+    the same 4-bit codes quantize much finer.
+
+    Search cost at scale: nprobe/n_cells of the code table (integer
+    codes only — the floats never leave the model-sized LUT), against
+    pq_topk's full-corpus ADC and ivf_topk's full-precision cell
+    scan. The cell-partitioned code table is the layout the lake
+    should store (streaming_ivf_assign routes arrivals to cells at
+    ingest for exactly this reason).
+
+    Determinism: LUT entries quantize to 1e-6 integers and per-vector
+    distances SUM INTEGERS (pq_topk's device), residuals are the same
+    elementwise a−b both engines, so the oracle replays the whole
+    index relationally."""
+    sub_w = dim // n_sub
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_n"),
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
+        nc = vecc[0] + "_n"
+        scored = df.crossJoin(cents).withColumn(
+            "c_cos",
+            _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n")),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= keep)
+            .select(
+                idc,
+                "cell",
+                F.zip_with(
+                    F.col(vecc), F.col("c_vec"), lambda a, b: a - b
+                ).alias("rv"),
+            )
+        )
+
+    ca = assign(
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).cast("array<double>").alias("n_vec"),
+            norm(F.col(vec_col)).alias("n_n"),
+        ),
+        "n_id",
+        "n_vec",
+        1,
+    )
+
+    def slices(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            idc,
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(F.col("rv"), m * sub_w + 1, sub_w).alias(
+                                "s"
+                            ),
+                        )
+                        for m in range(n_sub)
+                    ]
+                )
+            ).alias("x"),
+        ).select(idc, "cell", "x.m", "x.s")
+
+    # global residual codebook: the first n_codes corpus vectors'
+    # residual slices — model-sized (n_sub x n_codes rows)
+    cb = slices(ca.filter(F.col("n_id") < n_codes), "n_id").select(
+        "m", F.col("n_id").cast("int").alias("code"), F.col("s").alias("cw")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cw_win = Window.partitionBy("n_id", "m").orderBy("d2", "code")
+    codes = (
+        slices(ca, "n_id")
+        .join(F.broadcast(cb), "m")
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(cw_win))
+        .filter(F.col("r") == 1)
+        .select("n_id", "cell", "m", "code")
+    )
+
+    qa = assign(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_n"),
+        ),
+        "q_id",
+        "q_vec",
+        nprobe,
+    )
+    lut = (
+        slices(qa, "q_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "q_id",
+            "cell",
+            "m",
+            "code",
+            F.round(d2 * F.lit(1e6)).cast("long").alias("d2q"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg((F.sum("d2q").cast("double") / F.lit(1e6)).alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_d2", "rank")
+    )
+
+
 def _pq_slices(
     df: DataFrame, n_sub: int, dim: int, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -88,6 +88,8 @@ _GATE_PRIORITY = [
     "dedup_tier_agreement",
     "classifier_uncertainty_sampling",
     "streaming_neardup_probe_drained",
+    "knn_ivfpq",
+    "mixture_anneal_schedule",
     "bpe_tokenize",
     "curation_funnel",
     "customers_without_orders",

@@ -10425,3 +10425,151 @@ def streaming_neardup_probe_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+def _ivfpq_oracle(n_cells: int, n_codes: int, nprobe: int, k: int) -> str:
+    """IVF-PQ replay: fixed coarse quantizer (_assign_sql — cosine,
+    first n_cells vectors), per-vector residual vs the assigned
+    centroid, ONE global residual codebook (first n_codes vectors'
+    residual slices), argmin encode, per-(query, probed-cell) LUT,
+    integer-sum ADC restricted to probed cells."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+ca0 AS ({_assign_sql('c0', 'n_id', 'n_vec')}),
+rc AS (SELECT ca0.n_id, ca0.cell,
+              list_transform(generate_series(1, 64),
+                             i -> ca0.n_vec[i] - cv.v[i]) AS rv
+       FROM ca0 JOIN e cv ON cv.vec_id = ca0.cell),
+cb AS (SELECT m, CAST(n_id AS INT) AS code, rv[m*8+1 : m*8+8] AS cw
+       FROM rc CROSS JOIN ms WHERE n_id < {n_codes}),
+sl AS (SELECT n_id AS id, cell, m, rv[m*8+1 : m*8+8] AS s
+       FROM rc CROSS JOIN ms),
+codes AS (SELECT id, cell, m, code FROM (
+  SELECT sl.id, sl.cell, sl.m, c.code,
+         row_number() OVER (PARTITION BY sl.id, sl.m
+           ORDER BY {_PQ_L2.format(a='sl.s', b='c.cw')}, c.code) AS r
+  FROM sl JOIN cb c ON c.m = sl.m) WHERE r = 1),
+qa0 AS ({_assign_nprobe_sql('q0', 'q_id', 'q_vec', nprobe)}),
+qr AS (SELECT qa0.q_id, qa0.cell,
+              list_transform(generate_series(1, 64),
+                             i -> qa0.q_vec[i] - cv.v[i]) AS rv
+       FROM qa0 JOIN e cv ON cv.vec_id = qa0.cell
+       WHERE qa0.q_id < 8),
+lut AS (SELECT qr.q_id, qr.cell, c.m, c.code,
+        CAST(round({_PQ_L2.format(a='(qr.rv[c.m*8+1 : c.m*8+8])', b='c.cw')}
+             * 1000000.0) AS BIGINT) AS d2q
+        FROM qr CROSS JOIN cb c),
+scored AS (SELECT lut.q_id, codes.id AS n_id,
+                  CAST(SUM(d2q) AS DOUBLE) / 1000000.0 AS adc_d2
+           FROM codes
+           JOIN lut ON lut.cell = codes.cell AND lut.m = codes.m
+                   AND lut.code = codes.code
+           WHERE lut.q_id != codes.id
+           GROUP BY 1, 2)
+SELECT q_id, n_id, adc_d2, rank FROM (
+  SELECT q_id, n_id, adc_d2,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
+@q("knn_ivfpq", _ivfpq_oracle(_IVF_CELLS, 16, 2, 5))
+def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED IVF-PQ index (similarity.ivfpq_topk) — the ANN
+    ladder's top rung next to brute / LSH / multiprobe-LSH / Hamming /
+    IVF / PQ: coarse cells prune the corpus to nprobe=2 of 16 cells,
+    residual-PQ codes compress what's left, integer-sum ADC scores it.
+    The query-time cost profile a billion-vector deployment needs:
+    nprobe/n_cells of a cell-partitioned INTEGER code table + a
+    model-sized LUT; full-precision floats never leave the codebook.
+    The oracle replays the entire index — coarse assignment, residual
+    computation, codebook, encode, LUT, ADC — relationally."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivfpq_topk(e.filter(F.col("vec_id") < 8), e, 5)
+
+
+@q(
+    "mixture_anneal_schedule",
+    f"""
+WITH t AS (SELECT source,
+                  CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+ep AS (SELECT unnest([0, 1, 2]) AS epoch),
+w AS (SELECT epoch, source, n_tokens,
+             CASE epoch
+               WHEN 0 THEN CAST(n_tokens AS DOUBLE)
+               WHEN 1 THEN sqrt(CAST(n_tokens AS DOUBLE)
+                                * sqrt(CAST(n_tokens AS DOUBLE)))
+               ELSE sqrt(CAST(n_tokens AS DOUBLE)) END AS wt
+      FROM t CROSS JOIN ep),
+p AS (SELECT epoch, source, n_tokens,
+             wt / SUM(wt) OVER (PARTITION BY epoch) AS p
+      FROM w)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CASE epoch WHEN 0 THEN 1.0 WHEN 1 THEN 0.75 ELSE 0.5 END AS alpha,
+       source, n_tokens,
+       round(p, 6) AS share,
+       round(least({_EPOCH_T} * p / n_tokens, {_EPOCH_CAP}), 6)
+         AS epochs_passes,
+       CAST(round(least({_EPOCH_T} * p / n_tokens, {_EPOCH_CAP})
+                  * n_tokens) AS BIGINT) AS planned_tokens
+FROM p""",
+)
+def mixture_anneal_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture TEMPERATURE ANNEALING across training phases —
+    mixture_epoch_plan generalized over the curriculum axis: phase 0
+    samples sources at their natural share (alpha = 1.0), the final
+    phase at the flattened alpha = 0.5 temperature, with alpha = 0.75
+    between — the standard early-natural/late-flat curriculum (the
+    doc-frequency analog of learning-rate decay). Per (epoch, source):
+    the annealed share, the repeat count against the per-phase token
+    budget, and the planned draw.
+
+    Cross-engine exactness device: the alpha ladder is chosen so every
+    power is sqrt-composable — x^1 = x, x^0.75 = sqrt(x·sqrt(x)),
+    x^0.5 = sqrt(x) — and IEEE-754 sqrt is correctly rounded in both
+    engines, so no pow() ULP hazard enters at the new exponents.
+    Scale shape: ONE tokenization aggregate to source cardinality,
+    then a 3× explode of the tiny frame and a per-epoch window over
+    it — constant work after the scan at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(text.token_count("text")).cast("long").alias("n_tokens")
+    )
+    nt = F.col("n_tokens").cast("double")
+    ladder = [
+        (0, 1.0, nt),
+        (1, 0.75, F.sqrt(nt * F.sqrt(nt))),
+        (2, 0.5, F.sqrt(nt)),
+    ]
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).cast("long").alias("epoch"),
+                        F.lit(a).alias("alpha"),
+                        wt.alias("wt"),
+                    )
+                    for e, a, wt in ladder
+                ]
+            )
+        ).alias("x"),
+    ).select("source", "n_tokens", "x.epoch", "x.alpha", "x.wt")
+    p = F.col("wt") / F.sum("wt").over(Window.partitionBy("epoch"))
+    passes = F.least(
+        F.lit(float(_EPOCH_T)) * p / F.col("n_tokens"), F.lit(_EPOCH_CAP)
+    )
+    return w.select(
+        "epoch",
+        "alpha",
+        "source",
+        "n_tokens",
+        F.round(p, 6).alias("share"),
+        F.round(passes, 6).alias("epochs_passes"),
+        F.round(passes * F.col("n_tokens")).cast("long").alias(
+            "planned_tokens"
+        ),
+    )

@@ -1455,3 +1455,31 @@ def test_tier_agreement_real_plan_shape(spark):
         assert p.count("sort_array(collect_list") >= 1
     finally:
         sh.unpersist()
+
+
+def test_knn_ivfpq_prunes_to_probed_cells(spark):
+    """The composed IVF-PQ plan must keep the PQ family's shape: the
+    ADC join is a broadcast of the model-sized LUT (query fan-out ×
+    nprobe cells), corpus codes ride integer columns, no cartesian
+    beyond the broadcast codebook/centroid crossJoins, no sort-merge
+    join anywhere."""
+    import re
+
+    p = plan_of(spark, "knn_ivfpq")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # codebook m-join + ADC join
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 5, p[:1500]
+
+
+def test_mixture_anneal_schedule_constant_after_scan(spark):
+    """The annealing schedule must be ONE tokenization aggregate to
+    source cardinality, then constant work (3x explode + per-epoch
+    window on the tiny frame): one documents scan, bounded
+    exchanges, no joins."""
+    import re
+
+    p = plan_of(spark, "mixture_anneal_schedule")
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("Scan parquet") <= 2, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:1500]
