@@ -245,6 +245,8 @@ HEADLINE = [
     "classifier_uncertainty_sampling",
     "knn_ivfpq",
     "mixture_anneal_schedule",
+    "ann_recall_ivfpq",
+    "simhash64_candidates",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

@@ -607,6 +607,55 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def simhash64_bands(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc → four 16-bit bands of a 64-BIT SimHash — the scale path
+    the 16-bit tier can't offer: simhash16's half-bands live in a
+    FIXED 256-value space, so bucket occupancy (and candidate-pair
+    volume) grows linearly (quadratically) with the corpus no matter
+    how large it gets — dedup_tier_agreement measures that collapse.
+    Four 16-bit bands give 65 536 buckets each (pigeonhole: any pair
+    within hamming distance 3 of the 64-bit signature still collides
+    on at least one band), so expected bucket occupancy stays O(n/64K)
+    and the bucket join stays near-linear far past the 16-bit tier's
+    ceiling.
+
+    Same construction as simhash_table at 64 bits (hex chars 1-16 of
+    md5(token), integer ±1 votes per bit, sign): explode distinct
+    tokens, 64 map-side-combined vote sums per doc, band p of bit
+    16b+p — flat scalar codegen, shuffle carries 64 ints per doc.
+    Emits (doc, band) rows, band = 'ordinal|value' strings like
+    minhash_bands, ready for the posting-list pair idiom or a stored
+    band index."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    )
+    h = F.substring(F.md5(F.col("t")), 1, 16)
+    vote_cols = []
+    for p in range(64):
+        char_idx = p // 4 + 1
+        bit = p % 4
+        b = _hex_nibble_bits(F.substring(h, char_idx, 1), bit)
+        vote_cols.append(
+            F.sum(F.when(b == 1, 1).otherwise(-1)).alias(f"v{p}")
+        )
+    votes = toks.groupBy("doc").agg(*vote_cols)
+    band_vals = []
+    for bnd in range(4):
+        sig = None
+        for p in range(16):
+            term = F.when(
+                F.col(f"v{bnd * 16 + p}") > 0, F.lit(2 ** p)
+            ).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        band_vals.append(
+            F.concat_ws("|", F.lit(str(bnd)), sig.cast("string"))
+        )
+    return votes.select("doc", F.explode(F.array(*band_vals)).alias("band"))
+
+
 # ------------------------------------------------------------------ #
 # duplicate-cluster formation (connected components)
 

@@ -90,6 +90,8 @@ _GATE_PRIORITY = [
     "streaming_neardup_probe_drained",
     "knn_ivfpq",
     "mixture_anneal_schedule",
+    "ann_recall_ivfpq",
+    "simhash64_candidates",
     "bpe_tokenize",
     "curation_funnel",
     "customers_without_orders",

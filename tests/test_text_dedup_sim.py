@@ -1909,3 +1909,66 @@ def test_streaming_neardup_probe_matches_batch(spark):
         for r in arr.join(lake, "band").collect()
     )
     assert got == want and len(want) > 0
+
+
+@pytest.mark.slow
+def test_minhash_band_array_property(spark):
+    """Property form of the expression/grouped equivalence: on RANDOM
+    small corpora (shared word pool so shingles repeat across docs,
+    doc lengths straddling the k=3 shingle threshold), the pure-
+    expression band keys must equal minhash_bands row-for-row —
+    including docs with < 3 tokens contributing nothing on either
+    side."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(
+        st.sampled_from([f"w{i}" for i in range(10)]),
+        min_size=1, max_size=9,
+    )
+    corpus = st.lists(doc, min_size=1, max_size=12)
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=corpus)
+    def prop(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        grouped = sorted(
+            (r.doc, r.band) for r in dedup.minhash_bands(df).collect()
+        )
+        expr = sorted(
+            (r.doc, r.band)
+            for r in df.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(dedup.minhash_band_array("text")).alias("band"),
+            ).collect()
+        )
+        assert grouped == expr
+
+    prop()
+
+
+def test_simhash64_bands_shape_and_determinism(spark):
+    """simhash64_bands emits exactly 4 band rows per doc with ≥1
+    distinct token, ordinal-prefixed 16-bit values, deterministic
+    across runs; identical token SETS yield identical bands (signature
+    is a set function)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha alpha"),
+         (3, "wholly different tokens here")],
+        "doc_id long, text string",
+    )
+    a = sorted((r.doc, r.band) for r in dedup.simhash64_bands(df).collect())
+    b = sorted((r.doc, r.band) for r in dedup.simhash64_bands(df).collect())
+    assert a == b
+    by_doc = {}
+    for doc, band in a:
+        by_doc.setdefault(doc, []).append(band)
+    assert all(len(v) == 4 for v in by_doc.values())
+    for v in by_doc.values():
+        for band in v:
+            ordinal, val = band.split("|")
+            assert ordinal in "0123" and 0 <= int(val) < 65536
+    # docs 1 and 2 have the same distinct-token set -> same signature
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
