@@ -247,6 +247,7 @@ HEADLINE = [
     "mixture_anneal_schedule",
     "ann_recall_ivfpq",
     "simhash64_candidates",
+    "tokenizer_fertility_drift",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

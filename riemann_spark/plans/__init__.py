@@ -79,9 +79,9 @@ _GATE_PRIORITY = [
     "mixture_replan_after_dedup",
     "classifier_calibration_drift",
     "streaming_ivf_assign_drained",
-    # ---- ROUND-11 FRONT (positions 51+): first the five r10 entries
-    # that missed the full window (strict-checked green at
-    # sf0.001/sf0.01 this round, driver row owed), then the 50
+    # ---- ROUND-11 FRONT (positions 51+): first the ten r10 entries
+    # that missed the full window (every one strict-checked green at
+    # sf0.001 AND sf0.01 this round, driver row owed), then the 50
     # r05-hashed rows — the next-stalest tier once r10 gates ----------
     "knn_pq_from_table",
     "pq_code_maintenance",
@@ -92,6 +92,7 @@ _GATE_PRIORITY = [
     "mixture_anneal_schedule",
     "ann_recall_ivfpq",
     "simhash64_candidates",
+    "tokenizer_fertility_drift",
     "bpe_tokenize",
     "curation_funnel",
     "customers_without_orders",

@@ -10708,3 +10708,131 @@ def simhash64_candidates(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
         .distinct()
     )
+
+
+#: Ingest-window id for the tokenizer lane: a SALTED md5 nibble mod 4,
+#: NOT doc_id % 4 — the corpus assigns doc ids source-interleaved with
+#: stride 20 and 4 | 20, so doc_id % 4 is CONSTANT per source (window
+#: would equal source-class and the per-source baseline would drop
+#: every non-window-0 source). The 'w' salt also decorrelates from
+#: _GRADE_SQL's unsalted nibble (the golden labels).
+_BPE_WIN_SQL = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4"
+)
+
+
+def _bpe_win_col():
+    return (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            ),
+        )
+        - 1
+    ) % 4
+
+
+def _bpe_drift_sql(n_merges: int) -> str:
+    """Unrolled BPE replay trained on ingest window 0 ONLY (the frozen
+    production vocabulary), applied to every window; per (window,
+    source) fertility vs the window-0 baseline."""
+    ctes = [
+        f"t0 AS (SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents)",
+        "w0 AS (SELECT doc_id, source,"
+        " ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+        " || ' ' AS s FROM t0)",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT p[1] AS p1, p[2] AS p2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                  j -> [arr[j], arr[j+1]])) AS p
+    FROM (SELECT string_split(trim(s), ' ') AS arr FROM w{i-1}
+          WHERE {_BPE_WIN_SQL} = 0))
+  GROUP BY 1, 2 ORDER BY COUNT(*) DESC, p1, p2 LIMIT 1)"""
+        )
+        ctes.append(
+            f"w{i} AS (SELECT doc_id, source,"
+            f" replace(s, ' ' || m{i}.p1 || ' ' || m{i}.p2"
+            f" || ' ', ' ' || m{i}.p1 || m{i}.p2 || ' ') AS s FROM w{i-1}, m{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+agg AS (SELECT {_BPE_WIN_SQL} AS win, source,
+               CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM w{n_merges} GROUP BY 1, 2),
+base AS (SELECT source,
+                n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE) AS f0
+         FROM agg WHERE win = 0)
+SELECT a.win AS window, a.source, a.n_ws_tokens, a.n_bpe_tokens,
+       a.n_bpe_tokens / CAST(a.n_ws_tokens AS DOUBLE) AS fertility,
+       round(a.n_bpe_tokens / CAST(a.n_ws_tokens AS DOUBLE) - b.f0, 6)
+         AS fertility_drift
+FROM agg a JOIN base b USING (source)"""
+    )
+
+
+@q("tokenizer_fertility_drift", _bpe_drift_sql(_N_BPE_MERGES))
+def tokenizer_fertility_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKENIZER DRIFT monitoring — the vocabulary-freeze leg of the
+    BPE lineage (train: bpe_tokenize → and now: does the frozen
+    vocabulary still fit arriving data?): merges train on ingest
+    window 0 ONLY (doc_id % 4 == 0 — the snapshot a production
+    tokenizer is frozen at), then segment EVERY window; per (window,
+    source): whitespace vs BPE token counts, fertility (BPE per
+    whitespace token — the symbols-per-word cost of the vocabulary),
+    and drift vs the training window's own fertility. Rising
+    fertility on later windows is the 'retrain the tokenizer' signal
+    (new vocabulary fragments into characters), feeding the same
+    consecutive-drift trigger the classifier lane uses
+    (streaming_retrain_trigger).
+
+    Scale shape: training is bpe_train's documented per-merge
+    aggregation over the WINDOW-0 word table only (the frozen-subset
+    discipline — at 100 TB you train on the snapshot, never the full
+    lake); application is chained literal replaces fused into one
+    corpus scan; the report is a (4 × sources)-row aggregate and a
+    broadcast baseline join. The oracle replays training AND
+    application in unrolled SQL, so green means both engines learned
+    the same vocabulary and measured the same drift."""
+    d = load_table(spark, sf, "documents")
+    merges = text.bpe_train(d.filter(_bpe_win_col() == 0), _N_BPE_MERGES)
+    agg = (
+        d.select(
+            _bpe_win_col().cast("long").alias("window"),
+            "source",
+            text.token_count("text").cast("long").alias("ws"),
+            text.bpe_trained_token_count("text", merges).alias("bpe"),
+        )
+        .groupBy("window", "source")
+        .agg(
+            F.sum("ws").cast("long").alias("n_ws_tokens"),
+            F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    fert = F.col("n_bpe_tokens") / F.col("n_ws_tokens").cast("double")
+    base = (
+        agg.filter(F.col("window") == 0)
+        .select(
+            "source",
+            (F.col("n_bpe_tokens") / F.col("n_ws_tokens").cast("double")).alias("f0"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(base), "source")
+        .select(
+            "window",
+            "source",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            fert.alias("fertility"),
+            F.round(fert - F.col("f0"), 6).alias("fertility_drift"),
+        )
+    )
