@@ -10836,3 +10836,91 @@ def tokenizer_fertility_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.round(fert - F.col("f0"), 6).alias("fertility_drift"),
         )
     )
+
+
+def _bpe_gate_sql(n_merges: int) -> str:
+    """Training chain (window-0 merges) + the per-document fertility
+    gate replay: corpus baseline fertility from window 0, flag docs
+    whose fertility exceeds 1.25x the baseline."""
+    full = _bpe_drift_sql(n_merges)
+    # reuse the training/application CTE chain; cut the drift report
+    body = full[: full.index(",\nagg AS")]
+    return (
+        body
+        + f""",
+d AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+               AS n_bpe_tokens
+      FROM w{n_merges} GROUP BY doc_id),
+f0 AS (SELECT SUM(n_bpe_tokens) / CAST(SUM(n_ws_tokens) AS DOUBLE) AS f
+       FROM d WHERE {_BPE_WIN_SQL} = 0)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE) AS fertility,
+       n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE) > f0.f * 1.25 AS flagged
+FROM d, f0"""
+    )
+
+
+@q("streaming_fertility_gate_drained", _bpe_gate_sql(_N_BPE_MERGES))
+def streaming_fertility_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-fit gating AT INGEST — the streaming leg of the
+    vocabulary-freeze lane (train: window-0 merges → monitor:
+    tokenizer_fertility_drift → and now: flag each arriving doc whose
+    BPE fertility exceeds 1.25× the training corpus's baseline — the
+    doc the frozen vocabulary fragments into characters, i.e. content
+    the tokenizer has never seen). streaming_classifier_gate's exact
+    serving shape: the merges and the baseline are trained OFFLINE
+    (bpe_train + one two-scalar aggregate), then baked into a
+    STATELESS streaming projection — chained literal replaces fused
+    into the scan, no state store, no watermark; throughput scales
+    with source partitions alone, and a vocabulary refresh swaps the
+    literal merge list.
+
+    The oracle re-trains the merges, recomputes the baseline, and
+    replays every per-document decision in unrolled SQL — green means
+    offline training and online gating agree doc-for-doc."""
+    import tempfile
+    import uuid as _uuid
+
+    d = load_table(spark, sf, "documents")
+    merges = text.bpe_train(d.filter(_bpe_win_col() == 0), _N_BPE_MERGES)
+    base = (
+        d.filter(_bpe_win_col() == 0)
+        .select(
+            text.token_count("text").cast("long").alias("ws"),
+            text.bpe_trained_token_count("text", merges).alias("bpe"),
+        )
+        .agg(F.sum("ws").alias("sw"), F.sum("bpe").alias("sb"))
+        .collect()[0]
+    )
+    f0 = base.sb / float(base.sw)  # exact ints -> the engines' DOUBLE div
+
+    name = f"cat_sfg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sfg_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    ws = text.token_count("text").cast("long")
+    bpe = text.bpe_trained_token_count("text", merges)
+    fert = bpe / ws.cast("double")
+    out = raw.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        fert.alias("fertility"),
+        (fert > F.lit(f0) * F.lit(1.25)).alias("flagged"),
+    )
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    return spark.table(name)
