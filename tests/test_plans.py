@@ -1483,3 +1483,18 @@ def test_mixture_anneal_schedule_constant_after_scan(spark):
     assert "Join" not in p and "CartesianProduct" not in p
     assert p.count("Scan parquet") <= 2, p[:1500]
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:1500]
+
+
+def test_tokenizer_fertility_drift_two_aggregates(spark):
+    """The drift report must be: one chained-replace application scan
+    feeding a (window x source) aggregate, plus the window-0 baseline
+    branch and a broadcast join — 2 scans of documents (agg + baseline
+    lineage), 2 exchanges, no sort-merge, no cartesian. BPE training
+    happens driver-side (bpe_train) and never appears in this plan."""
+    import re
+
+    p = plan_of(spark, "tokenizer_fertility_drift")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert p.count("Scan parquet") <= 4, p[:1500]  # 2 scans x (tree+detail)
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2, p[:1500]
+    assert p.count("BroadcastHashJoin") >= 1

@@ -1972,3 +1972,50 @@ def test_simhash64_bands_shape_and_determinism(spark):
     # docs 1 and 2 have the same distinct-token set -> same signature
     assert by_doc[1] == by_doc[2]
     assert by_doc[1] != by_doc[3]
+
+
+def test_streaming_fertility_gate_matches_batch(spark):
+    """The streaming gate's per-doc decisions must equal the same
+    baked-merge projection run as a batch query over the same corpus
+    (stream-vs-batch agreement for the stateless serving shape)."""
+    from riemann_spark.functions import text
+    from riemann_spark.plans.catalog_ml import (
+        _bpe_win_col,
+        _N_BPE_MERGES,
+        streaming_fertility_gate_drained,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.doc_id, r.n_ws_tokens, r.n_bpe_tokens, r.flagged)
+        for r in streaming_fertility_gate_drained(spark, sf).collect()
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    merges = text.bpe_train(d.filter(_bpe_win_col() == 0), _N_BPE_MERGES)
+    base = (
+        d.filter(_bpe_win_col() == 0)
+        .agg(
+            F.sum(text.token_count("text").cast("long")).alias("sw"),
+            F.sum(text.bpe_trained_token_count("text", merges)).alias("sb"),
+        )
+        .collect()[0]
+    )
+    f0 = base.sb / float(base.sw)
+    ws = text.token_count("text").cast("long")
+    bpe = text.bpe_trained_token_count("text", merges)
+    fert = bpe / ws.cast("double")
+    want = sorted(
+        (r.doc_id, r.n_ws_tokens, r.n_bpe_tokens, r.flagged)
+        for r in d.select(
+            "doc_id",
+            ws.alias("n_ws_tokens"),
+            bpe.alias("n_bpe_tokens"),
+            (fert > F.lit(f0) * F.lit(1.25)).alias("flagged"),
+        ).collect()
+    )
+    # decisions agree doc-for-doc; on this uniform-vocabulary corpus
+    # the 1.25x threshold trips nowhere (fertility is tight around the
+    # baseline), so assert coverage + variation, not a flag
+    assert got == want and len(got) == d.count()
+    ferts = {b / w for _, w, b, _ in got}
+    assert len(ferts) > 1
