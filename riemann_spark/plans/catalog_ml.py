@@ -10122,8 +10122,10 @@ ss AS (SELECT doc_id AS doc,
 sb AS (SELECT doc,
               unnest([{', '.join(chr(39) + str(b) + "|' || CAST(b" + str(b) + " AS VARCHAR)" for b in range(4))}]) AS band
        FROM ss),
+hotsb AS (SELECT band FROM sb GROUP BY band HAVING COUNT(*) > 1000),
+sbf AS (SELECT * FROM sb ANTI JOIN hotsb USING (band)),
 sim AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
-        FROM sb a JOIN sb b ON a.band = b.band AND a.doc < b.doc),
+        FROM sbf a JOIN sbf b ON a.band = b.band AND a.doc < b.doc),
 mem AS (SELECT doc1, doc2, MAX(j) AS j, MAX(m) AS m, MAX(s) AS s FROM (
           SELECT doc1, doc2, 1 AS j, 0 AS m, 0 AS s FROM jac
           UNION ALL SELECT doc1, doc2, 0, 1, 0 FROM mh
@@ -10662,9 +10664,11 @@ s AS (SELECT doc_id AS doc,
       FROM t),
 b AS (SELECT doc,
              unnest([{', '.join(chr(39) + str(b) + "|' || CAST(b" + str(b) + " AS VARCHAR)" for b in range(4))}]) AS band
-      FROM s)
+      FROM s),
+hotb AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) > 1000),
+bf AS (SELECT * FROM b ANTI JOIN hotb USING (band))
 SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
-FROM b a JOIN b b ON a.band = b.band AND a.doc < b.doc""",
+FROM bf a JOIN bf b ON a.band = b.band AND a.doc < b.doc""",
 )
 def simhash64_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Hamming-LSH candidates over a 64-BIT SimHash (4 bands × 16
