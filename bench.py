@@ -248,6 +248,7 @@ HEADLINE = [
     "ann_recall_ivfpq",
     "simhash64_candidates",
     "tokenizer_fertility_drift",
+    "contamination_after_dedup",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

@@ -79,7 +79,7 @@ _GATE_PRIORITY = [
     "mixture_replan_after_dedup",
     "classifier_calibration_drift",
     "streaming_ivf_assign_drained",
-    # ---- ROUND-11 FRONT (positions 51+): first the eleven r10 entries
+    # ---- ROUND-11 FRONT (positions 51+): first the twelve r10 entries
     # that missed the full window (every one strict-checked green at
     # sf0.001 AND sf0.01 this round, driver row owed), then the 50
     # r05-hashed rows — the next-stalest tier once r10 gates ----------
@@ -94,6 +94,7 @@ _GATE_PRIORITY = [
     "simhash64_candidates",
     "tokenizer_fertility_drift",
     "streaming_fertility_gate_drained",
+    "contamination_after_dedup",
     "bpe_tokenize",
     "curation_funnel",
     "customers_without_orders",

@@ -10928,3 +10928,111 @@ def streaming_fertility_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
     q_.processAllAvailable()
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "contamination_after_dedup",
+    f"""
+WITH RECURSIVE
+tokst AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE source != 'src0'),
+sh AS (SELECT doc_id AS doc,
+              unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+                list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+       FROM tokst),
+sigs AS (SELECT doc,
+        {_SIGS_SQL}
+         FROM sh GROUP BY doc),
+bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (SELECT u AS id, u AS r FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id),
+tr4 AS {_gram4_sql("source != 'src0'")},
+ev4 AS {_gram4_sql("source = 'src0'")},
+cont AS (SELECT DISTINCT tr.doc FROM tr4 tr JOIN ev4 ev
+         ON tr.shingle = ev.shingle),
+base AS (SELECT d.doc_id,
+                (l.cluster IS NULL OR l.cluster = d.doc_id) AS kept,
+                (c.doc IS NOT NULL) AS cont
+         FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+         LEFT JOIN labels l ON l.doc = d.doc_id
+         LEFT JOIN cont c ON c.doc = d.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_train_kept,
+       CAST(SUM(CASE WHEN cont THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN cont AND kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_kept,
+       round(SUM(CASE WHEN cont THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS rate_before,
+       round(SUM(CASE WHEN cont AND kept THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS rate_after
+FROM base""",
+)
+def contamination_after_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Does DEDUP buy decontamination? — the interaction report
+    between the two heaviest curation stages (mixture_replan's
+    question asked of the contamination lane): the training corpus
+    (source != src0) is deduped (LSH→CC keep-list: unique docs + one
+    canonical per near-dup cluster), contamination is the 4-gram
+    eval-overlap set (the `contamination` query's definition), and
+    the one-row report compares contamination RATE before vs after
+    the keep-list. A falling rate means contaminated docs live in
+    near-dup clusters (mirrors of leaked eval data — the common case
+    in web crawls, worth running dedup BEFORE decontamination); a
+    flat rate means contamination is unique text that only the
+    explicit gate can remove. Decision input for pipeline stage
+    ordering at 100 TB.
+
+    Scale shape: the keep-list is the standard bounded-bucket LSH →
+    log-round CC lane over the train side only; contamination is the
+    broadcast-eval-shingle join; both flags meet in ONE left-join
+    pass over the train corpus and a single integer aggregate. The
+    oracle recomputes keep-list, contamination set, and the rates
+    from scratch (recursive-closure CC)."""
+    d = load_table(spark, sf, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    pairs = dedup.lsh_candidate_pairs(train, _N_HASHES, _BAND)
+    labels = dedup.connected_components(pairs)
+    lab = labels.select(F.col("node").alias("doc_id"), "cluster")
+    cont = (
+        dedup.ngram_contamination(train, ev, 4)
+        .select(F.col("doc").alias("doc_id"))
+        .withColumn("c", F.lit(1))
+    )
+    kept = F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
+    is_cont = F.col("c").isNotNull()
+    base = (
+        train.select("doc_id")
+        .join(lab, "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(kept.cast("long")).cast("long").alias("n_train_kept"),
+        F.sum(is_cont.cast("long")).cast("long").alias("n_contaminated"),
+        F.sum((is_cont & kept).cast("long"))
+        .cast("long")
+        .alias("n_contaminated_kept"),
+    ).select(
+        "n_train",
+        "n_train_kept",
+        "n_contaminated",
+        "n_contaminated_kept",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_train"), 6
+        ).alias("rate_before"),
+        F.round(
+            F.col("n_contaminated_kept").cast("double")
+            / F.col("n_train_kept"),
+            6,
+        ).alias("rate_after"),
+    )
