@@ -11010,10 +11010,13 @@ def contamination_after_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     kept = F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
     is_cont = F.col("c").isNotNull()
+    # no broadcast hint on cont: the contaminated-doc set scales with
+    # the corpus (2.4k rows at sf0.1, unbounded at 100 TB) — AQE
+    # broadcasts it when it is actually small, shuffles when not
     base = (
         train.select("doc_id")
         .join(lab, "doc_id", "left")
-        .join(F.broadcast(cont), "doc_id", "left")
+        .join(cont, "doc_id", "left")
     )
     return base.agg(
         F.count(F.lit(1)).cast("long").alias("n_train"),
