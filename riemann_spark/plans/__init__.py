@@ -20,69 +20,16 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-10 WINDOW (positions 1-50) ------------------------------
-    # Per VERDICT r9 directive #1: finish the stale-hash rotation. The
-    # 44 rows whose latest driver hash is r04 (recomputed from
-    # CORRECTNESS_r01-r09: histogram r4=44, r5..r9=50 each, zero
-    # never-gated) take positions 1-44; the new round-10 catalog
-    # entries fill the remaining ≤6 slots. After r10 gates, the
-    # staleness floor moves to r05.
-    # -- (a) all 44 r04-hashed rows: --------------------------------------
-    "curation_pipeline_cls",
-    "dedup_cluster_sizes",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_pair_provenance",
-    "doc_fingerprint",
-    "events_heatmap",
-    "flap_rate",
-    "heavy_hitters_cms",
-    "image_features",
-    "kafka_codec_roundtrip",
-    "knn_ivf_nprobe",
-    "knn_pq",
-    "knn_pq_rerank",
-    "knn_pq_trained",
-    "moving_median",
-    "multimodal_jpeg_decode",
-    "multimodal_video_frames",
-    "percentiles_histogram",
-    "percentiles_histogram_global",
-    "quality_classifier",
-    "retention_rollup",
-    "segment_dedup",
-    "semantic_dedup",
-    "sequence_packing",
-    "sessionize",
-    "slo_burn_rate",
-    "source_quality_matrix",
-    "substring_dedup",
-    "token_budget",
-    "token_fertility",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    # -- (b) new round-10 catalog entries (exactly 6: 44 + 6 = 50): -------
-    "incremental_index_writeback",
-    "knn_lsh_multiprobe",
-    "ivf_index_maintenance",
-    "mixture_replan_after_dedup",
-    "classifier_calibration_drift",
-    "streaming_ivf_assign_drained",
-    # ---- ROUND-11 FRONT (positions 51+): first the twelve r10 entries
-    # that missed the full window (every one strict-checked green at
-    # sf0.001 AND sf0.01 this round, driver row owed), then the 50
-    # r05-hashed rows — the next-stalest tier once r10 gates ----------
+    # ---- ROUND-11 WINDOW (positions 1-50) ------------------------------
+    # Per VERDICT r10 directive #1: (a) the twelve round-10 catalog
+    # additions that postdate the r10 gate snapshot and therefore have
+    # never had an external driver row (judge strict-checked all 12
+    # green at sf0.01 in VERDICT r10; the driver row is owed), then
+    # (b) 38 of the 50 rows whose latest driver hash is r05 — the
+    # stalest tier now that r10 gated. The remaining 12 r05 rows lead
+    # round 12. After r11 gates, every catalog query has a driver row
+    # and the staleness floor is r06-except-12.
+    # -- (a) the 12 never-externally-gated round-10 additions: -----------
     "knn_pq_from_table",
     "pq_code_maintenance",
     "dedup_tier_agreement",
@@ -95,6 +42,7 @@ _GATE_PRIORITY = [
     "tokenizer_fertility_drift",
     "streaming_fertility_gate_drained",
     "contamination_after_dedup",
+    # -- (b) first 38 of the 50 r05-hashed rows: --------------------------
     "bpe_tokenize",
     "curation_funnel",
     "customers_without_orders",
@@ -133,6 +81,9 @@ _GATE_PRIORITY = [
     "streaming_moving_time_drained",
     "streaming_percentiles_histogram_closed",
     "streaming_project_drained",
+    # ---- ROUND-12 FRONT (positions 51+): the remaining 12 r05 rows,
+    # then any new round-11 catalog entries (strict-checked via
+    # tools/check.py before registration; driver row owed r12) ----------
     "streaming_rate_closed",
     "streaming_slo_burn_drained",
     "streaming_top_drained",
