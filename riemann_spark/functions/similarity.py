@@ -880,14 +880,21 @@ def ivfpq_topk(
     quantization compresses what's left): every corpus vector is
     assigned to its nearest coarse cell (cosine — ivf_topk's exact
     geometry), its RESIDUAL against the cell centroid is PQ-encoded
-    with ONE global codebook (the first ``n_codes`` vectors' residual
-    slices — deterministic like pq_encode's seed; swap in
+    with ONE global codebook (the residual slices of corpus vectors
+    ``n_cells <= id < n_cells + n_codes`` — deterministic like
+    pq_encode's seed, but never a centroid: a centroid self-assigns
+    with residual exactly zero, which would collapse every codeword
+    to the zero vector and the ADC to a constant; swap in
     pq_kmeans_codebook over residuals offline), and a query scans
     only the codes of its ``nprobe`` nearest cells via the ADC lookup
-    table built from ITS residual in each probed cell. Residual
-    encoding is why IVF-PQ beats flat PQ at the same bits: within a
-    cell the residuals span a far smaller ball than raw vectors, so
-    the same 4-bit codes quantize much finer.
+    table built from ITS residual in each probed cell. The residual
+    argument for IVF-PQ (within a cell residuals span a smaller ball
+    than raw vectors, so the same bits quantize finer) holds in full
+    only with a TRAINED residual codebook; with this deterministic
+    seeded one, measured recall@5 vs brute force is 0.20 (sf0.001) /
+    0.275 (sf0.01) — above the 0.15 coarse-pruning-only floor, below
+    ivf_topk's full-precision 0.90, the honest price of 4-bit codes.
+    ann_recall_ivfpq tracks this number every round.
 
     Search cost at scale: nprobe/n_cells of the code table (integer
     codes only — the floats never leave the model-sized LUT), against
@@ -958,10 +965,20 @@ def ivfpq_topk(
             ).alias("x"),
         ).select(idc, "cell", "x.m", "x.s")
 
-    # global residual codebook: the first n_codes corpus vectors'
-    # residual slices — model-sized (n_sub x n_codes rows)
-    cb = slices(ca.filter(F.col("n_id") < n_codes), "n_id").select(
-        "m", F.col("n_id").cast("int").alias("code"), F.col("s").alias("cw")
+    # global residual codebook: residual slices of the n_codes corpus
+    # vectors AFTER the centroid block (ids n_cells..n_cells+n_codes-1)
+    # — model-sized (n_sub x n_codes rows). Seeding from ids < n_codes
+    # would pick the centroids themselves, whose residuals are exactly
+    # zero (they self-assign at cos=1), degenerating every codeword.
+    cb = slices(
+        ca.filter(
+            (F.col("n_id") >= n_cells) & (F.col("n_id") < n_cells + n_codes)
+        ),
+        "n_id",
+    ).select(
+        "m",
+        (F.col("n_id") - n_cells).cast("int").alias("code"),
+        F.col("s").alias("cw"),
     )
     d2 = F.aggregate(
         F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),

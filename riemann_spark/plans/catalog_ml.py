@@ -187,7 +187,9 @@ WITH {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs)
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band))
 SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc""",
 )
@@ -1333,7 +1335,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -1509,7 +1513,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -2143,7 +2149,9 @@ WITH {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 sets AS (SELECT doc, list(shingle) AS sset FROM sh GROUP BY doc)
@@ -2877,7 +2885,9 @@ WITH {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 sets AS (SELECT doc, list(shingle) AS sset FROM sh GROUP BY doc),
@@ -2925,7 +2935,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -3477,7 +3489,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -3708,7 +3722,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -3818,7 +3834,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 sets AS (SELECT doc, list(shingle) AS sset FROM sh GROUP BY doc),
@@ -3941,7 +3959,9 @@ tp AS (SELECT doc1, doc2 FROM (
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 hit AS (SELECT doc1, doc2 FROM tp JOIN cand USING (doc1, doc2))
@@ -4610,7 +4630,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -5664,7 +5686,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -6181,7 +6205,9 @@ WITH {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 v AS (SELECT p.doc1, p.doc2,
@@ -8247,7 +8273,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
@@ -8326,7 +8354,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
@@ -8656,7 +8686,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
@@ -9370,7 +9402,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -9566,7 +9600,9 @@ WITH RECURSIVE {_SHINGLE_SQL},
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -10110,7 +10146,9 @@ jac AS (SELECT doc1, doc2 FROM (
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 mh AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
        FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 st AS (SELECT doc_id, list_transform(list_distinct({_TOKS}),
@@ -10446,10 +10484,14 @@ def streaming_neardup_probe_drained(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
-def _ivfpq_ctes(n_codes: int, nprobe: int) -> str:
+def _ivfpq_ctes(n_codes: int, nprobe: int, n_cells: int = _IVF_CELLS) -> str:
     """The IVF-PQ replay CTE chain through ``scored`` — shared by the
     search oracle (knn_ivfpq) and the recall report
-    (ann_recall_ivfpq)."""
+    (ann_recall_ivfpq). The residual codebook is seeded from the
+    n_codes vectors AFTER the centroid block (ids n_cells ..
+    n_cells+n_codes-1) — mirroring similarity.ivfpq_topk, which must
+    not seed from the centroids themselves (their residuals are
+    identically zero)."""
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ms AS (SELECT unnest(generate_series(0, 7)) AS m),
 ca0 AS ({_assign_sql('c0', 'n_id', 'n_vec')}),
@@ -10457,8 +10499,10 @@ rc AS (SELECT ca0.n_id, ca0.cell,
               list_transform(generate_series(1, 64),
                              i -> ca0.n_vec[i] - cv.v[i]) AS rv
        FROM ca0 JOIN e cv ON cv.vec_id = ca0.cell),
-cb AS (SELECT m, CAST(n_id AS INT) AS code, rv[m*8+1 : m*8+8] AS cw
-       FROM rc CROSS JOIN ms WHERE n_id < {n_codes}),
+cb AS (SELECT m, CAST(n_id - {n_cells} AS INT) AS code,
+              rv[m*8+1 : m*8+8] AS cw
+       FROM rc CROSS JOIN ms
+       WHERE n_id >= {n_cells} AND n_id < {n_cells} + {n_codes}),
 sl AS (SELECT n_id AS id, cell, m, rv[m*8+1 : m*8+8] AS s
        FROM rc CROSS JOIN ms),
 codes AS (SELECT id, cell, m, code FROM (
@@ -10488,11 +10532,12 @@ scored AS (SELECT lut.q_id, codes.id AS n_id,
 def _ivfpq_oracle(n_cells: int, n_codes: int, nprobe: int, k: int) -> str:
     """IVF-PQ replay: fixed coarse quantizer (_assign_sql — cosine,
     first n_cells vectors), per-vector residual vs the assigned
-    centroid, ONE global residual codebook (first n_codes vectors'
-    residual slices), argmin encode, per-(query, probed-cell) LUT,
-    integer-sum ADC restricted to probed cells."""
+    centroid, ONE global residual codebook (residual slices of the
+    n_codes vectors AFTER the centroid block — never the centroids,
+    whose residuals are zero), argmin encode, per-(query,
+    probed-cell) LUT, integer-sum ADC restricted to probed cells."""
     return f"""
-WITH {_ivfpq_ctes(n_codes, nprobe)}
+WITH {_ivfpq_ctes(n_codes, nprobe, n_cells)}
 SELECT q_id, n_id, adc_d2, rank FROM (
   SELECT q_id, n_id, adc_d2,
          row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank
@@ -10944,7 +10989,9 @@ sh AS (SELECT doc_id AS doc,
 sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
-bands AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
