@@ -353,8 +353,7 @@ def main() -> None:
         except BaseException as exc:  # propagate: a swallowed sink error
             sink_errors.append(exc)   # would silently fake the timing
 
-    pipeline_passes = []
-    for _ in range(max(n_passes, 6)):
+    def _one_pass() -> float:
         t0 = time.time()
         sinks = [
             threading.Thread(target=_drain, args=(d,))
@@ -366,7 +365,17 @@ def main() -> None:
             th.join()
         if sink_errors:
             raise sink_errors[0]
-        pipeline_passes.append(round(time.time() - t0, 3))
+        return round(time.time() - t0, 3)
+
+    # explicit warmup passes EXCLUDED from the min (VERDICT r10 #3):
+    # the per-pass decay curve [4.9, 2.9, 2.5, 2.3, 2.2, 2.2, ...] is
+    # JIT + code-cache warm-in, not the plan — min-over-all-passes
+    # under-reported the warm floor (a solo fresh-session probe of the
+    # identical plan reaches ~1.3s/pass) and made rounds incomparable.
+    # Warmups are recorded separately so the decay stays observable.
+    n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "6"))
+    pipeline_warmup = [_one_pass() for _ in range(n_warmup)]
+    pipeline_passes = [_one_pass() for _ in range(max(n_passes, 6))]
     pipeline_sec = min(pipeline_passes)
     events_per_sec = int(n_events / pipeline_sec)
     big.unpersist()
@@ -404,6 +413,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "per_query_sec": timings,
                 "pipeline_pass_sec": pipeline_passes,
+                "pipeline_warmup_sec": pipeline_warmup,
                 "events_per_sec": events_per_sec,
             },
             fh,
@@ -421,6 +431,7 @@ def main() -> None:
                 "events_per_sec": events_per_sec,
                 "throughput_events": n_events,
                 "pipeline_pass_sec": pipeline_passes,
+                "pipeline_warmup_sec": pipeline_warmup,
             }
         )
     )
