@@ -3247,13 +3247,11 @@ def dedup_embedding_keeplist(spark: SparkSession, sf: str) -> DataFrame:
     own singleton cluster. This is the "keep one per cluster" filter
     a 100 TB multimodal dedup actually materializes — linear output,
     same CC machinery as dedup_clusters (large-star/small-star,
-    lineage-truncated). Oracle: DuckDB recursive transitive closure
-    over the same gated pair set."""
+    lineage-truncated). Served from the stored embedding label state
+    (_embedding_label_state, r11). Oracle: DuckDB recursive
+    transitive closure over the same gated pair set."""
     e = load_table(spark, sf, "embeddings")
-    pairs = similarity.embedding_near_dups(e, 0.4, _ND_TABLES, _ND_PLANES, _DIM)
-    labels = dedup.connected_components(
-        pairs.select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2"))
-    )
+    labels = _embedding_label_state(spark, sf)
     return (
         e.select("vec_id")
         .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
@@ -8238,23 +8236,8 @@ def _cluster_label_state(spark: SparkSession, sf: str):
     The `v1` path component versions the pair-gen semantics (band
     cap, shingle width): bump it when those change so stale /tmp
     state from an older code version can never serve."""
-    import glob
-    import os
-    import shutil
-    import tempfile
 
-    src = os.path.join(sf, "documents.parquet")
-    stamp = str(os.stat(src).st_mtime_ns)
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"riemann_spark_state_{key}")
-    raw_path = os.path.join(root, f"cc_labels_v1-{stamp}")
-    ver_path = os.path.join(root, f"cc_labels_verified_v1-{stamp}")
-    fresh = all(
-        os.path.exists(os.path.join(p, "_SUCCESS"))
-        for p in (raw_path, ver_path)
-    )
-    if not fresh:
-        d = load_table(spark, sf, "documents")
+    def build(d):
         raw = dedup.connected_components(
             dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
         )
@@ -8263,20 +8246,73 @@ def _cluster_label_state(spark: SparkSession, sf: str):
                 "doc1", "doc2"
             )
         )
+        return raw, ver
+
+    return _stored_state_tables(
+        spark, sf, "documents",
+        ["cc_labels_v1", "cc_labels_verified_v1"],
+        lambda: build(load_table(spark, sf, "documents")),
+    )
+
+
+def _embedding_label_state(spark: SparkSession, sf: str):
+    """Stored embedding near-dup cluster labels — the multimodal
+    sibling of _cluster_label_state: CC over the cosine-gated
+    (>= 0.4) LSH-bucketed pair set of the embeddings table, one
+    (node, cluster) parquet per corpus, stamped on the EMBEDDINGS
+    file's mtime. Consumers (dedup_embedding_keeplist) read the
+    artifact; their oracles replay bucketing, the cosine gate, and
+    the recursive closure from raw vectors."""
+    return _stored_state_tables(
+        spark, sf, "embeddings",
+        ["emb_cc_labels_v1"],
+        lambda: (
+            dedup.connected_components(
+                similarity.embedding_near_dups(
+                    load_table(spark, sf, "embeddings"),
+                    0.4, _ND_TABLES, _ND_PLANES, _DIM,
+                ).select(
+                    F.col("id1").alias("doc1"), F.col("id2").alias("doc2")
+                )
+            ),
+        ),
+    )[0]
+
+
+def _stored_state_tables(spark, sf, src_table, names, build):
+    """The stored-state protocol shared by _cluster_label_state /
+    _embedding_label_state (and structurally _warmstart_state):
+    mtime-stamped per-corpus /tmp dirs, atomically CREATED (rename;
+    a losing concurrent builder discards its staging), never replaced
+    under a reader; stale-stamp dirs cleaned best-effort. ``build``
+    returns one frame per entry in ``names``; returns the re-read
+    parquet frames in the same order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf, f"{src_table}.parquet")
+    stamp = str(os.stat(src).st_mtime_ns)
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"riemann_spark_state_{key}")
+    paths = [os.path.join(root, f"{n}-{stamp}") for n in names]
+    fresh = all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths)
+    if not fresh:
+        frames = build()
         os.makedirs(root, exist_ok=True)
-        for path, frame in ((raw_path, raw), (ver_path, ver)):
+        for path, frame in zip(paths, frames):
             staging = f"{path}.staging-{os.getpid()}"
             frame.write.mode("overwrite").parquet(staging)
             try:
                 os.rename(staging, path)
             except OSError:  # a concurrent builder won; content identical
                 shutil.rmtree(staging, ignore_errors=True)
-        for stale in glob.glob(os.path.join(root, "cc_labels_v1-*")) + glob.glob(
-            os.path.join(root, "cc_labels_verified_v1-*")
-        ):
-            if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
-                shutil.rmtree(stale, ignore_errors=True)
-    return spark.read.parquet(raw_path), spark.read.parquet(ver_path)
+        for n in names:
+            for stale in glob.glob(os.path.join(root, f"{n}-*")):
+                if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
+                    shutil.rmtree(stale, ignore_errors=True)
+    return tuple(spark.read.parquet(p) for p in paths)
 
 
 def _warmstart_state(spark: SparkSession, sf: str):
