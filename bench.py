@@ -249,6 +249,8 @@ HEADLINE = [
     "simhash64_candidates",
     "tokenizer_fertility_drift",
     "contamination_after_dedup",
+    # round-11 additions
+    "knn_ivfpq_rerank",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

@@ -596,7 +596,17 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc → 16-bit simhash + two 8-bit half-bands (candidate pairs =
-    docs sharing either half, per the hamming-LSH construction)."""
+    docs sharing either half, per the hamming-LSH construction).
+
+    VERIFY-STAGE INPUT, not a dedup decision: on corpora whose token
+    sets genuinely overlap, SimHash candidates over-generate by
+    orders of magnitude (measured on the sf0.01 ε-corpus: ~20.8k
+    candidate pairs against 28 exact-Jaccard pairs; the 64-bit tier's
+    bigger bucket space still yields ~22.1k — set-similarity physics,
+    not bucket-space physics). Always run a true-similarity verifier
+    (minhash_verified_pairs / edit-distance tier) on the flagged
+    pairs; dedup_tier_agreement is the report quantifying this
+    over-generation against the exact and MinHash tiers."""
     t = simhash_table(_spread(df), id_col, text_col)
     sh = F.col("simhash")
     return t.select(
@@ -627,7 +637,13 @@ def simhash64_bands(
     16b+p — flat scalar codegen, shuffle carries 64 ints per doc.
     Emits (doc, band) rows, band = 'ordinal|value' strings like
     minhash_bands, ready for the posting-list pair idiom or a stored
-    band index."""
+    band index.
+
+    The wider bucket space fixes OCCUPANCY, not selectivity: like the
+    16-bit tier this remains a VERIFY-STAGE INPUT (measured on the
+    sf0.01 ε-corpus: ~22.1k candidates vs 28 exact pairs — the token
+    sets really do overlap). Gate candidates through a true-similarity
+    verifier; dedup_tier_agreement quantifies the over-generation."""
     toks = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(text_col))).alias("t"),

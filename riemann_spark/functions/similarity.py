@@ -300,6 +300,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    probe_depth: int = 1,
 ) -> DataFrame:
     """Approximate top-k: same-LSH-bucket candidates, exact re-rank.
 
@@ -319,7 +320,15 @@ def lsh_topk(
     and the probe buckets are distinct). At 4 planes that scans ~5/16
     of the corpus per query — for tighter scans raise n_planes, not
     single-bucket probing. Single-bucket (multiprobe=False) remains
-    the diagnostic tier ann_recall_report tracks as the floor."""
+    the diagnostic tier ann_recall_report tracks as the floor.
+
+    ``probe_depth=2`` additionally probes the C(n_planes, 2) buckets
+    at Hamming distance 2 (flip two sign bits) — at 4 planes that is
+    11 of 16 buckets (~11/16 of the corpus per query), the measured
+    0.525 → 0.80 recall@5 rung of the cost curve ann_recall_report
+    tracks (scan_frac column). Still query-side fan-out only: the
+    corpus is bucketed once and probe buckets stay distinct, so no
+    candidate repeats."""
     b0 = lsh_bucket(F.col(vec_col), n_planes, dim)
     qa = queries.select(
         F.col(id_col).alias("q_id"),
@@ -332,15 +341,18 @@ def lsh_topk(
     )
     if multiprobe:
         b = F.col("bucket")
+        probes = [b] + [b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        if probe_depth >= 2:
+            probes += [
+                b.bitwiseXOR(F.lit((1 << p) | (1 << q)))
+                for p in range(n_planes)
+                for q in range(p + 1, n_planes)
+            ]
         qa = qa.select(
             "q_id",
             "q_vec",
             "q_n",
-            F.explode(
-                F.array(
-                    b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-                )
-            ).alias("bucket"),
+            F.explode(F.array(*probes)).alias("bucket"),
         )
     ca = corpus.select(
         F.col(id_col).alias("n_id"),
@@ -874,6 +886,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF-PQ composed index — the production billion-vector
     architecture (coarse quantizer prunes to ``nprobe`` cells, product
@@ -1023,10 +1036,46 @@ def ivfpq_topk(
         .agg((F.sum("d2q").cast("double") / F.lit(1e6)).alias("adc_d2"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "adc_d2", "rank")
+        )
+    # exact re-rank of the ADC shortlist (the FAISS IVFPQ+refine
+    # posture): the integer-code scan nominates ``rerank`` candidates
+    # per query, then ONLY those |q|×rerank pairs read full vectors
+    # for exact cosine — the 4-bit quantization error stops deciding
+    # the final order while the scan stays cell-pruned and compressed.
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= rerank)
+        .select("q_id", "n_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_n"),
+    )
+    exact = (
+        short.join(nv, "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn(
+            "cos",
+            _dots(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_n") * F.col("n_n")),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "adc_d2", "rank")
+        .select("q_id", "n_id", "cos", "rank")
     )
 
 

@@ -96,6 +96,9 @@ _GATE_PRIORITY = [
     "tpch_q21",
     "transform_fields",
     "where_filter",
+    # -- new round-11 catalog entries (strict-checked at sf0.001 AND
+    # sf0.01 via tools/check.py before registration): -------------------
+    "knn_ivfpq_rerank",
 ]
 
 def _reorder(d: dict) -> dict:

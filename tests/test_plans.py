@@ -1472,6 +1472,20 @@ def test_knn_ivfpq_prunes_to_probed_cells(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 5, p[:1500]
 
 
+def test_knn_ivfpq_rerank_keeps_pruned_shape(spark):
+    """The rerank tier must keep the compressed scan's shape (no
+    cartesian, no sort-merge) and add only the shortlist's id-keyed
+    joins back to full vectors — the query side broadcast, the
+    corpus side keyed on n_id."""
+    import re
+
+    p = plan_of(spark, "knn_ivfpq_rerank")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3  # + the q-vector join
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 7, p[:1500]
+
+
 def test_mixture_anneal_schedule_constant_after_scan(spark):
     """The annealing schedule must be ONE tokenization aggregate to
     source cardinality, then constant work (3x explode + per-epoch

@@ -1011,9 +1011,18 @@ def test_ivfpq_codes_carry_information(spark):
     assert max(len(v) for v in per_q.values()) > 2, per_q
 
     bf = similarity.brute_force_topk(q, e, 5).select("q_id", "n_id")
+    bf_pairs = [(r.q_id, r.n_id) for r in bf.collect()]
     got = {(r.q_id, r.n_id) for r in top}
-    hits = sum(1 for r in bf.collect() if (r.q_id, r.n_id) in got)
+    hits = sum(1 for pr in bf_pairs if pr in got)
     assert hits / 40.0 >= 0.2, hits
+
+    # the serving tier: exact re-rank of the 50-candidate ADC
+    # shortlist must recover the nprobe=2 cell-coverage ceiling
+    # (measured exactly 0.925 on this fixture; assert with margin)
+    rr = similarity.ivfpq_topk(q, e, 5, rerank=50).collect()
+    got_rr = {(r.q_id, r.n_id) for r in rr}
+    hits_rr = sum(1 for pr in bf_pairs if pr in got_rr)
+    assert hits_rr / 40.0 >= 0.8, hits_rr
 
 
 @pytest.mark.slow
