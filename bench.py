@@ -251,6 +251,8 @@ HEADLINE = [
     "contamination_after_dedup",
     # round-11 additions
     "knn_ivfpq_rerank",
+    "band_index_compaction",
+    "contamination_from_table",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

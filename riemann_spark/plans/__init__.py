@@ -99,6 +99,9 @@ _GATE_PRIORITY = [
     # -- new round-11 catalog entries (strict-checked at sf0.001 AND
     # sf0.01 via tools/check.py before registration): -------------------
     "knn_ivfpq_rerank",
+    "band_index_compaction",
+    "contamination_from_table",
+    "streaming_index_drift_drained",
 ]
 
 def _reorder(d: dict) -> dict:

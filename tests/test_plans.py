@@ -1472,6 +1472,36 @@ def test_knn_ivfpq_prunes_to_probed_cells(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 5, p[:1500]
 
 
+def test_band_index_compaction_is_state_reads_plus_one_agg(spark):
+    """Compaction must compose stored state, not rebuild it: the plan
+    reads the lake band index and cluster labels from parquet (plus
+    the arrival banding projection), one id-keyed join against the
+    removal set, one band-keyed aggregate — no CC iteration, no pair
+    self-join, no cartesian."""
+    import re
+
+    p = plan_of(spark, "band_index_compaction")
+    assert "CartesianProduct" not in p
+    # the 1000-cap/CC machinery never appears: no posting-list
+    # collect_list, no iterative checkpoint scans
+    assert "collect_list" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 4, p[:1500]
+
+
+def test_contamination_from_table_probes_stored_index(spark):
+    """The stored eval shingle index must join as a broadcast (it is
+    benchmark-sized) and the train side must be the only documents
+    scan feeding shingles — no second eval-side shingle rebuild."""
+    import re
+
+    p = plan_of(spark, "contamination_from_table")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+    # one documents scan (train side); the eval side is a parquet
+    # state read, not a re-shingle of documents
+    assert len(re.findall(r"Scan parquet[^\n]*documents", p)) <= 2, p[:1500]
+
+
 def test_knn_ivfpq_rerank_keeps_pruned_shape(spark):
     """The rerank tier must keep the compressed scan's shape (no
     cartesian, no sort-merge) and add only the shortlist's id-keyed
