@@ -679,6 +679,11 @@ def simhash64_bands(
 #: (driver-sequenced, so a plain module var is race-free per session).
 #: SCALING.md's CC probes report it; alert on growth in production.
 last_cc_rounds = 0
+#: Per-round wall seconds of the most recent call (VERDICT r10 #7:
+#: cluster-family wall variance is CC-round variance — this makes it
+#: attributable). Timing a round = the driver-side cost of its two
+#: star jobs + the signature screen; same race-free caveat.
+last_cc_round_secs: list = []
 
 
 def connected_components(
@@ -732,7 +737,11 @@ def connected_components(
     nodes.count()
     prev_sig = _sig(e)
 
+    import time as _time
+
+    last_cc_round_secs.clear()
     for last_cc_rounds in range(1, max_rounds + 1):
+        _t0 = _time.time()
         # large-star: for each node u, hang every larger neighbor off
         # m = min(neighborhood ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -769,10 +778,12 @@ def connected_components(
             )
             e = hung
             if same:
+                last_cc_round_secs.append(round(_time.time() - _t0, 3))
                 break
         else:
             e = hung
         prev_sig = sig
+        last_cc_round_secs.append(round(_time.time() - _t0, 3))
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
