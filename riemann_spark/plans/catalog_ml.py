@@ -840,7 +840,7 @@ def bpe_tokenize_q(spark: SparkSession, sf: str) -> DataFrame:
     full training trajectory as unrolled SQL, so this checks the
     LEARNED merges, not just the application."""
     d = load_table(spark, sf, "documents")
-    merges = text.bpe_train(d, _N_BPE_MERGES)
+    merges = _bpe_merges_state(spark, sf, "full")  # stored, r11
     return d.select(
         "doc_id",
         text.token_count("text").cast("long").alias("n_tokens_ws"),
@@ -8357,6 +8357,30 @@ def _stored_state_tables(spark, sf, src_table, names, build):
     return tuple(spark.read.parquet(p) for p in paths)
 
 
+def _bpe_merges_state(spark: SparkSession, sf: str, scope: str):
+    """Trained BPE merges as STORED state — the frozen-vocabulary
+    posture production tokenizers actually have: training (one
+    aggregation job per merge) runs ONCE per corpus per training
+    scope ('full' corpus for bpe_tokenize, ingest window 0 for the
+    fertility lineage), the ordered merge table lands in the state
+    root, and every consumer READS it (model-sized: n_merges rows).
+    Deterministic training (lexicographic tie-breaks) makes the
+    stored table bit-equal to a retrain; the consumers' oracles
+    re-train in unrolled SQL, value-checking that equality at every
+    gate."""
+    def build():
+        d = load_table(spark, sf, "documents")
+        src = d if scope == "full" else d.filter(_bpe_win_col() == 0)
+        merges = text.bpe_train(src, _N_BPE_MERGES)
+        rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+        return (spark.createDataFrame(rows, "i long, a string, b string"),)
+
+    df = _stored_state_tables(
+        spark, sf, "documents", [f"bpe_merges_{scope}_v1"], build
+    )[0]
+    return [(r.a, r.b) for r in df.orderBy("i").collect()]
+
+
 def _warmstart_state(spark: SparkSession, sf: str):
     """Prior-snapshot state as STORED parquet tables — the deploy read
     path for warm-start clustering (VERDICT r8 #4): (star edges, LSH
@@ -9959,11 +9983,12 @@ def mixture_replan_after_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the keep-list is the standard LSH→CC lane (bounded
     buckets, log-round star contraction); both token rollups are
     key-cardinality aggregates over ONE tokenization pass; the
-    re-plan windows run over the source-cardinality frame. The
-    oracle recomputes keep-list and both plans from scratch."""
+    re-plan windows run over the source-cardinality frame. Cluster
+    membership is served from the stored label state
+    (_cluster_label_state, r11); the oracle recomputes keep-list and
+    both plans from scratch."""
     d = load_table(spark, sf, "documents")
-    pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
-    labels = dedup.connected_components(pairs)
+    labels, _ = _cluster_label_state(spark, sf)
     # keep = not in any near-dup cluster, OR the cluster's canonical
     # (min-id) member — derived from ONE labels left join instead of
     # materializing a keep-id list, so BOTH rollups come out of a
@@ -11362,7 +11387,7 @@ def tokenizer_fertility_drift(spark: SparkSession, sf: str) -> DataFrame:
     application in unrolled SQL, so green means both engines learned
     the same vocabulary and measured the same drift."""
     d = load_table(spark, sf, "documents")
-    merges = text.bpe_train(d.filter(_bpe_win_col() == 0), _N_BPE_MERGES)
+    merges = _bpe_merges_state(spark, sf, "win0")  # stored, r11
     agg = (
         d.select(
             _bpe_win_col().cast("long").alias("window"),
@@ -11443,7 +11468,7 @@ def streaming_fertility_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
     import uuid as _uuid
 
     d = load_table(spark, sf, "documents")
-    merges = text.bpe_train(d.filter(_bpe_win_col() == 0), _N_BPE_MERGES)
+    merges = _bpe_merges_state(spark, sf, "win0")  # stored, r11
     base = (
         d.filter(_bpe_win_col() == 0)
         .select(
