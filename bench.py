@@ -249,7 +249,9 @@ HEADLINE = [
     "simhash64_candidates",
     "tokenizer_fertility_drift",
     "contamination_after_dedup",
-    # round-11 additions
+    # round-11 additions (knn_ivfpq_trained stays OUT with
+    # knn_pq_trained / knn_ivf_kmeans: full Lloyd training per
+    # invocation measures trainer fixed cost, not a query plan)
     "knn_ivfpq_rerank",
     "band_index_compaction",
     "contamination_from_table",

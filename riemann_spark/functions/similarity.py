@@ -887,6 +887,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ composed index — the production billion-vector
     architecture (coarse quantizer prunes to ``nprobe`` cells, product
@@ -983,16 +984,24 @@ def ivfpq_topk(
     # — model-sized (n_sub x n_codes rows). Seeding from ids < n_codes
     # would pick the centroids themselves, whose residuals are exactly
     # zero (they self-assign at cos=1), degenerating every codeword.
-    cb = slices(
-        ca.filter(
-            (F.col("n_id") >= n_cells) & (F.col("n_id") < n_cells + n_codes)
-        ),
-        "n_id",
-    ).select(
-        "m",
-        (F.col("n_id") - n_cells).cast("int").alias("code"),
-        F.col("s").alias("cw"),
-    )
+    if codebook is not None:
+        # TRAINED residual codebook (ivfpq_train_codebook) — same
+        # (m, code, cw) shape, drops into the identical encode/LUT
+        cb = codebook.select(
+            "m", F.col("code").cast("int").alias("code"), "cw"
+        )
+    else:
+        cb = slices(
+            ca.filter(
+                (F.col("n_id") >= n_cells)
+                & (F.col("n_id") < n_cells + n_codes)
+            ),
+            "n_id",
+        ).select(
+            "m",
+            (F.col("n_id") - n_cells).cast("int").alias("code"),
+            F.col("s").alias("cw"),
+        )
     d2 = F.aggregate(
         F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -1076,6 +1085,65 @@ def ivfpq_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def ivfpq_train_codebook(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED residual codebook for the composed IVF-PQ index: the
+    corpus's residuals against the fixed coarse quantizer (the first
+    n_cells vectors, ivfpq_topk's exact geometry) feed the keyed
+    Lloyd PQ trainer (pq_kmeans_codebook — one cluster job per
+    iteration, model-sized driver traffic). Residual ids are REMAPPED
+    so the trainer's deterministic seed (ids < n_codes) lands on the
+    vectors AFTER the centroid block — the same seed ivfpq_topk uses
+    statically, so iteration 0 reproduces the seeded codebook exactly
+    and every iteration after it strictly refines within-cell
+    quantization. The centroids' own zero residuals are pushed past
+    id 10^9 where they can never seed (the r11 degenerate-codebook
+    lesson, applied to the trainer). Returns the (m, code, cw) frame
+    ivfpq_topk's ``codebook`` parameter accepts; training replays in
+    the knn_ivfpq_trained oracle via the same 1e-12-quantized means
+    as the flat-PQ trainer."""
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_n"),
+    )
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_n"),
+        )
+    )
+    scored = c.crossJoin(cents).withColumn(
+        "c_cos",
+        _dots(F.col("n_vec"), F.col("c_vec")) / (F.col("n_n") * F.col("c_n")),
+    )
+    w = Window.partitionBy("n_id").orderBy(F.desc("c_cos"), F.col("cell"))
+    resid = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.when(F.col("n_id") >= n_cells, F.col("n_id") - n_cells)
+            .otherwise(F.col("n_id") + F.lit(1_000_000_000))
+            .alias("rid"),
+            F.zip_with(
+                F.col("n_vec"), F.col("c_vec"), lambda a, b: a - b
+            ).alias("rv"),
+        )
+    )
+    return pq_kmeans_codebook(
+        resid, n_sub, n_codes, dim, n_iter, id_col="rid", vec_col="rv"
     )
 
 

@@ -102,6 +102,7 @@ _GATE_PRIORITY = [
     "band_index_compaction",
     "contamination_from_table",
     "streaming_index_drift_drained",
+    "knn_ivfpq_trained",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -1025,6 +1025,31 @@ def test_ivfpq_codes_carry_information(spark):
     assert hits_rr / 40.0 >= 0.8, hits_rr
 
 
+def test_ivfpq_trained_codebook_improves_recall_on_fixture(spark):
+    """The trained residual codebook (keyed Lloyd over residuals,
+    seeded where the static codebook is) must (a) produce a genuinely
+    different codebook than the seed after 5 iterations and (b) beat
+    the seeded tier's recall on THIS fixture (measured 0.375 vs 0.20
+    at sf0.001 — note the honest caveat in knn_ivfpq_trained's
+    docstring: at sf0.01 the ordering flips, lower quantization MSE
+    does not imply better top-k)."""
+    from riemann_spark.functions import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    cb = similarity.ivfpq_train_codebook(e, n_iter=5)
+    assert cb.count() == 8 * 16
+    bf = {(r.q_id, r.n_id) for r in
+          similarity.brute_force_topk(q, e, 5).collect()}
+    seeded = {(r.q_id, r.n_id) for r in
+              similarity.ivfpq_topk(q, e, 5).collect()}
+    trained = {(r.q_id, r.n_id) for r in
+               similarity.ivfpq_topk(q, e, 5, codebook=cb).collect()}
+    assert trained != seeded  # training moved the index
+    assert len(trained & bf) > len(seeded & bf), (
+        len(trained & bf), len(seeded & bf))
+
+
 @pytest.mark.slow
 def test_pq_trained_codebook_reduces_quantization_error(spark):
     from riemann_spark.functions import similarity
