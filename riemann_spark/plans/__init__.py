@@ -103,6 +103,7 @@ _GATE_PRIORITY = [
     "contamination_from_table",
     "streaming_index_drift_drained",
     "knn_ivfpq_trained",
+    "streaming_contamination_gate_drained",
 ]
 
 def _reorder(d: dict) -> dict:

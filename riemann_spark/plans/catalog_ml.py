@@ -9848,6 +9848,101 @@ def contamination_from_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_contamination_gate_drained",
+    f"""
+WITH tr AS {_gram4_sql("source != 'src0'")},
+ev AS (SELECT doc AS eval_doc, shingle FROM {_gram4_sql("source = 'src0'")} e),
+hits AS (SELECT tr.doc,
+                CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS nsg,
+                CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS ned
+         FROM tr JOIN ev ON tr.shingle = ev.shingle
+         GROUP BY tr.doc)
+SELECT d.doc_id,
+       COALESCE(h.nsg, 0) AS n_shared_grams,
+       COALESCE(h.ned, 0) AS n_eval_docs,
+       h.doc IS NULL AS admitted
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+LEFT JOIN hits h ON h.doc = d.doc_id""",
+)
+def streaming_contamination_gate_drained(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Decontamination AT INGEST — the contamination lineage's
+    streaming leg, completing it the way streaming_neardup_probe
+    completes dedup's (index: _eval_shingle_state → batch probe:
+    contamination_from_table → and now the arrival stream itself):
+    arriving training documents compute their distinct word 4-grams
+    as a PURE per-row expression (dedup.shingles — the exact grams
+    the batch path shingles) and STREAM-STATIC JOIN against the
+    STORED eval shingle index, emitting one row per (doc, shared
+    gram, eval doc) collision. STATELESS append mode — no state
+    store, no watermark; a contaminated doc is flagged the moment it
+    arrives, BEFORE it lands in the training lake, and index
+    write-backs (a new benchmark) are picked up per micro-batch
+    without restarting the stream.
+
+    The post-drain rollup joins every arriving doc back in:
+    (doc_id, n_shared_grams, n_eval_docs, admitted) — the gate
+    verdict a curation pipeline acts on. Per-batch cost is O(batch
+    grams) hashing + a broadcast probe of the benchmark-sized index;
+    the collision log is bounded by the contamination rate, not the
+    corpus. The oracle replays both sides' shingling, the collision
+    join, and the admission left-join in one SQL query."""
+    import tempfile
+    import uuid as _uuid
+
+    ev = _eval_shingle_state(spark, sf)
+    name = f"cat_scg_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scg_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    collisions = (
+        raw.filter(F.col("source") != "src0")
+        .select(
+            "doc_id",
+            F.explode(dedup.shingles("text", 4)).alias("shingle"),
+        )
+        .join(F.broadcast(ev), "shingle")
+        .select("doc_id", "shingle", "eval_doc")
+    )
+    q_ = (
+        collisions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+
+    hits = (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").cast("long").alias("n_eval_docs"),
+        )
+    )
+    d = load_table(spark, sf, "documents")
+    return (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits.withColumnRenamed("doc_id", "hd"),
+              F.col("doc_id") == F.col("hd"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            F.col("hd").isNull().alias("admitted"),
+        )
+    )
+
+
 def _ivf_maint_sql(k: int, dim: int, iters: int) -> str:
     parts = _lloyd_parts(k, dim, iters)
     cf = f"c{iters}"
