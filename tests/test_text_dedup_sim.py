@@ -207,6 +207,50 @@ def test_warmstart_state_rebuilds_on_corpus_change(spark, tmp_path):
     shutil.rmtree(root)
 
 
+def test_cluster_label_state_serves_and_rebuilds(spark, tmp_path):
+    """_stored_state_tables (via _cluster_label_state): the stored
+    labels must equal a from-scratch build, the same corpus must
+    reuse the stored dirs, and a regenerated corpus must rebuild —
+    the generic protocol every r11 state table rides."""
+    import hashlib as _h
+    import os
+    import shutil
+    import tempfile as _t
+
+    from riemann_spark.plans.catalog_ml import (
+        _BAND,
+        _N_HASHES,
+        _cluster_label_state,
+    )
+
+    sf = str(tmp_path)
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        f"{sf}/documents.parquet",
+    )
+    raw, ver = _cluster_label_state(spark, sf)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    fresh = dedup.connected_components(
+        dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
+    )
+    got = {(r.node, r.cluster) for r in raw.collect()}
+    want = {(r.node, r.cluster) for r in fresh.collect()}
+    assert got == want and ver.count() > 0  # stored == from-scratch
+    key = _h.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(_t.gettempdir(), f"riemann_spark_state_{key}")
+    dirs1 = sorted(p for p in os.listdir(root) if p.startswith("cc_labels"))
+    _cluster_label_state(spark, sf)  # same corpus -> no new dirs
+    assert sorted(
+        p for p in os.listdir(root) if p.startswith("cc_labels")
+    ) == dirs1
+    # regenerated corpus (new mtime) -> new stamp dirs, stale swept
+    os.utime(f"{sf}/documents.parquet")
+    _cluster_label_state(spark, sf)
+    dirs2 = sorted(p for p in os.listdir(root) if p.startswith("cc_labels"))
+    assert dirs2 != dirs1
+    shutil.rmtree(root)
+
+
 def test_simhash_close_for_near_dups(spark):
     df = docs(
         spark,
