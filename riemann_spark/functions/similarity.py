@@ -875,10 +875,9 @@ def pq_topk_rerank(
     )
 
 
-def ivfpq_topk(
+def ivfpq_scored(
     queries: DataFrame,
     corpus: DataFrame,
-    k: int,
     n_cells: int = 16,
     n_sub: int = 8,
     n_codes: int = 16,
@@ -886,10 +885,15 @@ def ivfpq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank: int = 0,
     codebook: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-PQ composed index — the production billion-vector
+    """The IVF-PQ ADC frame (q_id, n_id, adc_d2) BEFORE any top-k —
+    factored out of ivfpq_topk so consumers measuring multiple
+    serving shapes (ann_recall_ivfpq's raw + rerank tiers) build the
+    index ONCE and derive every tier from the same scored frame.
+    See ivfpq_topk for the full design docstring.
+
+    IVF-PQ composed index — the production billion-vector
     architecture (coarse quantizer prunes to ``nprobe`` cells, product
     quantization compresses what's left): every corpus vector is
     assigned to its nearest coarse cell (cosine — ivf_topk's exact
@@ -1044,18 +1048,61 @@ def ivfpq_topk(
         .groupBy("q_id", "n_id")
         .agg((F.sum("d2q").cast("double") / F.lit(1e6)).alias("adc_d2"))
     )
-    w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    return scored
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k over the IVF-PQ ADC frame (ivfpq_scored — the full
+    design docstring lives there): raw integer-sum ADC order by
+    default; with ``rerank`` = N, exact cosine re-ranks the
+    N-candidate ADC shortlist (the FAISS IVFPQ+refine posture) so
+    the 4-bit quantization error picks candidates but never decides
+    the final order."""
+    scored = ivfpq_scored(
+        queries, corpus, n_cells, n_sub, n_codes, dim, nprobe,
+        id_col, vec_col, codebook,
+    )
     if not rerank:
+        w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "adc_d2", "rank")
         )
-    # exact re-rank of the ADC shortlist (the FAISS IVFPQ+refine
-    # posture): the integer-code scan nominates ``rerank`` candidates
-    # per query, then ONLY those |q|×rerank pairs read full vectors
-    # for exact cosine — the 4-bit quantization error stops deciding
-    # the final order while the scan stays cell-pruned and compressed.
+    return ivfpq_rerank_from_scored(
+        scored, queries, corpus, k, rerank, id_col, vec_col
+    )
+
+
+def ivfpq_rerank_from_scored(
+    scored: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ADC shortlist: the integer-code scan
+    nominates ``rerank`` candidates per query, then ONLY those
+    |q|×rerank pairs read full vectors for exact cosine — the
+    compressed scan stays cell-pruned, quantization error stops
+    deciding the final order. Takes the scored frame so a consumer
+    can derive raw-ADC and reranked tiers from ONE index build."""
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
     short = (
         scored.withColumn("srank", F.row_number().over(w))
         .filter(F.col("srank") <= rerank)

@@ -11442,10 +11442,17 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     q8 = e.filter(F.col("vec_id") < 8)
     bf = similarity.brute_force_topk(q8, e, 5).select("q_id", "n_id")
     n_true = bf.count()
+    # ONE index build: both tiers derive from the same ADC frame
+    # (ivfpq_scored, lineage-truncated so the assignment/encode jobs
+    # run once, not once per tier)
+    scored = similarity.ivfpq_scored(q8, e).localCheckpoint()
+    w5 = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
     tiers = {
-        "ivfpq": similarity.ivfpq_topk(q8, e, 5),
-        "ivfpq_rerank": similarity.ivfpq_topk(
-            q8, e, 5, rerank=_IVFPQ_SHORTLIST
+        "ivfpq": scored.withColumn("rank", F.row_number().over(w5))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id"),
+        "ivfpq_rerank": similarity.ivfpq_rerank_from_scored(
+            scored, q8, e, 5, _IVFPQ_SHORTLIST
         ),
     }
     rows = []
