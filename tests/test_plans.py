@@ -1474,6 +1474,31 @@ def test_knn_ivfpq_prunes_to_probed_cells(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 5, p[:1500]
 
 
+def test_dedup_family_serves_from_state_no_cc_iteration(spark):
+    """The r11 consolidation contract: every stored-label consumer's
+    plan is scans + joins + aggregates — NO connected-components
+    iteration (no posting-list collect_list, bounded exchanges). A
+    regression here silently reintroduces the ~40s of repeated
+    fixpoints the state tables exist to eliminate."""
+    import re
+
+    for name, max_ex in [
+        ("dedup_clusters", 3),
+        ("dedup_cluster_sizes", 3),
+        ("cluster_aware_split", 2),
+        ("soft_dedup_weights", 4),
+        ("dedup_clusters_verified", 3),
+        ("dedup_cluster_representatives", 4),
+        ("dedup_embedding_keeplist", 2),
+        ("winnowing_keeplist", 2),
+    ]:
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "collect_list" not in p, name  # the CC/posting signature
+        n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+        assert n <= max_ex, (name, n, p[:1200])
+
+
 def test_band_index_compaction_is_state_reads_plus_one_agg(spark):
     """Compaction must compose stored state, not rebuild it: the plan
     reads the lake band index and cluster labels from parquet (plus
