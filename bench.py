@@ -255,6 +255,7 @@ HEADLINE = [
     "knn_ivfpq_rerank",
     "band_index_compaction",
     "contamination_from_table",
+    "eval_index_writeback",
     # incremental_index_writeback stays OUT: one invocation builds the
     # lake state and runs THREE CC fixpoints plus two state writes —
     # maintenance-fixture cost, not a query plan (the

@@ -104,6 +104,7 @@ _GATE_PRIORITY = [
     "streaming_index_drift_drained",
     "knn_ivfpq_trained",
     "streaming_contamination_gate_drained",
+    "eval_index_writeback",
 ]
 
 def _reorder(d: dict) -> dict:

@@ -9849,6 +9849,82 @@ def contamination_from_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "eval_index_writeback",
+    f"""
+WITH tr AS {_gram4_sql("source != 'src0'")},
+ev AS (SELECT doc AS eval_doc, shingle FROM {_gram4_sql("source = 'src0'")} e),
+evg AS (SELECT shingle, MAX(CASE WHEN eval_doc % 3 != 0 THEN 1 ELSE 0 END) = 1
+               AS in_base
+        FROM ev GROUP BY shingle),
+hits AS (SELECT tr.doc,
+                CAST(SUM(CASE WHEN evg.in_base THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_base_grams,
+                CAST(COUNT(*) AS BIGINT) AS n_total_grams
+         FROM tr JOIN evg ON tr.shingle = evg.shingle
+         GROUP BY tr.doc)
+SELECT d.doc_id,
+       COALESCE(h.n_base_grams, 0) AS n_base_grams,
+       COALESCE(h.n_total_grams, 0) AS n_total_grams,
+       COALESCE(h.n_base_grams, 0) > 0 AS contaminated_before,
+       COALESCE(h.n_total_grams, 0) > 0 AS contaminated_after,
+       COALESCE(h.n_base_grams, 0) = 0
+         AND COALESCE(h.n_total_grams, 0) > 0 AS newly_flagged
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+LEFT JOIN hits h ON h.doc = d.doc_id""",
+)
+def eval_index_writeback(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-index WRITE-BACK — the contamination state's maintenance
+    loop, mirroring incremental_index_writeback on the dedup side
+    (benchmarks change too: a new eval set is APPENDED to the stored
+    shingle index, and the gate's verdicts must update in place):
+    the standing index is the stored eval shingle table restricted
+    to the base benchmarks (eval_doc % 3 != 0), the append segment
+    is the new benchmark slice (% 3 == 0), and the report shows —
+    per training doc, from ONE train-side shingle scan — its
+    contamination verdict against the base index, against the
+    post-append index, and the newly_flagged delta (docs the new
+    benchmark newly poisons; exactly the set a pipeline must
+    re-gate after a benchmark release).
+
+    Shape: the shingle-level base/append marker (evg — one grouped
+    aggregate over the stored index, benchmark-sized) broadcasts;
+    the train side joins it once, so before/after verdicts cost ONE
+    probe, not two. The oracle replays both sides' shingling, the
+    marker aggregation, and the admission deltas."""
+    d = load_table(spark, sf, "documents")
+    ev = _eval_shingle_state(spark, sf)  # stored (eval_doc, shingle)
+    evg = ev.groupBy("shingle").agg(
+        F.max((F.col("eval_doc") % 3 != 0).cast("int")).alias("ib")
+    )
+    t = dedup._shingle_table(
+        d.filter(F.col("source") != "src0"), "doc_id", "text", 4
+    )
+    hits = (
+        t.join(F.broadcast(evg), "shingle")
+        .groupBy("doc")
+        .agg(
+            F.sum("ib").cast("long").alias("n_base_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_total_grams"),
+        )
+    )
+    nb = F.coalesce(F.col("n_base_grams"), F.lit(0))
+    nt = F.coalesce(F.col("n_total_grams"), F.lit(0))
+    return (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("doc"), "left")
+        .select(
+            "doc_id",
+            nb.alias("n_base_grams"),
+            nt.alias("n_total_grams"),
+            (nb > 0).alias("contaminated_before"),
+            (nt > 0).alias("contaminated_after"),
+            ((nb == 0) & (nt > 0)).alias("newly_flagged"),
+        )
+    )
+
+
+@q(
     "streaming_contamination_gate_drained",
     f"""
 WITH tr AS {_gram4_sql("source != 'src0'")},
