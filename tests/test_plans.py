@@ -1529,6 +1529,20 @@ def test_contamination_from_table_probes_stored_index(spark):
     assert len(re.findall(r"Scan parquet[^\n]*documents", p)) <= 2, p[:1500]
 
 
+def test_eval_index_writeback_single_train_probe(spark):
+    """Before/after verdicts must come from ONE train-side probe of
+    the broadcast shingle-level marker — no second shingle scan of
+    the train corpus, no sort-merge, no cartesian."""
+    import re
+
+    p = plan_of(spark, "eval_index_writeback")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # marker probe + doc join
+    # train docs scanned at most twice (shingle branch + doc_id spine)
+    assert len(re.findall(r"Scan parquet[^\n]*documents", p)) <= 4, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:1500]
+
+
 def test_knn_ivfpq_rerank_keeps_pruned_shape(spark):
     """The rerank tier must keep the compressed scan's shape (no
     cartesian, no sort-merge) and add only the shortlist's id-keyed
