@@ -20,15 +20,96 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-11 WINDOW (positions 1-50) ------------------------------
-    # Per VERDICT r10 directive #1: (a) the twelve round-10 catalog
-    # additions that postdate the r10 gate snapshot and therefore have
-    # never had an external driver row (judge strict-checked all 12
-    # green at sf0.01 in VERDICT r10; the driver row is owed), then
-    # (b) 38 of the 50 rows whose latest driver hash is r05 — the
-    # stalest tier now that r10 gated. The remaining 12 r05 rows lead
-    # round 12. After r11 gates, every catalog query has a driver row
-    # and the staleness floor is r06-except-12.
+    # ---- ROUND-12 WINDOW (positions 1-50) ------------------------------
+    # Per VERDICT r11 directive #1: (a) the 12 remaining r05-stale rows,
+    # (b) the 7 round-11 catalog additions that have never had an
+    # external driver row (judge strict-checked all 7 green at sf0.01 in
+    # VERDICT r11), then (c) 31 of the 50 rows whose latest driver hash
+    # is r06 — the stalest tier once (a) gates — front-loading the four
+    # rows whose plans change this round (stored-state conversion:
+    # dedup_recall_report, embedding_contamination, winnowing_overlap,
+    # winnowing_fingerprints). After r12 gates, every catalog query has
+    # a driver row and the staleness floor is r06-except-19.
+    # -- (a) the 12 remaining r05-hashed rows: ----------------------------
+    "streaming_rate_closed",
+    "streaming_slo_burn_drained",
+    "streaming_top_drained",
+    "tagged_filter",
+    "text_features",
+    "top_suppliers_per_part",
+    "tpch_q11",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "transform_fields",
+    "where_filter",
+    # -- (b) the 7 never-externally-gated round-11 additions: ------------
+    "knn_ivfpq_rerank",
+    "band_index_compaction",
+    "contamination_from_table",
+    "streaming_index_drift_drained",
+    "knn_ivfpq_trained",
+    "streaming_contamination_gate_drained",
+    "eval_index_writeback",
+    # -- (c) 31 of the 50 r06-hashed rows (4 touched-this-round first): --
+    "dedup_recall_report",
+    "embedding_contamination",
+    "winnowing_fingerprints",
+    "winnowing_overlap",
+    "ann_truncation_report",
+    "audio_envelope_dedup",
+    "audio_vad_segments",
+    "bigram_lm_score",
+    "blocklist_gate",
+    "boilerplate_removal",
+    "bottomk_sample",
+    "canonical_dedup",
+    "changed_state",
+    "char_entropy",
+    "chunk_sliding_window",
+    "classifier_calibration",
+    "cluster_aware_split",
+    "contamination_gate_report",
+    "counter_running",
+    "ddt",
+    "dedup_cluster_representatives",
+    "dedup_clusters_verified",
+    "ewma",
+    "fim_transform",
+    "fixed_event_window",
+    "fuzzy_decontamination",
+    "greedy_pack_bins",
+    "image_dhash_keeplist",
+    "image_dhash_neardup",
+    "length_bucket_batches",
+    "mixture_epoch_plan",
+    # ---- ROUND-13 FRONT (positions 51+): the remaining 19 r06 rows,
+    # then any new round-12 catalog entries (strict-checked via
+    # tools/check.py before registration; driver row owed r13) ----------
+    "moving_event_window",
+    "ngram_novelty",
+    "packing_efficiency",
+    "percentiles_day",
+    "perplexity_buckets",
+    "psi_drift",
+    "runs3",
+    "soft_dedup_weights",
+    "source_overlap_matrix",
+    "span_corruption",
+    "streaming_blocklist_gate",
+    "streaming_bottomk_drained",
+    "streaming_contamination_gate",
+    "streaming_embedding_gate",
+    "streaming_pii_gate",
+    "streaming_quality_gate",
+    "video_scene_cuts",
+    "vocab_growth",
+    "zipf_slope",
+]
+
+_ROUND11_WINDOW_RETIRED = [
+    # ---- retired ROUND-11 WINDOW (kept for the historical record; all
+    # 50 gated green in CORRECTNESS_r11) ---------------------------------
     # -- (a) the 12 never-externally-gated round-10 additions: -----------
     "knn_pq_from_table",
     "pq_code_maintenance",
@@ -81,30 +162,6 @@ _GATE_PRIORITY = [
     "streaming_moving_time_drained",
     "streaming_percentiles_histogram_closed",
     "streaming_project_drained",
-    # ---- ROUND-12 FRONT (positions 51+): the remaining 12 r05 rows,
-    # then any new round-11 catalog entries (strict-checked via
-    # tools/check.py before registration; driver row owed r12) ----------
-    "streaming_rate_closed",
-    "streaming_slo_burn_drained",
-    "streaming_top_drained",
-    "tagged_filter",
-    "text_features",
-    "top_suppliers_per_part",
-    "tpch_q11",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "transform_fields",
-    "where_filter",
-    # -- new round-11 catalog entries (strict-checked at sf0.001 AND
-    # sf0.01 via tools/check.py before registration): -------------------
-    "knn_ivfpq_rerank",
-    "band_index_compaction",
-    "contamination_from_table",
-    "streaming_index_drift_drained",
-    "knn_ivfpq_trained",
-    "streaming_contamination_gate_drained",
-    "eval_index_writeback",
 ]
 
 def _reorder(d: dict) -> dict:
