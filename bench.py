@@ -380,7 +380,13 @@ def main() -> None:
     # under-reported the warm floor (a solo fresh-session probe of the
     # identical plan reaches ~1.3s/pass) and made rounds incomparable.
     # Warmups are recorded separately so the decay stays observable.
-    n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "6"))
+    # non-numeric / negative values fall back to the default instead of
+    # crashing the bench (ADVICE r11)
+    try:
+        n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "6"))
+    except ValueError:
+        n_warmup = 6
+    n_warmup = max(0, n_warmup)
     pipeline_warmup = [_one_pass() for _ in range(n_warmup)]
     pipeline_passes = [_one_pass() for _ in range(max(n_passes, 6))]
     pipeline_sec = min(pipeline_passes)

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 
 from riemann_spark.functions.text import fingerprint, tokens
 
+# Shared runaway-bucket caps (ADVICE r11): pair generation drops LSH band
+# buckets / inverted-index shingle postings larger than this (quadratic
+# pair volume in posting length).  EVERY consumer — the function defaults
+# below, catalog queries that report cap transitions (e.g.
+# band_index_compaction), and the DuckDB oracle templates — must reference
+# these constants so a cap change can never silently diverge.
+MAX_BAND_DF = 1000
+MAX_SHINGLE_DF = 1000
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition compute-dense inputs across the cluster.
@@ -95,7 +104,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
     shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
@@ -180,7 +189,7 @@ def containment_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Directional near-dup detection: all pairs where either doc's
     shingle set is >= ``threshold`` CONTAINED in the other —
@@ -402,7 +411,7 @@ def lsh_candidate_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_band_df: int | None = 1000,
+    max_band_df: int | None = MAX_BAND_DF,
     shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate pairs.
@@ -461,7 +470,7 @@ def incremental_lsh_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_band_df: int | None = 1000,
+    max_band_df: int | None = MAX_BAND_DF,
 ) -> DataFrame:
     """Candidate pairs TOUCHING an arrival batch against a STORED LSH
     band index — the true incremental posture: only the arrival docs

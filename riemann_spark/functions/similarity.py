@@ -328,7 +328,16 @@ def lsh_topk(
     0.525 → 0.80 recall@5 rung of the cost curve ann_recall_report
     tracks (scan_frac column). Still query-side fan-out only: the
     corpus is bucketed once and probe buckets stay distinct, so no
-    candidate repeats."""
+    candidate repeats.
+
+    ``probe_depth`` only has meaning under multiprobe — a depth > 1
+    with multiprobe=False would silently return single-bucket results,
+    so it raises instead (ADVICE r11)."""
+    if probe_depth > 1 and not multiprobe:
+        raise ValueError(
+            "probe_depth > 1 requires multiprobe=True "
+            "(single-bucket probing ignores probe_depth)"
+        )
     b0 = lsh_bucket(F.col(vec_col), n_planes, dim)
     qa = queries.select(
         F.col(id_col).alias("q_id"),

@@ -128,6 +128,12 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_duplicates(d).withColumn("n_docs", F.col("n_docs").cast("long"))
 
 
+# Runaway-bucket caps, shared with pair-gen (ADVICE r11): referenced by
+# every oracle template and every cap-transition query below so changing
+# dedup.MAX_BAND_DF / MAX_SHINGLE_DF re-derives both sides together.
+_BAND_CAP = dedup.MAX_BAND_DF
+_SHINGLE_CAP = dedup.MAX_SHINGLE_DF
+
 _SHINGLE_SQL = f"""
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id AS doc,
@@ -142,7 +148,7 @@ sh AS (SELECT doc_id AS doc,
     "dedup_jaccard",
     f"""
 WITH {_SHINGLE_SQL},
-hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SHINGLE_CAP}),
 shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
 inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
@@ -157,11 +163,11 @@ SELECT doc1, doc2, n_inter, jaccard FROM (
 def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """3-gram shingle Jaccard near-dup pairs ≥ 0.5 via inverted-index
     self-join (no all-pairs). The stop-shingle skew guard
-    (max_shingle_df=1000) is ON and mirrored in the oracle's
+    (max_shingle_df=_SHINGLE_CAP) is ON and mirrored in the oracle's
     hot/ANTI JOIN CTEs — Jaccard on both sides is over the pruned
     shingle sets."""
     d = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(d, 0.5, max_shingle_df=1000)
+    return dedup.ngram_jaccard_pairs(d, 0.5, max_shingle_df=_SHINGLE_CAP)
 
 
 _N_HASHES, _BAND = 8, 2
@@ -188,7 +194,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band))
 SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc""",
@@ -433,6 +439,25 @@ def simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _IVF_CELLS = 16
+
+
+def _lsh_scan(depth: int) -> tuple[int, int]:
+    """(buckets probed, total buckets) for lsh_topk at a probe depth —
+    depth 0 = single-bucket, 1 = flip-1 multiprobe (the default),
+    2 = flip-2.  Derived from _N_PLANES so ann_recall_report's cost
+    axis can never silently diverge from the constants (ADVICE r11)."""
+    n = _N_PLANES
+    probed = 1
+    if depth >= 1:
+        probed += n
+    if depth >= 2:
+        probed += n * (n - 1) // 2
+    return probed, 2**n
+
+
+def _ivf_scan(nprobe: int) -> tuple[int, int]:
+    """(cells probed, total cells) for ivf_topk — see _lsh_scan."""
+    return nprobe, _IVF_CELLS
 
 
 def _assign_sql(src: str, idc: str, vecc: str) -> str:
@@ -1342,7 +1367,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -1521,7 +1546,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -2160,7 +2185,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -2868,22 +2893,22 @@ SELECT method, hits, CAST(hits AS DOUBLE) / tot.n AS recall_at_5,
        scan_frac FROM (
   SELECT 'lsh' AS method,
          CAST((SELECT COUNT(*) FROM lsh JOIN bf USING (q_id, n_id)) AS BIGINT) AS hits,
-         1.0 / 16 AS scan_frac
+         {_lsh_scan(0)[0]}.0 / {_lsh_scan(0)[1]} AS scan_frac
   UNION ALL
   SELECT 'lsh_multiprobe',
          CAST((SELECT COUNT(*) FROM lshmp JOIN bf USING (q_id, n_id)) AS BIGINT),
-         5.0 / 16
+         {_lsh_scan(1)[0]}.0 / {_lsh_scan(1)[1]}
   UNION ALL
   SELECT 'lsh_multiprobe2',
          CAST((SELECT COUNT(*) FROM lshmp2 JOIN bf USING (q_id, n_id)) AS BIGINT),
-         11.0 / 16
+         {_lsh_scan(2)[0]}.0 / {_lsh_scan(2)[1]}
   UNION ALL
   SELECT 'ivf', CAST((SELECT COUNT(*) FROM ivf JOIN bf USING (q_id, n_id)) AS BIGINT),
-         1.0 / 16
+         {_ivf_scan(1)[0]}.0 / {_ivf_scan(1)[1]}
   UNION ALL
   SELECT 'ivf_nprobe2',
          CAST((SELECT COUNT(*) FROM ivf2 JOIN bf USING (q_id, n_id)) AS BIGINT),
-         2.0 / 16
+         {_ivf_scan(2)[0]}.0 / {_ivf_scan(2)[1]}
 ) CROSS JOIN tot""",
 )
 def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -2906,23 +2931,27 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     q_ = e.filter(F.col("vec_id") < 8)
     bf = similarity.brute_force_topk(q_, e, 5).select("q_id", "n_id")
+    def _frac(pair):
+        num, den = pair
+        return float(num) / den
+
     methods = {
         "lsh": (
             similarity.lsh_topk(q_, e, 5, _N_PLANES, _DIM, multiprobe=False),
-            1.0 / 16,
+            _frac(_lsh_scan(0)),
         ),
         "lsh_multiprobe": (
             similarity.lsh_topk(q_, e, 5, _N_PLANES, _DIM),
-            5.0 / 16,
+            _frac(_lsh_scan(1)),
         ),
         "lsh_multiprobe2": (
             similarity.lsh_topk(q_, e, 5, _N_PLANES, _DIM, probe_depth=2),
-            11.0 / 16,
+            _frac(_lsh_scan(2)),
         ),
-        "ivf": (similarity.ivf_topk(q_, e, 5, _IVF_CELLS), 1.0 / 16),
+        "ivf": (similarity.ivf_topk(q_, e, 5, _IVF_CELLS), _frac(_ivf_scan(1))),
         "ivf_nprobe2": (
             similarity.ivf_topk(q_, e, 5, _IVF_CELLS, nprobe=2),
-            2.0 / 16,
+            _frac(_ivf_scan(2)),
         ),
     }
     total = bf.count()
@@ -2943,7 +2972,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -2993,7 +3022,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -3545,7 +3574,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -3780,7 +3809,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -3893,7 +3922,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -4002,7 +4031,7 @@ def mixture_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_recall_report",
     f"""
 WITH {_SHINGLE_SQL},
-hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SHINGLE_CAP}),
 shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
 inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
@@ -4017,7 +4046,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 cand AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
          FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -4070,7 +4099,7 @@ def _dedup_recall_frame(spark: SparkSession, sf: str):
     sh = dedup._shingle_table(d, "doc_id", "text", 3).persist()
     tp = (
         dedup.ngram_jaccard_pairs(
-            d, 0.5, max_shingle_df=1000, shingle_frame=sh
+            d, 0.5, max_shingle_df=_SHINGLE_CAP, shingle_frame=sh
         )
         .select("doc1", "doc2")
         .withColumn("t", F.lit(1))
@@ -4688,7 +4717,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -5698,7 +5727,7 @@ def audio_envelope_dedup(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_threshold_sweep",
     f"""
 WITH {_SHINGLE_SQL},
-hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SHINGLE_CAP}),
 shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
 inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
@@ -5724,7 +5753,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     inverted-index pair machinery (stop-shingle guard ON), one extra
     10-group aggregate - nothing new shuffles."""
     d = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, 0.5, max_shingle_df=1000)
+    pairs = dedup.ngram_jaccard_pairs(d, 0.5, max_shingle_df=_SHINGLE_CAP)
     b = pairs.select(
         "doc1",
         "doc2",
@@ -5746,7 +5775,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -6265,7 +6294,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -8304,6 +8333,7 @@ def _cluster_label_state(spark: SparkSession, sf: str):
         spark, sf, "documents",
         ["cc_labels_v1", "cc_labels_verified_v1"],
         lambda: build(load_table(spark, sf, "documents")),
+        params=("lsh+verified", _N_HASHES, _BAND, _BAND_CAP, 0.5),
     )
 
 
@@ -8328,24 +8358,35 @@ def _embedding_label_state(spark: SparkSession, sf: str):
                 )
             ),
         ),
+        params=("embcc", 0.4, _ND_TABLES, _ND_PLANES, _DIM),
     )[0]
 
 
-def _stored_state_tables(spark, sf, src_table, names, build):
+def _stored_state_tables(spark, sf, src_table, names, build, params=()):
     """The stored-state protocol shared by _cluster_label_state /
     _embedding_label_state (and structurally _warmstart_state):
-    mtime-stamped per-corpus /tmp dirs, atomically CREATED (rename;
-    a losing concurrent builder discards its staging), never replaced
-    under a reader; stale-stamp dirs cleaned best-effort. ``build``
-    returns one frame per entry in ``names``; returns the re-read
-    parquet frames in the same order."""
+    stamped per-corpus /tmp dirs, atomically CREATED (rename; a losing
+    concurrent builder discards its staging), never replaced under a
+    reader. ``build`` returns one frame per entry in ``names``; returns
+    the re-read parquet frames in the same order.
+
+    The stamp keys BOTH the source file's mtime and a hash of
+    ``params`` — the semantic constants the build depends on (band
+    caps, hash counts, shingle width, thresholds). Changing pair-gen
+    semantics therefore invalidates stored state automatically instead
+    of relying on a manual version bump in the table name (ADVICE
+    r11). Stale stamps are retained newest-first up to
+    ``_STALE_STAMPS_KEPT`` so a concurrent session still holding a
+    lazy frame on the previous stamp never has parquet deleted out
+    from under it; only older generations are swept."""
     import glob
     import os
     import shutil
     import tempfile
 
     src = os.path.join(sf, f"{src_table}.parquet")
-    stamp = str(os.stat(src).st_mtime_ns)
+    phash = hashlib.md5(repr(params).encode()).hexdigest()[:8]
+    stamp = f"{os.stat(src).st_mtime_ns}p{phash}"
     key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"riemann_spark_state_{key}")
     paths = [os.path.join(root, f"{n}-{stamp}") for n in names]
@@ -8361,10 +8402,24 @@ def _stored_state_tables(spark, sf, src_table, names, build):
             except OSError:  # a concurrent builder won; content identical
                 shutil.rmtree(staging, ignore_errors=True)
         for n in names:
-            for stale in glob.glob(os.path.join(root, f"{n}-*")):
-                if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
-                    shutil.rmtree(stale, ignore_errors=True)
+            stale = sorted(
+                (
+                    p
+                    for p in glob.glob(os.path.join(root, f"{n}-*"))
+                    if not p.endswith(f"-{stamp}") and ".staging-" not in p
+                ),
+                key=os.path.getmtime,
+                reverse=True,
+            )
+            for old in stale[_STALE_STAMPS_KEPT:]:
+                shutil.rmtree(old, ignore_errors=True)
     return tuple(spark.read.parquet(p) for p in paths)
+
+
+# stale stored-state generations retained per table (newest first); see
+# _stored_state_tables — a concurrent still-running session may hold a
+# lazy frame on the previous stamp.
+_STALE_STAMPS_KEPT = 2
 
 
 def _winnowing_label_state(spark: SparkSession, sf: str):
@@ -8385,6 +8440,7 @@ def _winnowing_label_state(spark: SparkSession, sf: str):
                 "doc1", "doc2",
             ),
         ),
+        params=("wincc", 4, 4, 2, 32),
     )[0]
 
 
@@ -8407,7 +8463,8 @@ def _bpe_merges_state(spark: SparkSession, sf: str, scope: str):
         return (spark.createDataFrame(rows, "i long, a string, b string"),)
 
     df = _stored_state_tables(
-        spark, sf, "documents", [f"bpe_merges_{scope}_v1"], build
+        spark, sf, "documents", [f"bpe_merges_{scope}_v1"], build,
+        params=("bpe", _N_BPE_MERGES, scope),
     )[0]
     return [(r.a, r.b) for r in df.orderBy("i").collect()]
 
@@ -8426,25 +8483,8 @@ def _warmstart_state(spark: SparkSession, sf: str):
     pay only O(arrival batch): shingle/hash the arrivals, band-keyed
     probe, star contraction. At deploy these are the two bucketed
     tables the previous crawl's pipeline wrote."""
-    import glob
-    import os
-    import shutil
-    import tempfile
 
-    src = os.path.join(sf, "documents.parquet")
-    stamp = str(os.stat(src).st_mtime_ns)
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"riemann_spark_state_{key}")
-    # stamp-suffixed dirs make the protocol concurrency-safe: a fresh
-    # dir is only ever CREATED (atomic rename; a losing concurrent
-    # builder just discards its staging), never replaced under a
-    # reader; stale-stamp dirs are cleaned best-effort
-    star_path = os.path.join(root, f"prior_star-{stamp}")
-    bands_path = os.path.join(root, f"lake_bands-{stamp}")
-    fresh = os.path.exists(os.path.join(star_path, "_SUCCESS")) and os.path.exists(
-        os.path.join(bands_path, "_SUCCESS")
-    )
-    if not fresh:
+    def build():
         d = load_table(spark, sf, "documents")
         lake_docs = d.filter(F.col("doc_id") % 5 != 0)
         bands = dedup.minhash_bands(lake_docs, _N_HASHES, _BAND)
@@ -8453,23 +8493,17 @@ def _warmstart_state(spark: SparkSession, sf: str):
             (F.col("doc1") % 5 != 0) & (F.col("doc2") % 5 != 0)
         )
         prior = dedup.connected_components(lake)
-        os.makedirs(root, exist_ok=True)
-        for path, frame in (
-            (star_path, prior.select(F.col("node").alias("doc"), "cluster")),
-            (bands_path, bands),
-        ):
-            staging = f"{path}.staging-{os.getpid()}"
-            frame.write.mode("overwrite").parquet(staging)
-            try:
-                os.rename(staging, path)
-            except OSError:  # a concurrent builder won; content identical
-                shutil.rmtree(staging, ignore_errors=True)
-        for stale in glob.glob(os.path.join(root, "prior_star-*")) + glob.glob(
-            os.path.join(root, "lake_bands-*")
-        ):
-            if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
-                shutil.rmtree(stale, ignore_errors=True)
-    return spark.read.parquet(star_path), spark.read.parquet(bands_path)
+        return (
+            prior.select(F.col("node").alias("doc"), "cluster"),
+            bands,
+        )
+
+    return _stored_state_tables(
+        spark, sf, "documents",
+        ["prior_star", "lake_bands"],
+        build,
+        params=("warmstart", _N_HASHES, _BAND, _BAND_CAP, 5),
+    )
 
 
 @q(
@@ -8480,7 +8514,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -8561,7 +8595,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -8893,7 +8927,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -9609,7 +9643,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -9710,7 +9744,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -9727,11 +9761,11 @@ SELECT b.band,
          AS n_removed,
        CAST(COUNT(*) - SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_after,
-       COUNT(*) > 1000 AND
+       COUNT(*) > {_BAND_CAP} AND
          COUNT(*) - SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END)
-           <= 1000 AS became_cold,
+           <= {_BAND_CAP} AS became_cold,
        COUNT(*) - SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END)
-         > 1000 AS still_hot
+         > {_BAND_CAP} AS still_hot
 FROM bands0 b LEFT JOIN removed r USING (doc)
 GROUP BY b.band""",
 )
@@ -9769,7 +9803,7 @@ def band_index_compaction(spark: SparkSession, sf: str) -> DataFrame:
     removed = labels.filter(F.col("cluster") != F.col("node")).select(
         F.col("node").alias("doc"), F.lit(1).alias("rm")
     )
-    cap = F.lit(1000)
+    cap = F.lit(_BAND_CAP)
     n_removed = F.coalesce(F.sum("rm"), F.lit(0))
     n_after = F.count(F.lit(1)) - n_removed
     return (
@@ -9807,6 +9841,7 @@ def _eval_shingle_state(spark: SparkSession, sf: str):
                 "doc_id", "text", 4,
             ).select(F.col("doc").alias("eval_doc"), "shingle"),
         ),
+        params=("evalsh", 4, "src0"),
     )[0]
 
 
@@ -10124,7 +10159,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -10817,7 +10852,7 @@ def _simhash64_band_sql(bnd: int) -> str:
     "dedup_tier_agreement",
     f"""
 WITH {_SHINGLE_SQL},
-hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SHINGLE_CAP}),
 shf AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc, COUNT(*) AS n FROM shf GROUP BY doc),
 inter AS (SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
@@ -10831,7 +10866,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 mh AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
        FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
@@ -10844,7 +10879,7 @@ ss AS (SELECT doc_id AS doc,
 sb AS (SELECT doc,
               unnest([{', '.join(chr(39) + str(b) + "|' || CAST(b" + str(b) + " AS VARCHAR)" for b in range(4))}]) AS band
        FROM ss),
-hotsb AS (SELECT band FROM sb GROUP BY band HAVING COUNT(*) > 1000),
+hotsb AS (SELECT band FROM sb GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 sbf AS (SELECT * FROM sb ANTI JOIN hotsb USING (band)),
 sim AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
         FROM sbf a JOIN sbf b ON a.band = b.band AND a.doc < b.doc),
@@ -10919,7 +10954,7 @@ def _tier_agreement_frame(spark: SparkSession, sf: str):
     sh = dedup._shingle_table(d, "doc_id", "text", 3).persist()
     jac = (
         dedup.ngram_jaccard_pairs(
-            d, 0.5, max_shingle_df=1000, shingle_frame=sh
+            d, 0.5, max_shingle_df=_SHINGLE_CAP, shingle_frame=sh
         )
         .select("doc1", "doc2")
         .select("*", F.lit(1).alias("j"), F.lit(0).alias("m"), F.lit(0).alias("s"))
@@ -11552,7 +11587,7 @@ s AS (SELECT doc_id AS doc,
 b AS (SELECT doc,
              unnest([{', '.join(chr(39) + str(b) + "|' || CAST(b" + str(b) + " AS VARCHAR)" for b in range(4))}]) AS band
       FROM s),
-hotb AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) > 1000),
+hotb AS (SELECT band FROM b GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bf AS (SELECT * FROM b ANTI JOIN hotb USING (band))
 SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
 FROM bf a JOIN bf b ON a.band = b.band AND a.doc < b.doc""",
@@ -11832,7 +11867,7 @@ sigs AS (SELECT doc,
         {_SIGS_SQL}
          FROM sh GROUP BY doc),
 bands0 AS (SELECT doc, unnest([{_BANDS_SQL}]) AS band FROM sigs),
-hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > 1000),
+hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),

@@ -2127,3 +2127,49 @@ def test_streaming_fertility_gate_matches_batch(spark):
     assert got == want and len(got) == d.count()
     ferts = {b / w for _, w, b, _ in got}
     assert len(ferts) > 1
+
+
+def test_lsh_topk_probe_depth_requires_multiprobe():
+    # ADVICE r11: probe_depth > 1 with multiprobe=False silently
+    # returned single-bucket results; it must raise instead. The
+    # validation precedes any plan construction, so no frames needed.
+    with pytest.raises(ValueError, match="multiprobe"):
+        similarity.lsh_topk(None, None, 5, multiprobe=False, probe_depth=2)
+
+
+def test_shared_band_cap_constants_thread_through():
+    # ADVICE r11: the runaway-bucket caps live in dedup.MAX_BAND_DF /
+    # MAX_SHINGLE_DF and every consumer derives from them — the
+    # function defaults and the catalog's oracle templates alike.
+    import inspect
+
+    from riemann_spark.plans import catalog_ml
+
+    assert catalog_ml._BAND_CAP == dedup.MAX_BAND_DF
+    assert catalog_ml._SHINGLE_CAP == dedup.MAX_SHINGLE_DF
+    sig = inspect.signature(dedup.lsh_candidate_pairs)
+    assert sig.parameters["max_band_df"].default == dedup.MAX_BAND_DF
+    sig = inspect.signature(dedup.incremental_lsh_pairs)
+    assert sig.parameters["max_band_df"].default == dedup.MAX_BAND_DF
+    sig = inspect.signature(dedup.ngram_jaccard_pairs)
+    assert sig.parameters["max_shingle_df"].default == dedup.MAX_SHINGLE_DF
+    # and the compiled oracles carry the evaluated constant
+    from riemann_spark.plans import ORACLES
+
+    assert f"> {dedup.MAX_BAND_DF})" in ORACLES["dedup_minhash_lsh"]
+
+
+def test_ann_recall_scan_frac_derived_from_constants():
+    # ADVICE r11: scan_frac must be computed from _N_PLANES/_IVF_CELLS,
+    # not hardcoded 1/16-style literals on both sides.
+    from riemann_spark.plans import catalog_ml as cml
+
+    n = cml._N_PLANES
+    assert cml._lsh_scan(0) == (1, 2**n)
+    assert cml._lsh_scan(1) == (1 + n, 2**n)
+    assert cml._lsh_scan(2) == (1 + n + n * (n - 1) // 2, 2**n)
+    assert cml._ivf_scan(2) == (2, cml._IVF_CELLS)
+    from riemann_spark.plans import ORACLES
+
+    num, den = cml._lsh_scan(2)
+    assert f"{num}.0 / {den}" in ORACLES["ann_recall_report"]
