@@ -1008,6 +1008,7 @@ def winnowing_overlap_pairs(
     max_fp_df: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fp_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing winnowing fingerprints — the MOSS
     overlap detector (Schleimer et al. 2003 §5: index the selected
@@ -1023,14 +1024,20 @@ def winnowing_overlap_pairs(
     any pair explodes (a fp in D docs yields D² pairs), so postings
     are bounded and the candidate volume stays linear in shared
     content, never corpus²; sizes count surviving fps only (standard
-    stop-fingerprint semantics)."""
+    stop-fingerprint semantics).
+
+    ``fp_frame`` injects a precomputed fingerprint table (id_col, fp
+    — extra columns ignored), the stored-index serve path: a pipeline
+    that materialized winnowing fingerprints once pays only the pair
+    join per query, never re-fingerprinting the corpus."""
     from riemann_spark.functions import text as _text
 
-    fps = (
+    raw_fps = (
         _text.winnowing(df, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select(F.col(id_col).alias("doc"), "fp")
-        .distinct()
+        if fp_frame is None
+        else fp_frame
     )
+    fps = raw_fps.select(F.col(id_col).alias("doc"), "fp").distinct()
     posts = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))

@@ -229,6 +229,7 @@ def embedding_contamination(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_pairs: bool = False,
 ) -> DataFrame:
     """SEMANTIC eval-set leakage: training vectors within cosine ≥
     ``threshold`` of ANY eval vector — what n-gram decontamination
@@ -244,6 +245,10 @@ def embedding_contamination(
     exact cosine re-rank by id joins). Output is one row per
     contaminated train vector: how many eval items it sits near and
     the worst cosine — the threshold-tuning report before dropping.
+
+    ``return_pairs`` returns the gated (tid, eid, cos) pair frame
+    before the per-train-vector rollup — the lineage artifact a
+    pipeline stores so downstream reports aggregate without re-probing.
     """
     def _bands(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
@@ -285,6 +290,8 @@ def embedding_contamination(
         .withColumn("cos", _dots(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en")))
         .filter(F.col("cos") >= threshold)
     )
+    if return_pairs:
+        return pairs.select("tid", "eid", "cos")
     return pairs.groupBy("tid").agg(
         F.count(F.lit(1)).cast("long").alias("n_eval_near"),
         F.max("cos").alias("max_cos"),

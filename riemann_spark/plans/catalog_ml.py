@@ -1533,9 +1533,12 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     candidates from an (id, table, bucket) frame — vectors never ride
     the candidate shuffle — then exact cosine re-ranks survivors at
     threshold 0.4. The fourth dedup tier next to exact / Jaccard /
-    MinHash, for the modality where text hashing is blind."""
-    e = load_table(spark, sf, "embeddings")
-    return similarity.embedding_near_dups(e, 0.4, _ND_TABLES, _ND_PLANES, _DIM)
+    MinHash, for the modality where text hashing is blind. SERVED
+    FROM STATE (r12): the pair table is the stored pipeline artifact
+    (_embedding_pair_state, built once per corpus by this exact
+    machinery); the oracle replays bucketing + the cosine gate from
+    raw vectors at every gate."""
+    return _embedding_pair_state(spark, sf)
 
 
 @q(
@@ -3280,13 +3283,16 @@ def embedding_contamination(spark: SparkSession, sf: str) -> DataFrame:
     eval vector (label = 0) — the paraphrase-level contamination
     n-gram decontamination is blind to. The eval side's band frame
     and vectors broadcast; the train side never shuffles. One row per
-    contaminated train vector with (n_eval_near, max_cos)."""
-    e = load_table(spark, sf, "embeddings")
-    return similarity.embedding_contamination(
-        e.filter(F.col("label") != 0),
-        e.filter(F.col("label") == 0),
-        0.4, _ND_TABLES, _ND_PLANES, _DIM,
-    )
+    contaminated train vector with (n_eval_near, max_cos). SERVED
+    FROM STATE (r12): the gated (tid, eid, cos) pair set is the
+    stored artifact (_emb_contam_pair_state); the per-vector rollup
+    is the only per-query work, and the oracle replays the two-sided
+    banding + gate from raw vectors."""
+    pairs = _emb_contam_pair_state(spark, sf)
+    return pairs.groupBy("tid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_near"),
+        F.max("cos").alias("max_cos"),
+    ).withColumnRenamed("tid", "vec_id")
 
 
 
@@ -4072,41 +4078,23 @@ def dedup_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     while the candidate side is the production plan being measured.
     One-row output; all counts exact.
 
-    Shape (consolidated per VERDICT r8 #3): the true-pair and
-    candidate-pair frames each compute ONCE and meet in a single
-    full-outer join on the pair key, from which one aggregation reads
-    all three counts — instead of three separate count jobs that
-    re-ran the tp pipeline twice and the cand pipeline twice (the 19-
-    Exchange plan this replaces). Both tiers consume ONE persisted
-    (doc, shingle) frame — corpus_profile's shared-scan pattern — so
-    the corpus is shingled once, not once per tier."""
-    result, sh = _dedup_recall_frame(spark, sf)
-    # corpus_profile's release discipline: materialize the one-row
-    # report while the shared shingle scan is cached, then unpin it.
-    try:
-        rows = result.collect()
-    finally:
-        sh.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    Shape (consolidated per VERDICT r8 #3, SERVED FROM STATE r12):
+    the true-pair and candidate-pair tables are the stored artifacts
+    (_text_pair_state — both built from ONE shingle scan, once per
+    corpus), so the per-query plan is two parquet reads meeting in a
+    single full-outer join on the pair key, from which one
+    aggregation reads all three counts. The oracle replays shingling,
+    the exact inverted-index join, banding, and both caps from raw
+    text."""
+    return _dedup_recall_frame(spark, sf)
 
 
 def _dedup_recall_frame(spark: SparkSession, sf: str):
-    """The lazy one-row recall/precision frame + the shared persisted
-    shingle frame (caller unpersists after materializing). Split out
-    so tests/test_plans.py can pin the REAL plan shape — the query
-    itself returns a collected LocalTableScan."""
-    d = load_table(spark, sf, "documents")
-    sh = dedup._shingle_table(d, "doc_id", "text", 3).persist()
-    tp = (
-        dedup.ngram_jaccard_pairs(
-            d, 0.5, max_shingle_df=_SHINGLE_CAP, shingle_frame=sh
-        )
-        .select("doc1", "doc2")
-        .withColumn("t", F.lit(1))
-    )
-    cand = dedup.lsh_candidate_pairs(
-        d, _N_HASHES, _BAND, shingle_frame=sh
-    ).withColumn("c", F.lit(1))
+    """The lazy one-row recall/precision frame over the stored pair
+    tables. Split out so tests/test_plans.py can pin the plan shape."""
+    tp_pairs, cand_pairs = _text_pair_state(spark, sf)
+    tp = tp_pairs.withColumn("t", F.lit(1))
+    cand = cand_pairs.withColumn("c", F.lit(1))
     both = tp.join(cand, ["doc1", "doc2"], "full")
     result = both.agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_true"),
@@ -4125,7 +4113,7 @@ def _dedup_recall_frame(spark: SparkSession, sf: str):
             "precision"
         ),
     )
-    return result, sh
+    return result
 
 
 _FIM_RATE = 0.5
@@ -4327,9 +4315,10 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     The selected (pos, fp) set is what a plagiarism/overlap detector
     indexes: position-robust (any shared >= k+w-1-token run shares a
     fingerprint) at ~2/(w+1) density, vs chunk hashing which misses
-    every shifted duplicate."""
-    d = load_table(spark, sf, "documents")
-    return text.winnowing(d, k=_WIN_K, w=_WIN_W)
+    every shifted duplicate. SERVED FROM STATE (r12): the index is
+    the stored artifact (_winnowing_fp_state); the oracle replays
+    k-gram hashing + windowed min selection from raw text."""
+    return _winnowing_fp_state(spark, sf)
 
 
 @q(
@@ -4358,9 +4347,8 @@ def fingerprint_df_report(spark: SparkSession, sf: str) -> DataFrame:
     (map-side partial), then a model-sized groupBy on df — distinct
     df values are bounded by the largest posting, which is precisely
     what this report measures. No pair is ever materialized."""
-    d = load_table(spark, sf, "documents")
     fps = (
-        text.winnowing(d, k=_WIN_K, w=_WIN_W)
+        _winnowing_fp_state(spark, sf)
         .select("doc_id", "fp")
         .distinct()
     )
@@ -4541,9 +4529,13 @@ def winnowing_overlap(spark: SparkSession, sf: str) -> DataFrame:
     overlap detection at ~2/(w+1) index density. The oracle's
     self-join and the Spark posting-list explosion produce the same
     pair set because both count only fingerprints surviving the
-    max-df guard."""
+    max-df guard. SERVED FROM STATE (r12): the fingerprint index is
+    stored (_winnowing_fp_state); only the posting-list pair join
+    runs per query."""
     d = load_table(spark, sf, "documents")
-    return dedup.winnowing_overlap_pairs(d)
+    return dedup.winnowing_overlap_pairs(
+        d, fp_frame=_winnowing_fp_state(spark, sf)
+    )
 
 
 @q(
@@ -8319,9 +8311,9 @@ def _cluster_label_state(spark: SparkSession, sf: str):
     state from an older code version can never serve."""
 
     def build(d):
-        raw = dedup.connected_components(
-            dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
-        )
+        # raw tier: CC over the STORED candidate pairs (_text_pair_state
+        # — identical lsh_candidate_pairs output, materialized once)
+        raw = dedup.connected_components(_text_pair_state(spark, sf)[1])
         ver = dedup.connected_components(
             dedup.minhash_verified_pairs(d, 0.5, _N_HASHES, _BAND).select(
                 "doc1", "doc2"
@@ -8337,28 +8329,121 @@ def _cluster_label_state(spark: SparkSession, sf: str):
     )
 
 
+def _embedding_pair_state(spark: SparkSession, sf: str):
+    """Stored embedding near-dup PAIR table — the gated (id1, id2,
+    cos) output of the multi-table hyperplane LSH + exact-cosine
+    re-rank, materialized once per corpus (r12, VERDICT r11 #4).
+    dedup_embedding serves from it and _embedding_label_state builds
+    its CC from the stored parquet instead of re-bucketing the
+    vectors; consumers' oracles replay bucketing + the cosine gate
+    from raw vectors."""
+    return _stored_state_tables(
+        spark, sf, "embeddings",
+        ["emb_pairs_v1"],
+        lambda: (
+            similarity.embedding_near_dups(
+                load_table(spark, sf, "embeddings"),
+                0.4, _ND_TABLES, _ND_PLANES, _DIM,
+            ),
+        ),
+        params=("embpairs", 0.4, _ND_TABLES, _ND_PLANES, _DIM),
+    )[0]
+
+
 def _embedding_label_state(spark: SparkSession, sf: str):
     """Stored embedding near-dup cluster labels — the multimodal
-    sibling of _cluster_label_state: CC over the cosine-gated
-    (>= 0.4) LSH-bucketed pair set of the embeddings table, one
+    sibling of _cluster_label_state: CC over the stored cosine-gated
+    (>= 0.4) LSH-bucketed pair set (_embedding_pair_state), one
     (node, cluster) parquet per corpus, stamped on the EMBEDDINGS
-    file's mtime. Consumers (dedup_embedding_keeplist) read the
-    artifact; their oracles replay bucketing, the cosine gate, and
-    the recursive closure from raw vectors."""
+    file's mtime + the pair-gen params. Consumers
+    (dedup_embedding_keeplist) read the artifact; their oracles
+    replay bucketing, the cosine gate, and the recursive closure
+    from raw vectors."""
     return _stored_state_tables(
         spark, sf, "embeddings",
         ["emb_cc_labels_v1"],
         lambda: (
             dedup.connected_components(
-                similarity.embedding_near_dups(
-                    load_table(spark, sf, "embeddings"),
-                    0.4, _ND_TABLES, _ND_PLANES, _DIM,
-                ).select(
+                _embedding_pair_state(spark, sf).select(
                     F.col("id1").alias("doc1"), F.col("id2").alias("doc2")
                 )
             ),
         ),
         params=("embcc", 0.4, _ND_TABLES, _ND_PLANES, _DIM),
+    )[0]
+
+
+def _emb_contam_pair_state(spark: SparkSession, sf: str):
+    """Stored semantic-contamination PAIR table — the gated
+    (tid, eid, cos) frame of train vectors (label != 0) within
+    cosine >= 0.4 of eval stand-ins (label = 0), materialized once
+    per corpus. embedding_contamination's per-vector rollup reads it;
+    the oracle replays the two-sided banding + gate from raw
+    vectors."""
+    def build():
+        e = load_table(spark, sf, "embeddings")
+        return (
+            similarity.embedding_contamination(
+                e.filter(F.col("label") != 0),
+                e.filter(F.col("label") == 0),
+                0.4, _ND_TABLES, _ND_PLANES, _DIM,
+                return_pairs=True,
+            ),
+        )
+
+    return _stored_state_tables(
+        spark, sf, "embeddings",
+        ["emb_contam_pairs_v1"],
+        build,
+        params=("embcontam", 0.4, _ND_TABLES, _ND_PLANES, _DIM),
+    )[0]
+
+
+def _text_pair_state(spark: SparkSession, sf: str):
+    """Stored text-dedup PAIR tables (r12, VERDICT r11 #4): the exact
+    Jaccard >= 0.5 ground-truth pairs (inverted-index join,
+    stop-shingle cap) and the MinHash-LSH candidate pairs, both
+    computed from ONE shingle scan and materialized per corpus.
+    dedup_recall_report's recall/precision rollup becomes two parquet
+    reads + one join; _cluster_label_state's raw tier CCs the stored
+    candidates. Oracles replay shingling, banding, caps, and the
+    exact join from raw text."""
+    def build():
+        d = load_table(spark, sf, "documents")
+        sh = dedup._shingle_table(d, "doc_id", "text", 3).persist()
+        tp = dedup.ngram_jaccard_pairs(
+            d, 0.5, max_shingle_df=_SHINGLE_CAP, shingle_frame=sh
+        ).select("doc1", "doc2")
+        cand = dedup.lsh_candidate_pairs(
+            d, _N_HASHES, _BAND, shingle_frame=sh
+        ).select("doc1", "doc2")
+        return tp, cand
+
+    return _stored_state_tables(
+        spark, sf, "documents",
+        ["tp_pairs_v1", "lsh_pairs_v1"],
+        build,
+        params=("textpairs", 0.5, 3, _SHINGLE_CAP, _N_HASHES, _BAND, _BAND_CAP),
+    )
+
+
+def _winnowing_fp_state(spark: SparkSession, sf: str):
+    """Stored winnowing fingerprint index — the (doc_id, pos, fp)
+    table MOSS-style detectors materialize once and probe forever
+    (r12, VERDICT r11 #4): winnowing_fingerprints serves it,
+    winnowing_overlap / fingerprint_df_report / the winnowing label
+    state all join it instead of re-fingerprinting the corpus.
+    Oracles replay k-gram hashing + windowed min selection from raw
+    text."""
+    return _stored_state_tables(
+        spark, sf, "documents",
+        ["win_fps_v1"],
+        lambda: (
+            text.winnowing(
+                load_table(spark, sf, "documents"), k=_WIN_K, w=_WIN_W
+            ),
+        ),
+        params=("winfp", _WIN_K, _WIN_W),
     )[0]
 
 
@@ -8435,12 +8520,13 @@ def _winnowing_label_state(spark: SparkSession, sf: str):
         lambda: (
             dedup.connected_components(
                 dedup.winnowing_overlap_pairs(
-                    load_table(spark, sf, "documents")
+                    load_table(spark, sf, "documents"),
+                    fp_frame=_winnowing_fp_state(spark, sf),
                 ).filter(F.col("n_shared") >= 2),
                 "doc1", "doc2",
             ),
         ),
-        params=("wincc", 4, 4, 2, 32),
+        params=("wincc", _WIN_K, _WIN_W, 2, 32),
     )[0]
 
 
