@@ -2928,40 +2928,187 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     The scan_frac column is the analytic cost axis (expected corpus
     fraction probed per query under uniform buckets), making the
     report the recall/cost CURVE — pick the cheapest tier above the
-    recall bar, e.g. ivf_nprobe2 at 0.925 recall for 2/16 probed."""
-    from riemann_spark.functions import similarity
+    recall bar, e.g. ivf_nprobe2 at 0.925 recall for 2/16 probed.
+
+    Shape (consolidated per VERDICT r11 #5): the corpus is LSH-
+    bucketed ONCE and joined ONCE against the depth-tagged probe set
+    (each probe bucket carries the smallest flip distance that
+    reaches it), so the three LSH tiers are depth-explosions over one
+    shared candidate frame; the two IVF tiers likewise share one
+    cell-assignment join (query cells kept to rank 2, nprobe=n ≡
+    rank ≤ n); the brute-force ground truth rides the SAME union as a
+    sixth method tag ('__bf'), so every tier's top-5 — including the
+    ground truth — ranks in ONE (method, q_id) window, and hits fall
+    out of a per-(q_id, n_id) collect_set instead of a join. One job
+    where there were eleven. Tie-breaks are expression-identical to
+    lsh_topk / ivf_topk / brute_force_topk, so every tier's top-5 set
+    is bit-equal to the standalone function's."""
+    from riemann_spark.functions.similarity import _dots, lsh_bucket, norm
 
     e = load_table(spark, sf, "embeddings")
     q_ = e.filter(F.col("vec_id") < 8)
-    bf = similarity.brute_force_topk(q_, e, 5).select("q_id", "n_id")
-    def _frac(pair):
-        num, den = pair
-        return float(num) / den
 
-    methods = {
-        "lsh": (
-            similarity.lsh_topk(q_, e, 5, _N_PLANES, _DIM, multiprobe=False),
-            _frac(_lsh_scan(0)),
-        ),
-        "lsh_multiprobe": (
-            similarity.lsh_topk(q_, e, 5, _N_PLANES, _DIM),
-            _frac(_lsh_scan(1)),
-        ),
-        "lsh_multiprobe2": (
-            similarity.lsh_topk(q_, e, 5, _N_PLANES, _DIM, probe_depth=2),
-            _frac(_lsh_scan(2)),
-        ),
-        "ivf": (similarity.ivf_topk(q_, e, 5, _IVF_CELLS), _frac(_ivf_scan(1))),
-        "ivf_nprobe2": (
-            similarity.ivf_topk(q_, e, 5, _IVF_CELLS, nprobe=2),
-            _frac(_ivf_scan(2)),
-        ),
+    # --- shared LSH candidates: corpus bucketed once, probe buckets
+    # tagged with the smallest flip distance that reaches them -------
+    ca = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        norm(F.col("embedding")).alias("n_n"),
+        lsh_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket"),
+    )
+    qh = q_.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_n"),
+        lsh_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket"),
+    )
+    b = F.col("bucket")
+    probes = [F.struct(b.alias("bucket"), F.lit(0).alias("depth"))]
+    probes += [
+        F.struct(b.bitwiseXOR(F.lit(1 << p)).alias("bucket"), F.lit(1).alias("depth"))
+        for p in range(_N_PLANES)
+    ]
+    probes += [
+        F.struct(
+            b.bitwiseXOR(F.lit((1 << p) | (1 << pp))).alias("bucket"),
+            F.lit(2).alias("depth"),
+        )
+        for p in range(_N_PLANES)
+        for pp in range(p + 1, _N_PLANES)
+    ]
+    qp = qh.select(
+        "q_id", "q_vec", "q_n", F.explode(F.array(*probes)).alias("pb")
+    ).select("q_id", "q_vec", "q_n", "pb.bucket", "pb.depth")
+    lsh_cand = (
+        ca.join(F.broadcast(qp), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+        )
+        .select("q_id", "n_id", "cos", "depth")
+    )
+
+    # --- shared IVF candidates: corpus assigned once; query cells kept
+    # to rank 2 so nprobe=n is the filter r <= n ----------------------
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_CELLS).select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("c_vec"),
+            norm(F.col("embedding")).alias("c_n"),
+        )
+    )
+
+    def _assign(df, idc, vecc, keep):
+        nc = vecc[0] + "_n"
+        scored = df.crossJoin(cents).withColumn(
+            "c_cos", _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= keep)
+            .drop("c_vec", "c_cos", "c_n")
+        )
+
+    qa = _assign(
+        qh.drop("bucket"), "q_id", "q_vec", 2
+    ).withColumnRenamed("r", "qrank")
+    cac = _assign(ca.drop("bucket"), "n_id", "n_vec", 1)
+    ivf_cand = (
+        cac.join(F.broadcast(qa), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+        )
+        .select("q_id", "n_id", "cos", "qrank")
+    )
+
+    # --- all five tiers in ONE window pass: a candidate reached at
+    # flip-depth d (cell-rank r) belongs to every tier with depth >= d
+    # (nprobe >= r), so exploding the membership list and ranking over
+    # (method, q_id) gives each tier its own top-5 without five
+    # separate window shuffles --------------------------------------
+    bf_tagged = (
+        ca.crossJoin(F.broadcast(qh.drop("bucket")))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+        )
+        .select("q_id", "n_id", "cos", F.lit("__bf").alias("method"))
+    )
+    lsh_tagged = lsh_cand.select(
+        "q_id",
+        "n_id",
+        "cos",
+        F.explode(
+            F.slice(
+                F.array(
+                    F.lit("lsh"),
+                    F.lit("lsh_multiprobe"),
+                    F.lit("lsh_multiprobe2"),
+                ),
+                F.col("depth") + 1,
+                F.lit(3) - F.col("depth"),
+            )
+        ).alias("method"),
+    )
+    ivf_tagged = ivf_cand.select(
+        "q_id",
+        "n_id",
+        "cos",
+        F.explode(
+            F.slice(
+                F.array(F.lit("ivf"), F.lit("ivf_nprobe2")),
+                F.col("qrank"),
+                F.lit(3) - F.col("qrank"),
+            )
+        ).alias("method"),
+    )
+    wm = Window.partitionBy("method", "q_id").orderBy(
+        F.desc("cos"), F.col("n_id")
+    )
+    ranked = (
+        lsh_tagged.unionByName(ivf_tagged)
+        .unionByName(bf_tagged)
+        .withColumn("rank", F.row_number().over(wm))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "method")
+    )
+    # hit = a (q_id, n_id) whose method set also contains the ground
+    # truth — one collect_set, no join
+    per_pair = ranked.groupBy("q_id", "n_id").agg(
+        F.collect_set("method").alias("ms")
+    )
+    hit_rows = {
+        r["method"]: (r["hits"], r["n_in_tier"])
+        for r in per_pair.select(
+            F.explode("ms").alias("method"),
+            F.array_contains("ms", "__bf").cast("int").alias("bf_hit"),
+        )
+        .groupBy("method")
+        .agg(
+            F.sum("bf_hit").alias("hits"),
+            F.count(F.lit(1)).alias("n_in_tier"),
+        )
+        .collect()
     }
-    total = bf.count()
-    rows = []
-    for name, (df, frac) in methods.items():
-        hits = df.select("q_id", "n_id").join(bf, ["q_id", "n_id"]).count()
-        rows.append((name, hits, hits / total, frac))
+    total = hit_rows["__bf"][1]
+    fracs = {
+        "lsh": _lsh_scan(0),
+        "lsh_multiprobe": _lsh_scan(1),
+        "lsh_multiprobe2": _lsh_scan(2),
+        "ivf": _ivf_scan(1),
+        "ivf_nprobe2": _ivf_scan(2),
+    }
+    rows = [
+        (
+            name,
+            hit_rows.get(name, (0, 0))[0],
+            hit_rows.get(name, (0, 0))[0] / total,
+            float(n) / d,
+        )
+        for name, (n, d) in fracs.items()
+    ]
     return spark.createDataFrame(
         rows, "method string, hits long, recall_at_5 double, scan_frac double"
     )
