@@ -891,6 +891,133 @@ def pq_topk_rerank(
     )
 
 
+def _ivf_cents(corpus, n_cells, id_col, vec_col):
+    """Broadcast coarse-centroid frame (cell, c_vec, c_n) — the first
+    n_cells corpus vectors, ivf_topk's deterministic quantizer."""
+    return F.broadcast(
+        corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_n"),
+        )
+    )
+
+
+def _ivf_assign(cents, df, keep, id_col, vec_col, out_id):
+    """Nearest-``keep``-cells assignment with the residual vector —
+    (out_id, cell, rv). Cosine + (desc, cell) tie-break, identical to
+    ivf_topk's geometry."""
+    src = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    )
+    scored = src.crossJoin(cents).withColumn(
+        "c_cos",
+        _dots(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("c_n")),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("c_cos"), F.col("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= keep)
+        .select(
+            out_id,
+            "cell",
+            F.zip_with(F.col("v"), F.col("c_vec"), lambda a, b: a - b).alias(
+                "rv"
+            ),
+        )
+    )
+
+
+def _ivfpq_slices(df, idc, n_sub, sub_w):
+    """(id, cell, m, s) residual subvector rows."""
+    return df.select(
+        idc,
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("rv"), m * sub_w + 1, sub_w).alias("s"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("x"),
+    ).select(idc, "cell", "x.m", "x.s")
+
+
+def _pq_d2(sub_w):
+    """Squared L2 between slice ``s`` and codeword ``cw``. For small
+    fixed widths the sum expands to a codegen-able expression tree
+    (identical left-fold IEEE sequence — 0.0 + (a₁-b₁)² + …); the
+    interpreted higher-order fold costs ~an order of magnitude more
+    per row and the encode evaluates it |corpus|·m·codes times."""
+    if sub_w <= 4:
+        d2 = F.lit(0.0)
+        for i in range(1, sub_w + 1):
+            diff = F.element_at("s", i) - F.element_at("cw", i)
+            d2 = d2 + diff * diff
+        return d2
+    return F.aggregate(
+        F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF-PQ INDEX table (n_id, cell, m, code): coarse-assign
+    every corpus vector, PQ-encode its residual against the (seeded
+    or trained) codebook. This is the artifact a production pipeline
+    MATERIALIZES — ingest encodes once, every query reads the integer
+    code table (ivfpq_scored's ``codes`` parameter); the floats never
+    leave the codebook. Nearest codeword picks by min(struct(d2,
+    code)) — partial-aggregatable, no |corpus|·m·codes window
+    shuffle; tie-break (d2 asc, code asc) matches the oracle's
+    row_number form."""
+    sub_w = dim // n_sub
+    cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
+    ca = _ivf_assign(cents, corpus, 1, id_col, vec_col, "n_id")
+    if codebook is not None:
+        cb = codebook.select(
+            "m", F.col("code").cast("int").alias("code"), "cw"
+        )
+    else:
+        cb = _ivfpq_slices(
+            ca.filter(
+                (F.col("n_id") >= n_cells)
+                & (F.col("n_id") < n_cells + n_codes)
+            ),
+            "n_id",
+            n_sub,
+            sub_w,
+        ).select(
+            "m",
+            (F.col("n_id") - n_cells).cast("int").alias("code"),
+            F.col("s").alias("cw"),
+        )
+    return (
+        _ivfpq_slices(ca, "n_id", n_sub, sub_w)
+        .join(F.broadcast(cb), "m")
+        .withColumn("d2", _pq_d2(sub_w))
+        .groupBy("n_id", "cell", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select("n_id", "cell", "m", F.col("best.code").alias("code"))
+    )
+
+
 def ivfpq_scored(
     queries: DataFrame,
     corpus: DataFrame,
@@ -902,6 +1029,7 @@ def ivfpq_scored(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF-PQ ADC frame (q_id, n_id, adc_d2) BEFORE any top-k —
     factored out of ivfpq_topk so consumers measuring multiple
@@ -940,64 +1068,14 @@ def ivfpq_scored(
     Determinism: LUT entries quantize to 1e-6 integers and per-vector
     distances SUM INTEGERS (pq_topk's device), residuals are the same
     elementwise a−b both engines, so the oracle replays the whole
-    index relationally."""
+    index relationally.
+
+    ``codes`` injects a precomputed (n_id, cell, m, code) index table
+    (ivfpq_encode's output, stored as pipeline state) — the serve
+    path then touches only the query side: assignment of |Q| rows,
+    the model-sized LUT, and the code-table join."""
     sub_w = dim // n_sub
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("c_vec"),
-            norm(F.col(vec_col)).alias("c_n"),
-        )
-    )
-
-    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
-        nc = vecc[0] + "_n"
-        scored = df.crossJoin(cents).withColumn(
-            "c_cos",
-            _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n")),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= keep)
-            .select(
-                idc,
-                "cell",
-                F.zip_with(
-                    F.col(vecc), F.col("c_vec"), lambda a, b: a - b
-                ).alias("rv"),
-            )
-        )
-
-    ca = assign(
-        corpus.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).cast("array<double>").alias("n_vec"),
-            norm(F.col(vec_col)).alias("n_n"),
-        ),
-        "n_id",
-        "n_vec",
-        1,
-    )
-
-    def slices(df: DataFrame, idc: str) -> DataFrame:
-        return df.select(
-            idc,
-            "cell",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.slice(F.col("rv"), m * sub_w + 1, sub_w).alias(
-                                "s"
-                            ),
-                        )
-                        for m in range(n_sub)
-                    ]
-                )
-            ).alias("x"),
-        ).select(idc, "cell", "x.m", "x.s")
+    cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
 
     # global residual codebook: residual slices of the n_codes corpus
     # vectors AFTER the centroid block (ids n_cells..n_cells+n_codes-1)
@@ -1011,44 +1089,28 @@ def ivfpq_scored(
             "m", F.col("code").cast("int").alias("code"), "cw"
         )
     else:
-        cb = slices(
-            ca.filter(
+        cb = _ivfpq_slices(
+            _ivf_assign(cents, corpus, 1, id_col, vec_col, "n_id").filter(
                 (F.col("n_id") >= n_cells)
                 & (F.col("n_id") < n_cells + n_codes)
             ),
             "n_id",
+            n_sub,
+            sub_w,
         ).select(
             "m",
             (F.col("n_id") - n_cells).cast("int").alias("code"),
             F.col("s").alias("cw"),
         )
-    d2 = F.aggregate(
-        F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cw_win = Window.partitionBy("n_id", "m").orderBy("d2", "code")
-    codes = (
-        slices(ca, "n_id")
-        .join(F.broadcast(cb), "m")
-        .withColumn("d2", d2)
-        .withColumn("r", F.row_number().over(cw_win))
-        .filter(F.col("r") == 1)
-        .select("n_id", "cell", "m", "code")
-    )
+    d2 = _pq_d2(sub_w)
+    if codes is None:
+        codes = ivfpq_encode(
+            corpus, n_cells, n_sub, n_codes, dim, id_col, vec_col, codebook
+        )
 
-    qa = assign(
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).cast("array<double>").alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_n"),
-        ),
-        "q_id",
-        "q_vec",
-        nprobe,
-    )
+    qa = _ivf_assign(cents, queries, nprobe, id_col, vec_col, "q_id")
     lut = (
-        slices(qa, "q_id")
+        _ivfpq_slices(qa, "q_id", n_sub, sub_w)
         .join(F.broadcast(cb), "m")
         .select(
             "q_id",

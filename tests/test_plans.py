@@ -1588,3 +1588,33 @@ def test_tokenizer_fertility_drift_two_aggregates(spark):
     assert p.count("Scan parquet") <= 4, p[:1500]  # 2 scans x (tree+detail)
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2, p[:1500]
     assert p.count("BroadcastHashJoin") >= 1
+
+
+def test_knn_ivfpq_serves_stored_index(spark):
+    """The r12 serving posture: knn_ivfpq reads the STORED integer
+    code table + trained codebook (_ivfpq_index_state) — the per-
+    query plan must not re-assign or re-encode the corpus. Encoding
+    shows up as a (n_id, cell, m)-keyed aggregate over the
+    corpus x codewords join; its absence plus the state parquet
+    scans is the pin."""
+    import re
+
+    p = plan_of(spark, "knn_ivfpq")
+    # queries-side embeddings scan + codebook parquet + codes parquet
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) >= 3, p[:2000]
+    # corpus encode would aggregate over (n_id, cell, m) — absent
+    assert "partial_min" not in p, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_ann_recall_ivfpq_single_hits_job(spark):
+    """All three tiers (trained ADC, seeded ADC, rerank) must meet the
+    ground truth in ONE union-tagged aggregation, served from the two
+    stored code tables — not a join+count job per tier."""
+    from riemann_spark.plans import QUERIES
+
+    rows = {r["tier"]: r for r in QUERIES["ann_recall_ivfpq"](spark, SF).collect()}
+    assert set(rows) == {"ivfpq", "ivfpq_seeded", "ivfpq_rerank"}
+    # the VERDICT r11 #3 bar: serving defaults >= 0.8 without re-rank
+    assert rows["ivfpq"]["recall_at_5"] >= 0.8, rows
+    assert rows["ivfpq"]["recall_at_5"] > rows["ivfpq_seeded"]["recall_at_5"], rows
