@@ -105,6 +105,9 @@ _GATE_PRIORITY = [
     "video_scene_cuts",
     "vocab_growth",
     "zipf_slope",
+    # -- new round-12 catalog entries (strict-checked at sf0.001 AND
+    # sf0.01 via tools/check.py before registration): -------------------
+    "streaming_contamination_writeback_drained",
 ]
 
 _ROUND11_WINDOW_RETIRED = [

@@ -10297,6 +10297,121 @@ def streaming_contamination_gate_drained(
     )
 
 
+@q(
+    "streaming_contamination_writeback_drained",
+    f"""
+WITH tr AS (SELECT doc, shingle
+            FROM {_gram4_sql("source != 'src0' AND doc_id % 5 = 0")} t),
+ev AS (SELECT doc AS eval_doc, shingle FROM {_gram4_sql("source = 'src0'")} e),
+evg AS (SELECT shingle, MAX(CASE WHEN eval_doc % 3 != 0 THEN 1 ELSE 0 END) = 1
+               AS in_base
+        FROM ev GROUP BY shingle),
+hits AS (SELECT tr.doc,
+                CAST(SUM(CASE WHEN evg.in_base THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_base_grams,
+                CAST(COUNT(*) AS BIGINT) AS n_total_grams
+         FROM tr JOIN evg ON tr.shingle = evg.shingle
+         GROUP BY tr.doc)
+SELECT d.doc_id,
+       COALESCE(h.n_base_grams, 0) AS n_base_grams,
+       COALESCE(h.n_total_grams, 0) AS n_total_grams,
+       COALESCE(h.n_base_grams, 0) > 0 AS contaminated_before,
+       COALESCE(h.n_total_grams, 0) > 0 AS contaminated_after,
+       COALESCE(h.n_base_grams, 0) = 0
+         AND COALESCE(h.n_total_grams, 0) > 0 AS newly_flagged,
+       COALESCE(h.n_total_grams, 0) = 0 AS admitted
+FROM (SELECT doc_id FROM documents
+      WHERE source != 'src0' AND doc_id % 5 = 0) d
+LEFT JOIN hits h ON h.doc = d.doc_id""",
+)
+def streaming_contamination_writeback_drained(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """TRAIN-side arrival gate against the POST-WRITEBACK eval index —
+    the second direction of the contamination state (VERDICT r11 #6),
+    closing the two-batch discipline eval_index_writeback opened:
+    that row appends a new benchmark slice to the stored shingle
+    index; THIS row streams the next TRAIN arrival batch (doc_id %
+    5 == 0, the warmstart arrival convention) against the merged
+    base+appended index in one stream-static gate, so both the index
+    maintenance direction (benchmark release) and the serving
+    direction (training-data arrival) of the same stored state are
+    exercised — mirroring incremental_index_writeback's two-batch
+    loop on the dedup side.
+
+    Per micro-batch: arrivals shingle as a pure per-row expression
+    and broadcast-probe the shingle-level base/append marker frame
+    (evg — one grouped aggregate over the STORED index,
+    benchmark-sized), emitting (doc, shingle, in_base) collisions;
+    no state store, no watermark, index write-backs picked up per
+    batch without restarting the stream. The drained rollup reports,
+    per arriving doc, its verdict against the base index, against
+    the post-append index, the newly_flagged delta (what the new
+    benchmark newly poisons), and the admission bit the lake acts
+    on. The oracle replays both sides' shingling, the marker
+    aggregation, the collision join, and the admission left-join."""
+    import tempfile
+    import uuid as _uuid
+
+    ev = _eval_shingle_state(spark, sf)  # stored (eval_doc, shingle)
+    evg = ev.groupBy("shingle").agg(
+        F.max((F.col("eval_doc") % 3 != 0).cast("int")).alias("ib")
+    )
+    name = f"cat_scw_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="scw_ck_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    collisions = (
+        raw.filter((F.col("source") != "src0") & (F.col("doc_id") % 5 == 0))
+        .select(
+            "doc_id",
+            F.explode(dedup.shingles("text", 4)).alias("shingle"),
+        )
+        .join(F.broadcast(evg), "shingle")
+        .select("doc_id", "shingle", "ib")
+    )
+    q_ = (
+        collisions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+
+    hits = (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ib").cast("long").alias("nb"),
+            F.count(F.lit(1)).cast("long").alias("nt"),
+        )
+        .withColumnRenamed("doc_id", "hd")
+    )
+    d = load_table(spark, sf, "documents")
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    nt = F.coalesce(F.col("nt"), F.lit(0))
+    return (
+        d.filter((F.col("source") != "src0") & (F.col("doc_id") % 5 == 0))
+        .select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("hd"), "left")
+        .select(
+            "doc_id",
+            nb.alias("n_base_grams"),
+            nt.alias("n_total_grams"),
+            (nb > 0).alias("contaminated_before"),
+            (nt > 0).alias("contaminated_after"),
+            ((nb == 0) & (nt > 0)).alias("newly_flagged"),
+            (nt == 0).alias("admitted"),
+        )
+    )
+
+
 def _ivf_maint_sql(k: int, dim: int, iters: int) -> str:
     parts = _lloyd_parts(k, dim, iters)
     cf = f"c{iters}"

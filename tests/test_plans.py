@@ -1618,3 +1618,46 @@ def test_ann_recall_ivfpq_single_hits_job(spark):
     # the VERDICT r11 #3 bar: serving defaults >= 0.8 without re-rank
     assert rows["ivfpq"]["recall_at_5"] >= 0.8, rows
     assert rows["ivfpq"]["recall_at_5"] > rows["ivfpq_seeded"]["recall_at_5"], rows
+
+
+def test_streaming_contamination_writeback_matches_batch(spark):
+    """The train-side arrival gate (streaming, drained) must agree
+    row-for-row with the equivalent batch probe of the same stored
+    index — same shingles, same base/append marker, same admission
+    flags — and only ever sees the arrival batch (doc_id % 5 == 0)."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.functions import dedup
+    from riemann_spark.plans import QUERIES
+    from riemann_spark.plans.catalog_ml import _eval_shingle_state
+    from riemann_spark.schema import load_table
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["streaming_contamination_writeback_drained"](
+            spark, SF
+        ).collect()
+    }
+    d = load_table(spark, SF, "documents")
+    arrivals = d.filter(
+        (F.col("source") != "src0") & (F.col("doc_id") % 5 == 0)
+    )
+    assert set(got) == {r.doc_id for r in arrivals.select("doc_id").collect()}
+    ev = _eval_shingle_state(spark, SF)
+    evg = ev.groupBy("shingle").agg(
+        F.max((F.col("eval_doc") % 3 != 0).cast("int")).alias("ib")
+    )
+    t = dedup._shingle_table(arrivals, "doc_id", "text", 4)
+    want = {
+        r["doc"]: (r["nb"], r["nt"])
+        for r in t.join(F.broadcast(evg), "shingle")
+        .groupBy("doc")
+        .agg(F.sum("ib").alias("nb"), F.count(F.lit(1)).alias("nt"))
+        .collect()
+    }
+    for doc_id, row in got.items():
+        nb, nt = want.get(doc_id, (0, 0))
+        assert row["n_base_grams"] == nb and row["n_total_grams"] == nt
+        assert row["admitted"] == (nt == 0)
+        assert row["newly_flagged"] == (nb == 0 and nt > 0)
+    assert any(not r["admitted"] for r in got.values())
