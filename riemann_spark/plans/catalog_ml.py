@@ -4249,7 +4249,7 @@ def dedup_recall_report(spark: SparkSession, sf: str) -> DataFrame:
 def _dedup_recall_frame(spark: SparkSession, sf: str):
     """The lazy one-row recall/precision frame over the stored pair
     tables. Split out so tests/test_plans.py can pin the plan shape."""
-    tp_pairs, cand_pairs = _text_pair_state(spark, sf)
+    tp_pairs, cand_pairs, _ = _text_pair_state(spark, sf)
     tp = tp_pairs.withColumn("t", F.lit(1))
     cand = cand_pairs.withColumn("c", F.lit(1))
     both = tp.join(cand, ["doc1", "doc2"], "full")
@@ -8574,11 +8574,32 @@ def _text_pair_state(spark: SparkSession, sf: str):
         cand = dedup.lsh_candidate_pairs(
             d, _N_HASHES, _BAND, shingle_frame=sh
         ).select("doc1", "doc2")
-        return tp, cand
+        sposts = (
+            dedup.simhash64_bands(d)
+            .groupBy("band")
+            .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+            .filter((F.size("docs") >= 2) & (F.size("docs") <= _BAND_CAP))
+        )
+        ds = F.col("docs")
+        pair_arr = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(ds)),
+                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                ),
+            )
+        )
+        sim = (
+            sposts.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+            .distinct()
+        )
+        return tp, cand, sim
 
     return _stored_state_tables(
         spark, sf, "documents",
-        ["tp_pairs_v1", "lsh_pairs_v1"],
+        ["tp_pairs_v1", "lsh_pairs_v1", "sim64_pairs_v1"],
         build,
         params=("textpairs", 0.5, 3, _SHINGLE_CAP, _N_HASHES, _BAND, _BAND_CAP),
     )
@@ -11287,97 +11308,37 @@ def dedup_tier_agreement(spark: SparkSession, sf: str) -> DataFrame:
     agreement — token sets genuinely overlap here, so the SimHash
     family is a verify-stage input, in numbers.
 
-    Shape: the two shingle tiers consume ONE persisted (doc, shingle)
-    frame (corpus_profile's shared-scan discipline); SimHash is a
-    pure projection + bucket join; membership is a 3-way unionByName
-    + one groupBy on the pair key; the matrix is a one-row integer
-    aggregate exploded to 3 rows. Integer counts end-to-end, one
-    final division."""
-    result, sh = _tier_agreement_frame(spark, sf)
-    # dedup_recall_report's release discipline: materialize the 3-row
-    # matrix while the shared shingle scan is cached, then unpin it
-    try:
-        rows = result.collect()
-    finally:
-        sh.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    Shape (SERVED FROM STATE r12): the exact-Jaccard and MinHash
+    tiers read the STORED pair tables (_text_pair_state — tp_pairs /
+    lsh_pairs, built once per corpus off one shingle scan); SimHash
+    is the only live tier (pure projection + bucket join); membership
+    is a 3-way unionByName + one groupBy on the pair key; the matrix
+    is a one-row integer aggregate exploded to 3 rows. Integer counts
+    end-to-end, one final division."""
+    return _tier_agreement_frame(spark, sf)
 
 
 def _tier_agreement_frame(spark: SparkSession, sf: str):
-    """The lazy 3-row agreement frame + the shared persisted shingle
-    frame (caller unpersists after materializing) — split out so
-    tests/test_plans.py can pin the REAL plan shape, as with
-    _dedup_recall_frame."""
-    d = load_table(spark, sf, "documents")
-    sh = dedup._shingle_table(d, "doc_id", "text", 3).persist()
-    jac = (
-        dedup.ngram_jaccard_pairs(
-            d, 0.5, max_shingle_df=_SHINGLE_CAP, shingle_frame=sh
-        )
-        .select("doc1", "doc2")
-        .select("*", F.lit(1).alias("j"), F.lit(0).alias("m"), F.lit(0).alias("s"))
+    """The lazy 3-row agreement frame over the three stored pair
+    tables — split out so tests/test_plans.py can pin the plan shape,
+    as with _dedup_recall_frame."""
+    tp_pairs, lsh_pairs, sim_pairs = _text_pair_state(spark, sf)
+    jac = tp_pairs.select(
+        "doc1", "doc2",
+        F.lit(1).alias("j"), F.lit(0).alias("m"), F.lit(0).alias("s"),
     )
-    # MinHash tier via the pure-EXPRESSION band keys (bit-identical to
-    # the grouped minhash_bands — head-to-head-tested): no signature
-    # groupBy, so the tier costs ONE band shuffle; in-bucket pair dups
-    # across bands are absorbed by the membership groupBy below
-    mh_bands = d.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(
-            dedup.minhash_band_array("text", _N_HASHES, _BAND)
-        ).alias("band"),
+    mh = lsh_pairs.select(
+        "doc1", "doc2",
+        F.lit(0).alias("j"), F.lit(1).alias("m"), F.lit(0).alias("s"),
     )
-    mh_posts = (
-        mh_bands.groupBy("band")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= 1000))
+    sim = sim_pairs.select(
+        "doc1", "doc2",
+        F.lit(0).alias("j"), F.lit(0).alias("m"), F.lit(1).alias("s"),
     )
-    mds = F.col("docs")
-    mh_pairs = F.flatten(
-        F.transform(
-            mds,
-            lambda x, i: F.transform(
-                F.slice(mds, i + F.lit(2), F.size(mds)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
-    mh = (
-        mh_posts.select(F.explode(mh_pairs).alias("p"))
-        .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
-        .select("*", F.lit(0).alias("j"), F.lit(1).alias("m"), F.lit(0).alias("s"))
-    )
-    # SimHash tier at 64 BITS (simhash64_bands): the report gates the
-    # tier a deployment would actually run — the 16-bit tier's fixed
-    # 512-bucket space makes the report itself quadratic at scale
-    # (measured: ×20 corpus → ~39M random-collision pairs, 43.7× wall;
-    # 65 536 buckets/band keep it near-linear). The 16-bit surface
-    # stays covered by the standalone simhash/simhash_candidates rows.
-    # Posting-list idiom (lsh_candidate_pairs's shape): ONE shuffle on
-    # band, in-bucket ordered combinations — no self-join; the pair
-    # duplicates a multi-band collision produces are absorbed by the
-    # membership groupBy below, so no distinct either
-    sbands = dedup.simhash64_bands(d)
-    posts = (
-        sbands.groupBy("band")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= 1000))
-    )
-    ds = F.col("docs")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
-    sim = (
-        posts.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
-        .select("*", F.lit(0).alias("j"), F.lit(0).alias("m"), F.lit(1).alias("s"))
-    )
+    # SimHash tier at 64 BITS: the stored sim64_pairs table is the
+    # same posting-list pair set simhash64_candidates generates (the
+    # 16-bit surface stays covered by the standalone simhash rows);
+    # see _text_pair_state for why it is state, not live compute
     mem = (
         jac.unionByName(mh)
         .unionByName(sim)
@@ -11420,7 +11381,7 @@ def _tier_agreement_frame(spark: SparkSession, sf: str):
             )
         ).alias("r")
     ).select("r.*")
-    return result, sh
+    return result
 
 
 def _lrn_uncertainty_sql(k: int) -> str:

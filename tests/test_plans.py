@@ -1440,28 +1440,21 @@ def test_classifier_uncertainty_sampling_one_scan_one_window(spark):
 
 
 def test_tier_agreement_real_plan_shape(spark):
-    """dedup_tier_agreement collects a 3-row matrix, so PLANS.md sees a
-    LocalTableScan — pin the REAL lazy plan here (the
-    _dedup_recall_frame pattern): three complete tiers + membership
-    rollup, every shuffle a map-side-combined aggregation. Budget: 2
-    deliberate _spread round-robins + jaccard tier 4 + expression-band
-    minhash tier 1 + simhash tier 2 + membership groupBy + one-row
-    fold = 11; no cartesian, no sort-merge, posting lists bounded."""
+    """dedup_tier_agreement serves ALL THREE tiers from the STORED
+    pair tables (r12, _text_pair_state: tp/lsh/sim64) — the per-query
+    plan is three parquet pair scans meeting in the membership
+    groupBy + the one-row fold. No re-shingling, no re-hashing, no
+    posting build in the serve path."""
     import re
 
     from riemann_spark.plans.catalog_ml import _tier_agreement_frame
 
-    result, sh = _tier_agreement_frame(spark, SF)
-    try:
-        p = plan_of_df(result)
-        assert "CartesianProduct" not in p and "SortMergeJoin" not in p
-        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 11, p[:2000]
-        # the minhash tier must ride the EXPRESSION band keys — no
-        # signature groupBy: exactly one band-keyed exchange between
-        # the two posting builds
-        assert p.count("sort_array(collect_list") >= 1
-    finally:
-        sh.unpersist()
+    spark.catalog.clearCache()
+    p = plan_of_df(_tier_agreement_frame(spark, SF))
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:2000]
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 3, p[:2000]
+    assert "md5" not in p, "serve path must not re-hash the corpus"
 
 
 def test_knn_ivfpq_prunes_to_probed_cells(spark):
