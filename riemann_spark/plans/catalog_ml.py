@@ -11651,22 +11651,31 @@ def _ivfpq_serving_ctes(
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"ms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m)",
         f"ca0 AS ({_assign_sql_c('c0', 'n_id', 'n_vec', n_cells)})",
-        """rc AS (SELECT ca0.n_id, ca0.cell,
+        """rc AS MATERIALIZED (SELECT ca0.n_id, ca0.cell,
               list_transform(generate_series(1, 64),
                              i -> ca0.n_vec[i] - cv.v[i]) AS rv
        FROM ca0 JOIN e cv ON cv.vec_id = ca0.cell)""",
-        f"""sl AS (SELECT CASE WHEN n_id >= {n_cells} THEN n_id - {n_cells}
+        f"""sl AS MATERIALIZED (SELECT CASE WHEN n_id >= {n_cells}
+                   THEN n_id - {n_cells}
                    ELSE n_id + 1000000000 END AS id,
               m, rv[m*{w}+1 : m*{w}+{w}] AS s
        FROM rc CROSS JOIN ms)""",
-        f"cb0 AS (SELECT m, CAST(id AS INT) AS code, s AS cw"
+        f"cb0 AS MATERIALIZED (SELECT m, CAST(id AS INT) AS code, s AS cw"
         f" FROM sl WHERE id < {n_codes})",
     ]
-    parts.extend(_pq_lloyd_blocks(iters, w))
+    # MATERIALIZED throughout: DuckDB inlines plain CTEs per REFERENCE,
+    # so a chain like cb5 -> cb4 -> ... referenced twice (raw + rerank
+    # tiers) re-evaluates exponentially — the sf0.1 recall oracle OOMed
+    # at 100 GiB before these hints pinned each iterate to one pass.
+    parts.extend(
+        b.replace(" AS (", " AS MATERIALIZED (", 1)
+        for b in _pq_lloyd_blocks(iters, w)
+    )
     l2 = _pq_l2(w)
     cbf = f"cb{iters}"
     parts.append(
-        f"csl AS (SELECT n_id AS id, cell, m, rv[m*{w}+1 : m*{w}+{w}] AS s"
+        f"csl AS MATERIALIZED (SELECT n_id AS id, cell, m,"
+        f" rv[m*{w}+1 : m*{w}+{w}] AS s"
         " FROM rc CROSS JOIN ms)"
     )
     parts.append(
@@ -11687,7 +11696,7 @@ def _ivfpq_serving_ctes(
         )
     for sfx, cb in chains:
         parts.append(
-            f"codes{sfx} AS (SELECT id, cell, m, code FROM ("
+            f"codes{sfx} AS MATERIALIZED (SELECT id, cell, m, code FROM ("
             f" SELECT csl.id, csl.cell, csl.m, c.code,"
             f" row_number() OVER (PARTITION BY csl.id, csl.m"
             f" ORDER BY {l2.format(a='csl.s', b='c.cw')}, c.code) AS r"
@@ -11700,7 +11709,7 @@ def _ivfpq_serving_ctes(
         FROM qr CROSS JOIN {cb} c)"""
         )
         parts.append(
-            f"""scored{sfx} AS (SELECT lut{sfx}.q_id, codes{sfx}.id AS n_id,
+            f"""scored{sfx} AS MATERIALIZED (SELECT lut{sfx}.q_id, codes{sfx}.id AS n_id,
                   CAST(SUM(d2q) AS DOUBLE) / 1000000.0 AS adc_d2
            FROM codes{sfx}
            JOIN lut{sfx} ON lut{sfx}.cell = codes{sfx}.cell
