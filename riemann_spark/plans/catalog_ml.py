@@ -12085,11 +12085,12 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     plan being measured."""
     e = load_table(spark, sf, "embeddings")
     q8 = e.filter(F.col("vec_id") < 8)
-    bf = similarity.brute_force_topk(q8, e, 5).select("q_id", "n_id")
-    n_true = bf.count()
-    # ONE index build per codebook: tiers derive from shared ADC
-    # frames (ivfpq_scored, lineage-truncated so the assignment /
-    # encode jobs run once, not once per tier)
+    bf = similarity.brute_force_topk(q8, e, 5).select("q_id", "n_id").persist()
+    # tiers derive from shared ADC frames over the STORED code tables;
+    # the trained frame persists (the raw tier AND the rerank shortlist
+    # read it), everything else is one union-tagged job — hits fall out
+    # of a per-(q_id, n_id) collect_set with the ground truth riding
+    # the union as '__bf' (ann_recall_report's device)
     cfg = dict(
         n_cells=_IVFPQ_CELLS, n_sub=_IVFPQ_SUB, n_codes=_IVFPQ_CODES,
         nprobe=_IVFPQ_NPROBE,
@@ -12097,10 +12098,8 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     cb, codes_t, codes_s = _ivfpq_index_state(spark, sf)
     scored = similarity.ivfpq_scored(
         q8, e, codebook=cb, codes=codes_t, **cfg
-    ).localCheckpoint()
-    scored_s = similarity.ivfpq_scored(
-        q8, e, codes=codes_s, **cfg
-    ).localCheckpoint()
+    ).persist()
+    scored_s = similarity.ivfpq_scored(q8, e, codes=codes_s, **cfg)
     w5 = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
 
     def _top5(sc):
@@ -12122,18 +12121,36 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
             .select("q_id", "n_id")
             .withColumn("tier", F.lit("ivfpq_rerank"))
         )
+        .unionByName(
+            bf.select("q_id", "n_id", F.lit("__bf").alias("tier"))
+        )
     )
-    # one union-tagged hits aggregation (ann_recall_report's device)
-    # instead of a join+count job per tier
+    per_pair = tagged.groupBy("q_id", "n_id").agg(
+        F.collect_set("tier").alias("ts")
+    )
     hit_rows = {
-        r["tier"]: r["hits"]
-        for r in tagged.join(F.broadcast(bf), ["q_id", "n_id"])
+        r["tier"]: (r["hits"], r["n_in_tier"])
+        for r in per_pair.select(
+            F.explode("ts").alias("tier"),
+            F.array_contains("ts", "__bf").cast("int").alias("bf_hit"),
+        )
         .groupBy("tier")
-        .agg(F.count(F.lit(1)).alias("hits"))
+        .agg(
+            F.sum("bf_hit").alias("hits"),
+            F.count(F.lit(1)).alias("n_in_tier"),
+        )
         .collect()
     }
+    n_true = hit_rows["__bf"][1]
+    for f in (bf, scored):
+        f.unpersist()
     rows = [
-        (tier, n_true, hit_rows.get(tier, 0), round(hit_rows.get(tier, 0) / n_true, 6))
+        (
+            tier,
+            n_true,
+            hit_rows.get(tier, (0, 0))[0],
+            round(hit_rows.get(tier, (0, 0))[0] / n_true, 6),
+        )
         for tier in ("ivfpq", "ivfpq_seeded", "ivfpq_rerank")
     ]
     return spark.createDataFrame(
