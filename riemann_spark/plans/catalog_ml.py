@@ -11851,18 +11851,25 @@ def _ivfpq_trained_oracle(
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         "ms AS (SELECT unnest(generate_series(0, 7)) AS m)",
         f"ca0 AS ({_assign_sql('c0', 'n_id', 'n_vec')})",
-        """rc AS (SELECT ca0.n_id, ca0.cell,
+        """rc AS MATERIALIZED (SELECT ca0.n_id, ca0.cell,
               list_transform(generate_series(1, 64),
                              i -> ca0.n_vec[i] - cv.v[i]) AS rv
        FROM ca0 JOIN e cv ON cv.vec_id = ca0.cell)""",
-        f"""sl AS (SELECT CASE WHEN n_id >= {n_cells} THEN n_id - {n_cells}
+        f"""sl AS MATERIALIZED (SELECT CASE WHEN n_id >= {n_cells}
+                   THEN n_id - {n_cells}
                    ELSE n_id + 1000000000 END AS id,
               m, rv[m*8+1 : m*8+8] AS s
        FROM rc CROSS JOIN ms)""",
-        f"cb0 AS (SELECT m, CAST(id AS INT) AS code, s AS cw"
+        f"cb0 AS MATERIALIZED (SELECT m, CAST(id AS INT) AS code, s AS cw"
         f" FROM sl WHERE id < {n_codes})",
     ]
-    parts.extend(_pq_lloyd_blocks(iters))
+    # MATERIALIZED for the same reason as _ivfpq_serving_ctes: cb{i}
+    # is referenced twice per level, so plain-CTE inlining re-runs the
+    # Lloyd chain 2^iters times
+    parts.extend(
+        b.replace(" AS (", " AS MATERIALIZED (", 1)
+        for b in _pq_lloyd_blocks(iters)
+    )
     cbf = f"cb{iters}"
     parts.append(
         "csl AS (SELECT n_id AS id, cell, m, rv[m*8+1 : m*8+8] AS s"
