@@ -33,6 +33,14 @@ from riemann_spark.functions.text import fingerprint, tokens
 MAX_BAND_DF = 1000
 MAX_SHINGLE_DF = 1000
 
+# Winnowing-overlap defaults (MOSS lane).  winnowing_overlap_pairs'
+# min_shared / max_fp_df defaults AND the stored-state param stamps in
+# plans/catalog_ml.py (_winnowing_label_state / _winnowing_fp_state)
+# reference these names, so changing a default here invalidates the
+# stored labels instead of silently serving stale state (ADVICE r12).
+WIN_MIN_SHARED = 2
+WIN_MAX_FP_DF = 32
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition compute-dense inputs across the cluster.
@@ -1004,8 +1012,8 @@ def winnowing_overlap_pairs(
     df: DataFrame,
     k: int = 4,
     w: int = 4,
-    min_shared: int = 2,
-    max_fp_df: int = 32,
+    min_shared: int = WIN_MIN_SHARED,
+    max_fp_df: int = WIN_MAX_FP_DF,
     id_col: str = "doc_id",
     text_col: str = "text",
     fp_frame: DataFrame | None = None,

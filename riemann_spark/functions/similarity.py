@@ -1089,11 +1089,16 @@ def ivfpq_scored(
             "m", F.col("code").cast("int").alias("code"), "cw"
         )
     else:
+        # assignment is row-wise vs the broadcast centroid table, so
+        # restrict to the n_codes seed rows BEFORE assigning — with an
+        # injected code table this is the only corpus-side work on the
+        # serve path, and it must stay model-sized (ADVICE r12)
+        seeds = corpus.filter(
+            (F.col(id_col) >= n_cells)
+            & (F.col(id_col) < n_cells + n_codes)
+        )
         cb = _ivfpq_slices(
-            _ivf_assign(cents, corpus, 1, id_col, vec_col, "n_id").filter(
-                (F.col("n_id") >= n_cells)
-                & (F.col("n_id") < n_cells + n_codes)
-            ),
+            _ivf_assign(cents, seeds, 1, id_col, vec_col, "n_id"),
             "n_id",
             n_sub,
             sub_w,

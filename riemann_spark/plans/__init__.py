@@ -20,17 +20,105 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-12 WINDOW (positions 1-50) ------------------------------
-    # Per VERDICT r11 directive #1: (a) the 12 remaining r05-stale rows,
-    # (b) the 7 round-11 catalog additions that have never had an
-    # external driver row (judge strict-checked all 7 green at sf0.01 in
-    # VERDICT r11), then (c) 31 of the 50 rows whose latest driver hash
-    # is r06 — the stalest tier once (a) gates — front-loading the four
-    # rows whose plans change this round (stored-state conversion:
-    # dedup_recall_report, embedding_contamination, winnowing_overlap,
-    # winnowing_fingerprints). After r12 gates, every catalog query has
-    # a driver row and the staleness floor is r06-except-19.
-    # -- (a) the 12 remaining r05-hashed rows: ----------------------------
+    # ---- ROUND-13 WINDOW (positions 1-50) ------------------------------
+    # Per VERDICT r12 directive #1: (a) the staged ROUND-13 FRONT — the
+    # 19 remaining r06-stale rows plus the round-12 catalog addition
+    # streaming_contamination_writeback_drained (strict-checked green by
+    # the judge at sf0.01; the one catalog query without a driver row) —
+    # then (b) the 6 rows whose plans change THIS round (IVF-PQ serving
+    # geometry scaled with corpus size per directive #2/#3; the
+    # incremental-CC fast path per #4), then (c) 24 of the 50 rows whose
+    # latest driver hash is r07 — the stalest tier once (a) gates
+    # (incremental_dedup pulled forward as a plan-adjacent row). After
+    # r13 gates, every catalog query has a driver row and the staleness
+    # floor is r07-except-26.
+    # -- (a) the 19 remaining r06-hashed rows: ----------------------------
+    "moving_event_window",
+    "ngram_novelty",
+    "packing_efficiency",
+    "percentiles_day",
+    "perplexity_buckets",
+    "psi_drift",
+    "runs3",
+    "soft_dedup_weights",
+    "source_overlap_matrix",
+    "span_corruption",
+    "streaming_blocklist_gate",
+    "streaming_bottomk_drained",
+    "streaming_contamination_gate",
+    "streaming_embedding_gate",
+    "streaming_pii_gate",
+    "streaming_quality_gate",
+    "video_scene_cuts",
+    "vocab_growth",
+    "zipf_slope",
+    # -- (a, cont.) the round-12 addition owed its first driver row: -----
+    "streaming_contamination_writeback_drained",
+    # -- (b) the 6 rows whose plans change this round: --------------------
+    "ann_recall_ivfpq",
+    "knn_ivfpq",
+    "knn_ivfpq_trained",
+    "knn_ivfpq_rerank",
+    "incremental_cc_from_table",
+    "incremental_cc_warmstart",
+    # -- (c) 24 of the 50 r07-hashed rows: --------------------------------
+    "ann_gate_report",
+    "apdex",
+    "bm25_topk",
+    "burst_interval_join",
+    "clock_skew",
+    "cohort_retention",
+    "containment_dedup",
+    "corpus_cube",
+    "coverage_gaps",
+    "curriculum_order",
+    "dedup_threshold_sweep",
+    "domain_pagerank",
+    "domain_quality_rollup",
+    "dup_rate_by_source",
+    "duplicate_span_removal",
+    "edit_distance_verify",
+    "embedding_outliers",
+    "embedding_pca1",
+    "event_funnel",
+    "fill_in",
+    "funnel_latency",
+    "greedy_pack_tokens",
+    "hits_scores",
+    "incremental_dedup",
+    # ---- ROUND-14 FRONT (positions 51+): the remaining 26 r07 rows ----
+    "image_resize_real",
+    "kl_divergence_sources",
+    "per_source_quantile_filter",
+    "predict_linear",
+    "project2",
+    "quality_repetition_corr",
+    "rrf_fusion",
+    "scd2_state_history",
+    "stable_2h",
+    "streaming_ann_gate",
+    "streaming_drift_gate",
+    "streaming_funnel_drained",
+    "streaming_scd2_drained",
+    "streaming_stable_drained",
+    "streaming_token_budget_drained",
+    "streaming_url_gate_drained",
+    "throttle",
+    "token_pack_efficiency",
+    "top10",
+    "topic_mixture",
+    "url_dedup",
+    "watermark_sizing_report",
+    "weighted_sample",
+    "whitened_semantic_dedup",
+    "winnowing_keeplist",
+    "zorder_layout",
+]
+
+_ROUND12_WINDOW_RETIRED = [
+    # ---- retired ROUND-12 WINDOW (kept for the historical record; all
+    # 50 gated green in CORRECTNESS_r12): the 12 remaining r05-stale
+    # rows, the 7 round-11 additions, 31 r06 rows -------------------------
     "streaming_rate_closed",
     "streaming_slo_burn_drained",
     "streaming_top_drained",
@@ -43,7 +131,6 @@ _GATE_PRIORITY = [
     "tpch_q21",
     "transform_fields",
     "where_filter",
-    # -- (b) the 7 never-externally-gated round-11 additions: ------------
     "knn_ivfpq_rerank",
     "band_index_compaction",
     "contamination_from_table",
@@ -51,7 +138,6 @@ _GATE_PRIORITY = [
     "knn_ivfpq_trained",
     "streaming_contamination_gate_drained",
     "eval_index_writeback",
-    # -- (c) 31 of the 50 r06-hashed rows (4 touched-this-round first): --
     "dedup_recall_report",
     "embedding_contamination",
     "winnowing_fingerprints",
@@ -83,31 +169,6 @@ _GATE_PRIORITY = [
     "image_dhash_neardup",
     "length_bucket_batches",
     "mixture_epoch_plan",
-    # ---- ROUND-13 FRONT (positions 51+): the remaining 19 r06 rows,
-    # then any new round-12 catalog entries (strict-checked via
-    # tools/check.py before registration; driver row owed r13) ----------
-    "moving_event_window",
-    "ngram_novelty",
-    "packing_efficiency",
-    "percentiles_day",
-    "perplexity_buckets",
-    "psi_drift",
-    "runs3",
-    "soft_dedup_weights",
-    "source_overlap_matrix",
-    "span_corruption",
-    "streaming_blocklist_gate",
-    "streaming_bottomk_drained",
-    "streaming_contamination_gate",
-    "streaming_embedding_gate",
-    "streaming_pii_gate",
-    "streaming_quality_gate",
-    "video_scene_cuts",
-    "vocab_growth",
-    "zipf_slope",
-    # -- new round-12 catalog entries (strict-checked at sf0.001 AND
-    # sf0.01 via tools/check.py before registration): -------------------
-    "streaming_contamination_writeback_drained",
 ]
 
 _ROUND11_WINDOW_RETIRED = [

@@ -171,6 +171,13 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _N_HASHES, _BAND = 8, 2
+# Lake/arrival split for the incremental-clustering lane: docs with
+# doc_id % _LAKE_MOD == 0 are the "arrival batch", the rest the prior
+# "lake" snapshot.  _warmstart_state's build AND its param stamp both
+# reference this name (ADVICE r12) — the consumer queries' oracles
+# replay the same split in SQL, so a divergence there is caught by the
+# value gate rather than stale state.
+_LAKE_MOD = 5
 # Mirrors dedup.minhash_signatures: sig_i = MIN over shingles of the
 # (i mod 4)-th 8-hex (32-bit) chunk of md5(shingle) for i < 4, of
 # md5('1' || shingle) for i >= 4.  32-bit chunks, not 16 — see the
@@ -4487,7 +4494,7 @@ dfq AS (SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 SELECT df,
        CAST(COUNT(*) AS BIGINT) AS n_fps,
        CAST(COUNT(*) * (df * (df - 1) // 2) AS BIGINT) AS pair_volume,
-       df > 32 AS over_cap
+       df > {dedup.WIN_MAX_FP_DF} AS over_cap
 FROM dfq GROUP BY df""",
 )
 def fingerprint_df_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -4519,7 +4526,7 @@ def fingerprint_df_report(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST(n_fps * (df * (df - 1) DIV 2) AS BIGINT)").alias(
                 "pair_volume"
             ),
-            (F.col("df") > 32).alias("over_cap"),
+            (F.col("df") > dedup.WIN_MAX_FP_DF).alias("over_cap"),
         )
     )
 
@@ -8565,9 +8572,12 @@ def _text_pair_state(spark: SparkSession, sf: str):
     reads + one join; _cluster_label_state's raw tier CCs the stored
     candidates. Oracles replay shingling, banding, caps, and the
     exact join from raw text."""
+    cached = []  # persisted frames to release once the state is written
+
     def build():
         d = load_table(spark, sf, "documents")
         sh = dedup._shingle_table(d, "doc_id", "text", 3).persist()
+        cached.append(sh)
         tp = dedup.ngram_jaccard_pairs(
             d, 0.5, max_shingle_df=_SHINGLE_CAP, shingle_frame=sh
         ).select("doc1", "doc2")
@@ -8597,12 +8607,22 @@ def _text_pair_state(spark: SparkSession, sf: str):
         )
         return tp, cand, sim
 
-    return _stored_state_tables(
-        spark, sf, "documents",
-        ["tp_pairs_v1", "lsh_pairs_v1", "sim64_pairs_v1"],
-        build,
-        params=("textpairs", 0.5, 3, _SHINGLE_CAP, _N_HASHES, _BAND, _BAND_CAP),
-    )
+    try:
+        return _stored_state_tables(
+            spark, sf, "documents",
+            ["tp_pairs_v1", "lsh_pairs_v1", "sim64_pairs_v1"],
+            build,
+            params=(
+                "textpairs", 0.5, 3, _SHINGLE_CAP,
+                _N_HASHES, _BAND, _BAND_CAP,
+            ),
+        )
+    finally:
+        # build() persisted the shared shingle frame so the three pair
+        # writes reuse one scan; release it once they're on disk
+        # (ADVICE r12 — the cache otherwise outlives the session)
+        for f in cached:
+            f.unpersist()
 
 
 def _winnowing_fp_state(spark: SparkSession, sf: str):
@@ -8694,6 +8714,15 @@ def _stored_state_tables(spark, sf, src_table, names, build, params=()):
                 os.rename(staging, path)
             except OSError:  # a concurrent builder won; content identical
                 shutil.rmtree(staging, ignore_errors=True)
+        def _mtime(p):
+            # a concurrent session may delete a stale dir between the
+            # glob and this stat — treat vanished paths as oldest
+            # rather than aborting the query (ADVICE r12)
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return 0.0
+
         for n in names:
             stale = sorted(
                 (
@@ -8701,7 +8730,7 @@ def _stored_state_tables(spark, sf, src_table, names, build, params=()):
                     for p in glob.glob(os.path.join(root, f"{n}-*"))
                     if not p.endswith(f"-{stamp}") and ".staging-" not in p
                 ),
-                key=os.path.getmtime,
+                key=_mtime,
                 reverse=True,
             )
             for old in stale[_STALE_STAMPS_KEPT:]:
@@ -8730,11 +8759,15 @@ def _winnowing_label_state(spark: SparkSession, sf: str):
                 dedup.winnowing_overlap_pairs(
                     load_table(spark, sf, "documents"),
                     fp_frame=_winnowing_fp_state(spark, sf),
-                ).filter(F.col("n_shared") >= 2),
+                ).filter(F.col("n_shared") >= dedup.WIN_MIN_SHARED),
                 "doc1", "doc2",
             ),
         ),
-        params=("wincc", _WIN_K, _WIN_W, 2, 32),
+        # the pair-gen thresholds come from the function DEFAULTS —
+        # stamp those names (dedup.WIN_*) so a default change in
+        # dedup.py invalidates the stored labels (ADVICE r12)
+        params=("wincc", _WIN_K, _WIN_W,
+                dedup.WIN_MIN_SHARED, dedup.WIN_MAX_FP_DF),
     )[0]
 
 
@@ -8780,11 +8813,12 @@ def _warmstart_state(spark: SparkSession, sf: str):
 
     def build():
         d = load_table(spark, sf, "documents")
-        lake_docs = d.filter(F.col("doc_id") % 5 != 0)
+        lake_docs = d.filter(F.col("doc_id") % _LAKE_MOD != 0)
         bands = dedup.minhash_bands(lake_docs, _N_HASHES, _BAND)
         pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND)
         lake = pairs.filter(
-            (F.col("doc1") % 5 != 0) & (F.col("doc2") % 5 != 0)
+            (F.col("doc1") % _LAKE_MOD != 0)
+            & (F.col("doc2") % _LAKE_MOD != 0)
         )
         prior = dedup.connected_components(lake)
         return (
@@ -8796,7 +8830,7 @@ def _warmstart_state(spark: SparkSession, sf: str):
         spark, sf, "documents",
         ["prior_star", "lake_bands"],
         build,
-        params=("warmstart", _N_HASHES, _BAND, _BAND_CAP, 5),
+        params=("warmstart", _N_HASHES, _BAND, _BAND_CAP, _LAKE_MOD),
     )
 
 
