@@ -1018,6 +1018,99 @@ def ivfpq_encode(
     )
 
 
+def ivfpq_seeded_codebook(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic STATIC residual codebook (m, code, cw) —
+    residual slices of the n_codes corpus vectors AFTER the centroid
+    block (ids n_cells .. n_cells + n_codes - 1; a centroid
+    self-assigns with residual exactly zero, which would collapse
+    every codeword).  Assignment is row-wise vs the broadcast
+    centroid table, so the corpus is restricted to the n_codes seed
+    rows BEFORE assigning — with an injected code table this is the
+    only corpus-side work on a serve path, and it stays model-sized
+    (ADVICE r12).  Factored out of ivfpq_scored/ivfpq_topk so
+    multi-tier consumers (ivfpq_scored_multi) can pass the seed
+    codebook explicitly next to a trained one."""
+    sub_w = dim // n_sub
+    cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
+    seeds = corpus.filter(
+        (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_codes)
+    )
+    return _ivfpq_slices(
+        _ivf_assign(cents, seeds, 1, id_col, vec_col, "n_id"),
+        "n_id",
+        n_sub,
+        sub_w,
+    ).select(
+        "m",
+        (F.col("n_id") - n_cells).cast("int").alias("code"),
+        F.col("s").alias("cw"),
+    )
+
+
+def ivfpq_scored_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    tiers: list,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC scores for SEVERAL stored (codebook, code-table) pairs in
+    ONE job — (tier, q_id, n_id, adc_d2).  ``tiers`` is a list of
+    (tag, codebook_frame, codes_frame); every tier shares the SAME
+    coarse geometry, so the query-side work that dominates a
+    multi-tier audit (per-query cell assignment + residual slicing)
+    runs once, each tier contributes only its model-sized LUT join,
+    and the per-cell code scans ride one union-tagged shuffle instead
+    of one full job per tier (VERDICT r12 #3 — ann_recall_ivfpq's
+    seeded-ablation tier was a second full ADC job every run).
+
+    Bit-identical to per-tier ivfpq_scored, with one physical-plan
+    difference: instead of materializing and broadcasting the full
+    |Q|·nprobe·m·codes LUT (the dominant fixed cost as nprobe grows
+    with the corpus-derived geometry), the model-sized codebook and
+    the |Q|·nprobe·m query-slice table broadcast, and each ADC entry
+    d2q = round(d2(s, cw)·1e6) evaluates AT the (cell, m) join row —
+    the same deterministic expression of the same (s, cw) inputs the
+    LUT would have held, so every summed integer is bit-equal."""
+    sub_w = dim // n_sub
+    cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
+    d2 = _pq_d2(sub_w)
+    qa = _ivf_assign(cents, queries, nprobe, id_col, vec_col, "q_id")
+    sl = _ivfpq_slices(qa, "q_id", n_sub, sub_w)
+    joined = None
+    for tag, cb, codes in tiers:
+        cbx = cb.select(
+            "m", F.col("code").cast("int").alias("code"), "cw"
+        )
+        t = (
+            codes.join(F.broadcast(cbx), ["m", "code"])
+            .join(F.broadcast(sl), ["cell", "m"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select(
+                F.lit(tag).alias("tier"),
+                "q_id",
+                "n_id",
+                F.round(d2 * F.lit(1e6)).cast("long").alias("d2q"),
+            )
+        )
+        joined = t if joined is None else joined.unionByName(t)
+    return joined.groupBy("tier", "q_id", "n_id").agg(
+        (F.sum("d2q").cast("double") / F.lit(1e6)).alias("adc_d2")
+    )
+
+
 def ivfpq_scored(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1089,23 +1182,8 @@ def ivfpq_scored(
             "m", F.col("code").cast("int").alias("code"), "cw"
         )
     else:
-        # assignment is row-wise vs the broadcast centroid table, so
-        # restrict to the n_codes seed rows BEFORE assigning — with an
-        # injected code table this is the only corpus-side work on the
-        # serve path, and it must stay model-sized (ADVICE r12)
-        seeds = corpus.filter(
-            (F.col(id_col) >= n_cells)
-            & (F.col(id_col) < n_cells + n_codes)
-        )
-        cb = _ivfpq_slices(
-            _ivf_assign(cents, seeds, 1, id_col, vec_col, "n_id"),
-            "n_id",
-            n_sub,
-            sub_w,
-        ).select(
-            "m",
-            (F.col("n_id") - n_cells).cast("int").alias("code"),
-            F.col("s").alias("cw"),
+        cb = ivfpq_seeded_codebook(
+            corpus, n_cells, n_sub, n_codes, dim, id_col, vec_col
         )
     d2 = _pq_d2(sub_w)
     if codes is None:
@@ -1114,22 +1192,26 @@ def ivfpq_scored(
         )
 
     qa = _ivf_assign(cents, queries, nprobe, id_col, vec_col, "q_id")
-    lut = (
-        _ivfpq_slices(qa, "q_id", n_sub, sub_w)
-        .join(F.broadcast(cb), "m")
-        .select(
-            "q_id",
-            "cell",
-            "m",
-            "code",
-            F.round(d2 * F.lit(1e6)).cast("long").alias("d2q"),
-        )
-    )
+    # ADC without materializing the |Q|·nprobe·m·codes LUT (the
+    # dominant fixed cost once nprobe scales with the corpus-derived
+    # geometry): broadcast the model-sized codebook and the
+    # |Q|·nprobe·m query-slice table, and evaluate each entry
+    # d2q = round(d2(s, cw)·1e6) AT the (cell, m) join row — the same
+    # deterministic expression of the same (s, cw) inputs the LUT
+    # would have held, so every summed integer is bit-equal to the
+    # LUT formulation the oracle replays.
+    sl = _ivfpq_slices(qa, "q_id", n_sub, sub_w)
     scored = (
-        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        codes.join(F.broadcast(cb), ["m", "code"])
+        .join(F.broadcast(sl), ["cell", "m"])
         .filter(F.col("q_id") != F.col("n_id"))
         .groupBy("q_id", "n_id")
-        .agg((F.sum("d2q").cast("double") / F.lit(1e6)).alias("adc_d2"))
+        .agg(
+            (
+                F.sum(F.round(d2 * F.lit(1e6)).cast("long")).cast("double")
+                / F.lit(1e6)
+            ).alias("adc_d2")
+        )
     )
     return scored
 
