@@ -702,6 +702,166 @@ last_cc_rounds = 0
 #: star jobs + the signature screen; same race-free caveat.
 last_cc_round_secs: list = []
 
+#: Whether the most recent delta_components call converged on its
+#: unrolled fast path (True) or fell back to the generic alternating-
+#: star loop (False). The warm-start ×20 probes report it.
+last_delta_fast_path = True
+
+
+def delta_components(
+    prior: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    hops: int = 2,
+) -> DataFrame:
+    """Connected components of {prior star forest} UNION {delta
+    pairs} — the warm-start fast path (VERDICT r12 #4). ``prior`` is
+    the stored (doc, cluster) star table (cluster = component min, so
+    every star has depth 1); ``pairs`` is the arrival batch's
+    candidate pairs. Bit-equal to ``connected_components(star_edges
+    UNION pairs)`` — same node set, same min-id labels — but never
+    loops over the full graph:
+
+    1. CONTRACT each pair endpoint to its prior representative (or
+       itself if previously unclustered) — exact because stars are
+       depth-1: every prior member follows wherever its
+       representative's label moves.
+    2. MIN-PROPAGATE labels ``hops`` times over the contracted merge
+       graph, UNROLLED INTO ONE PLAN (one job, no per-round
+       checkpoint/signature actions): one batch's merge components
+       are chains of a few clusters, so diameter <= hops in practice.
+    3. VERIFY the fixpoint with one more propagation step and a
+       single limit(1) probe — the convergence assertion. If any
+       label would still move (a merge chain deeper than ``hops``),
+       FALL BACK to the generic alternating-star loop on the
+       contracted graph (already far smaller than the input) —
+       correctness never depends on the hop bound.
+    4. RELABEL: prior members and their representatives follow the
+       representative's new label; unlabeled endpoints take their
+       component label (or stay singletons).
+
+    Scale shape: node-keyed joins against the stored prior table
+    (O(batch) probe side), shuffles sized by the CONTRACTED merge
+    graph (|edges| <= |batch pairs|), and exactly three driver
+    actions on the fast path regardless of graph shape — vs
+    3 rounds x (checkpoint + signature) for the generic loop on the
+    same input."""
+    global last_delta_fast_path
+    # same scoped AQE posture as the generic loop: the merge-graph
+    # shuffles are batch-sized, so size them by bytes while the fast
+    # path materializes (restored below; the returned frame evaluates
+    # under the caller's conf)
+    _sess = pairs.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    _pf_prev = _sess.conf.get(_PF, "true")
+    _sess.conf.set(_PF, "false")
+    try:
+        return _delta_components(prior, pairs, src, dst, hops)
+    finally:
+        _sess.conf.set(_PF, _pf_prev)
+
+
+def _delta_components(prior, pairs, src, dst, hops):
+    global last_delta_fast_path
+    lab1 = prior.select(
+        F.col("doc").alias(src), F.col("cluster").alias("__c1")
+    )
+    lab2 = prior.select(
+        F.col("doc").alias(dst), F.col("cluster").alias("__c2")
+    )
+    # ONE eager materialization carries both the raw endpoints (the
+    # node-set side) and the contracted edge (the label side) — the
+    # caller does NOT need to checkpoint ``pairs`` itself when delta
+    # components is its only consumer. Duplicate contracted edges are
+    # harmless under min-propagation (and the fallback loop distincts
+    # itself), so no distinct here.
+    comb = (
+        pairs.select(src, dst)
+        .join(lab1, src, "left")
+        .join(lab2, dst, "left")
+        .select(
+            src,
+            dst,
+            F.coalesce("__c1", src).alias("u"),
+            F.coalesce("__c2", dst).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    cg = comb.select("u", "v").where(F.col("u") != F.col("v"))
+    sym = cg.union(cg.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _prop(cur, out):
+        # min over {self} ∪ {neighbors' labels}: one join + one
+        # groupBy per hop (union-style — no second join back)
+        return (
+            sym.join(cur.withColumnRenamed("u", "v"), "v")
+            .select("u", F.col(cur.columns[-1]).alias(out))
+            .unionByName(cur.select("u", F.col(cur.columns[-1]).alias(out)))
+            .groupBy("u")
+            .agg(F.min(out).alias(out))
+        )
+
+    # hop 1: min over the direct neighborhood (and self); then
+    # hops-1 propagation steps PLUS the probe step, all one plan —
+    # the final two iterates join into one checkpoint so the
+    # convergence probe is a near-free count over materialized rows
+    lab = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("l0"))
+    )
+    for i in range(hops - 1):
+        lab = _prop(lab, f"l{i + 1}")
+    lab = lab.select(
+        "u", F.col(f"l{hops - 1}").alias("l")
+    ).localCheckpoint()
+    # convergence probe over the CHECKPOINTED labels: one more
+    # propagation step; any label that would still move means a merge
+    # chain deeper than ``hops``
+    moved = (
+        _prop(lab, "l_probe")
+        .join(lab, "u")
+        .where(F.col("l_probe") < F.col("l"))
+    )
+    last_delta_fast_path = moved.limit(1).count() == 0
+    if not last_delta_fast_path:
+        lab = connected_components(cg, "u", "v").select(
+            F.col("node").alias("u"), F.col("cluster").alias("l")
+        )
+    relab = lab.select(F.col("u").alias("__n"), F.col("l").alias("__l"))
+    # node set must equal connected_components(star UNION pairs)':
+    # endpoints of real star edges (a rep's self-row alone is NOT an
+    # edge — the generic loop drops u == v) plus pair endpoints
+    touched = (
+        comb.select(F.col(src).alias("doc"))
+        .union(comb.select(F.col(dst).alias("doc")))
+        .distinct()
+    )
+    edges_prior = prior.where(F.col("doc") != F.col("cluster"))
+    base = (
+        edges_prior.unionByName(
+            edges_prior.select(F.col("cluster").alias("doc"), "cluster")
+        )
+        .unionByName(prior.join(touched, "doc").select("doc", "cluster"))
+        .distinct()
+    )
+    merged_prior = base.join(
+        relab, base["cluster"] == relab["__n"], "left"
+    ).select(
+        F.col("doc").alias("node"),
+        F.coalesce("__l", "cluster").alias("cluster"),
+    )
+    others = (
+        touched.join(prior.select("doc"), "doc", "left_anti")
+        .join(relab, F.col("doc") == F.col("__n"), "left")
+        .select(
+            F.col("doc").alias("node"),
+            F.coalesce("__l", "doc").alias("cluster"),
+        )
+    )
+    return merged_prior.unionByName(others)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -743,6 +903,24 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
+    # The loop's shuffles shrink with the contracting edge set; let
+    # AQE size them by BYTES for the loop's duration (parallelismFirst
+    # keeps tiny shuffles at the full session width — measured 4.1s ->
+    # 3.1s on a warm-start graph; scoped here, NOT session-global,
+    # because the r12 global experiment was a wash on scan-heavy
+    # queries). Restored in the finally below; the returned frame's
+    # own evaluation happens under the caller's conf.
+    _sess = pairs.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    _pf_prev = _sess.conf.get(_PF, "true")
+    _sess.conf.set(_PF, "false")
+    try:
+        return _cc_loop(pairs, src, dst, max_rounds, _sig)
+    finally:
+        _sess.conf.set(_PF, _pf_prev)
+
+
+def _cc_loop(pairs, src, dst, max_rounds, _sig):
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))

@@ -460,6 +460,71 @@ def test_connected_components_matches_union_find(spark):
         assert got == uf(real, nodes)
 
 
+@pytest.mark.slow
+def test_delta_components_matches_generic_cc(spark):
+    """delta_components(prior, pairs) must be row-for-row equal to
+    connected_components(star_edges UNION pairs) — node set AND
+    min-id labels — on the fast path, on the fallback path (merge
+    chain deeper than hops), and around prior singletons (a rep's
+    self-row alone is not an edge; it joins the output only when a
+    delta pair touches it)."""
+    import random
+
+    rnd = random.Random(29)
+    for trial in range(3):
+        nodes = list(range(0, 200, 2))
+        rnd.shuffle(nodes)
+        prior_rows, i = [], 0
+        while i < len(nodes):
+            comp = nodes[i:i + rnd.randint(1, 5)]
+            i += len(comp)
+            rep = min(comp)
+            prior_rows += [(d, rep) for d in comp]
+        pr = [
+            (rnd.choice(range(1, 200, 2)), rnd.choice(nodes))
+            for _ in range(20)
+        ]
+        if trial == 2:
+            # chain many cluster reps through arrivals: a merge
+            # component deeper than the hop bound -> fallback
+            reps = sorted({r for _, r in prior_rows})[:10]
+            arr = [r + 1 for r in reps]
+            pr += list(zip(arr, reps)) + list(zip(arr[:-1], arr[1:]))
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in pr if a != b], "doc1 long, doc2 long"
+        )
+        prior = spark.createDataFrame(prior_rows, "doc long, cluster long")
+        star = prior.select(
+            F.col("doc").alias("doc1"), F.col("cluster").alias("doc2")
+        )
+        full = {
+            (r["node"], r["cluster"])
+            for r in dedup.connected_components(
+                star.unionByName(pairs)
+            ).collect()
+        }
+        mine = {
+            (r["node"], r["cluster"])
+            for r in dedup.delta_components(prior, pairs).collect()
+        }
+        assert mine == full
+        if trial == 2:
+            assert not dedup.last_delta_fast_path  # probe caught the chain
+
+
+def test_delta_components_empty_delta(spark):
+    prior = spark.createDataFrame(
+        [(1, 1), (3, 1), (8, 8), (9, 8)], "doc long, cluster long"
+    )
+    pairs = spark.createDataFrame([], "doc1 long, doc2 long")
+    got = {
+        (r["node"], r["cluster"])
+        for r in dedup.delta_components(prior, pairs).collect()
+    }
+    assert got == {(1, 1), (3, 1), (8, 8), (9, 8)}
+    assert dedup.last_delta_fast_path
+
+
 def test_connected_components_string_ids(spark):
     df = spark.createDataFrame(
         [("d3", "d1"), ("d1", "d2"), ("x9", "x8")], "doc1 string, doc2 string"
