@@ -246,6 +246,7 @@ HEADLINE = [
     "knn_ivfpq",
     "mixture_anneal_schedule",
     "ann_recall_ivfpq",
+    "ivfpq_geometry_report",
     "simhash64_candidates",
     "tokenizer_fertility_drift",
     "contamination_after_dedup",
@@ -395,16 +396,24 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    # every pass's TOTAL rides the artifact next to the per-query mins
+    # (VERDICT r12 #5: same-code closeout runs spread 207-226s, so a
+    # min-of-N table without the per-pass totals hides how much of a
+    # round-over-round delta is box noise)
+    pass_totals: list[float] = []
     for _ in range(n_passes):
+        pass_total = 0.0
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
+            pass_total += dt
             timings[name] = min(timings.get(name, dt), dt)
             # drop caches a query persisted for its own lifetime (inverted
             # indexes etc.) so queries don't pay each other's memory bills
             spark.catalog.clearCache()
+        pass_totals.append(round(pass_total, 3))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-query timings go on their OWN line: the driver tails stdout
@@ -425,6 +434,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "per_query_sec": timings,
+                "pass_total_sec": pass_totals,
                 "pipeline_pass_sec": pipeline_passes,
                 "pipeline_warmup_sec": pipeline_warmup,
                 "events_per_sec": events_per_sec,
@@ -443,6 +453,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "events_per_sec": events_per_sec,
                 "throughput_events": n_events,
+                "pass_total_sec": pass_totals,
                 "pipeline_pass_sec": pipeline_passes,
                 "pipeline_warmup_sec": pipeline_warmup,
             }

@@ -906,12 +906,20 @@ def _ivf_cents(corpus, n_cells, id_col, vec_col):
 def _ivf_assign(cents, df, keep, id_col, vec_col, out_id):
     """Nearest-``keep``-cells assignment with the residual vector —
     (out_id, cell, rv). Cosine + (desc, cell) tie-break, identical to
-    ivf_topk's geometry."""
+    ivf_topk's geometry.
+
+    The row-vs-centroid fold is the compute-dense stage (|df| × cells
+    64-element folds): a single-split parquet source would pin it to
+    one task, so the narrow projection round-robins to cluster width
+    first (dedup._spread's rationale — at N=40K corpus x 4096 derived
+    cells this was a 25-minute single-core stall in the x20 probe).
+    AQE coalesces if the input was already wide; values and the
+    (desc, cell) tie-break are partitioning-independent."""
     src = df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).cast("array<double>").alias("v"),
         norm(F.col(vec_col)).alias("vn"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     scored = src.crossJoin(cents).withColumn(
         "c_cos",
         _dots(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("c_n")),

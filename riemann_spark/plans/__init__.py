@@ -86,7 +86,10 @@ _GATE_PRIORITY = [
     "greedy_pack_tokens",
     "hits_scores",
     "incremental_dedup",
-    # ---- ROUND-14 FRONT (positions 51+): the remaining 26 r07 rows ----
+    # ---- ROUND-14 FRONT (positions 51+): new round-13 catalog entries
+    # (strict-checked at sf0.001+sf0.01+sf0.1 via tools/check.py before
+    # registration; driver row owed r14), then the remaining 26 r07 rows
+    "ivfpq_geometry_report",
     "image_resize_real",
     "kl_divergence_sources",
     "per_source_quantile_filter",

@@ -12346,6 +12346,51 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "ivfpq_geometry_report",
+    f"""
+WITH {_IVFPQ_GEO_CTE},
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+SELECT n.n_vectors,
+       CAST(geo.cells AS BIGINT) AS cells,
+       CAST(geo.nprobe AS BIGINT) AS nprobe,
+       CAST(geo.nprobe AS DOUBLE) / geo.cells AS scan_frac,
+       CAST(n.n_vectors AS DOUBLE) / geo.cells AS occupancy,
+       n.n_vectors <= 16384 AS occupancy_regime
+FROM geo CROSS JOIN n""",
+)
+def ivfpq_geometry_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF-PQ serving geometry an SRE reads before trusting the
+    recall table (r13, VERDICT r12 #2): the corpus-derived cell
+    count, nprobe, the pinned scan fraction, the resulting cell
+    occupancy, and which _ivfpq_geometry regime selected it —
+    constant ~8-vector occupancy below N = 16384 (the coarse
+    quantizer IS the index at audit sizes), the classic c·sqrt(N)
+    rule above (centroid table sublinear at lake scale). One
+    model-sized row; the oracle re-derives the geometry from
+    COUNT(*) with the same BIGINT comparisons the serving oracles
+    embed (geo CTE), so a drift between the Python selector and the
+    SQL replay fails the value gate rather than silently serving a
+    different index. Occupancy and scan_frac are dyadic-exact
+    divisions (power-of-two denominators) — no rounding hazard."""
+    n = load_table(spark, sf, "embeddings").count()
+    cells, nprobe = _ivfpq_serving_geometry(spark, sf)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                cells,
+                nprobe,
+                nprobe / cells,
+                n / cells,
+                n <= 16384,
+            )
+        ],
+        "n_vectors long, cells long, nprobe long, scan_frac double,"
+        " occupancy double, occupancy_regime boolean",
+    )
+
+
+@q(
     "simhash64_candidates",
     f"""
 WITH t AS (SELECT doc_id, list_transform(list_distinct({_TOKS}),

@@ -1545,6 +1545,21 @@ def test_eval_index_writeback_single_train_probe(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:1500]
 
 
+def test_ivfpq_geometry_report_is_model_sized(spark):
+    """The geometry report is a COUNT plus driver-side selection — the
+    returned plan must be a literal local scan (no corpus re-scan, no
+    shuffles), and its values must replay _ivfpq_geometry exactly."""
+    from riemann_spark.plans.catalog_ml import _ivfpq_geometry
+
+    p = plan_of(spark, "ivfpq_geometry_report")
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p, p[:800]
+    assert "Exchange" not in p, p[:800]
+    row = QUERIES["ivfpq_geometry_report"](spark, SF).collect()[0]
+    cells, nprobe = _ivfpq_geometry(row["n_vectors"])
+    assert (row["cells"], row["nprobe"]) == (cells, nprobe)
+    assert row["scan_frac"] == 0.25
+
+
 def test_knn_ivfpq_rerank_keeps_pruned_shape(spark):
     """The rerank tier must keep the compressed scan's shape (no
     cartesian, no sort-merge) and add only the shortlist's id-keyed
