@@ -40,6 +40,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dots(a, b) / (norm(a) * norm(b))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a compute-dense input to cluster width before a
+    row-vs-centroid fold (dedup._spread's rationale): a single-split
+    parquet source otherwise pins the |rows| x cells cosine stage to
+    one task — at the x20 probe's derived 4096-cell geometry that was
+    a 25-minute single-core stall. One cheap shuffle of the narrow
+    projection; AQE coalesces already-wide inputs; every assignment
+    is row-local with explicit tie-breaks, so values are
+    partitioning-independent."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -423,7 +435,7 @@ def ivf_topk(
 
     def assign(df: DataFrame, idc: str, vecc: str, keep: int = 1) -> DataFrame:
         nc = vecc[0] + "_n"  # q_n / n_n, precomputed by the caller
-        scored = df.crossJoin(cents).withColumn(
+        scored = _spread(df).crossJoin(cents).withColumn(
             "c_cos", _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n"))
         )
         w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
@@ -485,10 +497,12 @@ def ivf_cell_assignments(
         )
     )
     scored = (
-        corpus.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            norm(F.col(vec_col)).alias("n_n"),
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("n_id"),
+                F.col(vec_col).alias("n_vec"),
+                norm(F.col(vec_col)).alias("n_n"),
+            )
         )
         .crossJoin(cents)
         .withColumn(
@@ -909,17 +923,14 @@ def _ivf_assign(cents, df, keep, id_col, vec_col, out_id):
     ivf_topk's geometry.
 
     The row-vs-centroid fold is the compute-dense stage (|df| × cells
-    64-element folds): a single-split parquet source would pin it to
-    one task, so the narrow projection round-robins to cluster width
-    first (dedup._spread's rationale — at N=40K corpus x 4096 derived
-    cells this was a 25-minute single-core stall in the x20 probe).
-    AQE coalesces if the input was already wide; values and the
-    (desc, cell) tie-break are partitioning-independent."""
-    src = df.select(
-        F.col(id_col).alias(out_id),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        norm(F.col(vec_col)).alias("vn"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    64-element folds) — _spread first (see its docstring)."""
+    src = _spread(
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            norm(F.col(vec_col)).alias("vn"),
+        )
+    )
     scored = src.crossJoin(cents).withColumn(
         "c_cos",
         _dots(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("c_n")),
@@ -1333,10 +1344,12 @@ def ivfpq_train_codebook(
     ivfpq_topk's ``codebook`` parameter accepts; training replays in
     the knn_ivfpq_trained oracle via the same 1e-12-quantized means
     as the flat-PQ trainer."""
-    c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).cast("array<double>").alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_n"),
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).cast("array<double>").alias("n_vec"),
+            norm(F.col(vec_col)).alias("n_n"),
+        )
     )
     cents = F.broadcast(
         corpus.filter(F.col(id_col) < n_cells).select(
