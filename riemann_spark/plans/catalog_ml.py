@@ -11695,8 +11695,10 @@ def _ivfpq_geometry(n: int) -> tuple[int, int]:
     Integer-exact in both engines: p is the largest power of two with
     32*p^2 <= N^2 AND p^2 <= 512*N (the two regime bounds, each
     pre-multiplied by 2 for the sqrt(2) round-to-nearest), so the
-    DuckDB oracle replays the selection with BIGINT comparisons — no
-    log/sqrt ULP hazard decides the geometry."""
+    DuckDB oracle replays the selection with integer comparisons — no
+    log/sqrt ULP hazard decides the geometry. The SQL side computes
+    in HUGEINT (N^2 overflows a 64-bit int past N ~ 3e9 — a real lake
+    size); Python ints are arbitrary-precision."""
     p = max(
         (1 << i for i in range(4, 17)
          if 32 * (1 << (2 * i)) <= n * n and (1 << (2 * i)) <= 512 * n),
@@ -11710,9 +11712,9 @@ def _ivfpq_geometry(n: int) -> tuple[int, int]:
 _IVFPQ_GEO_CTE = """\
 geo AS (SELECT cells, CAST(cells // 4 AS INT) AS nprobe FROM (
   SELECT CAST(GREATEST(COALESCE(MAX(p), 16), 16) AS INT) AS cells
-  FROM (SELECT CAST(POWER(2, i) AS BIGINT) AS p
+  FROM (SELECT CAST(POWER(2, i) AS HUGEINT) AS p
         FROM generate_series(4, 16) t(i)) ps
-  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings) cnt
+  CROSS JOIN (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings) cnt
   WHERE 32 * p * p <= n * n AND p * p <= 512 * n))"""
 _GEO_CELLS = "(SELECT cells FROM geo)"
 _GEO_NPROBE = "(SELECT nprobe FROM geo)"
