@@ -1545,6 +1545,40 @@ def test_eval_index_writeback_single_train_probe(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:1500]
 
 
+def test_ivfpq_geometry_python_matches_duckdb_replay():
+    """Property: the Python geometry selector and the oracle's geo CTE
+    agree at every corpus size — boundary powers of two, the regime
+    crossover (N = 16384), the clamps, and lake-scale counts past the
+    64-bit N^2 overflow point (the CTE computes in HUGEINT). No Spark
+    needed: this is the cross-engine contract every serving oracle
+    rides."""
+    import random
+
+    import duckdb
+
+    from riemann_spark.plans.catalog_ml import (
+        _IVFPQ_GEO_CTE,
+        _ivfpq_geometry,
+    )
+
+    rnd = random.Random(41)
+    sizes = (
+        [1, 2, 15, 16, 17, 500, 2000, 2047, 2048, 2049]
+        + [16383, 16384, 16385, 10**6, 3 * 10**9, 10**10]
+        + [rnd.randrange(1, 10**7) for _ in range(25)]
+    )
+    for n in sizes:
+        sql = _IVFPQ_GEO_CTE.replace("FROM embeddings", f"FROM range({n})")
+        got = duckdb.sql(
+            "WITH " + sql + " SELECT cells, nprobe FROM geo"
+        ).fetchone()
+        exp = _ivfpq_geometry(n)
+        assert tuple(got) == exp, (n, got, exp)
+        cells, nprobe = exp
+        assert 16 <= cells <= 65536 and cells & (cells - 1) == 0
+        assert nprobe == cells // 4
+
+
 def test_ivfpq_geometry_report_is_model_sized(spark):
     """The geometry report is a COUNT plus driver-side selection — the
     returned plan must be a literal local scan (no corpus re-scan, no
