@@ -751,7 +751,11 @@ def delta_components(
     # same scoped AQE posture as the generic loop: the merge-graph
     # shuffles are batch-sized, so size them by bytes while the fast
     # path materializes (restored below; the returned frame evaluates
-    # under the caller's conf)
+    # under the caller's conf). NOTE: conf set/restore is session-
+    # global — concurrent queries on a shared SparkSession can observe
+    # (or clobber) the flag mid-flight. The bench/correctness drivers
+    # are sequential; parallel consumers should serialize calls into
+    # the CC family or pin the flag themselves (ADVICE r13 #5).
     _sess = pairs.sparkSession
     _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     _pf_prev = _sess.conf.get(_PF, "true")
@@ -775,9 +779,14 @@ def _delta_components(prior, pairs, src, dst, hops):
     # caller does NOT need to checkpoint ``pairs`` itself when delta
     # components is its only consumer. Duplicate contracted edges are
     # harmless under min-propagation (and the fallback loop distincts
-    # itself), so no distinct here.
+    # itself), so no distinct here. Self-pairs are dropped BEFORE the
+    # endpoint set is taken (ADVICE r13 #4): a (a, a) pair on a
+    # previously-unclustered doc is not an edge to
+    # connected_components(star UNION pairs) — the generic loop
+    # discards u == v — so it must not seed a singleton node here.
     comb = (
         pairs.select(src, dst)
+        .where(F.col(src) != F.col(dst))
         .join(lab1, src, "left")
         .join(lab2, dst, "left")
         .select(
@@ -909,7 +918,10 @@ def connected_components(
     # 3.1s on a warm-start graph; scoped here, NOT session-global,
     # because the r12 global experiment was a wash on scan-heavy
     # queries). Restored in the finally below; the returned frame's
-    # own evaluation happens under the caller's conf.
+    # own evaluation happens under the caller's conf. NOTE: session-
+    # global conf — assumes one query at a time on this SparkSession
+    # (true for the sequential bench/correctness drivers); parallel
+    # consumers must serialize or pin the flag (ADVICE r13 #5).
     _sess = pairs.sparkSession
     _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     _pf_prev = _sess.conf.get(_PF, "true")

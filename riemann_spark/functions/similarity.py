@@ -1103,6 +1103,12 @@ def ivfpq_scored_multi(
     d2q = round(d2(s, cw)·1e6) evaluates AT the (cell, m) join row —
     the same deterministic expression of the same (s, cw) inputs the
     LUT would have held, so every summed integer is bit-equal."""
+    if not tiers:
+        raise ValueError(
+            "ivfpq_scored_multi needs at least one (tag, codebook, codes)"
+            " tier — all tiers share one coarse geometry, so an empty"
+            " list has no ADC frame to build"
+        )
     sub_w = dim // n_sub
     cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
     d2 = _pq_d2(sub_w)

@@ -180,7 +180,13 @@ def _batch_scope(spark: SparkSession):
     measured ~25% of the warm-start rows' wall time. Scoped, NOT
     session-global (the r12 global experiment was a wash on
     scan-heavy queries); only actions taken INSIDE the scope (state
-    builds, checkpoints, model-sized collects) see it."""
+    builds, checkpoints, model-sized collects) see it.
+
+    NOTE: the set/restore pair mutates session-global conf — it
+    assumes one query at a time on this SparkSession (true for the
+    sequential bench/correctness drivers). Parallel consumers must
+    serialize entries into this scope (and the dedup CC family, which
+    shares the posture) or pin the flag themselves (ADVICE r13 #5)."""
     key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
@@ -8866,7 +8872,7 @@ hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
-lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
+lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % {_LAKE_MOD} != 0 AND d2 % {_LAKE_MOD} != 0),
 ledges AS (SELECT d1 AS u, d2 AS v FROM lpairs UNION SELECT d2, d1 FROM lpairs),
 lnodes AS (SELECT DISTINCT u FROM ledges),
 lreach AS (SELECT u AS id, u AS r FROM lnodes
@@ -8880,7 +8886,7 @@ reach AS (SELECT u AS id, u AS r FROM nodes
           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
 labels AS (SELECT id AS doc, MIN(r) AS cluster FROM reach GROUP BY id)
 SELECT l.doc, l.cluster, p.cluster AS prior_cluster,
-       l.doc % 5 = 0 AS is_arrival,
+       l.doc % {_LAKE_MOD} = 0 AS is_arrival,
        p.cluster IS NULL OR p.cluster != l.cluster AS cluster_changed
 FROM labels l LEFT JOIN prior p USING (doc)""",
 )
@@ -8910,7 +8916,7 @@ def incremental_cc_warmstart(spark: SparkSession, sf: str) -> DataFrame:
     probes plus log-round star contractions."""
     d = load_table(spark, sf, "documents")
     prior, lake_bands = _warmstart_state(spark, sf)  # parquet reads
-    arrival = lambda c: F.col(c) % 5 == 0  # noqa: E731
+    arrival = lambda c: F.col(c) % _LAKE_MOD == 0  # noqa: E731
     with _batch_scope(spark):
         # no checkpoint here: delta_components materializes the pair
         # lineage once inside its combined endpoint+contraction frame
@@ -8952,7 +8958,7 @@ hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
-lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
+lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % {_LAKE_MOD} != 0 AND d2 % {_LAKE_MOD} != 0),
 ledges AS (SELECT d1 AS u, d2 AS v FROM lpairs UNION SELECT d2, d1 FROM lpairs),
 lnodes AS (SELECT DISTINCT u FROM ledges),
 lreach AS (SELECT u AS id, u AS r FROM lnodes
@@ -8970,7 +8976,7 @@ outp AS (SELECT l.doc, l.cluster, p.cluster AS prior_cluster
 SELECT CAST((SELECT COUNT(*) FROM prior) AS BIGINT) AS n_state_docs,
        CAST((SELECT COUNT(DISTINCT cluster) FROM prior) AS BIGINT)
          AS n_prior_clusters,
-       CAST(COUNT(*) FILTER (WHERE doc % 5 = 0) AS BIGINT) AS n_arrival_docs,
+       CAST(COUNT(*) FILTER (WHERE doc % {_LAKE_MOD} = 0) AS BIGINT) AS n_arrival_docs,
        CAST(COUNT(*) FILTER (WHERE prior_cluster IS NULL
                              OR prior_cluster != cluster) AS BIGINT)
          AS n_changed_docs,
@@ -8997,7 +9003,7 @@ def incremental_cc_from_table(spark: SparkSession, sf: str) -> DataFrame:
     summary aggregate is a single model-sized row."""
     prior, lake_bands = _warmstart_state(spark, sf)
     d = load_table(spark, sf, "documents")
-    arrival = lambda c: F.col(c) % 5 == 0  # noqa: E731
+    arrival = lambda c: F.col(c) % _LAKE_MOD == 0  # noqa: E731
     with _batch_scope(spark):
         # no checkpoint: delta_components materializes the pair
         # lineage once (see incremental_cc_warmstart)
@@ -9285,8 +9291,8 @@ hotmb AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) > {_BAND_CAP}),
 bands AS (SELECT * FROM bands0 ANTI JOIN hotmb USING (band)),
 pairs AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc),
-lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 != 0 AND d2 % 5 != 0),
-npairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 = 0 OR d2 % 5 = 0),
+lpairs AS (SELECT d1, d2 FROM pairs WHERE d1 % {_LAKE_MOD} != 0 AND d2 % {_LAKE_MOD} != 0),
+npairs AS (SELECT d1, d2 FROM pairs WHERE d1 % {_LAKE_MOD} = 0 OR d2 % {_LAKE_MOD} = 0),
 ledges AS (SELECT d1 AS u, d2 AS v FROM lpairs UNION SELECT d2, d1 FROM lpairs),
 lnodes AS (SELECT DISTINCT u FROM ledges),
 lreach AS (SELECT u AS id, u AS r FROM lnodes
@@ -9327,7 +9333,7 @@ def warmstart_savings_report(spark: SparkSession, sf: str) -> DataFrame:
     is a literal-width crossJoin of six scalars."""
     d = load_table(spark, sf, "documents")
     pairs = dedup.lsh_candidate_pairs(d, _N_HASHES, _BAND).localCheckpoint()
-    arrival = lambda c: F.col(c) % 5 == 0  # noqa: E731
+    arrival = lambda c: F.col(c) % _LAKE_MOD == 0  # noqa: E731
     lake_pairs = pairs.filter(~arrival("doc1") & ~arrival("doc2"))
     new_pairs = pairs.filter(arrival("doc1") | arrival("doc2"))
     prior = dedup.connected_components(lake_pairs).localCheckpoint()
@@ -11725,11 +11731,19 @@ _IVFPQ_GEO_CACHE: dict = {}
 def _ivfpq_serving_geometry(spark: SparkSession, sf: str) -> tuple[int, int]:
     """(cells, nprobe) for the serving corpus — _ivfpq_geometry over
     the embeddings row count, cached per (corpus path, mtime) so the
-    metadata count runs once per session per corpus."""
+    metadata count runs once per session per corpus.  sf_dir may be
+    any Spark-readable URI (s3://, hdfs://) where os.stat has no
+    business succeeding (ADVICE r13 #2) — there the cache keys on the
+    path string alone, trading staleness-on-rewrite for not breaking
+    every serving query on non-local corpora."""
     import os
 
     src = os.path.join(sf, "embeddings.parquet")
-    key = (os.path.abspath(src), os.stat(src).st_mtime_ns)
+    try:
+        mtime = os.stat(src).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (os.path.abspath(src) if mtime is not None else src, mtime)
     if key not in _IVFPQ_GEO_CACHE:
         _IVFPQ_GEO_CACHE[key] = _ivfpq_geometry(
             load_table(spark, sf, "embeddings").count()

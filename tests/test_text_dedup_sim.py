@@ -525,6 +525,41 @@ def test_delta_components_empty_delta(spark):
     assert dedup.last_delta_fast_path
 
 
+def test_delta_components_self_pair_not_a_node(spark):
+    """A (a, a) self-pair on a previously-unclustered doc must NOT
+    emit a singleton row (ADVICE r13 #4): connected_components(star
+    UNION pairs) drops u == v edges, so node 42 is absent from the
+    generic result and must be absent here too — while a self-pair on
+    a PRIOR doc changes nothing (the doc is already in the star)."""
+    prior = spark.createDataFrame(
+        [(1, 1), (3, 1)], "doc long, cluster long"
+    )
+    pairs = spark.createDataFrame(
+        [(42, 42), (3, 3), (5, 1)], "doc1 long, doc2 long"
+    )
+    star = prior.select(
+        F.col("doc").alias("doc1"), F.col("cluster").alias("doc2")
+    )
+    full = {
+        (r["node"], r["cluster"])
+        for r in dedup.connected_components(star.unionByName(pairs)).collect()
+    }
+    mine = {
+        (r["node"], r["cluster"])
+        for r in dedup.delta_components(prior, pairs).collect()
+    }
+    assert mine == full
+    assert 42 not in {n for n, _ in mine}
+
+
+def test_ivfpq_scored_multi_empty_tiers_raises(spark):
+    from riemann_spark.functions import similarity
+
+    e = spark.createDataFrame([(0, [0.0] * 64)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least one"):
+        similarity.ivfpq_scored_multi(e, e, [])
+
+
 def test_connected_components_string_ids(spark):
     df = spark.createDataFrame(
         [("d3", "d1"), ("d1", "d2"), ("x9", "x8")], "doc1 string, doc2 string"
