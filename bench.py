@@ -388,8 +388,21 @@ def main() -> None:
     except ValueError:
         n_warmup = 6
     n_warmup = max(0, n_warmup)
+    # Box-load context rides the artifact (VERDICT r13 #6): same-code
+    # runs on differently-loaded boxes spread 198-223s, and nothing in
+    # the artifact said why. One [1m, 5m, 15m] os.getloadavg() snapshot
+    # before the pipeline and after every timed pass makes cross-box /
+    # cross-round deltas interpretable at a glance.
+    def _load() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # platform without getloadavg
+            return []
+
+    loadavg: dict = {"start": _load()}
     pipeline_warmup = [_one_pass() for _ in range(n_warmup)]
     pipeline_passes = [_one_pass() for _ in range(max(n_passes, 6))]
+    loadavg["after_pipeline"] = _load()
     pipeline_sec = min(pipeline_passes)
     events_per_sec = int(n_events / pipeline_sec)
     big.unpersist()
@@ -414,6 +427,7 @@ def main() -> None:
             # indexes etc.) so queries don't pay each other's memory bills
             spark.catalog.clearCache()
         pass_totals.append(round(pass_total, 3))
+        loadavg.setdefault("after_query_pass", []).append(_load())
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-query timings go on their OWN line: the driver tails stdout
@@ -438,6 +452,7 @@ def main() -> None:
                 "pipeline_pass_sec": pipeline_passes,
                 "pipeline_warmup_sec": pipeline_warmup,
                 "events_per_sec": events_per_sec,
+                "loadavg": loadavg,
             },
             fh,
             indent=1,
@@ -456,6 +471,7 @@ def main() -> None:
                 "pass_total_sec": pass_totals,
                 "pipeline_pass_sec": pipeline_passes,
                 "pipeline_warmup_sec": pipeline_warmup,
+                "loadavg": loadavg,
             }
         )
     )

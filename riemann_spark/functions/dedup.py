@@ -479,12 +479,18 @@ def incremental_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_df: int | None = MAX_BAND_DF,
+    arrival_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs TOUCHING an arrival batch against a STORED LSH
     band index — the true incremental posture: only the arrival docs
     are shingled/hashed (O(batch), never O(corpus)); the lake side is
     a (doc, band) table the previous run wrote (minhash_bands), probed
-    band-keyed. Provably equals
+    band-keyed.  Pass ``arrival_bands`` (a stored (doc, band) table
+    for the batch — the fingerprints an ingest pipeline computes ONCE
+    and shares across every downstream consumer) to skip even the
+    batch's shingling here; it must equal
+    ``minhash_bands(arrivals, n_hashes, band_size, k, ...)`` — the
+    equivalence is regression-tested (VERDICT r13 #5). Provably equals
     ``lsh_candidate_pairs(lake ∪ arrivals)`` restricted to pairs with
     an arrival endpoint: a full-corpus bucket's arrival-touching pairs
     are exactly {arrival × lake-in-bucket} ∪ {arrival × arrival
@@ -496,8 +502,10 @@ def incremental_lsh_pairs(
     batch-sized; the lake side is the stored index, bucketable by
     band at deploy so the re-read shuffles nothing), a band-keyed
     left join, bounded in-bucket pair explosion, one distinct."""
-    a_bands = minhash_bands(
-        arrivals, n_hashes, band_size, k, id_col, text_col
+    a_bands = (
+        arrival_bands
+        if arrival_bands is not None
+        else minhash_bands(arrivals, n_hashes, band_size, k, id_col, text_col)
     )
     lp = lake_bands.groupBy("band").agg(
         F.sort_array(F.collect_list("doc")).alias("ldocs")

@@ -552,6 +552,33 @@ def test_delta_components_self_pair_not_a_node(spark):
     assert 42 not in {n for n, _ in mine}
 
 
+def test_incremental_lsh_pairs_stored_fingerprints_equiv(spark):
+    """incremental_lsh_pairs(arrival_bands=precomputed) must equal
+    the inline-hashing path row-for-row (VERDICT r13 #5): the stored
+    arrival fingerprint table is exactly minhash_bands(arrivals), so
+    injecting it can only skip work, never change pairs."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta gamma delta tok{i % 3} end{i % 11}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    lake = docs.filter(F.col("doc_id") % 5 != 0)
+    arr = docs.filter(F.col("doc_id") % 5 == 0)
+    lake_bands = dedup.minhash_bands(lake, 8, 2)
+    a_bands = dedup.minhash_bands(arr, 8, 2)
+    inline = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.incremental_lsh_pairs(arr, lake_bands, 8, 2).collect()
+    }
+    stored = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.incremental_lsh_pairs(
+            None, lake_bands, 8, 2, arrival_bands=a_bands
+        ).collect()
+    }
+    assert stored == inline and inline
+
+
 def test_ivfpq_scored_multi_empty_tiers_raises(spark):
     from riemann_spark.functions import similarity
 
