@@ -949,6 +949,174 @@ def _ivf_assign(cents, df, keep, id_col, vec_col, out_id):
     )
 
 
+#: super-cells probed per vector during two-level coarse assignment
+#: ONCE the geometry is lake-sized (cells >= IVF_2L_MIN_CELLS): 4 of
+#: ~sqrt(cells) supers cuts the assignment fold from N x cells to
+#: N x (sqrt(cells) + 4·cells/sqrt(cells)) — the FAISS IMI /
+#: coarse-then-refine build move for lake-scale indexes.
+IVF_SUPER_FAN = 4
+#: below this cell count the derived fan equals the super count, so
+#: two-level assignment REDUCES TO EXACT FLAT assignment (every super
+#: probed -> candidate set = every centroid -> same argmax, same
+#: tie-break). Bench-SF geometries (64/256 cells) therefore keep
+#: their measured recall bit-for-bit; the pruned path activates at
+#: cells >= 1024 (N >~ 5.8K) where the N x cells fold is the build
+#: bottleneck. Measured at the x20 probe, not assumed.
+IVF_2L_MIN_CELLS = 1024
+
+
+def ivf_build_fan(n_cells: int) -> int:
+    """The derived super fan: full (= super count, exact flat) below
+    IVF_2L_MIN_CELLS, IVF_SUPER_FAN above. Mirrored in the oracle geo
+    CTE's sfan column."""
+    f = ivf_super_count(n_cells)
+    return f if n_cells < IVF_2L_MIN_CELLS else min(IVF_SUPER_FAN, f)
+#: PQ-trainer residual sample target: FAISS's max_points_per_centroid
+#: = 256 rule at 32 codes/subspace — the keyed Lloyd trains on
+#: ~256 x n_codes residuals instead of the full corpus above this N
+#: (sample stride = max(1, N // 8192); stride 1 at every bench SF, so
+#: results there are bit-identical to full-corpus training).
+IVFPQ_TRAIN_SAMPLE = 8192
+
+
+def ivf_super_count(n_cells: int) -> int:
+    """Super-cell count for two-level assignment: the smallest power
+    of two f with f*f >= n_cells (so f ~ sqrt(cells); 8 for 64 cells,
+    16 for 256, 64 for 4096). Mirrored in the oracle geo CTE."""
+    f = 1
+    while f * f < n_cells:
+        f <<= 1
+    return min(f, n_cells)
+
+
+def ivf_assign_two_level(
+    corpus: DataFrame,
+    df: DataFrame,
+    n_cells: int,
+    sfan: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "n_id",
+) -> DataFrame:
+    """Nearest-cell assignment with residuals — (out_id, cell, rv) —
+    through a TWO-LEVEL coarse quantizer (VERDICT r13 #2): the flat
+    |df| x cells cosine fold grows as 16·N^1.5 once _ivfpq_geometry's
+    16·sqrt(N) branch kicks in (163M folds = 288s at the x20 probe;
+    ~6.5e12 at N=1e8), so the build assigns each vector to its
+    ``sfan`` nearest of f ~ sqrt(cells) SUPER-cells first, then takes
+    the exact nearest centroid among those supers' member centroids —
+    N x (f + sfan·cells/f) folds, ~12.8x fewer at 4096 cells. The
+    standard FAISS IMI/coarse-assign move, fully deterministic and
+    SQL-replayable:
+
+    - supers = the first f = ivf_super_count(cells) centroids (the
+      same pick-first-rows quantizer rule the cells themselves use);
+    - every centroid >= f groups under its nearest super (cos desc,
+      super asc tie-break); a centroid that IS a super pins to its
+      own group, so every probed super has a non-empty member list
+      even under duplicate vectors (total rule);
+    - a vector's candidate set is the union of its sfan supers'
+      member lists; the winner is the exact cosine argmax over that
+      set (desc, cell asc — the flat rule on the pruned set).
+
+    A vector that IS centroid c still lands in cell c: its top super
+    equals c's group super (identical fold, identical tie-break), so
+    c itself is always a candidate and wins at cosine 1 — the
+    zero-residual geometry the trainer's seed remap relies on.
+
+    Assignment is approximate where the true cell's group falls
+    outside the probed supers; the recall consequences are measured,
+    not assumed (ann_recall_ivfpq at every SF + the x20 probe).
+    Candidate rows shuffle NARROW ((id, cell, cos) — vectors join
+    back by id after the argmax), supers/groups broadcast
+    model-sized, and the dense folds ride _spread like every other
+    corpus x centroid stage.
+
+    ``sfan=None`` derives the fan from the geometry (ivf_build_fan):
+    below IVF_2L_MIN_CELLS it equals the super count, and the
+    function short-circuits to the exact flat fold — value-identical
+    by construction (all supers probed = all centroids candidates =
+    the flat argmax), and the flat plan is the cheaper one there."""
+    f = ivf_super_count(n_cells)
+    if sfan is None:
+        sfan = ivf_build_fan(n_cells)
+    if sfan >= f:
+        cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
+        return _ivf_assign(cents, df, 1, id_col, vec_col, out_id)
+    cents_raw = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+    )
+    sups = F.broadcast(
+        corpus.filter(F.col(id_col) < f).select(
+            F.col(id_col).alias("sup"),
+            F.col(vec_col).cast("array<double>").alias("s_vec"),
+            norm(F.col(vec_col)).alias("s_n"),
+        )
+    )
+    wg = Window.partitionBy("cell").orderBy(F.desc("g_cos"), F.col("sup"))
+    tail = (
+        cents_raw.filter(F.col("cell") >= f)
+        .crossJoin(sups)
+        .withColumn(
+            "g_cos",
+            _dots(F.col("c_vec"), F.col("s_vec"))
+            / (F.col("c_n") * F.col("s_n")),
+        )
+        .withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") == 1)
+        .select("cell", "c_vec", "c_n", F.col("sup").alias("grp"))
+    )
+    head = cents_raw.filter(F.col("cell") < f).select(
+        "cell", "c_vec", "c_n", F.col("cell").alias("grp")
+    )
+    gt = F.broadcast(head.unionByName(tail))
+    src = _spread(
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            norm(F.col(vec_col)).alias("vn"),
+        )
+    )
+    ws = Window.partitionBy(out_id).orderBy(F.desc("s_cos"), F.col("sup"))
+    vsup = (
+        src.crossJoin(sups)
+        .withColumn(
+            "s_cos",
+            _dots(F.col("v"), F.col("s_vec")) / (F.col("vn") * F.col("s_n")),
+        )
+        .withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= sfan)
+        .select(out_id, "v", "vn", "sup")
+    )
+    cand = (
+        vsup.join(gt, F.col("sup") == F.col("grp"))
+        .withColumn(
+            "c_cos",
+            _dots(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("c_n")),
+        )
+        .select(out_id, "cell", "c_cos")
+    )
+    wb = Window.partitionBy(out_id).orderBy(F.desc("c_cos"), F.col("cell"))
+    best = (
+        cand.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select(out_id, "cell")
+    )
+    return (
+        best.join(src.select(out_id, "v"), out_id)
+        .join(gt.select("cell", "c_vec"), "cell")
+        .select(
+            out_id,
+            "cell",
+            F.zip_with(F.col("v"), F.col("c_vec"), lambda a, b: a - b).alias(
+                "rv"
+            ),
+        )
+    )
+
+
 def _ivfpq_slices(df, idc, n_sub, sub_w):
     """(id, cell, m, s) residual subvector rows."""
     return df.select(
@@ -996,9 +1164,13 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """The IVF-PQ INDEX table (n_id, cell, m, code): coarse-assign
-    every corpus vector, PQ-encode its residual against the (seeded
+    every corpus vector (``two_level=True`` routes the N x cells fold
+    through ivf_assign_two_level — the lake-scale build path; the
+    flat default keeps the small-geometry ablations bit-stable),
+    PQ-encode its residual against the (seeded
     or trained) codebook. This is the artifact a production pipeline
     MATERIALIZES — ingest encodes once, every query reads the integer
     code table (ivfpq_scored's ``codes`` parameter); the floats never
@@ -1007,8 +1179,14 @@ def ivfpq_encode(
     shuffle; tie-break (d2 asc, code asc) matches the oracle's
     row_number form."""
     sub_w = dim // n_sub
-    cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
-    ca = _ivf_assign(cents, corpus, 1, id_col, vec_col, "n_id")
+    if two_level:
+        ca = ivf_assign_two_level(
+            corpus, corpus, n_cells, id_col=id_col, vec_col=vec_col,
+            out_id="n_id",
+        )
+    else:
+        cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
+        ca = _ivf_assign(cents, corpus, 1, id_col, vec_col, "n_id")
     if codebook is not None:
         cb = codebook.select(
             "m", F.col("code").cast("int").alias("code"), "cw"
@@ -1045,6 +1223,7 @@ def ivfpq_seeded_codebook(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
 ) -> DataFrame:
     """The deterministic STATIC residual codebook (m, code, cw) —
     residual slices of the n_codes corpus vectors AFTER the centroid
@@ -1058,12 +1237,19 @@ def ivfpq_seeded_codebook(
     multi-tier consumers (ivfpq_scored_multi) can pass the seed
     codebook explicitly next to a trained one."""
     sub_w = dim // n_sub
-    cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
     seeds = corpus.filter(
         (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_codes)
     )
+    if two_level:
+        assigned = ivf_assign_two_level(
+            corpus, seeds, n_cells, id_col=id_col, vec_col=vec_col,
+            out_id="n_id",
+        )
+    else:
+        cents = _ivf_cents(corpus, n_cells, id_col, vec_col)
+        assigned = _ivf_assign(cents, seeds, 1, id_col, vec_col, "n_id")
     return _ivfpq_slices(
-        _ivf_assign(cents, seeds, 1, id_col, vec_col, "n_id"),
+        assigned,
         "n_id",
         n_sub,
         sub_w,
@@ -1334,12 +1520,27 @@ def ivfpq_train_codebook(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """TRAINED residual codebook for the composed IVF-PQ index: the
     corpus's residuals against the fixed coarse quantizer (the first
     n_cells vectors, ivfpq_topk's exact geometry) feed the keyed
     Lloyd PQ trainer (pq_kmeans_codebook — one cluster job per
-    iteration, model-sized driver traffic). Residual ids are REMAPPED
+    iteration, model-sized driver traffic).
+
+    Lake-scale build knobs (VERDICT r13 #2), both defaulting OFF so
+    the small-geometry ablation oracles stay bit-stable:
+    ``two_level=True`` computes the residual assignment through
+    ivf_assign_two_level instead of the flat N x cells fold;
+    ``sample_mod=s`` trains the Lloyd on the deterministic systematic
+    sample {rid % s == 0} UNION {the n_codes seed rids} instead of
+    every residual — the FAISS max-points-per-centroid discipline
+    (IVFPQ_TRAIN_SAMPLE). s = 1 trains on everything (bit-identical
+    to the unsampled path); callers derive s from the corpus count.
+    The sample rule keys on the REMAPPED rid (dense, post-centroid
+    block), so the oracle replays it with one modulus predicate; at
+    deploy with sparse ids you'd mod a hash instead. Residual ids are REMAPPED
     so the trainer's deterministic seed (ids < n_codes) lands on the
     vectors AFTER the centroid block — the same seed ivfpq_topk uses
     statically, so iteration 0 reproduces the seeded codebook exactly
@@ -1350,37 +1551,51 @@ def ivfpq_train_codebook(
     ivfpq_topk's ``codebook`` parameter accepts; training replays in
     the knn_ivfpq_trained oracle via the same 1e-12-quantized means
     as the flat-PQ trainer."""
-    c = _spread(
-        corpus.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).cast("array<double>").alias("n_vec"),
-            norm(F.col(vec_col)).alias("n_n"),
+    rid = (
+        F.when(F.col("n_id") >= n_cells, F.col("n_id") - n_cells)
+        .otherwise(F.col("n_id") + F.lit(1_000_000_000))
+        .alias("rid")
+    )
+    if two_level:
+        resid = ivf_assign_two_level(
+            corpus, corpus, n_cells, id_col=id_col, vec_col=vec_col,
+            out_id="n_id",
+        ).select(rid, "rv")
+    else:
+        c = _spread(
+            corpus.select(
+                F.col(id_col).alias("n_id"),
+                F.col(vec_col).cast("array<double>").alias("n_vec"),
+                norm(F.col(vec_col)).alias("n_n"),
+            )
         )
-    )
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("c_vec"),
-            norm(F.col(vec_col)).alias("c_n"),
+        cents = F.broadcast(
+            corpus.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cell"),
+                F.col(vec_col).cast("array<double>").alias("c_vec"),
+                norm(F.col(vec_col)).alias("c_n"),
+            )
         )
-    )
-    scored = c.crossJoin(cents).withColumn(
-        "c_cos",
-        _dots(F.col("n_vec"), F.col("c_vec")) / (F.col("n_n") * F.col("c_n")),
-    )
-    w = Window.partitionBy("n_id").orderBy(F.desc("c_cos"), F.col("cell"))
-    resid = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(
-            F.when(F.col("n_id") >= n_cells, F.col("n_id") - n_cells)
-            .otherwise(F.col("n_id") + F.lit(1_000_000_000))
-            .alias("rid"),
-            F.zip_with(
-                F.col("n_vec"), F.col("c_vec"), lambda a, b: a - b
-            ).alias("rv"),
+        scored = c.crossJoin(cents).withColumn(
+            "c_cos",
+            _dots(F.col("n_vec"), F.col("c_vec"))
+            / (F.col("n_n") * F.col("c_n")),
         )
-    )
+        w = Window.partitionBy("n_id").orderBy(F.desc("c_cos"), F.col("cell"))
+        resid = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(
+                rid,
+                F.zip_with(
+                    F.col("n_vec"), F.col("c_vec"), lambda a, b: a - b
+                ).alias("rv"),
+            )
+        )
+    if sample_mod > 1:
+        resid = resid.filter(
+            (F.col("rid") < n_codes) | (F.col("rid") % sample_mod == 0)
+        )
     return pq_kmeans_codebook(
         resid, n_sub, n_codes, dim, n_iter, id_col="rid", vec_col="rv"
     )

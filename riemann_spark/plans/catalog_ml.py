@@ -11698,9 +11698,16 @@ def _ivfpq_geometry(n: int) -> tuple[int, int]:
     0.800 at 500 vectors but 0.700 at 2000 on the same 64 cells).
 
     cells = the largest power of two <= sqrt(2) * min(N/8, 16*sqrt(N)),
-    clamped to [16, 65536]; nprobe = cells / 4 (scan_frac 0.25, the
-    knee ann_recall_report's curve points at, held constant across
-    sizes).  The two regimes: below N = 16384 constant ~8-vector cell
+    clamped to [16, 65536]; nprobe = cells / 4 below the regime
+    crossover (scan_frac 0.25, the knee ann_recall_report's curve
+    points at) and cells / 8 above it (VERDICT r13 #3: a constant /4
+    pins scan_frac at 0.25 forever — 25M ADC evals per query at
+    N=1e8; per-cell occupancy grows on the 16*sqrt(N) branch, so the
+    bar holds at half the scan. Measured: sf0.1's 256-cell geometry
+    reads recall@5 0.850 / 0.800 / 0.750 at nprobe = /4 / /8 / /16,
+    and the x20 probe's 4096-cell geometry reads 1.000 at all three
+    — /8 above the crossover keeps margin there while /4 keeps it
+    below).  The two regimes: below N = 16384 constant ~8-vector cell
     occupancy governs (the coarse quantizer IS the index at audit
     sizes — measured recall@5 at occupancy 8: 0.800 at N=500/64
     cells, 0.850 at N=2000/256 cells, vs 0.775 at 128 cells and 0.700
@@ -11720,20 +11727,41 @@ def _ivfpq_geometry(n: int) -> tuple[int, int]:
          if 32 * (1 << (2 * i)) <= n * n and (1 << (2 * i)) <= 512 * n),
         default=16,
     )
-    return p, p // 4
+    return p, (p // 4 if n <= 16384 else p // 8)
 
 
-#: DuckDB replay of _ivfpq_geometry — prepend to every serving oracle;
-#: reference via the scalar subqueries below.
+#: DuckDB replay of _ivfpq_geometry + the two-level-build / sampled-
+#: train knobs (ivf_super_count / ivf_build_fan / IVFPQ_TRAIN_SAMPLE)
+#: — prepend to every serving oracle; reference via the scalar
+#: subqueries below.  At every bench SF sfan = fsup (two-level
+#: reduces to exact flat assignment) and smod = 1 (training sees
+#: every residual), so the lake-scale rules are live in the SQL yet
+#: bit-neutral below the thresholds.
 _IVFPQ_GEO_CTE = """\
-geo AS (SELECT cells, CAST(cells // 4 AS INT) AS nprobe FROM (
-  SELECT CAST(GREATEST(COALESCE(MAX(p), 16), 16) AS INT) AS cells
-  FROM (SELECT CAST(POWER(2, i) AS HUGEINT) AS p
-        FROM generate_series(4, 16) t(i)) ps
-  CROSS JOIN (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings) cnt
-  WHERE 32 * p * p <= n * n AND p * p <= 512 * n))"""
+gcnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+gsup AS (SELECT cells,
+  (SELECT CAST(MIN(CAST(POWER(2, j) AS INT)) AS INT)
+   FROM generate_series(0, 8) s(j)
+   WHERE CAST(POWER(2, j) AS INT) * CAST(POWER(2, j) AS INT)
+         >= gcells.cells) AS fsup
+ FROM (SELECT CAST(GREATEST(COALESCE(MAX(p), 16), 16) AS INT) AS cells
+       FROM (SELECT CAST(POWER(2, i) AS HUGEINT) AS p
+             FROM generate_series(4, 16) t(i)) ps
+       CROSS JOIN gcnt
+       WHERE 32 * p * p <= n * n AND p * p <= 512 * n) gcells),
+geo AS (SELECT cells,
+  CAST(CASE WHEN n <= 16384 THEN cells // 4 ELSE cells // 8 END AS INT)
+    AS nprobe,
+  fsup,
+  CAST(CASE WHEN cells < 1024 THEN fsup ELSE LEAST(4, fsup) END AS INT)
+    AS sfan,
+  CAST(GREATEST(1, n // 8192) AS BIGINT) AS smod
+ FROM gsup CROSS JOIN gcnt)"""
 _GEO_CELLS = "(SELECT cells FROM geo)"
 _GEO_NPROBE = "(SELECT nprobe FROM geo)"
+_GEO_FSUP = "(SELECT fsup FROM geo)"
+_GEO_SFAN = "(SELECT sfan FROM geo)"
+_GEO_SMOD = "(SELECT smod FROM geo)"
 
 _IVFPQ_GEO_CACHE: dict = {}
 _IVFPQ_CORPUS_N_CACHE: dict = {}
@@ -11815,23 +11843,60 @@ def _ivfpq_serving_ctes(
     (the geo CTE replays _ivfpq_geometry; VERDICT r12 #2), so one
     oracle string is exact at every SF. ``with_seeded`` additionally
     emits a seeded-codebook chain (codes_s / lut_s / scored_s) off
-    the SAME residual table for the trained-vs-static ablation."""
+    the SAME residual table for the trained-vs-static ablation.
+
+    The corpus-side coarse assignment (ca0) replays the TWO-LEVEL
+    build rule (VERDICT r13 #2 — sup/grp/vsup CTEs mirror
+    similarity.ivf_assign_two_level): every centroid >= fsup groups
+    under its nearest super (a super pins to itself), each vector
+    takes its sfan nearest supers, and the winner is the exact cosine
+    argmax over those supers' member centroids. At sfan = fsup (every
+    bench SF) the candidate set is every centroid and the CTE IS flat
+    assignment value-for-value. The trainer's residual table (sl)
+    carries the deterministic rid-mod sample predicate (smod; stride
+    1 below IVFPQ_TRAIN_SAMPLE vectors — bit-neutral at bench SFs).
+    The query side (qa0) stays flat: 8 query vectors x cells is
+    model-sized at any corpus."""
     w = 64 // n_sub
     cells, nprobe = _GEO_CELLS, _GEO_NPROBE
+    fsup, sfan, smod = _GEO_FSUP, _GEO_SFAN, _GEO_SMOD
     parts = [
         _IVFPQ_GEO_CTE,
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"ms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m)",
-        f"ca0 AS ({_assign_sql_c('c0', 'n_id', 'n_vec', cells)})",
+        f"sup AS (SELECT vec_id AS sup, v AS s_vec FROM e"
+        f" WHERE vec_id < {fsup})",
+        f"""grp AS MATERIALIZED (SELECT cell, grp FROM (
+    SELECT cc.vec_id AS cell, su.sup AS grp,
+           row_number() OVER (PARTITION BY cc.vec_id
+             ORDER BY {_cos_sql('cc.v', 'su.s_vec')} DESC, su.sup) AS r
+    FROM e cc CROSS JOIN sup su
+    WHERE cc.vec_id >= {fsup} AND cc.vec_id < {cells}
+  ) WHERE r = 1
+  UNION ALL
+  SELECT sup AS cell, sup AS grp FROM sup)""",
+        f"""vsup AS (SELECT n_id, n_vec, sup FROM (
+    SELECT c0.vec_id AS n_id, c0.v AS n_vec, su.sup,
+           row_number() OVER (PARTITION BY c0.vec_id
+             ORDER BY {_cos_sql('c0.v', 'su.s_vec')} DESC, su.sup) AS r
+    FROM e c0 CROSS JOIN sup su) WHERE r <= {sfan})""",
+        f"""ca0 AS (SELECT n_id, n_vec, cell FROM (
+    SELECT vs.n_id, vs.n_vec, g.cell,
+           row_number() OVER (PARTITION BY vs.n_id
+             ORDER BY {_cos_sql('vs.n_vec', 'cv.v')} DESC, g.cell) AS r
+    FROM vsup vs JOIN grp g ON g.grp = vs.sup
+    JOIN e cv ON cv.vec_id = g.cell) WHERE r = 1)""",
         """rc AS MATERIALIZED (SELECT ca0.n_id, ca0.cell,
               list_transform(generate_series(1, 64),
                              i -> ca0.n_vec[i] - cv.v[i]) AS rv
        FROM ca0 JOIN e cv ON cv.vec_id = ca0.cell)""",
-        f"""sl AS MATERIALIZED (SELECT CASE WHEN n_id >= {cells}
+        f"""sl AS MATERIALIZED (SELECT * FROM (
+       SELECT CASE WHEN n_id >= {cells}
                    THEN n_id - {cells}
                    ELSE n_id + 1000000000 END AS id,
               m, rv[m*{w}+1 : m*{w}+{w}] AS s
-       FROM rc CROSS JOIN ms)""",
+       FROM rc CROSS JOIN ms)
+       WHERE id < {n_codes} OR id % {smod} = 0)""",
         f"cb0 AS MATERIALIZED (SELECT m, CAST(id AS INT) AS code, s AS cw"
         f" FROM sl WHERE id < {n_codes})",
     ]
@@ -11907,14 +11972,23 @@ def _ivfpq_index_state(spark: SparkSession, sf: str):
     the corpus; every consumer's oracle replays assignment, the full
     5-iteration keyed Lloyd, and the encode from raw vectors."""
     cells, _ = _ivfpq_serving_geometry(spark, sf)
+    # lake-scale build posture (VERDICT r13 #2): two-level coarse
+    # assignment (N x (sqrt(cells) + fan) folds instead of N x cells)
+    # and Lloyd training on the deterministic rid-mod sample (stride 1
+    # — i.e. the full corpus — at every bench SF; ~8K residuals at the
+    # x20 probe and beyond). Both rules replay inside the serving
+    # oracles (sup/grp/vsup CTEs; the sl sample predicate).
+    smod = max(1, _ivfpq_corpus_n(spark, sf) // similarity.IVFPQ_TRAIN_SAMPLE)
 
     def build():
         e = load_table(spark, sf, "embeddings")
         cb = similarity.ivfpq_train_codebook(
-            e, cells, _IVFPQ_SUB, _IVFPQ_CODES, _DIM, _IVFPQ_ITERS
+            e, cells, _IVFPQ_SUB, _IVFPQ_CODES, _DIM, _IVFPQ_ITERS,
+            two_level=True, sample_mod=smod,
         ).localCheckpoint()
         enc = lambda book: similarity.ivfpq_encode(
-            e, cells, _IVFPQ_SUB, _IVFPQ_CODES, _DIM, codebook=book
+            e, cells, _IVFPQ_SUB, _IVFPQ_CODES, _DIM, codebook=book,
+            two_level=True,
         )
         return cb, enc(cb), enc(None)
 
@@ -11922,9 +11996,12 @@ def _ivfpq_index_state(spark: SparkSession, sf: str):
         spark, sf, "embeddings",
         ["ivfpq_cb_serving", "ivfpq_codes_serving", "ivfpq_codes_seeded"],
         build,
-        # cells is corpus-derived (_ivfpq_geometry), so it rides the
-        # stamp explicitly: a geometry-rule change rebuilds the index
-        params=("ivfpqidx", cells, _IVFPQ_SUB, _IVFPQ_CODES, _IVFPQ_ITERS),
+        # cells/fan/smod are corpus-derived (_ivfpq_geometry +
+        # ivf_build_fan), so they ride the stamp explicitly: a
+        # geometry- or fan-rule change rebuilds the index; "2l" stamps
+        # the r14 two-level + sampled-train build
+        params=("ivfpqidx", "2l", similarity.ivf_build_fan(cells), smod,
+                cells, _IVFPQ_SUB, _IVFPQ_CODES, _IVFPQ_ITERS),
     )
 
 
@@ -11941,7 +12018,10 @@ def knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """The COMPOSED IVF-PQ index (similarity.ivfpq_topk) — the ANN
     ladder's top rung next to brute / LSH / multiprobe-LSH / Hamming /
     IVF / PQ: coarse cells prune the corpus to nprobe of n_cells at
-    scan_frac 0.25 (the knee ann_recall_report's curve points at),
+    scan_frac 0.25 below the N = 16384 crossover and 0.125 above it
+    (the knee ann_recall_report's curve points at; the r14 regime
+    rule — see _ivfpq_geometry — halves the per-query ADC volume
+    exactly where occupancy growth pays for it),
     TRAINED width-1 residual subquantizers (64 subs x 32 codes, the
     stored model artifact) compress what's left, integer-sum ADC
     scores it. The cell count is CORPUS-SIZE-DERIVED
@@ -12321,7 +12401,7 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     tiers = [("ivfpq", cb, codes_t)]
     if audit:
         cb_s = similarity.ivfpq_seeded_codebook(
-            e, cells, _IVFPQ_SUB, _IVFPQ_CODES, _DIM
+            e, cells, _IVFPQ_SUB, _IVFPQ_CODES, _DIM, two_level=True
         )
         tiers.append(("ivfpq_seeded", cb_s, codes_s))
     scored_all = similarity.ivfpq_scored_multi(
@@ -12421,7 +12501,11 @@ SELECT n.n_vectors,
        CAST(geo.nprobe AS BIGINT) AS nprobe,
        CAST(geo.nprobe AS DOUBLE) / geo.cells AS scan_frac,
        CAST(n.n_vectors AS DOUBLE) / geo.cells AS occupancy,
-       n.n_vectors <= 16384 AS occupancy_regime
+       n.n_vectors <= 16384 AS occupancy_regime,
+       CAST(geo.fsup AS BIGINT) AS super_cells,
+       CAST(geo.sfan AS BIGINT) AS super_fan,
+       geo.sfan < geo.fsup AS two_level_build,
+       CAST(geo.smod AS BIGINT) AS train_sample_mod
 FROM geo CROSS JOIN n""",
 )
 def ivfpq_geometry_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -12437,9 +12521,19 @@ def ivfpq_geometry_report(spark: SparkSession, sf: str) -> DataFrame:
     embed (geo CTE), so a drift between the Python selector and the
     SQL replay fails the value gate rather than silently serving a
     different index. Occupancy and scan_frac are dyadic-exact
-    divisions (power-of-two denominators) — no rounding hazard."""
+    divisions (power-of-two denominators) — no rounding hazard.
+
+    r14 adds the BUILD-path geometry (VERDICT r13 #2/#3): the super
+    count, the derived fan (= super count below 1024 cells, so
+    two_level_build reads false exactly where assignment is flat),
+    and the Lloyd sample stride — plus nprobe now drops to cells/8
+    above the N = 16384 crossover (scan_frac 0.125; measured on the
+    x20 probe at 1.000 recall@5, with sf0.1's curve 0.850/0.800/
+    0.750 at /4 / /8 / /16 keeping /4 below the crossover)."""
     n = load_table(spark, sf, "embeddings").count()
     cells, nprobe = _ivfpq_serving_geometry(spark, sf)
+    fsup = similarity.ivf_super_count(cells)
+    sfan = similarity.ivf_build_fan(cells)
     return spark.createDataFrame(
         [
             (
@@ -12449,10 +12543,16 @@ def ivfpq_geometry_report(spark: SparkSession, sf: str) -> DataFrame:
                 nprobe / cells,
                 n / cells,
                 n <= 16384,
+                fsup,
+                sfan,
+                sfan < fsup,
+                max(1, n // similarity.IVFPQ_TRAIN_SAMPLE),
             )
         ],
         "n_vectors long, cells long, nprobe long, scan_frac double,"
-        " occupancy double, occupancy_regime boolean",
+        " occupancy double, occupancy_regime boolean,"
+        " super_cells long, super_fan long, two_level_build boolean,"
+        " train_sample_mod long",
     )
 
 

@@ -1561,22 +1561,43 @@ def test_ivfpq_geometry_python_matches_duckdb_replay():
         _ivfpq_geometry,
     )
 
+    from riemann_spark.functions.similarity import (
+        IVFPQ_TRAIN_SAMPLE,
+        ivf_build_fan,
+        ivf_super_count,
+    )
+
     rnd = random.Random(41)
     sizes = (
-        [1, 2, 15, 16, 17, 500, 2000, 2047, 2048, 2049]
-        + [16383, 16384, 16385, 10**6, 3 * 10**9, 10**10]
+        [1, 2, 15, 16, 17, 500, 2000, 2047, 2048, 2049, 5793]
+        + [16383, 16384, 16385, 40000, 10**6, 3 * 10**9, 10**10]
         + [rnd.randrange(1, 10**7) for _ in range(25)]
     )
     for n in sizes:
         sql = _IVFPQ_GEO_CTE.replace("FROM embeddings", f"FROM range({n})")
         got = duckdb.sql(
-            "WITH " + sql + " SELECT cells, nprobe FROM geo"
+            "WITH " + sql
+            + " SELECT cells, nprobe, fsup, sfan, smod FROM geo"
         ).fetchone()
-        exp = _ivfpq_geometry(n)
+        cells, nprobe = _ivfpq_geometry(n)
+        exp = (
+            cells,
+            nprobe,
+            ivf_super_count(cells),
+            ivf_build_fan(cells),
+            max(1, n // IVFPQ_TRAIN_SAMPLE),
+        )
         assert tuple(got) == exp, (n, got, exp)
-        cells, nprobe = exp
         assert 16 <= cells <= 65536 and cells & (cells - 1) == 0
-        assert nprobe == cells // 4
+        # nprobe regime (VERDICT r13 #3): /4 below the crossover,
+        # /8 above — scan_frac halves exactly where occupancy growth
+        # pays for it
+        assert nprobe == (cells // 4 if n <= 16384 else cells // 8)
+        # the build fan: exact-flat below 1024 cells, 4-super probe
+        # above (VERDICT r13 #2)
+        f = ivf_super_count(cells)
+        assert f * f >= cells and (f // 2) * (f // 2) < cells
+        assert ivf_build_fan(cells) == (f if cells < 1024 else min(4, f))
 
 
 def test_ivfpq_geometry_report_is_model_sized(spark):
@@ -1592,6 +1613,11 @@ def test_ivfpq_geometry_report_is_model_sized(spark):
     cells, nprobe = _ivfpq_geometry(row["n_vectors"])
     assert (row["cells"], row["nprobe"]) == (cells, nprobe)
     assert row["scan_frac"] == 0.25
+    # audit-sized corpus: flat build (fan = super count), full-corpus
+    # training
+    assert row["super_fan"] == row["super_cells"]
+    assert row["two_level_build"] is False
+    assert row["train_sample_mod"] == 1
 
 
 def test_knn_ivfpq_rerank_keeps_pruned_shape(spark):

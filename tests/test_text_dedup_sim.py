@@ -181,9 +181,9 @@ def test_warmstart_state_rebuilds_on_corpus_change(spark, tmp_path):
         "/root/testdata/sf0.001/documents.parquet",
         f"{sf}/documents.parquet",
     )
-    star1, bands1 = _warmstart_state(spark, sf)
+    star1, bands1, abands1 = _warmstart_state(spark, sf)
     n1 = star1.count()
-    assert n1 > 0 and bands1.count() > 0
+    assert n1 > 0 and bands1.count() > 0 and abands1.count() > 0
     # same corpus -> cache hit: the stamp-suffixed dir set is stable
     import hashlib as _h
     import tempfile as _t
@@ -200,7 +200,7 @@ def test_warmstart_state_rebuilds_on_corpus_change(spark, tmp_path):
     part = [p for p in os.listdir(f"{sf}/stage") if p.endswith(".parquet")][0]
     os.remove(f"{sf}/documents.parquet")
     shutil.move(f"{sf}/stage/{part}", f"{sf}/documents.parquet")
-    star2, _bands2 = _warmstart_state(spark, sf)
+    star2, _bands2, _abands2 = _warmstart_state(spark, sf)
     dirs2 = sorted(d for d in os.listdir(root) if d.startswith(("prior_star", "lake_bands")))
     assert dirs2 != [d for d in dirs1 if d.startswith(("prior_star", "lake_bands"))]
     assert star2.count() < n1  # state reflects the smaller corpus
