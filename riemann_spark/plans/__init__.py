@@ -20,19 +20,74 @@ from riemann_spark.plans import catalog_ml  # merges into QUERIES/ORACLES
 # behind them.  Names listed here but absent from the catalog are
 # ignored, so the list is safe across catalog refactors.
 _GATE_PRIORITY = [
-    # ---- ROUND-13 WINDOW (positions 1-50) ------------------------------
-    # Per VERDICT r12 directive #1: (a) the staged ROUND-13 FRONT — the
-    # 19 remaining r06-stale rows plus the round-12 catalog addition
-    # streaming_contamination_writeback_drained (strict-checked green by
-    # the judge at sf0.01; the one catalog query without a driver row) —
-    # then (b) the 6 rows whose plans change THIS round (IVF-PQ serving
-    # geometry scaled with corpus size per directive #2/#3; the
-    # incremental-CC fast path per #4), then (c) 24 of the 50 rows whose
-    # latest driver hash is r07 — the stalest tier once (a) gates
-    # (incremental_dedup pulled forward as a plan-adjacent row). After
-    # r13 gates, every catalog query has a driver row and the staleness
-    # floor is r07-except-26.
-    # -- (a) the 19 remaining r06-hashed rows: ----------------------------
+    # ---- ROUND-14 WINDOW (positions 1-50) ------------------------------
+    # Per VERDICT r13 directive #1: (a) the staged ROUND-14 FRONT — the
+    # round-13 addition ivfpq_geometry_report (the one catalog query
+    # without a driver row; judge strict-checked green at both SFs) plus
+    # the 26 remaining r07-hashed rows — then (b) the 6 rows whose plans
+    # change THIS round (two-level/sampled IVF-PQ build + nprobe regime
+    # per directives #2/#3; audit-only seeded tier per #4; stored
+    # arrival fingerprints per #5), then (c) 17 of the 49 rows whose
+    # latest driver hash is r08 — the stalest tier once (a) gates.
+    # After r14 gates, the staleness floor is r08-except-32.
+    # -- (a) the round-13 addition + the 26 remaining r07 rows: ----------
+    "ivfpq_geometry_report",
+    "image_resize_real",
+    "kl_divergence_sources",
+    "per_source_quantile_filter",
+    "predict_linear",
+    "project2",
+    "quality_repetition_corr",
+    "rrf_fusion",
+    "scd2_state_history",
+    "stable_2h",
+    "streaming_ann_gate",
+    "streaming_drift_gate",
+    "streaming_funnel_drained",
+    "streaming_scd2_drained",
+    "streaming_stable_drained",
+    "streaming_token_budget_drained",
+    "streaming_url_gate_drained",
+    "throttle",
+    "token_pack_efficiency",
+    "top10",
+    "topic_mixture",
+    "url_dedup",
+    "watermark_sizing_report",
+    "weighted_sample",
+    "whitened_semantic_dedup",
+    "winnowing_keeplist",
+    "zorder_layout",
+    # -- (b) the 6 rows whose plans change this round: --------------------
+    "ann_recall_ivfpq",
+    "knn_ivfpq",
+    "knn_ivfpq_rerank",
+    "incremental_cc_from_table",
+    "incremental_cc_warmstart",
+    "band_index_compaction",
+    # -- (c) 17 of the 49 r08-hashed rows: --------------------------------
+    "asof_enrich",
+    "by_derived_key",
+    "canonical_pipeline",
+    "contamination",
+    "contamination_bloom",
+    "corpus_profile",
+    "curation_pipeline",
+    "ddt_real",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_keep_list",
+    "deps_algebra",
+    "deps_suppression",
+    "distinct_ngrams_hll",
+    "distinct_ngrams_kmv",
+    "embedding_drift_report",
+    "embedding_quantize",
+]
+
+_ROUND13_WINDOW_RETIRED = [
+    # ---- retired ROUND-13 WINDOW + staged r14 front (historical record;
+    # all 50 gated green in CORRECTNESS_r13) -----------------------------
     "moving_event_window",
     "ngram_novelty",
     "packing_efficiency",
@@ -52,16 +107,13 @@ _GATE_PRIORITY = [
     "video_scene_cuts",
     "vocab_growth",
     "zipf_slope",
-    # -- (a, cont.) the round-12 addition owed its first driver row: -----
     "streaming_contamination_writeback_drained",
-    # -- (b) the 6 rows whose plans change this round: --------------------
     "ann_recall_ivfpq",
     "knn_ivfpq",
     "knn_ivfpq_trained",
     "knn_ivfpq_rerank",
     "incremental_cc_from_table",
     "incremental_cc_warmstart",
-    # -- (c) 24 of the 50 r07-hashed rows: --------------------------------
     "ann_gate_report",
     "apdex",
     "bm25_topk",
@@ -86,9 +138,6 @@ _GATE_PRIORITY = [
     "greedy_pack_tokens",
     "hits_scores",
     "incremental_dedup",
-    # ---- ROUND-14 FRONT (positions 51+): new round-13 catalog entries
-    # (strict-checked at sf0.001+sf0.01+sf0.1 via tools/check.py before
-    # registration; driver row owed r14), then the remaining 26 r07 rows
     "ivfpq_geometry_report",
     "image_resize_real",
     "kl_divergence_sources",
