@@ -247,6 +247,7 @@ HEADLINE = [
     "mixture_anneal_schedule",
     "ann_recall_ivfpq",
     "ivfpq_geometry_report",
+    "ann_nprobe_sweep",
     "simhash64_candidates",
     "tokenizer_fertility_drift",
     "contamination_after_dedup",

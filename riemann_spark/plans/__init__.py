@@ -83,6 +83,42 @@ _GATE_PRIORITY = [
     "distinct_ngrams_kmv",
     "embedding_drift_report",
     "embedding_quantize",
+    # ---- ROUND-15 FRONT (positions 51+): the round-14 catalog addition
+    # (strict-checked at sf0.001+sf0.01+sf0.1 via tools/check.py before
+    # registration; driver row owed r15), then the remaining 32 r08 rows
+    "ann_nprobe_sweep",
+    "ewma_r01",
+    "filter_agg",
+    "fixed_time_window",
+    "fold_difference",
+    "fold_generic",
+    "fold_mode",
+    "fold_mode_hourly",
+    "fold_product",
+    "fold_quotient",
+    "fold_quotient_take5",
+    "gopher_gates",
+    "graphite_roundtrip",
+    "hash_split",
+    "index_delete_cohort",
+    "json_roundtrip",
+    "moving_time_window",
+    "protobuf_roundtrip",
+    "rate_zero_fill",
+    "regional_revenue",
+    "retrieval_eval_report",
+    "retrieval_eval_rrf",
+    "revenue_top10",
+    "rollup",
+    "sorted_sample",
+    "streaming_index_snapshot",
+    "tpch_q1",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q4",
+    "warmstart_savings_report",
+    "window_folds",
 ]
 
 _ROUND13_WINDOW_RETIRED = [

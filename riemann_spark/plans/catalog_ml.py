@@ -11834,6 +11834,7 @@ def _ivfpq_serving_ctes(
     n_codes: int = _IVFPQ_CODES,
     iters: int = _IVFPQ_ITERS,
     with_seeded: bool = False,
+    nprobe_override: str | None = None,
 ) -> str:
     """The SERVING-CONFIG IVF-PQ replay through ``scored`` (trained
     residual codebook — coarse assignment, residuals, seeded cb0,
@@ -11859,6 +11860,11 @@ def _ivfpq_serving_ctes(
     model-sized at any corpus."""
     w = 64 // n_sub
     cells, nprobe = _GEO_CELLS, _GEO_NPROBE
+    if nprobe_override is not None:
+        # widen (or narrow) the query-side probe — the sweep row scores
+        # at the widest ladder rung and derives narrower rungs by cell
+        # rank, so one ADC job serves every variant
+        nprobe = nprobe_override
     fsup, sfan, smod = _GEO_FSUP, _GEO_SFAN, _GEO_SMOD
     parts = [
         _IVFPQ_GEO_CTE,
@@ -12553,6 +12559,155 @@ def ivfpq_geometry_report(spark: SparkSession, sf: str) -> DataFrame:
         " occupancy double, occupancy_regime boolean,"
         " super_cells long, super_fan long, two_level_build boolean,"
         " train_sample_mod long",
+    )
+
+
+@q(
+    "ann_nprobe_sweep",
+    f"""
+WITH {_ivfpq_serving_ctes(nprobe_override='(SELECT cells // 4 FROM geo)')},
+qrk AS (SELECT q_id, cell, r AS qr FROM (
+  SELECT q0.vec_id AS q_id, cc.vec_id AS cell,
+         row_number() OVER (PARTITION BY q0.vec_id
+           ORDER BY {_cos_sql('q0.v', 'cc.v')} DESC, cc.vec_id) AS r
+  FROM e q0 JOIN e cc ON q0.vec_id < 8 AND cc.vec_id < {_GEO_CELLS}
+) WHERE r * 4 <= {_GEO_CELLS}),
+nc AS (SELECT DISTINCT id, cell FROM codes),
+lad AS (SELECT unnest([4, 8, 16]) AS dv),
+sc AS (SELECT lad.dv, s.q_id, s.n_id, s.adc_d2
+       FROM scored s
+       JOIN nc ON nc.id = s.n_id
+       JOIN qrk ON qrk.q_id = s.q_id AND qrk.cell = nc.cell
+       CROSS JOIN lad
+       WHERE qrk.qr * lad.dv <= {_GEO_CELLS}),
+top5 AS (SELECT dv, q_id, n_id FROM (
+  SELECT dv, q_id, n_id,
+         row_number() OVER (PARTITION BY dv, q_id
+           ORDER BY adc_d2, n_id) AS rk
+  FROM sc) WHERE rk <= 5),
+bf AS (SELECT q_id, n_id FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id) AS rank
+  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id
+) WHERE rank <= 5),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM bf)
+SELECT CAST({_GEO_CELLS} // dv AS BIGINT) AS nprobe,
+       1.0 / dv AS scan_frac,
+       ({_GEO_CELLS} // dv) = {_GEO_NPROBE} AS is_serving,
+       tot.n_true,
+       CAST(hits AS BIGINT) AS n_hit,
+       round(hits / CAST(tot.n_true AS DOUBLE), 6) AS recall_at_5
+FROM (SELECT dv, COUNT(*) FILTER (WHERE bf.q_id IS NOT NULL) AS hits
+      FROM top5 LEFT JOIN bf USING (q_id, n_id) GROUP BY dv) h
+CROSS JOIN tot""",
+)
+def ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 vs nprobe AS DATA (VERDICT r13 #3) — the measured
+    curve behind the regime rule _ivfpq_geometry encodes: one row per
+    ladder rung nprobe = cells/4, /8, /16 (scan_frac 0.25 / 0.125 /
+    0.0625), with is_serving marking the rung the geometry actually
+    serves at this corpus (cells/4 below the N = 16384 crossover,
+    cells/8 above). Measured at sf0.1's 256-cell geometry:
+    0.850 / 0.800 / 0.750 — the evidence that /8 sits AT the bar
+    below the crossover (so /4 keeps its margin there) — and 1.000
+    at all three rungs on the 40K-vector x20 probe (occupancy growth
+    above the crossover pays for the halved scan).
+
+    ONE ADC job at the widest rung (nprobe_override = cells/4 in the
+    oracle; the Spark side scores once at cells/4 against the stored
+    serving codes), then every narrower rung derives by the query's
+    cell rank — no per-rung re-scoring, the ann_recall_ivfpq
+    consolidation discipline applied to the sweep. Ground truth is
+    the same 8-query brute-force tier every recall row uses.
+
+    Scale shape: the corpus-side work is the stored code table
+    scanned once at scan_frac 0.25; the rank windows are
+    8-query-sized; the report is 3 model-sized rows."""
+    e = load_table(spark, sf, "embeddings")
+    q8 = e.filter(F.col("vec_id") < 8)
+    cells, nprobe_serving = _ivfpq_serving_geometry(spark, sf)
+    cb, codes, _ = _ivfpq_index_state(spark, sf)
+    wide = cells // 4
+    scored = similarity.ivfpq_scored(
+        q8, e, n_cells=cells, n_sub=_IVFPQ_SUB, n_codes=_IVFPQ_CODES,
+        nprobe=wide, codebook=cb, codes=codes,
+    )
+    # query-side cell rank — the same flat window qa0 replays (8 x
+    # cells fold, model-sized at any corpus)
+    cents = similarity._ivf_cents(e, cells, "vec_id", "embedding")
+    qsrc = q8.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        similarity.norm(F.col("embedding")).alias("vn"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.col("cell"))
+    qrank = (
+        qsrc.crossJoin(cents)
+        .withColumn(
+            "c_cos",
+            similarity._dots(F.col("v"), F.col("c_vec"))
+            / (F.col("vn") * F.col("c_n")),
+        )
+        .withColumn("qr", F.row_number().over(wq))
+        .filter(F.col("qr") <= wide)
+        .select("q_id", "cell", "qr")
+    )
+    cellof = codes.select("n_id", "cell").distinct()
+    sc = (
+        scored.join(cellof, "n_id")
+        .join(F.broadcast(qrank), ["q_id", "cell"])
+        .withColumn("dv", F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))))
+        .filter(F.col("qr") * F.col("dv") <= F.lit(cells))
+        .select("dv", "q_id", "n_id", "adc_d2")
+    )
+    wv = Window.partitionBy("dv", "q_id").orderBy("adc_d2", "n_id")
+    top5 = (
+        sc.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= 5)
+        .select("dv", "q_id", "n_id")
+    )
+    # brute-force ground truth — the exact expression tree
+    # ann_recall_ivfpq's cosine tier uses (float promotes exactly)
+    qv = F.broadcast(
+        q8.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+            similarity.norm(F.col("embedding")).alias("q_n"),
+        )
+    )
+    nv = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+        similarity.norm(F.col("embedding")).alias("n_n"),
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
+    bf = (
+        nv.crossJoin(qv)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            similarity._dots(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_n") * F.col("n_n")),
+        )
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id")
+    )
+    hits = (
+        top5.join(bf.withColumn("bf", F.lit(1)), ["q_id", "n_id"], "left")
+        .groupBy("dv")
+        .agg(F.sum(F.coalesce("bf", F.lit(0))).cast("long").alias("n_hit"))
+    )
+    ntrue = bf.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    return hits.crossJoin(ntrue).select(
+        (F.lit(cells) / F.col("dv")).cast("long").alias("nprobe"),
+        (F.lit(1.0) / F.col("dv")).alias("scan_frac"),
+        ((F.lit(cells) / F.col("dv")).cast("long")
+         == F.lit(nprobe_serving)).alias("is_serving"),
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall_at_5"),
     )
 
 

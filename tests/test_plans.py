@@ -1692,6 +1692,33 @@ def test_ann_recall_ivfpq_single_hits_job(spark):
     assert rows["ivfpq"]["recall_at_5"] > rows["ivfpq_seeded"]["recall_at_5"], rows
 
 
+def test_ann_nprobe_sweep_one_adc_pass(spark):
+    """The sweep must score ONCE at the widest rung and derive the
+    narrower rungs by cell rank — exactly one scan of the stored code
+    table, no per-rung re-scoring, no cartesian, ground truth the
+    8-query brute tier. Values: the rung recall curve must be
+    monotone in nprobe, the serving rung marked, scan_frac dyadic."""
+    import re
+
+    from riemann_spark.plans import QUERIES
+
+    p = plan_of(spark, "ann_nprobe_sweep")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"Scan parquet[^\n]*ivfpq_codes_serving", p)) <= 2, (
+        p[:1500]
+    )
+    rows = sorted(
+        QUERIES["ann_nprobe_sweep"](spark, SF).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["scan_frac"] for r in rows] == [0.0625, 0.125, 0.25]
+    recalls = [r["recall_at_5"] for r in rows]
+    assert recalls == sorted(recalls), rows
+    serving = [r for r in rows if r["is_serving"]]
+    assert len(serving) == 1 and serving[0]["scan_frac"] == 0.25
+    assert serving[0]["recall_at_5"] >= 0.8, rows
+
+
 def test_streaming_contamination_writeback_matches_batch(spark):
     """The train-side arrival gate (streaming, drained) must agree
     row-for-row with the equivalent batch probe of the same stored
