@@ -54,6 +54,33 @@ def build_corpus(spark):
     e20.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
 
+DENSE = "/tmp/rs_x20_dense_r14"
+
+
+def build_dense_corpus(spark):
+    """DENSE-ID x20 embeddings (r14): the ANN-lane probe corpus. The
+    +c*10M disjoint-id layout above is right for the dedup lane
+    (disjoint doc ids across copies) but breaks the IVF-PQ geometry
+    rule, which picks centroids/seeds from vec_id < cells + 32 — at
+    4096 cells the sparse corpus has ids 0..1999 then 10M+, so the
+    seed block is EMPTY and the codebook degenerates (every r13 x20
+    IVF-PQ serve number under-measured for this reason — SCALING.md
+    round-14 note). Here the same epsilon-perturbed vectors are
+    re-identified 0..N-1 by a deterministic (vec_id) row_number, so
+    every probe measures a real index."""
+    from pyspark.sql import Window
+
+    if os.path.exists(f"{DENSE}/embeddings.parquet/_SUCCESS"):
+        return
+    e = spark.read.parquet(f"{DST}/embeddings.parquet")
+    d = e.withColumn(
+        "vec_id", F.row_number().over(Window.orderBy("vec_id")) - F.lit(1)
+    )
+    d.repartition(8).write.mode("overwrite").parquet(
+        f"{DENSE}/embeddings.parquet"
+    )
+
+
 def main():
     names = sys.argv[1:] or [
         "knn_ivfpq_rerank",
@@ -63,13 +90,22 @@ def main():
     ]
     spark = get_spark("probe-r11")
     build_corpus(spark)
+    build_dense_corpus(spark)
     from riemann_spark.plans import QUERIES
 
+    #: the ANN serving lane reads the dense-id corpus (see
+    #: build_dense_corpus); everything else probes the standard
+    #: disjoint-id corpus
+    _DENSE_LANE = {
+        "knn_ivfpq", "knn_ivfpq_rerank", "knn_ivfpq_trained",
+        "ann_recall_ivfpq", "ann_nprobe_sweep", "ivfpq_geometry_report",
+    }
     for name in names:
+        src = DENSE if name in _DENSE_LANE else DST
         runs = []
         for i in range(3):  # run 0 = cold state build, excluded
             t0 = time.time()
-            QUERIES[name](spark, DST).write.format("noop").mode(
+            QUERIES[name](spark, src).write.format("noop").mode(
                 "overwrite"
             ).save()
             runs.append(round(time.time() - t0, 2))
