@@ -198,6 +198,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Directional near-dup detection: all pairs where either doc's
     shingle set is >= ``threshold`` CONTAINED in the other —
@@ -213,8 +214,15 @@ def containment_pairs(
     shuffle, stop-shingle guard bounds posting lists, pairs explode
     within postings) — only the final arithmetic differs: both
     directions computed from the same (n_inter, n1, n2) row, emitted
-    once per unordered pair with c12/c21 columns."""
-    sh = _shingle_table(df, id_col, text_col, k)
+    once per unordered pair with c12/c21 columns. ``shingle_frame``
+    injects a precomputed (doc, shingle) table (the shared-scan
+    pattern ngram_jaccard_pairs already supports) — it must equal
+    _shingle_table(df, id_col, text_col, k)."""
+    sh = (
+        shingle_frame
+        if shingle_frame is not None
+        else _shingle_table(df, id_col, text_col, k)
+    )
     posts = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     if max_shingle_df is not None:
         posts = posts.filter(F.size("docs") <= max_shingle_df)

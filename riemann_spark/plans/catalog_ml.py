@@ -4282,7 +4282,7 @@ def dedup_recall_report(spark: SparkSession, sf: str) -> DataFrame:
 def _dedup_recall_frame(spark: SparkSession, sf: str):
     """The lazy one-row recall/precision frame over the stored pair
     tables. Split out so tests/test_plans.py can pin the plan shape."""
-    tp_pairs, cand_pairs, _ = _text_pair_state(spark, sf)
+    tp_pairs, cand_pairs, _, _ = _text_pair_state(spark, sf)
     tp = tp_pairs.withColumn("t", F.lit(1))
     cand = cand_pairs.withColumn("c", F.lit(1))
     both = tp.join(cand, ["doc1", "doc2"], "full")
@@ -6575,9 +6575,16 @@ def containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     postings GC-thrashing the flatten — 200 keeps the worst posting
     at ~20k pairs while still admitting every shingle that can
     matter at 0.8 containment. Audit-tier like every pair-output
-    query; the keep/drop rollup is the deploy path."""
-    d = load_table(spark, sf, "documents")
-    return dedup.containment_pairs(d, _CONTAIN_T, max_shingle_df=200)
+    query; the keep/drop rollup is the deploy path.
+
+    SERVED FROM STATE (r14): the pair table is the stored pipeline
+    artifact (_text_pair_state's contain_pairs_v1 member, built from
+    the SAME shared shingle scan as the Jaccard/LSH/SimHash tables);
+    the oracle replays shingling, the df<=200 cap, the posting
+    self-join, and both containment directions from raw text at
+    every gate — the r12 stored-state discipline applied to the last
+    rebuild-per-query pair row."""
+    return _text_pair_state(spark, sf)[3]
 
 
 _TOK_BUDGET = 8000
@@ -8596,8 +8603,11 @@ def _text_pair_state(spark: SparkSession, sf: str):
     computed from ONE shingle scan and materialized per corpus.
     dedup_recall_report's recall/precision rollup becomes two parquet
     reads + one join; _cluster_label_state's raw tier CCs the stored
-    candidates. Oracles replay shingling, banding, caps, and the
-    exact join from raw text."""
+    candidates. r14 adds the directional-containment pairs
+    (contain_pairs_v1, containment_dedup's serve table — same shared
+    shingle scan, its own tighter df<=200 posting cap). Oracles
+    replay shingling, banding, caps, and the exact join from raw
+    text."""
     cached = []  # persisted frames to release once the state is written
 
     def build():
@@ -8631,16 +8641,21 @@ def _text_pair_state(spark: SparkSession, sf: str):
             .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
             .distinct()
         )
-        return tp, cand, sim
+        contain = dedup.containment_pairs(
+            d, _CONTAIN_T, max_shingle_df=200, shingle_frame=sh
+        )
+        return tp, cand, sim, contain
 
     try:
         return _stored_state_tables(
             spark, sf, "documents",
-            ["tp_pairs_v1", "lsh_pairs_v1", "sim64_pairs_v1"],
+            ["tp_pairs_v1", "lsh_pairs_v1", "sim64_pairs_v1",
+             "contain_pairs_v1"],
             build,
             params=(
                 "textpairs", 0.5, 3, _SHINGLE_CAP,
                 _N_HASHES, _BAND, _BAND_CAP,
+                _CONTAIN_T, 200,
             ),
         )
     finally:
@@ -11428,7 +11443,7 @@ def _tier_agreement_frame(spark: SparkSession, sf: str):
     """The lazy 3-row agreement frame over the three stored pair
     tables — split out so tests/test_plans.py can pin the plan shape,
     as with _dedup_recall_frame."""
-    tp_pairs, lsh_pairs, sim_pairs = _text_pair_state(spark, sf)
+    tp_pairs, lsh_pairs, sim_pairs, _ = _text_pair_state(spark, sf)
     jac = tp_pairs.select(
         "doc1", "doc2",
         F.lit(1).alias("j"), F.lit(0).alias("m"), F.lit(0).alias("s"),

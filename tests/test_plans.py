@@ -1443,6 +1443,19 @@ def test_classifier_uncertainty_sampling_one_scan_one_window(spark):
     assert p.count("Window") >= 1
 
 
+def test_containment_dedup_served_from_state(spark):
+    """containment_dedup serves the STORED contain_pairs_v1 table
+    (r14 — the last rebuild-per-query pair row converted to the r12
+    stored-state discipline): the per-query plan is exactly ONE
+    parquet scan — no shingling, no posting build, no joins."""
+    import re
+
+    p = plan_of(spark, "containment_dedup")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p[:800]
+    assert "contain_pairs_v1" in p, p[:800]
+    assert "Exchange" not in p and "Generate" not in p, p[:800]
+
+
 def test_tier_agreement_real_plan_shape(spark):
     """dedup_tier_agreement serves ALL THREE tiers from the STORED
     pair tables (r12, _text_pair_state: tp/lsh/sim64) — the per-query
