@@ -11999,7 +11999,13 @@ def _ivfpq_index_state(spark: SparkSession, sf: str):
     # — i.e. the full corpus — at every bench SF; ~8K residuals at the
     # x20 probe and beyond). Both rules replay inside the serving
     # oracles (sup/grp/vsup CTEs; the sl sample predicate).
-    smod = max(1, _ivfpq_corpus_n(spark, sf) // similarity.IVFPQ_TRAIN_SAMPLE)
+    n = _ivfpq_corpus_n(spark, sf)
+    smod = max(1, n // similarity.IVFPQ_TRAIN_SAMPLE)
+    # the seeded-ablation code table exists only where the ablation
+    # runs (audit corpus sizes — ann_recall_ivfpq's gated tier); at
+    # lake scale nothing reads it, so the build skips that second
+    # full encode and stores an empty same-schema table
+    audit = n <= _IVFPQ_AUDIT_MAX_N
 
     def build():
         e = load_table(spark, sf, "embeddings")
@@ -12011,7 +12017,7 @@ def _ivfpq_index_state(spark: SparkSession, sf: str):
             e, cells, _IVFPQ_SUB, _IVFPQ_CODES, _DIM, codebook=book,
             two_level=True,
         )
-        return cb, enc(cb), enc(None)
+        return cb, enc(cb), (enc(None) if audit else enc(None).limit(0))
 
     return _stored_state_tables(
         spark, sf, "embeddings",
@@ -12022,7 +12028,7 @@ def _ivfpq_index_state(spark: SparkSession, sf: str):
         # geometry- or fan-rule change rebuilds the index; "2l" stamps
         # the r14 two-level + sampled-train build
         params=("ivfpqidx", "2l", similarity.ivf_build_fan(cells), smod,
-                cells, _IVFPQ_SUB, _IVFPQ_CODES, _IVFPQ_ITERS),
+                audit, cells, _IVFPQ_SUB, _IVFPQ_CODES, _IVFPQ_ITERS),
     )
 
 
