@@ -25,6 +25,12 @@ def get_spark(app_name: str = "riemann-spark", cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pre-import pandas/pyarrow/engine modules in the worker daemon:
+        # Spark 4.1 reaps idle Python workers after a hardcoded 1-minute
+        # timeout, and a stock respawn pays 32-64 concurrent `import
+        # pandas` (~3s each) — measured 12-22s stalls on the first
+        # mapInPandas query after a JVM-only stretch (see daemon.py).
+        .config("spark.python.daemon.module", "riemann_spark.daemon")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         # driver parquet uses TIMESTAMP(NANOS); read as long, convert in load_table
