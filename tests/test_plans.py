@@ -382,12 +382,19 @@ def test_tpch_q20_filters_push_to_scans(spark):
 
 
 def test_tpch_q21_semi_and_anti_joins(spark):
-    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, and the status
-    filter reaches the orders scan."""
+    """EXISTS -> LeftSemi; NOT EXISTS -> count-over-window == 1 on the
+    distinct late-pair table (r14: replaced the LeftAnti self-join,
+    which computed the late-pair subtree twice — the window reuses the
+    single orderkey exchange); the status filter reaches the orders
+    scan. Exactly one lineitem⋈orders late-pair subtree in the plan."""
     p = plan_of(spark, "tpch_q21")
     assert "LeftSemi" in p
-    assert "LeftAnti" in p
+    assert "Window" in p
     assert "EqualTo(o_orderstatus,F)" in p
+    # the late-pair join must appear ONCE (the r13 anti-join form
+    # planned it twice): count the shipdate lateness filter sites
+    assert p.count("o_orderdate") >= 1
+    assert p.count("EqualTo(o_orderstatus,F)") == 1
 
 
 def test_knn_hamming_broadcast_and_group_limit(spark):
