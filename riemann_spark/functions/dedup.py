@@ -1114,10 +1114,20 @@ def minhash_verified_pairs(
     for the second pass. Verified-pair output cost is |candidates|,
     which LSH already bounded."""
     cand = lsh_candidate_pairs(df, n_hashes, band_size, k, id_col, text_col)
+    # persisted: the doc1 and doc2 attachment joins below each consume
+    # this table, and without the persist the shingle explode +
+    # collect_set subtree is planned (and computed) once PER SIDE —
+    # measured as 2 extra document scans + Generates in the
+    # dedup_pair_provenance plan (r14; the "persist the shingle
+    # explode at deploy scale" note below was always the intent — the
+    # set table is O(corpus docs), bounded per row by doc length).
+    # Query-lifetime cache: the bench/driver clearCache() between
+    # queries releases it.
     sets = (
         _shingle_table(df, id_col, text_col, k)
         .groupBy("doc")
         .agg(F.collect_set("shingle").alias("sset"))
+        .persist()
     )
     a = sets.select(F.col("doc").alias("doc1"), F.col("sset").alias("set1"))
     b = sets.select(F.col("doc").alias("doc2"), F.col("sset").alias("set2"))

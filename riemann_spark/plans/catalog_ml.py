@@ -5016,11 +5016,20 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.array(F.md5(F.concat_ws(" ", tk))))
 
     grams = F.get(F.transform(F.array(text.tokens("text")), _grams), 0)
-    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
-    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # gram document-frequency as count-over-window on the distinct
+    # (doc, gram) table (r14, guide §2.4): the groupBy + join-back form
+    # planned the gram explode twice. The explicit gram repartition is
+    # reused by BOTH the distinct (gram hash-clusters (doc_id, gram))
+    # and the window — one Generate, one gram exchange, no join.
+    g = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .repartition("gram")
+        .distinct()
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     shared = F.sum((F.col("df") > 1).cast("int"))
     return (
-        g.join(freq, "gram")
+        g.withColumn("df", df_w)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
