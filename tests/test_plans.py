@@ -762,14 +762,18 @@ def test_round6_batch3_pure_projections_zero_shuffle(spark):
 
 
 def test_ngram_novelty_no_pair_explosion(spark):
-    """Novelty is gram-df groupBy + join back — no posting lists, no
-    self-join: the hot gram aggregates to one row."""
+    """Novelty is a count-over-window on the distinct (doc, gram)
+    table (r14: replaced gram-df groupBy + join back, which planned
+    the gram explode twice) — no posting lists, no self-join, ONE
+    Generate, and the explicit gram repartition serves the distinct
+    AND the window (gram hash-clusters (doc_id, gram))."""
     import re
 
     p = plan_of(spark, "ngram_novelty")
-    assert "Window" not in p
-    # exactly the two keyed aggregates (distinct + df) and the join
-    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 4
+    assert "Window" in p and "Join" not in p
+    assert len(re.findall(r"^\s*\+?-? ?\(?\d*\)? ?Generate", p, re.M)) <= 1 or p.count("Generate (") <= 1
+    # the gram exchange + the final doc_id rollup exchange only
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
 
 
 def test_fuzzy_decontamination_sig_partial_aggs_and_two_md5s(spark):
