@@ -290,6 +290,40 @@ def main() -> None:
     # churn, not a plan property; solo mins are the comparable numbers
     from riemann_spark.sources import events_to_msg_binary, msg_binary_to_events
 
+    # ... and KEEP it warm: Spark 4.1 reaps idle Python workers after a
+    # HARDCODED 1-minute timeout (PythonWorkerFactory.IDLE_WORKER_
+    # TIMEOUT_NS — no conf), so the warmup above used to be undone ~85s
+    # into every pass: the ~150 JVM-only queries between codec rows let
+    # the reaper fire, and the first mapInPandas rows of each pass paid
+    # a full pool respawn (12-22s/query stock; ~1-2s/pool even with the
+    # riemann_spark.daemon preload). A 1-row mapInPandas ping every 40s
+    # (~50ms on one of 32 cores) keeps the pool alive — the steady
+    # Python traffic a production deployment has anyway. Measured: the
+    # codec rows hold their solo-warm times in the packed run (e.g.
+    # multimodal_real_decode 2.7 -> ~1.0s, protobuf_roundtrip 2.7 ->
+    # ~1.7s) instead of re-paying respawn every pass. r14; old numbers
+    # retained in OPTIMIZATION_r14.md.
+    import threading
+
+    _ka_stop = threading.Event()
+    _ka_df = spark.range(2, numPartitions=1)
+
+    def _keepalive() -> None:
+        def _ident(it):
+            for b in it:
+                yield b
+
+        while not _ka_stop.is_set():
+            try:
+                _ka_df.mapInPandas(_ident, "id long").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                return  # never let pool hygiene take down the bench
+            _ka_stop.wait(40)
+
+    threading.Thread(target=_keepalive, daemon=True).start()
+
     dummy = spark.range(cpus * 4, numPartitions=cpus).selectExpr(
         "'h' AS host", "'s' AS service", "'ok' AS state", "'' AS description",
         "CAST(id AS DOUBLE) AS metric", "array('t') AS tags",
