@@ -178,6 +178,52 @@ def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------- #
 # repetition / split / scrub — training-data curation tier
 
+def repetition_cols() -> tuple[Column, Column]:
+    """The (dup_word_frac, top2_char_frac) expressions over columns
+    ``t`` (token array), ``n_tokens``, ``n_distinct``, ``n_chars`` —
+    the pure-projection core of ``repetition_metrics``, exposed so
+    pipelines that already carry those columns (curation_pipeline)
+    can fuse the signals into their own projection with no join.
+
+    top2_char_frac is computed WITHOUT an explode/groupBy: a 2-gram's
+    corpus-free count within one document equals its run length in
+    the doc's SORTED gram array, so max(count × gram length) is one
+    sequential fold over array_sort(grams) — same integers as the
+    old explode + count + max plan (oracle-checked), zero shuffle
+    (r14 §1.2 step 1: the former count shuffled one row per 2-gram
+    occurrence corpus-wide and joined back per doc)."""
+    grams = F.when(
+        F.col("n_tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - 2),
+            lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.lit(0).cast("long")
+    top2_chars = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                * F.length(g).cast("long"),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    dup_word_frac = F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")
+    top2_char_frac = top2_chars / F.col("n_chars")
+    return dup_word_frac, top2_char_frac
+
+
 def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, §A1.1):
     heavily repeated content marks low-quality/generated text.
@@ -187,9 +233,12 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
       (max over 2-grams of count × gram length) / doc chars —
       tie-deterministic by construction (max over a single integer).
 
-    Shape: one explode over 2-grams, count partial-aggregates
-    map-side, one row per doc out — the same shuffle budget as the
-    shingle pipeline, no all-pairs anything."""
+    Shape (r14): a pure per-row projection — the per-doc 2-gram
+    counts come from run lengths over the sorted gram array
+    (``repetition_cols``), so there is NO explode, NO corpus-wide
+    (doc, gram) shuffle and NO join-back; at 100 TB the signals
+    stream with the scan. The old plan shuffled one row per 2-gram
+    occurrence and scanned the corpus twice."""
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -198,32 +247,11 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.length(F.col(text_col)).alias("n_chars"),
         toks.alias("t"),
     )
-    grams = base.select(
+    dup_word_frac, top2_char_frac = repetition_cols()
+    return base.select(
         "doc",
-        F.explode(
-            F.when(
-                F.col("n_tokens") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - 2),
-                    lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
-                ),
-            ).otherwise(F.array()),
-        ).alias("gram"),
-    )
-    top = (
-        grams.groupBy("doc", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc")
-        .agg(F.max(F.col("cnt") * F.length("gram")).alias("top2_chars"))
-    )
-    return (
-        base.drop("t")
-        .join(top, "doc", "left")
-        .select(
-            "doc",
-            (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")).alias("dup_word_frac"),
-            (F.coalesce("top2_chars", F.lit(0)) / F.col("n_chars")).alias("top2_char_frac"),
-        )
+        dup_word_frac.alias("dup_word_frac"),
+        top2_char_frac.alias("top2_char_frac"),
     )
 
 

@@ -5565,11 +5565,16 @@ def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     one-row aggregate exploded into the literal stage array
     (event_funnel's single-agg plan).
 
-    Scale shape: session numbering and all three MIN chains ride the
-    host partitioning (the session aggregates' (host, session_id)
-    clustering is satisfied by the subset rule); the rollup is a
-    one-row agg. Same budget as sessionize + event_funnel combined,
-    minus a shuffle (no user-keyed re-partition needed)."""
+    Scale shape (r14): ONE host-keyed exchange end-to-end. The three
+    MIN chains are cascaded unbounded window MINs over (host,
+    session_id) — t1 = min view time; t2 = min click time > t1; t3 =
+    min purchase time > t2 — stacked directly on sessionize's host
+    partitioning (the (host, session_id) clustering is satisfied by
+    the subset rule), then ONE per-session dedup aggregate and the
+    one-row rollup. The old plan planned the sessionize double-window
+    subtree three times (12 Window nodes, 3 event scans) and joined
+    u1/u2/u3 back twice each; the rewrite scans events once and has
+    no joins at all."""
     ev = load_events(spark, sf)
     w = Window.partitionBy("host").orderBy("time_us", "event_id")
     nw = F.when(
@@ -5587,32 +5592,43 @@ def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("long"),
     )
-    keys = ["host", "session_id"]
-    u1 = sid.groupBy(*keys).agg(
-        F.min(F.when(F.col("service") == "view", F.col("time_us"))).alias("t1")
-    )
-    u2 = (
-        sid.join(u1, keys)
-        .filter((F.col("service") == "click") & (F.col("time_us") > F.col("t1")))
-        .groupBy(*keys)
-        .agg(F.min("time_us").alias("t2"))
-    )
-    u3 = (
-        sid.join(u2, keys)
-        .filter(
-            (F.col("service") == "purchase") & (F.col("time_us") > F.col("t2"))
+    wsess = Window.partitionBy("host", "session_id")
+    # t1 null ⇒ time_us > t1 is null ⇒ WHEN misses ⇒ t2 null (the
+    # old inner-join-with-u1 semantics); same chaining for t3.
+    sid = (
+        sid.withColumn(
+            "t1",
+            F.min(F.when(F.col("service") == "view", F.col("time_us"))).over(wsess),
         )
-        .groupBy(*keys)
-        .agg(F.min("time_us").alias("t3"))
-    )
-    agg = (
-        u1.join(u2, keys, "left")
-        .join(u3, keys, "left")
-        .agg(
-            F.sum(F.col("t1").isNotNull().cast("int")).cast("long").alias("n1"),
-            F.count("t2").cast("long").alias("n2"),
-            F.count("t3").cast("long").alias("n3"),
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("service") == "click")
+                    & (F.col("time_us") > F.col("t1")),
+                    F.col("time_us"),
+                )
+            ).over(wsess),
         )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("service") == "purchase")
+                    & (F.col("time_us") > F.col("t2")),
+                    F.col("time_us"),
+                )
+            ).over(wsess),
+        )
+    )
+    per_sess = sid.groupBy("host", "session_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+    )
+    agg = per_sess.agg(
+        F.sum(F.col("t1").isNotNull().cast("int")).cast("long").alias("n1"),
+        F.count("t2").cast("long").alias("n2"),
+        F.count("t3").cast("long").alias("n3"),
     )
 
     def _stage(i, name, n, conv):

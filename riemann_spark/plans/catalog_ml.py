@@ -1008,17 +1008,21 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     reason). The fixture has no organic duplicates, so every 50th doc
     is re-salted in as a true duplicate (mirrored in the oracle).
 
-    Scale shape: three shuffles (fingerprint window; 2-gram counts;
-    the verdict join back on doc_id) — every gate is a pure
-    projection, so a 100 TB corpus streams through with the same
-    plan. Thresholds are fixture-calibrated (quality p10, repetition
-    p97-p99)."""
+    Scale shape (r14): ONE shuffle — the fingerprint window. Every
+    other signal, including both repetition metrics, is a pure
+    projection fused after the window (text.repetition_cols: per-doc
+    2-gram counts as run lengths over the sorted gram array), so the
+    old plan's corpus-wide (doc, gram) count shuffle and the verdict
+    join back on doc_id are gone and a 100 TB corpus streams through
+    with a single exchange. Thresholds are fixture-calibrated
+    (quality p10, repetition p97-p99)."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     dups = d.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + text.UPSAMPLE_ID_OFFSET).alias("doc_id"), "text"
     )
     corpus = d.unionByName(dups)
-    rep = text.repetition_metrics(corpus)
+    toks = text.tokens("text")
+    dup_word_frac, top2_char_frac = text.repetition_cols()
     scored = (
         corpus.withColumn(
             "canonical_id",
@@ -1026,7 +1030,12 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("quality", text.quality_score("text"))
         .withColumn("lang_pred", text.lang_id("text"))
-        .join(rep, F.col("doc_id") == F.col("doc"))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct", F.size(F.array_distinct(toks)))
+        .withColumn("n_chars", F.length(F.col("text")))
+        .withColumn("t", toks)
+        .withColumn("dup_word_frac", dup_word_frac)
+        .withColumn("top2_char_frac", top2_char_frac)
     )
     reason = (
         F.when(F.col("doc_id") != F.col("canonical_id"), "duplicate")

@@ -608,6 +608,33 @@ def test_repetition_metrics_known_doc(spark):
     assert rows[2]["top2_char_frac"] == 0.0  # no 2-grams
 
 
+def test_repetition_run_length_fold_matches_bruteforce(spark):
+    # r14: top2_char_frac moved from explode+groupBy to a run-length
+    # fold over the sorted gram array — check the fold against a
+    # brute-force per-doc 2-gram count on docs with ties, interleaved
+    # repeats, and degenerate lengths.
+    import random
+
+    rng = random.Random(14)
+    vocab = ["aa", "b", "ccc", "aa b", "d"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(40)]
+    # (empty text divides by n_chars=0 — ANSI error in old and new
+    # implementations alike, so not pinned here)
+    docs += [(101, "x"), (102, "x x x x x x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc"]: r["top2_char_frac"] for r in text.repetition_metrics(df).collect()}
+    for doc_id, txt in docs:
+        toks = txt.split()
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        best = max((grams.count(g) * len(g) for g in set(grams)), default=0)
+        want = best / len(txt) if txt else None
+        if want is None:
+            assert got[doc_id] is None or got[doc_id] == 0.0
+        else:
+            assert abs(got[doc_id] - want) < 1e-12, (doc_id, txt)
+
+
 def test_pii_scrub_golden(spark):
     df = spark.createDataFrame(
         [(0, "mail bob.smith+x@corp.example.org or 10.1.2.3 call 555-867-5309 ok")],
