@@ -1261,10 +1261,14 @@ def winnowing_overlap_pairs(
         if fp_frame is None
         else fp_frame
     )
-    fps = raw_fps.select(F.col(id_col).alias("doc"), "fp").distinct()
+    # collect_set dedups (doc, fp) inside the fp group, so the
+    # posting build is ONE fp-keyed shuffle — the former standalone
+    # .distinct() shuffled the whole fingerprint table a second time
+    # on (doc, fp) first (r14 §13)
+    fps = raw_fps.select(F.col(id_col).alias("doc"), "fp")
     posts = (
         fps.groupBy("fp")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
         .filter(F.size("docs") <= max_fp_df)
         .persist()
     )

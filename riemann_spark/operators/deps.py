@@ -156,13 +156,39 @@ def deps_tag(
     _collect(rule, plan, local=False)
 
     df = events
-    if plan.global_leaves:
+    if plan.global_leaves and plan.host_leaves:
+        # one index pass for BOTH leaf tiers (r14 §12): aggregate
+        # every leaf per host, persist the model-sized result
+        # (#hosts rows), and fold the global booleans out of it with
+        # a second, #hosts-row agg — the index subtree (latest-per-
+        # key: scan + sorts) used to be planned and computed once
+        # per tier. max-over-hosts of per-host max == global max;
+        # hosts the left join misses coalesce to False either way.
+        aggs = [
+            F.coalesce(F.max(F.when(_index_pred(fl), True)), F.lit(False)).alias(n)
+            for n, fl in plan.global_leaves + plan.host_leaves
+        ]
+        per_host = (
+            index_df.groupBy(F.col("host").alias("__dep_host")).agg(*aggs).persist()
+        )
+        glob = per_host.agg(
+            *[
+                F.coalesce(F.max(n), F.lit(False)).alias(n)
+                for n, _ in plan.global_leaves
+            ]
+        )
+        df = df.crossJoin(F.broadcast(glob))
+        hsel = per_host.select("__dep_host", *[n for n, _ in plan.host_leaves])
+        df = df.join(
+            F.broadcast(hsel), df["host"] == hsel["__dep_host"], "left"
+        ).drop("__dep_host")
+    elif plan.global_leaves:
         aggs = [
             F.coalesce(F.max(F.when(_index_pred(fl), True)), F.lit(False)).alias(n)
             for n, fl in plan.global_leaves
         ]
         df = df.crossJoin(F.broadcast(index_df.agg(*aggs)))
-    if plan.host_leaves:
+    elif plan.host_leaves:
         aggs = [
             F.coalesce(F.max(F.when(_index_pred(fl), True)), F.lit(False)).alias(n)
             for n, fl in plan.host_leaves
