@@ -589,6 +589,7 @@ def segment_dedup(
     max_df: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-level duplicated-segment removal (CCNet line dedup,
     arXiv:1911.00359 §3.1, over token-chunk segments): any segment
@@ -606,10 +607,17 @@ def segment_dedup(
     reaches the shuffle) and AQE's skew-join splits the join's hot
     partitions. One more shuffle on doc id to reassemble — the
     rebuild aggregates sort_array(struct(pos, seg)) per doc, payload
-    bounded by document length. No driver state."""
+    bounded by document length. No driver state.
+
+    ``carry_cols`` rides extra per-doc columns (scores, labels)
+    through the explode and reassembly (F.first — constant within a
+    doc), so a caller that needs them back avoids a second corpus
+    scan + recompute + join (r14 §15; curation_pipeline_cls)."""
     seg = (
         df.select(
-            F.col(id_col), F.posexplode(segments(text_col, seg_tokens)).alias("pos", "seg")
+            F.col(id_col),
+            *carry_cols,
+            F.posexplode(segments(text_col, seg_tokens)).alias("pos", "seg"),
         )
     )
     counts = seg.groupBy("seg").agg(F.count(F.lit(1)).alias("n_occ"))
@@ -628,6 +636,7 @@ def segment_dedup(
             F.sum(F.when(F.col("n_occ") > max_df, 1).otherwise(0))
             .cast("long")
             .alias("n_dropped"),
+            *[F.first(c).alias(c) for c in carry_cols],
         )
     )
 

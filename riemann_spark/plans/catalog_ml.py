@@ -2483,11 +2483,14 @@ def curation_pipeline_cls(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "text", text.hashed_linear_score("text", _CLS_DIM).alias("score")
     )
     keep = scored.filter(F.col("score") > 0.0)
-    cleaned = text.segment_dedup(keep, _SEG_W, 1)
+    # score rides segment_dedup's reassembly (carry_cols) — the old
+    # join-back re-scanned documents and re-ran the classifier fold
+    # per doc just to reattach one double (r14 §15)
+    cleaned = text.segment_dedup(keep, _SEG_W, 1, carry_cols=("score",))
     n_clean = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
         F.size(F.split(F.trim("clean_text"), r"\s+"))
     )
-    return cleaned.join(keep.select("doc_id", "score"), "doc_id").select(
+    return cleaned.select(
         "doc_id", "score", "n_dropped", n_clean.cast("long").alias("n_tokens_clean")
     )
 

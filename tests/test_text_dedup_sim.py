@@ -890,6 +890,25 @@ def test_segment_dedup_removes_corpus_duplicated_chunks(spark):
     assert (out[1].n_segs, out[1].n_dropped) == (2, 1)
 
 
+def test_segment_dedup_carry_cols(spark):
+    from riemann_spark.functions import text as tx
+
+    dup = " ".join(f"d{i}" for i in range(1, 11))
+    docs = spark.createDataFrame(
+        [(1, dup + " a1 a2 a3 a4 a5 a6 a7 a8 a9 a10", 0.25), (2, dup, -1.5)],
+        "doc_id long, text string, score double",
+    )
+    out = {
+        r.doc_id: r
+        for r in tx.segment_dedup(docs, 10, 1, carry_cols=("score",)).collect()
+    }
+    # carried column survives the explode/reassembly unchanged, and
+    # the dedup result matches the carry-free call
+    assert out[1].score == 0.25 and out[2].score == -1.5
+    assert out[1].clean_text == "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    assert out[2].clean_text == "" and out[2].n_dropped == 1
+
+
 def test_segment_dedup_short_tail_segment_kept(spark):
     from riemann_spark.functions import text as tx
 
