@@ -30,45 +30,27 @@ from riemann_spark.schema import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-#: Max shuffle-Exchange count at which a small-input plan runs the
-#: static planner instead of AQE (see schema.py's scope rationale:
-#: stage-sparse plans pay AQE's per-stage driver round trips for
-#: nothing; stage-dense plans want its coalescing even on tiny data).
-_AQE_STAGE_SPARSE_MAX_EXCHANGES = 3
-
-
-def _scope_query_aqe(spark, sf, df) -> None:
-    """Per-query AQE scope (r14, guide §2.2): after the builder
-    returns, disable adaptive execution for THIS frame's run iff the
-    source dir is small (< schema._AQE_OFF_BELOW_BYTES) AND the
-    compiled plan is stage-sparse (≤ _AQE_STAGE_SPARSE_MAX_EXCHANGES
-    shuffle Exchanges). Builder-internal actions already ran adaptive
-    (load_table restores it); the NEXT query's load_table restores it
-    again, so the scope is exactly one frame wide. Inspecting
-    sparkPlan here costs nothing extra — the action reuses the same
-    QueryExecution's lazy vals."""
-    from riemann_spark import schema as _schema
-
-    try:
-        nbytes = _schema._sf_dir_bytes(sf)
-        if nbytes is None or nbytes >= _schema._AQE_OFF_BELOW_BYTES:
-            return
-        plan = df._jdf.queryExecution().sparkPlan().toString()
-        n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-        if n_shuffles <= _AQE_STAGE_SPARSE_MAX_EXCHANGES:
-            _schema.set_aqe(spark, False)
-    except Exception:
-        pass  # never let the scope break a query; AQE stays as-is
-
-
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         if name in QUERIES:  # a silent overwrite would shadow a query
             raise ValueError(f"duplicate catalog query name: {name}")
 
         def wrapped(spark, sf, _fn=fn):
+            # Every query runs adaptive, and says so up front: builders
+            # that read stored state directly (spark.read.parquet,
+            # checkpointed loops) never call load_table first, so a
+            # stale AQE-off on the session (an interrupted caller, a
+            # user toggle) would silently deoptimize their internal
+            # actions. The per-frame AQE-off scope that briefly lived
+            # here (r14) was reverted with full-bench numbers — see
+            # OPTIMIZATION_r14.md §14: sparkPlan() precedes
+            # EnsureRequirements, so its Exchange count sees only
+            # explicit repartitions, and the packed-bench A/B showed
+            # no light-row win and heavy stored-state regressions.
+            from riemann_spark import schema as _schema
+
+            _schema.set_aqe(spark, True)
             df = _fn(spark, sf)
-            _scope_query_aqe(spark, sf, df)
             return df
 
         wrapped.__name__ = fn.__name__

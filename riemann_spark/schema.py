@@ -123,48 +123,6 @@ def _source_stamp(path: str):
         return None
 
 
-#: Plan-derived AQE scope (r14, guide §2.2). AQE re-plans a query
-#: stage by stage: each shuffle materializes, the driver re-optimizes,
-#: and the next stage schedules — runtime coalescing / skew-splitting
-#: that pays off when shuffles move real bytes OR when a plan is
-#: stage-dense over tiny data (coalescing collapses 32-task stages to
-#: 1-2 tasks). For a stage-SPARSE plan over a tiny corpus both
-#: benefits are nil and the per-stage driver round trips dominate —
-#: measured at sf0.1: 28 light 0-2-shuffle queries 20.7s with AQE vs
-#: 14.1s without, while 15 stage-dense lanes (iterative CC, ANN
-#: audits, posting-list dedup) read 33.7s with vs 40.9s without. So
-#: the scope is decided per QUERY from the two things that actually
-#: matter and that the engine knows before execution: total source
-#: bytes (below _AQE_OFF_BELOW_BYTES, default 1 GiB ≈ 16 advisory
-#: 64 MiB post-shuffle partitions, no shuffle can need re-planning)
-#: and the compiled plan's shuffle-Exchange count (see
-#: plans.catalog.q). load_table always RESTORES adaptive execution,
-#: so builder-internal actions (state builds, audits — the
-#: stage-dense population) always run adaptive; the per-query scope
-#: then disables it only for small-input stage-sparse frames.
-#: Results are identical either way — AQE is purely physical.
-_AQE_OFF_BELOW_BYTES = int(
-    os.environ.get("SPARK_GRAFT_AQE_OFF_BELOW_BYTES", str(1 << 30))
-)
-_DIR_BYTES: dict[str, int | None] = {}
-
-
-def _sf_dir_bytes(sf_dir: str) -> int | None:
-    if sf_dir not in _DIR_BYTES:
-        try:
-            total = 0
-            for root, _dirs, files in os.walk(sf_dir):
-                for f in files:
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
-            _DIR_BYTES[sf_dir] = total or None
-        except OSError:
-            _DIR_BYTES[sf_dir] = None
-    return _DIR_BYTES[sf_dir]
-
-
 def set_aqe(spark: SparkSession, want: bool) -> None:
     """Set spark.sql.adaptive.enabled, deduped per session (a py4j
     conf round trip per call would cost ~0.2s/pass across the
