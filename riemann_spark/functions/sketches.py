@@ -244,14 +244,28 @@ def bloom_dense_bytes(df: DataFrame, value: Column) -> bytes:
     (UTF8String counts code points) — binary substring is byte-
     addressed O(1). Rebuild when the reference set changes; it is a
     constant of the query, like a broadcast model table."""
-    blob = bytearray(1 << 17)
-    for r in bloom_words(df, value).collect():
-        word, bits = int(r.word), int(r.bits)
-        for b in range(32):
-            if bits >> b & 1:
-                p = word * 32 + b
-                blob[p >> 3] |= 1 << (p & 7)
-    return bytes(blob)
+    rows = bloom_words(df, value).collect()
+    try:
+        import numpy as np
+
+        # bit p = bit (p & 7) of byte (p >> 3) is exactly the
+        # little-endian uint32 byte layout of the (word, bits) table:
+        # word w's byte 4w+k holds bits 8k..8k+7, LSB-first
+        dense = np.zeros(1 << 15, dtype="<u4")
+        if rows:
+            dense[np.fromiter((r.word for r in rows), dtype=np.int64)] = (
+                np.fromiter((r.bits for r in rows), dtype=np.int64).astype("<u4")
+            )
+        return dense.tobytes()
+    except ImportError:  # pure-python fallback, same bytes
+        blob = bytearray(1 << 17)
+        for r in rows:
+            word, bits = int(r.word), int(r.bits)
+            for b in range(32):
+                if bits >> b & 1:
+                    p = word * 32 + b
+                    blob[p >> 3] |= 1 << (p & 7)
+        return bytes(blob)
 
 
 def bloom_hit_from_md5(h: Column, dense: bytes) -> Column:

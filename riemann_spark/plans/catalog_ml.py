@@ -1762,25 +1762,45 @@ FROM hits WHERE all_hit = 1 GROUP BY doc""",
 )
 def contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination through a Bloom-filter prefilter
-    (functions/sketches.py bloom_words/bloom_might_contain): the eval
-    set's 4-gram shingles compress to a ~128 KiB bit_or-merged word
-    table that broadcasts where the exact shingle strings would be
-    hundreds of MB — the 100 TB-side stream is probed with k=4
-    md5-chunk hashes and never shuffles. Counts per train doc include
-    Bloom false positives by design (fpr ~1e-4 at this fill); the
-    exact `contamination` query is the precise variant."""
+    (functions/sketches.py bloom_words → bloom_dense_bytes /
+    bloom_hits_in_array): the eval set's 4-gram shingles compress to
+    a 128 KiB dense filter where the exact shingle strings would be
+    hundreds of MB — each training doc's distinct shingles are probed
+    with k=4 md5-chunk hashes by ONE pure aggregate expression, so
+    the 100 TB side is a projection: no explode, no join, no shuffle
+    at all (r14: this replaced the (word, bits)-table broadcast-join
+    form, which exploded k rows per shingle and paid two shuffles —
+    groupBy(doc, shingle) then groupBy(doc); the expression probes
+    the identical bit set, equality property-tested in
+    test_plans.py). Counts per train doc include Bloom false
+    positives by design (fpr ~1e-4 at this fill); the exact
+    `contamination` query is the precise variant."""
     d = load_table(spark, sf, "documents")
     from riemann_spark.functions import sketches
 
     ev_sh = dedup._shingle_table(
         d.filter(F.col("source") == "src0"), "doc_id", "text", 4
     )
-    tr_sh = dedup._shingle_table(
-        d.filter(F.col("source") != "src0"), "doc_id", "text", 4
+    dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+    # explode-of-one-element-array: a Generate's output columns block
+    # predicate pushdown, so the n > 0 filter cannot be collapsed into
+    # the projection and duplicate the whole shingle+probe aggregate
+    # (the project-collapse trap streaming_contamination_gate documents;
+    # the plan pin asserts ONE md5 site)
+    hits = (
+        dedup._spread(d.filter(F.col("source") != "src0").select("doc_id", "text"))
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.array(
+                    sketches.bloom_hits_in_array(
+                        dedup.shingles("text", 4), dense
+                    ).cast("long")
+                )
+            ).alias("n_bloom_grams"),
+        )
     )
-    bloom = sketches.bloom_words(ev_sh, F.col("shingle"))
-    hits = sketches.bloom_might_contain(tr_sh, F.col("shingle"), bloom, ["doc"])
-    return hits.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_bloom_grams"))
+    return hits.filter(F.col("n_bloom_grams") > 0)
 
 
 @q(
@@ -1893,8 +1913,12 @@ def contamination_gate_report(spark: SparkSession, sf: str) -> DataFrame:
     dense-bloom expression, same false-positive semantics), rolled up
     per source. The ops view before turning the gate on: a source
     with a 40% gate rate is an eval-set mirror, not a data source.
-    One projection + one key-cardinality groupBy; the 100 TB side
-    never shuffles more than (source, flag) pairs."""
+    One projection + one key-cardinality groupBy; the only wide flow
+    is dedup._spread's round-robin of the narrow (source, text)
+    projection so the md5-probe stage runs at cluster width instead
+    of input-split width (r14 — a 594 KB single-split source pinned
+    the whole probe to one task); the probe output itself shuffles
+    nothing but (source, flag) pairs."""
     from riemann_spark.functions import sketches
 
     docs = load_table(spark, sf, "documents")
@@ -1903,7 +1927,7 @@ def contamination_gate_report(spark: SparkSession, sf: str) -> DataFrame:
     )
     dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
     flagged = (
-        docs.filter(F.col("source") != "src0")
+        dedup._spread(docs.filter(F.col("source") != "src0").select("source", "text"))
         .select("source", dedup.shingles("text", 4).alias("__sh"))
         .select(
             "source",

@@ -212,12 +212,21 @@ def test_tfidf_vocab_join_not_hinted_broadcast(spark):
     assert "CartesianProduct" not in plan_of_df(df)
 
 
-def test_bloom_filter_broadcasts_and_no_cartesian(spark):
+def test_bloom_filter_probe_is_pure_projection(spark):
+    # r14: the (word, bits) broadcast-join probe became the dense-
+    # bloom aggregate expression (identical bit set — equivalence
+    # asserted in test_streaming_gate_expr_matches_join_probe): the
+    # train side is now a projection with NO join and no shuffle
+    # beyond _spread's round-robin
     p = plan_of(spark, "contamination_bloom")
-    assert "BroadcastHashJoin" in p  # the <=32K-word filter is the small side
+    assert "Join" not in p
     assert "CartesianProduct" not in p
-    # building the filter partial-aggregates the bit_or map-side
-    assert "partial_bit_or" in p
+    # exactly one Exchange node — _spread's round-robin (formatted
+    # plans print each node twice: tree line + details block)
+    assert p.count("Exchange") == 2
+    assert "RoundRobinPartitioning" in p
+    assert "hashpartitioning" not in p
+    assert p.count("md5(") == 1  # one md5 per shingle, bound via transform
 
 
 def test_stratified_sample_pure_projection(spark):
