@@ -2503,10 +2503,24 @@ def curation_pipeline_cls(spark: SparkSession, sf: str) -> DataFrame:
     them; the classifier gate is a pure projection (no shuffle added),
     so the pipeline still pays only segment_dedup's two shuffles."""
     d = load_table(spark, sf, "documents")
-    scored = d.select(
-        "doc_id", "text", text.hashed_linear_score("text", _CLS_DIM).alias("score")
+    # _spread: the classifier fold is 2 md5/token — run it at cluster
+    # width, not input-split width (one 594 KB split = one task). The
+    # explode-of-one-element barrier keeps the score > 0 filter from
+    # collapsing into the projection and evaluating the fold TWICE
+    # (Filter + Project both carried the full aggregate in the r14
+    # plan dump) — same trap as contamination_bloom (§16).
+    scored = dedup._spread(d.select("doc_id", "text")).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(text.hashed_linear_score("text", _CLS_DIM))
+        ).alias("score"),
     )
-    keep = scored.filter(F.col("score") > 0.0)
+    # query-lifetime persist (the §7/§11 pattern): segment_dedup plans
+    # its input twice (occurrence counts + join-back), so without this
+    # the classifier fold runs once per branch; bench/driver
+    # clearCache releases it
+    keep = scored.filter(F.col("score") > 0.0).persist()
     # score rides segment_dedup's reassembly (carry_cols) — the old
     # join-back re-scanned documents and re-ran the classifier fold
     # per doc just to reattach one double (r14 §15)
