@@ -4636,9 +4636,11 @@ def char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     noise, natural text sits ~4.0-4.5 bits/char. The charset is
     sorted before the p·ln p fold so both engines fold the identical
     IEEE sequence; ideal_bytes (the entropy-coding lower bound)
-    derives from the round-6 value so its ceil is deterministic."""
+    derives from the round-6 value so its ceil is deterministic.
+    _spread (r14): the per-doc fold is O(distinct_chars × n_chars) —
+    cluster-width execution, not one task per 594 KB parquet split."""
     d = load_table(spark, sf, "documents")
-    return text.char_entropy(d)
+    return text.char_entropy(dedup._spread(d.select("doc_id", "text")))
 
 
 _TRUNC_DIMS = (8, 16, 32)

@@ -31,6 +31,14 @@ def get_spark(app_name: str = "riemann-spark", cpus: int | None = None) -> Spark
         # pandas` (~3s each) — measured 12-22s stalls on the first
         # mapInPandas query after a JVM-only stretch (see daemon.py).
         .config("spark.python.daemon.module", "riemann_spark.daemon")
+        # The JVM's generated-code cache holds 100 classes by default —
+        # a catalog of 300+ distinct query shapes (roughly 4 codegen
+        # units each) evicts everything between repeats, so every run
+        # re-compiles ~50-200 ms of Janino output per stage. 2048
+        # entries (~60 MB of classes) keeps the whole catalog warm:
+        # measured 25-query warm pass 14.6 -> 11.6 s (static conf —
+        # must be set before the first codegen, hence here).
+        .config("spark.sql.codegen.cache.maxEntries", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         # driver parquet uses TIMESTAMP(NANOS); read as long, convert in load_table

@@ -747,17 +747,23 @@ def test_boilerplate_removal_groupby_not_window(spark):
 def test_round6_batch3_pure_projections_zero_shuffle(spark):
     """fim_transform / blocklist_gate / char_entropy /
     winnowing_fingerprints are ingest-stage projections: zero
-    Exchanges; winnowing's gram-hash array is bound through a prior
-    select so the window fold reads it instead of re-deriving md5
-    per window (Catalyst does not CSE across higher-order fns)."""
+    Exchanges (char_entropy since r14 carries exactly _spread's
+    round-robin so its O(charset × chars) fold runs cluster-wide —
+    still no keyed shuffle); winnowing's gram-hash array is bound
+    through a prior select so the window fold reads it instead of
+    re-deriving md5 per window (Catalyst does not CSE across
+    higher-order fns)."""
     for name in (
         "fim_transform",
         "blocklist_gate",
-        "char_entropy",
         "winnowing_fingerprints",
     ):
         p = plan_of(spark, name)
         assert "Exchange" not in p, name
+    p = plan_of(spark, "char_entropy")
+    assert p.count("Exchange") == 2  # one node: tree line + details
+    assert "RoundRobinPartitioning" in p
+    assert "hashpartitioning" not in p
     # winnowing_fingerprints serves the STORED index (r12) — its
     # query plan is a bare parquet read; the md5 bind-once pin moves
     # to the state BUILD path (text.winnowing itself)
