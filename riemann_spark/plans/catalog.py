@@ -6185,34 +6185,41 @@ def holt_winters_forecast(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("metric").cast("decimal(38,6)"))
         .cast("double").alias("y")
     )
-    w = Window.partitionBy("host", "service").orderBy("b")
-    srt = hr.select(
-        "host", "service", "y", F.row_number().over(w).alias("t")
-    )
+    # r14: the rank window (row_number over b) existed only to address
+    # "first m / second m" rows for the init means — but those are
+    # slices of the b-sorted array the same aggregate already collects,
+    # and the means ride a 1e-6 integer grid, so a long-sum over the
+    # slice is bit-identical to the old decimal conditional-sum in any
+    # order. Dropping the window removes a Sort+Window pass; the plan
+    # is two exchanges (hourly rollup, per-key collect), nothing else.
     q6 = F.lit(1e6)
 
-    def qmean(col):
+    def qmean_slice(arr):
         return (
-            F.sum(F.round(col * q6).cast("long").cast("decimal(38,0)"))
-            .cast("double")
+            F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + F.round(v * q6).cast("long"),
+            ).cast("double")
             / q6
-            / F.count(col)
+            / float(m)
         )
 
-    g = srt.groupBy("host", "service").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("t", "y"))), lambda s: s.y
-        ).alias("ys"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-        qmean(F.when(F.col("t") <= m, F.col("y"))).alias("l0"),
-        (
-            (
-                qmean(F.when((F.col("t") > m) & (F.col("t") <= 2 * m), F.col("y")))
-                - qmean(F.when(F.col("t") <= m, F.col("y")))
-            )
-            / float(m)
-        ).alias("t0"),
-    ).filter(F.col("n") >= 2 * m)
+    g = (
+        hr.groupBy("host", "service")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "y"))), lambda s: s.y
+            ).alias("ys"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 2 * m)
+        .withColumn("l0", qmean_slice(F.slice("ys", 1, m)))
+        .withColumn(
+            "t0",
+            (qmean_slice(F.slice("ys", m + 1, m)) - F.col("l0")) / float(m),
+        )
+    )
 
     a, b_, gm = F.lit(_HW_A), F.lit(_HW_B), F.lit(_HW_G)
     init = F.struct(
