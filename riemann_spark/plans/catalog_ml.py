@@ -7467,17 +7467,44 @@ def _bm25_frame(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     toks = text.tokens("text")
 
-    def tf(term: str):  # single-arg lambda: a 2-arg one would become
-        # pyspark's (element, index) form and shadow the closure
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+    # r14: dl + the 8 per-term tfs each embedded their own copy of the
+    # tokenizer (Catalyst does not CSE across higher-order functions —
+    # the _gram_array lesson), so every doc was re-split NINE times,
+    # all on one task (single-split source). Bind the token array once
+    # through a transform lambda, materialize the 9 stats as ONE
+    # struct behind an explode-of-one barrier (field reads off a
+    # Generate output are plain attribute refs, immune to
+    # project-collapse re-inlining), and _spread the scan.
+    def tf(tk, term: str):  # single-arg lambda: a 2-arg one would
+        # become pyspark's (element, index) form and shadow the closure
+        return F.size(F.filter(tk, lambda t: t == F.lit(term)))
 
-    ft = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[
-            tf(w).cast("long").alias(f"tf{i}")
-            for i, w in enumerate(_BM25_TERMS)
-        ],
+    stats = F.explode(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.struct(
+                F.size(tk).cast("long").alias("dl"),
+                *[
+                    tf(tk, w).cast("long").alias(f"tf{i}")
+                    for i, w in enumerate(_BM25_TERMS)
+                ],
+            ),
+        )
+    )
+    # NOT persisted (measured): the stats aggregate and the score
+    # projection each plan this subtree, so the tokenizer runs twice
+    # per doc — a query-lifetime persist was A/B'd at 1.02/2.47/1.57s
+    # vs 0.76/1.43/1.23s without (bm25_topk / eval_report / eval_rrf):
+    # the cache build + (for the eval rows) a second nested cache cost
+    # more than the duplicated 32-way tokenize pass saves
+    ft = (
+        dedup._spread(d.select("doc_id", "text"))
+        .select("doc_id", stats.alias("__s"))
+        .select(
+            "doc_id",
+            F.col("__s.dl").alias("dl"),
+            *[F.col(f"__s.tf{i}").alias(f"tf{i}") for i in range(len(_BM25_TERMS))],
+        )
     )
     g = ft.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -7508,14 +7535,17 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     score. The full-text half of a RAG retrieval stack, and the
     lexical baseline every hybrid-search eval needs.
 
-    Scale shape: per-doc tf/dl are pure projections fused with the
-    scan (no explode — the tf of each query term is a filtered array
-    length, so only q columns materialize, not corpus×vocab rows);
-    corpus statistics (N, avgdl, per-term df) are ONE single-row
-    aggregate broadcast back; top-20 is TakeOrderedAndProject (local
-    k-heaps, k-row driver merge) with the rank window over 20 rows.
-    No shuffle touches corpus-sized data beyond the one-row agg's
-    partials."""
+    Scale shape: per-doc tf/dl are narrow projections (never a
+    corpus×vocab explode — the tf of each query term is a filtered
+    array length; since r14 all q+1 stats bind ONE tokenizer pass per
+    row through a transform lambda behind an explode-of-one struct
+    barrier, where the naive projection re-split every doc q+1
+    times); corpus statistics (N, avgdl, per-term df) are ONE
+    single-row aggregate broadcast back; top-20 is
+    TakeOrderedAndProject (local k-heaps, k-row driver merge) with
+    the rank window over 20 rows. No shuffle touches corpus-sized
+    data beyond the one-row agg's partials and _spread's round-robin
+    of the narrow (doc_id, text) projection."""
     sc = _bm25_frame(spark, sf)
     top = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1119,11 +1119,19 @@ def test_coverage_gaps_single_window_no_join(spark):
 
 def test_bm25_no_explode_broadcast_stats(spark):
     """BM25 must keep per-doc tf as filtered-array-length projections
-    (no Generate/explode materializing corpus×vocab rows), broadcast
-    the ONE-row corpus-stats aggregate, and take top-20 via local
-    k-heaps — the zero-corpus-shuffle retrieval plan."""
+    (no corpus×vocab explode — the ONLY Generate allowed is the r14
+    explode-of-one stats barrier, which emits exactly one struct row
+    per doc so the tokenizer binds once instead of 9×), broadcast the
+    ONE-row corpus-stats aggregate, and take top-20 via local k-heaps
+    — the zero-corpus-shuffle retrieval plan."""
     p = plan_of(spark, "bm25_topk")
-    assert "Generate" not in p, p
+    # two Generate nodes (tree + details lines each): the stats-agg
+    # branch and the score branch each carry the 1-element transform
+    # barrier — never a token/vocab explode
+    assert p.count("Generate") == 4, p
+    assert "explode(transform(array(" in p
+    # tokenizer bound ONCE per branch (was 9× per row before r14)
+    assert p.count("split(trim(") == 2
     assert "BroadcastNestedLoopJoin" in p  # one-row stats × corpus
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
