@@ -1021,21 +1021,79 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + text.UPSAMPLE_ID_OFFSET).alias("doc_id"), "text"
     )
     corpus = d.unionByName(dups)
-    toks = text.tokens("text")
-    dup_word_frac, top2_char_frac = text.repetition_cols()
-    scored = (
-        corpus.withColumn(
-            "canonical_id",
-            F.min("doc_id").over(Window.partitionBy(text.fingerprint("text"))),
+
+    # r14: composing quality_score + lang_id + the repetition columns
+    # as independent expressions embedded the tokenizer 33 TIMES per
+    # row in the physical plan (no CSE across higher-order functions;
+    # the lang_id when-chain alone re-inlines each vote's filter into
+    # every later comparison). One tokenizer pass now materializes
+    # every token-derived signal as fields of a single struct behind
+    # an explode-of-one barrier (the §16/§20 pattern); quality /
+    # lang_pred / the repetition fold then read struct fields —
+    # expression-identical arithmetic over the same values, just
+    # bound once. v_en doubles as quality's stopword count
+    # (EN_STOPWORDS IS LANG_STOPWORDS['en']).
+    from riemann_spark.functions.text import LANG_STOPWORDS
+
+    def _sig(tk):
+        def votes(sw):
+            lit_sw = F.array(*[F.lit(w) for w in sw])
+            return F.size(F.filter(tk, lambda t: F.array_contains(lit_sw, t)))
+
+        len_sum = F.aggregate(
+            F.transform(tk, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        .withColumn("quality", text.quality_score("text"))
-        .withColumn("lang_pred", text.lang_id("text"))
-        .withColumn("n_tokens", F.size(toks))
-        .withColumn("n_distinct", F.size(F.array_distinct(toks)))
-        .withColumn("n_chars", F.length(F.col("text")))
-        .withColumn("t", toks)
-        .withColumn("dup_word_frac", dup_word_frac)
-        .withColumn("top2_char_frac", top2_char_frac)
+        return F.struct(
+            tk.alias("t"),
+            F.size(tk).alias("n_tokens"),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+            len_sum.alias("len_sum"),
+            *[
+                votes(sw).alias(f"v_{lang}")
+                for lang, sw in LANG_STOPWORDS.items()
+            ],
+        )
+
+    sig = F.explode(F.transform(F.array(text.tokens("text")), _sig))
+    base = corpus.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy(text.fingerprint("text"))),
+    ).select("doc_id", "text", "canonical_id", sig.alias("__s"))
+
+    quality = (
+        F.lit(0.5) * (F.col("__s.v_en") / F.col("__s.n_tokens").cast("double"))
+        + F.lit(0.3)
+        * F.least(
+            (F.col("__s.len_sum") / F.col("__s.n_tokens")) / F.lit(10.0),
+            F.lit(1.0),
+        )
+        - F.lit(0.2)
+        * (
+            F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+            / F.length(F.col("text")).cast("double")
+        )
+    )
+    best, best_v = F.lit("und"), F.lit(0)
+    for lang in LANG_STOPWORDS:
+        v = F.col(f"__s.v_{lang}")
+        cond = v > best_v
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_v = F.when(cond, v).otherwise(best_v)
+
+    dup_word_frac, top2_char_frac = text.repetition_cols()
+    scored = base.select(
+        "doc_id",
+        "canonical_id",
+        quality.alias("quality"),
+        best.alias("lang_pred"),
+        F.col("__s.n_tokens").alias("n_tokens"),
+        F.col("__s.n_distinct").alias("n_distinct"),
+        F.length(F.col("text")).alias("n_chars"),
+        F.col("__s.t").alias("t"),
+    ).withColumn("dup_word_frac", dup_word_frac).withColumn(
+        "top2_char_frac", top2_char_frac
     )
     reason = (
         F.when(F.col("doc_id") != F.col("canonical_id"), "duplicate")
