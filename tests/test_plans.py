@@ -744,6 +744,31 @@ def test_boilerplate_removal_groupby_not_window(spark):
     assert "partial_count" in p
 
 
+def test_spread_is_input_width_conditional(spark):
+    """VERDICT r14 #1: _spread must round-robin a narrow (single-split)
+    input to cluster width AND be a no-op on an input already at or
+    above cluster width — at 100 TB the scan has thousands of splits
+    and an unconditional repartition is a pure full-corpus shuffle
+    write of the text payload. Both shapes pinned, for both copies
+    (dedup._spread / similarity._spread)."""
+    from pyspark.sql import functions as F
+
+    from riemann_spark.functions import dedup, similarity
+
+    width = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1).select(
+        F.col("id"), F.col("id").cast("string").alias("text")
+    )
+    wide = spark.range(100).repartition(width + 1).select(
+        F.col("id"), F.col("id").cast("string").alias("text")
+    )
+    for mod in (dedup, similarity):
+        p_narrow = plan_of_df(mod._spread(narrow))
+        assert "RoundRobinPartitioning" in p_narrow, mod.__name__
+        # identity return proves no exchange was added on the wide path
+        assert mod._spread(wide) is wide, mod.__name__
+
+
 def test_round6_batch3_pure_projections_zero_shuffle(spark):
     """fim_transform / blocklist_gate / char_entropy /
     winnowing_fingerprints are ingest-stage projections: zero
