@@ -22,9 +22,11 @@ from riemann_spark.query import parse, to_sql
 from riemann_spark.schema import (
     EVENTS_NORM_SQL,
     load_events,
+    load_parquet,
     load_table,
     normalize_events,
     normalize_ts,
+    parquet_schema,
 )
 
 QUERIES: dict = {}
@@ -1558,7 +1560,7 @@ def streaming_index_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     # file stream sources take a directory; pathGlobFilter selects the
     # events table. Schema must be the RAW parquet schema (ts read as
     # nanos-long), converted in-stream exactly like load_table does.
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1714,7 +1716,7 @@ def streaming_ewma_halflife(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sewma_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sewma_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1773,7 +1775,7 @@ def streaming_batch_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sbatch_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sbatch_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1847,7 +1849,7 @@ def streaming_fill_in_last_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sfill_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sfill_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1919,7 +1921,7 @@ def streaming_rate_closed(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_srate_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="srate_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1964,7 +1966,7 @@ def streaming_window_folds_closed(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_swf_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="swf_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2020,7 +2022,7 @@ def streaming_percentiles_closed(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_spct_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="spct_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2088,7 +2090,7 @@ def streaming_count_windows(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_scw_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scw_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2133,7 +2135,7 @@ def streaming_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_stw_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stw_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2189,7 +2191,7 @@ def streaming_moving_time_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_smtw_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="smtw_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2230,7 +2232,7 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sdd_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sdd_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2274,7 +2276,7 @@ def streaming_changed_edges(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_schg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="schg_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2319,7 +2321,7 @@ def streaming_throttle_weekly(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sthr_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sthr_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2366,7 +2368,7 @@ def streaming_apdex_closed(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sapx_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sapx_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2448,7 +2450,7 @@ def streaming_sessions_closed(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_ssess_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ssess_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -2921,7 +2923,7 @@ def streaming_coalesce_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_scoal_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scoal_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -3005,7 +3007,7 @@ def streaming_top_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_stop_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stop_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -3980,7 +3982,7 @@ def streaming_percentiles_histogram_closed(spark: SparkSession, sf: str) -> Data
 
     name = f"cat_shist_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="shist_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4098,7 +4100,7 @@ def streaming_heavy_hitters_closed(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_scms_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scms_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4254,7 +4256,7 @@ def streaming_project_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sproj_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sproj_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4307,7 +4309,7 @@ def streaming_anomaly_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sanom_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sanom_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4452,7 +4454,7 @@ def streaming_slo_burn_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sburn_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sburn_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4767,7 +4769,7 @@ def streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
     tot = ref.groupBy("service").agg(F.count(F.lit(1)).alias("n_ref"))
 
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4839,7 +4841,7 @@ def streaming_stable_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sst_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sst_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -5073,7 +5075,7 @@ def streaming_scd2_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_scd2_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scd2_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -5145,7 +5147,7 @@ def event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     map-side-combining to one row per user, chained by user-keyed
     joins that reuse the same hash partitioning; the final rollup is
     a ONE-row aggregate. No windows, no sorts, linear in events."""
-    raw = spark.read.parquet(f"{sf}/events.parquet")
+    raw = load_parquet(spark, f"{sf}/events.parquet")
     e = normalize_ts(raw, "ts").select(
         "user_id",
         "event_type",
@@ -5248,7 +5250,7 @@ def streaming_funnel_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_fnl_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="fnl_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -5367,7 +5369,7 @@ def funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
     output with the median's sorted list bounded by conversions per
     step (at deploy: swap for the histogram-sketch percentile lane
     the percentiles operators provide)."""
-    raw = spark.read.parquet(f"{sf}/events.parquet")
+    raw = load_parquet(spark, f"{sf}/events.parquet")
     ev = normalize_events(normalize_ts(raw, "ts"))
     u1 = ev.groupBy("host").agg(
         F.min(F.when(F.col("service") == "view", F.col("time"))).alias("t1")
@@ -5460,7 +5462,7 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     divergence possible); the cohort-size table is key-cardinality
     and broadcasts. Output is cohorts × offsets rows; one final
     division per cell."""
-    raw = spark.read.parquet(f"{sf}/events.parquet")
+    raw = load_parquet(spark, f"{sf}/events.parquet")
     e = normalize_ts(raw, "ts").select(
         "user_id",
         F.col("event_type"),
@@ -5745,7 +5747,7 @@ def streaming_mad_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
     base = md.join(dd, "service")
 
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -5977,7 +5979,7 @@ def streaming_cusum_drained(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("sd"),
     )
 
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -6077,7 +6079,7 @@ def streaming_retrain_trigger_drained(spark: SparkSession, sf: str) -> DataFrame
         ).alias("sd"),
     )
 
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/events.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

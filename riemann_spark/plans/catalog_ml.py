@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from riemann_spark.functions import dedup, similarity, text
 from riemann_spark.plans.catalog import ORACLES, QUERIES, q
-from riemann_spark.schema import load_table
+from riemann_spark.schema import load_parquet, load_table, parquet_schema
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _SW = {lang: str(ws) for lang, ws in text.LANG_STOPWORDS.items()}
@@ -669,7 +669,7 @@ def _ivf_codebook_state(spark: SparkSession, sf: str) -> DataFrame:
         for stale in glob.glob(os.path.join(root, "ivf_centroids-*")):
             if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
                 shutil.rmtree(stale, ignore_errors=True)
-    return spark.read.parquet(path)
+    return load_parquet(spark, path)
 
 
 def _cell_balance_sql(k: int, dim: int, iters: int) -> str:
@@ -1440,7 +1440,7 @@ def streaming_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sqg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sqg_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1911,7 +1911,7 @@ def streaming_contamination_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_scg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scg_ck_")
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = load_parquet(spark, f"{sf}/documents.parquet")
     ev_sh = dedup._shingle_table(
         docs.filter(F.col("source") == "src0"), "doc_id", "text", 4
     )
@@ -3520,7 +3520,7 @@ def streaming_dedup_minhash_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sdm_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sdm_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -4042,7 +4042,7 @@ def streaming_embedding_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_seg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="seg_ck_")
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = load_parquet(spark, f"{sf}/embeddings.parquet")
     ev = emb.filter(F.col("label") == 0)
     eval_buckets = sorted(
         {
@@ -5181,7 +5181,7 @@ def streaming_bottomk_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sbk_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sbk_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -5436,7 +5436,7 @@ def streaming_blocklist_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sbg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sbg_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -5769,7 +5769,7 @@ def streaming_pii_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_spg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="spg_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -6454,7 +6454,7 @@ def streaming_ann_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_anng_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="anng_ck_")
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = load_parquet(spark, f"{sf}/embeddings.parquet")
     max_cos, gated = _ann_gate_cols(_ann_gate_centroids(emb))
     raw = (
         spark.readStream.schema(emb.schema)
@@ -6742,7 +6742,7 @@ def streaming_token_budget_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_stb_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stb_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -6803,7 +6803,7 @@ def streaming_url_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sug_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sug_ck_")
-    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    raw_schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -8939,7 +8939,7 @@ def _stored_state_tables(spark, sf, src_table, names, build, params=()):
             )
             for old in stale[_STALE_STAMPS_KEPT:]:
                 shutil.rmtree(old, ignore_errors=True)
-    return tuple(spark.read.parquet(p) for p in paths)
+    return tuple(load_parquet(spark, p) for p in paths)
 
 
 # stale stored-state generations retained per table (newest first); see
@@ -9927,7 +9927,7 @@ def streaming_classifier_gate_drained(spark: SparkSession, sf: str) -> DataFrame
 
     name = f"cat_scg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scg_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -10255,7 +10255,7 @@ def incremental_index_writeback(spark: SparkSession, sf: str) -> DataFrame:
     dedup.connected_components(lake_pairs).write.parquet(star_path)
 
     def star_pairs():
-        return spark.read.parquet(star_path).select(
+        return load_parquet(spark, star_path).select(
             F.col("node").alias("doc1"), F.col("cluster").alias("doc2")
         )
 
@@ -10266,7 +10266,7 @@ def incremental_index_writeback(spark: SparkSession, sf: str) -> DataFrame:
     # deploy, write a new snapshot dir and swap, as _warmstart_state
     # does.
     p1 = dedup.incremental_lsh_pairs(
-        b1, spark.read.parquet(idx_path), _N_HASHES, _BAND
+        b1, load_parquet(spark, idx_path), _N_HASHES, _BAND
     ).localCheckpoint()
     star1 = dedup.connected_components(star_pairs().unionByName(p1))
     dedup.minhash_bands(b1, _N_HASHES, _BAND).write.mode("append").parquet(
@@ -10276,7 +10276,7 @@ def incremental_index_writeback(spark: SparkSession, sf: str) -> DataFrame:
 
     # batch 2: probe the index batch 1 just updated
     p2 = dedup.incremental_lsh_pairs(
-        b2, spark.read.parquet(idx_path), _N_HASHES, _BAND
+        b2, load_parquet(spark, idx_path), _N_HASHES, _BAND
     ).localCheckpoint()
     final = dedup.connected_components(star_pairs().unionByName(p2))
 
@@ -10558,7 +10558,7 @@ def streaming_contamination_gate_drained(
     ev = _eval_shingle_state(spark, sf)
     name = f"cat_scg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scg_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -10668,7 +10668,7 @@ def streaming_contamination_writeback_drained(
     )
     name = f"cat_scw_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scw_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -11120,7 +11120,7 @@ def streaming_ivf_assign_drained(spark: SparkSession, sf: str) -> DataFrame:
     lits = similarity.centroid_literals(
         _ivf_codebook_state(spark, sf).collect()
     )
-    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/embeddings.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
@@ -11219,7 +11219,7 @@ def streaming_index_drift_drained(spark: SparkSession, sf: str) -> DataFrame:
     lits = similarity.centroid_literals(
         _ivf_codebook_state(spark, sf).collect()
     )
-    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/embeddings.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
@@ -11332,7 +11332,7 @@ def _pq_codebook_state(spark: SparkSession, sf: str) -> DataFrame:
         for stale in glob.glob(os.path.join(root, "pq_codebooks-*")):
             if not stale.endswith(f"-{stamp}") and ".staging-" not in stale:
                 shutil.rmtree(stale, ignore_errors=True)
-    return spark.read.parquet(path)
+    return load_parquet(spark, path)
 
 
 @q("knn_pq_from_table", _pq_trained_oracle(16, 5))
@@ -11779,13 +11779,13 @@ def streaming_neardup_probe_drained(spark: SparkSession, sf: str) -> DataFrame:
     lake = d.filter(F.col("doc_id") % 4 != 3)
     idx_path = tempfile.mkdtemp(prefix="rs_ndprobe_") + "/band_index"
     dedup.minhash_bands(lake, _N_HASHES, _BAND).write.parquet(idx_path)
-    idx = spark.read.parquet(idx_path).select(
+    idx = load_parquet(spark, idx_path).select(
         "band", F.col("doc").alias("doc_lake")
     )
 
     name = f"cat_ndp_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ndp_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -13131,7 +13131,7 @@ def streaming_fertility_gate_drained(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"cat_sfg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sfg_ck_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = parquet_schema(spark, f"{sf}/documents.parquet")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")

@@ -138,6 +138,31 @@ def set_aqe(spark: SparkSession, want: bool) -> None:
         pass  # conf locked down: run with whatever the session has
 
 
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Cached raw parquet scan frame (no timestamp normalization) —
+    the _SCAN_CACHE posture for paths that are not sf-dir tables:
+    stored-state dirs (write-once, stamped) and raw-schema probes. A
+    bare ``spark.read.parquet`` re-lists and re-infers footers on
+    every call — measured 0.10-0.15s per call, paid per query pass by
+    every stored-state consumer (r15). Same key discipline as
+    load_table: (path, source mtime), falling back to path-only where
+    os.stat has no business succeeding."""
+    cache = _scan_cache_for(spark)
+    key = ("raw", path, _source_stamp(path))
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[key] = df
+    return df
+
+
+def parquet_schema(spark: SparkSession, path: str):
+    """The RAW parquet schema (ts columns as nanos-long), cached via
+    load_parquet — the streaming-source builders need it per query
+    and were paying a fresh footer inference each call."""
+    return load_parquet(spark, path).schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table, normalizing timestamp
     columns to TimestampType (microsecond instants). Cached per

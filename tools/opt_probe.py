@@ -59,7 +59,7 @@ def main() -> None:
             if args.dump and p == 0:
                 outd = os.path.join(
                     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "plans", "r14",
+                    "plans", "r15",
                 )
                 os.makedirs(outd, exist_ok=True)
                 with open(os.path.join(outd, f"{name}_{args.dump}.txt"), "w") as fh:
