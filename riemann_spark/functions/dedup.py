@@ -52,18 +52,42 @@ def _spread(df: DataFrame) -> DataFrame:
     parallelism. One cheap round-robin shuffle of the narrow doc
     projection buys full-width execution of everything downstream.
 
-    CONDITIONAL (VERDICT r14 #1): a 100 TB corpus scan already has
-    thousands of splits — an unconditional repartition there is a pure
-    full-corpus round-robin shuffle WRITE of the text payload in front
-    of a projection (AQE only coalesces the post-shuffle READ; the
-    write happens regardless). Skip the shuffle when the plan is
-    already at or above cluster width; the one-off
-    ``rdd.getNumPartitions()`` plan-conversion probe is driver-only
-    (no job) and costs ~ms. Same posture as
-    ``operators.skew.spread_for_python``."""
+    WIDTH-CONDITIONAL (VERDICT r14 #1): a 100 TB corpus scan already
+    has thousands of splits — an unconditional repartition there is a
+    pure full-corpus round-robin shuffle WRITE of the text payload in
+    front of a projection (AQE only coalesces the post-shuffle READ;
+    the write happens regardless). Two branches, gated by a zero-cost
+    session signal (largest source loaded through the scan cache):
+
+    - small corpus (every source below the probe threshold, default
+      1 GiB): spread unconditionally — the input is certainly narrow,
+      and even a mistaken shuffle moves <1 GiB. This keeps the bench
+      plans (and their per-pass cost) exactly as before: no per-frame
+      probe.
+    - lake corpus (or unknowable source size, e.g. s3://): pay one
+      driver-only JVM planning probe (~50 ms, nothing against
+      lake-scale queries) for the frame's EXACT partition count and
+      skip the shuffle when already at or above cluster width.
+
+    The threshold is an env knob (SPARK_GRAFT_SPREAD_PROBE_ABOVE_BYTES)
+    so a deployment can force either branch."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    import os
+
+    from riemann_spark import schema as _schema
+
+    thresh = int(
+        os.environ.get("SPARK_GRAFT_SPREAD_PROBE_ABOVE_BYTES", str(1 << 30))
+    )
+    if _schema.max_source_bytes(df.sparkSession) >= thresh:
+        try:
+            # JVM-side planning only: no Python-serializer codegen
+            # (df.rdd would compile one per call)
+            n = df._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:
+            n = 0
+        if n >= target:
+            return df
     return df.repartition(target)
 
 

@@ -49,14 +49,17 @@ def _spread(df: DataFrame) -> DataFrame:
     projection; every assignment is row-local with explicit
     tie-breaks, so values are partitioning-independent.
 
-    CONDITIONAL (VERDICT r14 #1, mirrors dedup._spread): skipped when
-    the plan is already at or above cluster width — at lake scale the
-    scan has thousands of splits and the round-robin would be a pure
-    extra shuffle write of the embedding payload."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    WIDTH-CONDITIONAL (VERDICT r14 #1, mirrors dedup._spread — see its
+    docstring for the two-branch design): skipped when the plan is
+    already at or above cluster width — at lake scale the scan has
+    thousands of splits and the round-robin would be a pure extra
+    shuffle write of the embedding payload. The per-frame width probe
+    only runs when the session has loaded a lake-sized source (or one
+    whose size is unknowable); small corpora spread unconditionally,
+    probe-free."""
+    from riemann_spark.functions.dedup import _spread as _dedup_spread
+
+    return _dedup_spread(df)
 
 
 def brute_force_topk(

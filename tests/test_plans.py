@@ -744,13 +744,16 @@ def test_boilerplate_removal_groupby_not_window(spark):
     assert "partial_count" in p
 
 
-def test_spread_is_input_width_conditional(spark):
-    """VERDICT r14 #1: _spread must round-robin a narrow (single-split)
-    input to cluster width AND be a no-op on an input already at or
-    above cluster width — at 100 TB the scan has thousands of splits
-    and an unconditional repartition is a pure full-corpus shuffle
-    write of the text payload. Both shapes pinned, for both copies
-    (dedup._spread / similarity._spread)."""
+def test_spread_is_input_width_conditional(spark, monkeypatch):
+    """VERDICT r14 #1: in the lake posture (probe threshold crossed),
+    _spread must round-robin a narrow (single-split) input to cluster
+    width AND be a no-op on an input already at or above cluster
+    width — at 100 TB the scan has thousands of splits and an
+    unconditional repartition is a pure full-corpus shuffle write of
+    the text payload. In the small-corpus posture (sources below the
+    threshold) it spreads unconditionally, probe-free — the r14 bench
+    shapes. All shapes pinned, for both copies (dedup._spread /
+    similarity._spread)."""
     from pyspark.sql import functions as F
 
     from riemann_spark.functions import dedup, similarity
@@ -762,11 +765,18 @@ def test_spread_is_input_width_conditional(spark):
     wide = spark.range(100).repartition(width + 1).select(
         F.col("id"), F.col("id").cast("string").alias("text")
     )
+    # lake posture: probe always runs
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_PROBE_ABOVE_BYTES", "0")
     for mod in (dedup, similarity):
         p_narrow = plan_of_df(mod._spread(narrow))
         assert "RoundRobinPartitioning" in p_narrow, mod.__name__
         # identity return proves no exchange was added on the wide path
         assert mod._spread(wide) is wide, mod.__name__
+    # small-corpus posture: unconditional spread, no probe (the
+    # threshold is far above anything this suite loads)
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD_PROBE_ABOVE_BYTES", raising=False)
+    p_wide = plan_of_df(dedup._spread(wide))
+    assert "RoundRobinPartitioning" in p_wide
 
 
 def test_round6_batch3_pure_projections_zero_shuffle(spark):
