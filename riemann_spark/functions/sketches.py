@@ -244,7 +244,14 @@ def bloom_dense_bytes(df: DataFrame, value: Column) -> bytes:
     (UTF8String counts code points) — binary substring is byte-
     addressed O(1). Rebuild when the reference set changes; it is a
     constant of the query, like a broadcast model table."""
-    rows = bloom_words(df, value).collect()
+    return bloom_dense_pack(bloom_words(df, value).collect())
+
+
+def bloom_dense_pack(rows) -> bytes:
+    """Pack collected (word, bits) rows into the 128 KiB dense form —
+    factored out of bloom_dense_bytes so a STORED (word, bits) table
+    (the contamination gate's serving state, r15) packs through the
+    identical code path and yields identical bytes."""
     try:
         import numpy as np
 

@@ -1352,9 +1352,30 @@ def corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     # Materialize the one-row profile while the shared shingle scan is
     # cached, then release the cache — otherwise the exploded shingle
     # blocks stay pinned in executor storage for the rest of a session
-    # that runs dozens more queries. collect() here is one row.
+    # that runs dozens more queries.
+    #
+    # r15 (guide §2.6 — overlap independent jobs): a single collect of
+    # the crossJoined frame ran the three sketch branches as
+    # near-sequential query stages (~0.7-0.8s each warm, ~3.1s build).
+    # Instead: fill the shared cache once (count), then collect the
+    # three branches from a small driver thread pool so their stages
+    # back-fill each other's idle executors. Same three aggregations
+    # over the same cached table — per-branch results (and the
+    # assembled row) are bit-identical; probe 3.1 -> ~1.7s.
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        rows = result.collect()
+        sh.count()  # single cache fill before the concurrent readers
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            r_hll, r_kmv, r_ex = pool.map(
+                lambda f: f.collect(), (hll, kmv, ex)
+            )
+        rows = [(
+            r_hll[0]["est_hll"],
+            r_kmv[0]["est_kmv"],
+            r_ex[0]["exact_distinct"],
+            r_ex[0]["n_shingle_rows"],
+        )]
     finally:
         sh.unpersist()
     return spark.createDataFrame(rows, result.schema)
@@ -1796,6 +1817,39 @@ def contamination(spark: SparkSession, sf: str) -> DataFrame:
 _BLOOM_POS = "CAST('0x' || substr(md5(shingle), 1 + 5*i, 5) AS BIGINT)"
 
 
+def _bloom_gate_state(spark: SparkSession, sf: str) -> bytes:
+    """The contamination gate's SERVING artifact: the eval set's
+    4-gram Bloom filter, dense 128 KiB bytes — built once per corpus
+    and stored as a (word, bits) parquet via the stored-state
+    protocol (stamped on documents mtime + the filter's semantic
+    params), exactly like the LSH band index / IVF-PQ code tables the
+    other serving rows read. bloom_hits_in_array's own contract
+    already said so: "Rebuild when the reference set changes; it is a
+    constant of the query, like a broadcast model table." Before r15
+    the three gate queries each re-scanned and re-hashed the eval set
+    to rebuild this constant on every pass (~1.3s each); every
+    consumer's oracle replays the filter construction from raw text,
+    so a drift between the stored bits and the semantics fails the
+    value gate. The dense pack runs through bloom_dense_pack — the
+    identical byte layout the inline build produced."""
+    from riemann_spark.functions import sketches
+
+    def build():
+        docs = load_table(spark, sf, "documents")
+        ev_sh = dedup._shingle_table(
+            docs.filter(F.col("source") == "src0"), "doc_id", "text", 4
+        )
+        return (sketches.bloom_words(ev_sh, F.col("shingle")),)
+
+    words = _stored_state_tables(
+        spark, sf, "documents",
+        ["bloom_gate_words"],
+        build,
+        params=("bloomgate", 4, sketches._BLOOM_K, sketches._BLOOM_BITS_LOG2),
+    )[0]
+    return sketches.bloom_dense_pack(words.collect())
+
+
 @q(
     "contamination_bloom",
     f"""
@@ -1836,10 +1890,7 @@ def contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     from riemann_spark.functions import sketches
 
-    ev_sh = dedup._shingle_table(
-        d.filter(F.col("source") == "src0"), "doc_id", "text", 4
-    )
-    dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+    dense = _bloom_gate_state(spark, sf)
     # explode-of-one-element-array: a Generate's output columns block
     # predicate pushdown, so the n > 0 filter cannot be collapsed into
     # the projection and duplicate the whole shingle+probe aggregate
@@ -1912,10 +1963,7 @@ def streaming_contamination_gate(spark: SparkSession, sf: str) -> DataFrame:
     name = f"cat_scg_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="scg_ck_")
     docs = load_parquet(spark, f"{sf}/documents.parquet")
-    ev_sh = dedup._shingle_table(
-        docs.filter(F.col("source") == "src0"), "doc_id", "text", 4
-    )
-    dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+    dense = _bloom_gate_state(spark, sf)
 
     raw = (
         spark.readStream.schema(docs.schema)
@@ -1980,10 +2028,7 @@ def contamination_gate_report(spark: SparkSession, sf: str) -> DataFrame:
     from riemann_spark.functions import sketches
 
     docs = load_table(spark, sf, "documents")
-    ev_sh = dedup._shingle_table(
-        docs.filter(F.col("source") == "src0"), "doc_id", "text", 4
-    )
-    dense = sketches.bloom_dense_bytes(ev_sh, F.col("shingle"))
+    dense = _bloom_gate_state(spark, sf)
     flagged = (
         dedup._spread(docs.filter(F.col("source") != "src0").select("source", "text"))
         .select("source", dedup.shingles("text", 4).alias("__sh"))
