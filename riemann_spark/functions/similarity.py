@@ -22,9 +22,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dots(a: Column, b: Column) -> Column:
+def _dots_sql(a_sql: str, b_sql: str) -> str:
+    """The _dots fold as a SQL string — parses to the identical
+    expression tree (same casts, same left fold, same 0.0 double
+    init), in ONE py4j round trip where the Python-lambda form costs
+    ~32ms of lambda/variable construction per call (r15, measured —
+    the dominant plan-construction cost of the embedding lanes)."""
+    return (
+        f"aggregate(zip_with(cast({a_sql} as array<double>),"
+        f" cast({b_sql} as array<double>), (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dots(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ as a left fold (cast to double first — float math would
-    round differently per engine)."""
+    round differently per engine). Pass BOTH args as SQL strings
+    (plain column names or SQL expressions) to take the parsed fast
+    path — bit-identical tree, ~50x cheaper to construct."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dots_sql(a, b))
     return F.aggregate(
         F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
         F.lit(0.0),
@@ -32,11 +49,11 @@ def _dots(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
     return F.sqrt(_dots(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     return _dots(a, b) / (norm(a) * norm(b))
 
 
@@ -78,19 +95,19 @@ def brute_force_topk(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_n"),
+            norm(f"`{vec_col}`").alias("q_n"),
         )
     )
     ca = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_n"),
+        norm(f"`{vec_col}`").alias("n_n"),
     )
     scored = (
         ca.crossJoin(qa)
         .filter(F.col("q_id") != F.col("n_id"))
         # norms precomputed per row, not per pair — same double sequence
-        .withColumn("cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n")))
+        .withColumn("cos", _dots("q_vec", "n_vec") / (F.col("q_n") * F.col("n_n")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (
@@ -121,21 +138,21 @@ def brute_force_topk_grouped(
             F.col(group_col).alias("__g"),
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_n"),
+            norm(f"`{vec_col}`").alias("q_n"),
         )
     )
     ca = corpus.select(
         F.col(group_col).alias("__g"),
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_n"),
+        norm(f"`{vec_col}`").alias("n_n"),
     )
     scored = (
         ca.join(qa, "__g")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(
             "cos",
-            _dots(F.col("q_vec"), F.col("n_vec"))
+            _dots("q_vec", "n_vec")
             / (F.col("q_n") * F.col("n_n")),
         )
     )
@@ -162,15 +179,41 @@ def plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+def _plane_sql(plane: int, dim: int) -> str:
+    """The plane's literal sign array as SQL — ``{s}D`` parses to the
+    identical DoubleType literal F.lit(s) built, in one round trip
+    where the F.array(*[F.lit(s) ...]) loop cost ~dim py4j calls."""
+    return "array(" + ",".join(f"{s}D" for s in plane_signs(plane, dim)) + ")"
+
+
+def hyperplane_sign(vec: Column | str, plane: int, dim: int) -> Column:
     """Sign bit of ⟨vec, h_plane⟩."""
-    signs = F.array(*[F.lit(s) for s in plane_signs(plane, dim)])
-    return (_dots(vec, signs) > 0).cast("int")
+    if isinstance(vec, str):
+        return F.expr(
+            f"cast(({_dots_sql(vec, _plane_sql(plane, dim))}) > 0 as int)"
+        )
+    return (_dots(vec, F.expr(_plane_sql(plane, dim))) > 0).cast("int")
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+def lsh_bucket(
+    vec: Column | str, n_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
     """n_planes sign bits → integer bucket id. ``plane_offset`` selects
-    a disjoint plane family per hash table (multi-table LSH)."""
+    a disjoint plane family per hash table (multi-table LSH).
+
+    Pass ``vec`` as a SQL string (plain column name) to build the
+    whole bucket as ONE parsed expression — bit-identical tree
+    (left-associated 0 + sign·2^p sum, same casts/literals), ~50x
+    cheaper to construct than the per-plane Python loop (r15)."""
+    if isinstance(vec, str):
+        terms = "0"
+        for p in range(n_planes):
+            sign = (
+                f"cast(({_dots_sql(vec, _plane_sql(plane_offset + p, dim))})"
+                f" > 0 as int)"
+            )
+            terms = f"({terms} + ({sign} * {2 ** p}))"
+        return F.expr(terms)
     out = F.lit(0)
     for p in range(n_planes):
         out = out + hyperplane_sign(vec, plane_offset + p, dim) * F.lit(2 ** p)
@@ -206,7 +249,7 @@ def embedding_near_dups(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        lsh_bucket(F.col("v"), n_planes, dim, t * n_planes).alias("bucket"),
+                        lsh_bucket("v", n_planes, dim, t * n_planes).alias("bucket"),
                     )
                     for t in range(n_tables)
                 ]
@@ -226,7 +269,7 @@ def embedding_near_dups(
     )
     # norms once per vector, not once per candidate pair — same
     # arithmetic (sqrt of the same self-fold), 3x fewer 64-step folds
-    normed = ids.select("id", "v", norm(F.col("v")).alias("n"))
+    normed = ids.select("id", "v", norm("v").alias("n"))
     v1 = normed.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")
     )
@@ -236,7 +279,7 @@ def embedding_near_dups(
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("cos", _dots(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
+        .withColumn("cos", _dots("v1", "v2") / (F.col("n1") * F.col("n2")))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
@@ -281,7 +324,7 @@ def embedding_contamination(
                         F.struct(
                             F.lit(t).alias("table"),
                             lsh_bucket(
-                                F.col(vec_col), n_planes, dim, t * n_planes
+                                f"`{vec_col}`", n_planes, dim, t * n_planes
                             ).alias("bucket"),
                         )
                         for t in range(n_tables)
@@ -298,18 +341,18 @@ def embedding_contamination(
     )
     tv = train.select(
         F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"),
-        norm(F.col(vec_col)).alias("tn"),
+        norm(f"`{vec_col}`").alias("tn"),
     )
     ev = F.broadcast(
         eval_df.select(
             F.col(id_col).alias("eid"), F.col(vec_col).alias("ev"),
-            norm(F.col(vec_col)).alias("en"),
+            norm(f"`{vec_col}`").alias("en"),
         )
     )
     pairs = (
         cand.join(tv, "tid")
         .join(ev, "eid")
-        .withColumn("cos", _dots(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en")))
+        .withColumn("cos", _dots("tv", "ev") / (F.col("tn") * F.col("en")))
         .filter(F.col("cos") >= threshold)
     )
     if return_pairs:
@@ -367,11 +410,11 @@ def lsh_topk(
             "probe_depth > 1 requires multiprobe=True "
             "(single-bucket probing ignores probe_depth)"
         )
-    b0 = lsh_bucket(F.col(vec_col), n_planes, dim)
+    b0 = lsh_bucket(f"`{vec_col}`", n_planes, dim)
     qa = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_n"),
+        norm(f"`{vec_col}`").alias("q_n"),
         # materialize the home bucket behind a projection boundary so
         # the probe expansion reads an attribute instead of embedding
         # the n_planes-fold bucket expression once per probe
@@ -395,13 +438,13 @@ def lsh_topk(
     ca = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_n"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        norm(f"`{vec_col}`").alias("n_n"),
+        lsh_bucket(f"`{vec_col}`", n_planes, dim).alias("bucket"),
     )
     scored = (
         ca.join(F.broadcast(qa), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n")))
+        .withColumn("cos", _dots("q_vec", "n_vec") / (F.col("q_n") * F.col("n_n")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (
@@ -433,20 +476,20 @@ def ivf_topk(
         cent_src = centroids.select(
             "cell",
             F.col("c_vec").cast("array<double>").alias("c_vec"),
-            norm(F.col("c_vec")).alias("c_n"),
+            norm("c_vec").alias("c_n"),
         )
     else:
         cent_src = corpus.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"),
             F.col(vec_col).alias("c_vec"),
-            norm(F.col(vec_col)).alias("c_n"),
+            norm(f"`{vec_col}`").alias("c_n"),
         )
     cents = F.broadcast(cent_src)
 
     def assign(df: DataFrame, idc: str, vecc: str, keep: int = 1) -> DataFrame:
         nc = vecc[0] + "_n"  # q_n / n_n, precomputed by the caller
         scored = _spread(df).crossJoin(cents).withColumn(
-            "c_cos", _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n"))
+            "c_cos", _dots(f"`{vecc}`", "c_vec") / (F.col(nc) * F.col("c_n"))
         )
         w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
         return (
@@ -459,7 +502,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_n"),
+            norm(f"`{vec_col}`").alias("q_n"),
         ),
         "q_id",
         "q_vec",
@@ -469,7 +512,7 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("n_id"),
             F.col(vec_col).alias("n_vec"),
-            norm(F.col(vec_col)).alias("n_n"),
+            norm(f"`{vec_col}`").alias("n_n"),
         ),
         "n_id",
         "n_vec",
@@ -477,7 +520,7 @@ def ivf_topk(
     scored = (
         ca.join(F.broadcast(qa), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n")))
+        .withColumn("cos", _dots("q_vec", "n_vec") / (F.col("q_n") * F.col("n_n")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (
@@ -503,7 +546,7 @@ def ivf_cell_assignments(
         centroids.select(
             "cell",
             F.col("c_vec").cast("array<double>").alias("c_vec"),
-            norm(F.col("c_vec")).alias("c_n"),
+            norm("c_vec").alias("c_n"),
         )
     )
     scored = (
@@ -511,13 +554,13 @@ def ivf_cell_assignments(
             corpus.select(
                 F.col(id_col).alias("n_id"),
                 F.col(vec_col).alias("n_vec"),
-                norm(F.col(vec_col)).alias("n_n"),
+                norm(f"`{vec_col}`").alias("n_n"),
             )
         )
         .crossJoin(cents)
         .withColumn(
             "c_cos",
-            _dots(F.col("n_vec"), F.col("c_vec"))
+            _dots("n_vec", "c_vec")
             / (F.col("n_n") * F.col("c_n")),
         )
     )
@@ -691,6 +734,19 @@ def _argmin_cell(cent_rows: list[tuple[int, list[float]]]) -> Column:
 # ------------------------------------------------------------------ #
 # product quantization (IVF-PQ-style compressed search)
 
+def _slice_structs(vec_sql: str, n_sub: int, sub_w: int, field: str) -> Column:
+    """explode(array(struct(m, slice(vec, ...)))) as ONE server-side-
+    parsed expression — the Python loop over F.struct/F.slice builders
+    cost ~n_sub py4j round trips per plan construction (r15, the
+    _ivfpq_slices lesson). The parsed tree is expression-identical:
+    CreateNamedStruct of a literal m and a literal-bounds slice."""
+    parts = ", ".join(
+        f"struct({m} as m, slice({vec_sql}, {m * sub_w + 1}, {sub_w}) as {field})"
+        for m in range(n_sub)
+    )
+    return F.expr(f"explode(array({parts}))")
+
+
 def pq_encode(
     df: DataFrame,
     n_sub: int = 8,
@@ -721,20 +777,8 @@ def pq_encode(
     sub_w = dim // n_sub
     slices = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(
-                            F.col(vec_col).cast("array<double>"),
-                            m * sub_w + 1,
-                            sub_w,
-                        ).alias("s"),
-                    )
-                    for m in range(n_sub)
-                ]
-            )
+        _slice_structs(
+            f"cast(`{vec_col}` as array<double>)", n_sub, sub_w, "s"
         ).alias("x"),
     ).select("id", "x.m", "x.s")
     cb = (
@@ -781,17 +825,7 @@ def pq_codebook(
     )
     return base.select(
         "code",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(F.col("v"), m * sub_w + 1, sub_w).alias("cw"),
-                    )
-                    for m in range(n_sub)
-                ]
-            )
-        ).alias("x"),
+        _slice_structs("v", n_sub, sub_w, "cw").alias("x"),
     ).select(F.col("x.m").alias("m"), "code", F.col("x.cw").alias("cw"))
 
 
@@ -827,20 +861,8 @@ def pq_topk(
     sub_w = dim // n_sub
     qs = queries.select(
         F.col(id_col).alias("q_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(
-                            F.col(vec_col).cast("array<double>"),
-                            m * sub_w + 1,
-                            sub_w,
-                        ).alias("qsub"),
-                    )
-                    for m in range(n_sub)
-                ]
-            )
+        _slice_structs(
+            f"cast(`{vec_col}` as array<double>)", n_sub, sub_w, "qsub"
         ).alias("x"),
     ).select("q_id", "x.m", "x.qsub")
     d2 = F.aggregate(
@@ -922,7 +944,7 @@ def _ivf_cents(corpus, n_cells, id_col, vec_col):
         corpus.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"),
             F.col(vec_col).cast("array<double>").alias("c_vec"),
-            norm(F.col(vec_col)).alias("c_n"),
+            norm(f"`{vec_col}`").alias("c_n"),
         )
     )
 
@@ -938,12 +960,12 @@ def _ivf_assign(cents, df, keep, id_col, vec_col, out_id):
         df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).cast("array<double>").alias("v"),
-            norm(F.col(vec_col)).alias("vn"),
+            norm(f"`{vec_col}`").alias("vn"),
         )
     )
     scored = src.crossJoin(cents).withColumn(
         "c_cos",
-        _dots(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("c_n")),
+        _dots("v", "c_vec") / (F.col("vn") * F.col("c_n")),
     )
     w = Window.partitionBy(out_id).orderBy(F.desc("c_cos"), F.col("cell"))
     return (
@@ -1056,13 +1078,13 @@ def ivf_assign_two_level(
     cents_raw = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_n"),
+        norm(f"`{vec_col}`").alias("c_n"),
     )
     sups = F.broadcast(
         corpus.filter(F.col(id_col) < f).select(
             F.col(id_col).alias("sup"),
             F.col(vec_col).cast("array<double>").alias("s_vec"),
-            norm(F.col(vec_col)).alias("s_n"),
+            norm(f"`{vec_col}`").alias("s_n"),
         )
     )
     wg = Window.partitionBy("cell").orderBy(F.desc("g_cos"), F.col("sup"))
@@ -1071,7 +1093,7 @@ def ivf_assign_two_level(
         .crossJoin(sups)
         .withColumn(
             "g_cos",
-            _dots(F.col("c_vec"), F.col("s_vec"))
+            _dots("c_vec", "s_vec")
             / (F.col("c_n") * F.col("s_n")),
         )
         .withColumn("r", F.row_number().over(wg))
@@ -1086,7 +1108,7 @@ def ivf_assign_two_level(
         df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).cast("array<double>").alias("v"),
-            norm(F.col(vec_col)).alias("vn"),
+            norm(f"`{vec_col}`").alias("vn"),
         )
     )
     ws = Window.partitionBy(out_id).orderBy(F.desc("s_cos"), F.col("sup"))
@@ -1094,7 +1116,7 @@ def ivf_assign_two_level(
         src.crossJoin(sups)
         .withColumn(
             "s_cos",
-            _dots(F.col("v"), F.col("s_vec")) / (F.col("vn") * F.col("s_n")),
+            _dots("v", "s_vec") / (F.col("vn") * F.col("s_n")),
         )
         .withColumn("r", F.row_number().over(ws))
         .filter(F.col("r") <= sfan)
@@ -1104,7 +1126,7 @@ def ivf_assign_two_level(
         vsup.join(gt, F.col("sup") == F.col("grp"))
         .withColumn(
             "c_cos",
-            _dots(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("c_n")),
+            _dots("v", "c_vec") / (F.col("vn") * F.col("c_n")),
         )
         .select(out_id, "cell", "c_cos")
     )
@@ -1160,10 +1182,11 @@ def _pq_d2(sub_w):
             diff = F.element_at("s", i) - F.element_at("cw", i)
             d2 = d2 + diff * diff
         return d2
-    return F.aggregate(
-        F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # parsed form of the fold below — identical tree, one py4j call
+    # instead of ~32ms of lambda construction (r15)
+    return F.expr(
+        "aggregate(zip_with(s, cw, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -1499,19 +1522,19 @@ def ivfpq_rerank_from_scored(
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_n"),
+        norm(f"`{vec_col}`").alias("q_n"),
     )
     nv = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_n"),
+        norm(f"`{vec_col}`").alias("n_n"),
     )
     exact = (
         short.join(nv, "n_id")
         .join(F.broadcast(qv), "q_id")
         .withColumn(
             "cos",
-            _dots(F.col("q_vec"), F.col("n_vec"))
+            _dots("q_vec", "n_vec")
             / (F.col("q_n") * F.col("n_n")),
         )
     )
@@ -1578,19 +1601,19 @@ def ivfpq_train_codebook(
             corpus.select(
                 F.col(id_col).alias("n_id"),
                 F.col(vec_col).cast("array<double>").alias("n_vec"),
-                norm(F.col(vec_col)).alias("n_n"),
+                norm(f"`{vec_col}`").alias("n_n"),
             )
         )
         cents = F.broadcast(
             corpus.filter(F.col(id_col) < n_cells).select(
                 F.col(id_col).alias("cell"),
                 F.col(vec_col).cast("array<double>").alias("c_vec"),
-                norm(F.col(vec_col)).alias("c_n"),
+                norm(f"`{vec_col}`").alias("c_n"),
             )
         )
         scored = c.crossJoin(cents).withColumn(
             "c_cos",
-            _dots(F.col("n_vec"), F.col("c_vec"))
+            _dots("n_vec", "c_vec")
             / (F.col("n_n") * F.col("c_n")),
         )
         w = Window.partitionBy("n_id").orderBy(F.desc("c_cos"), F.col("cell"))
@@ -1620,18 +1643,8 @@ def _pq_slices(
     sub_w = dim // n_sub
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(
-                            F.col(vec_col).cast("array<double>"), m * sub_w + 1, sub_w
-                        ).alias("s"),
-                    )
-                    for m in range(n_sub)
-                ]
-            )
+        _slice_structs(
+            f"cast(`{vec_col}` as array<double>)", n_sub, sub_w, "s"
         ).alias("x"),
     ).select("id", "x.m", "x.s")
 

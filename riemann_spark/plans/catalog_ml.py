@@ -2228,8 +2228,8 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     cells = e.select(
         F.col("vec_id"),
         F.col("embedding").alias("v"),
-        similarity.lsh_bucket(F.col("embedding"), _ND_PLANES, _DIM).alias("cell"),
-        similarity.norm(F.col("embedding")).alias("n"),
+        similarity.lsh_bucket("embedding", _ND_PLANES, _DIM).alias("cell"),
+        similarity.norm("embedding").alias("n"),
     )
     a = cells.select(
         F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
@@ -2243,7 +2243,7 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, "cell")
         .filter(F.col("id1") < F.col("id2"))
         .filter(
-            similarity._dots(F.col("v1"), F.col("v2"))
+            similarity._dots("v1", "v2")
             / (F.col("n1") * F.col("n2"))
             >= 0.30
         )
@@ -3149,14 +3149,14 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     ca = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_vec"),
-        norm(F.col("embedding")).alias("n_n"),
-        lsh_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket"),
+        norm("embedding").alias("n_n"),
+        lsh_bucket("embedding", _N_PLANES, _DIM).alias("bucket"),
     )
     qh = q_.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
-        norm(F.col("embedding")).alias("q_n"),
-        lsh_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket"),
+        norm("embedding").alias("q_n"),
+        lsh_bucket("embedding", _N_PLANES, _DIM).alias("bucket"),
     )
     b = F.col("bucket")
     probes = [F.struct(b.alias("bucket"), F.lit(0).alias("depth"))]
@@ -3179,7 +3179,7 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         ca.join(F.broadcast(qp), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(
-            "cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+            "cos", _dots("q_vec", "n_vec") / (F.col("q_n") * F.col("n_n"))
         )
         .select("q_id", "n_id", "cos", "depth")
     )
@@ -3190,14 +3190,14 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("vec_id") < _IVF_CELLS).select(
             F.col("vec_id").alias("cell"),
             F.col("embedding").alias("c_vec"),
-            norm(F.col("embedding")).alias("c_n"),
+            norm("embedding").alias("c_n"),
         )
     )
 
     def _assign(df, idc, vecc, keep):
         nc = vecc[0] + "_n"
         scored = df.crossJoin(cents).withColumn(
-            "c_cos", _dots(F.col(vecc), F.col("c_vec")) / (F.col(nc) * F.col("c_n"))
+            "c_cos", _dots(f"`{vecc}`", "c_vec") / (F.col(nc) * F.col("c_n"))
         )
         w = Window.partitionBy(idc).orderBy(F.desc("c_cos"), F.col("cell"))
         return (
@@ -3214,7 +3214,7 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         cac.join(F.broadcast(qa), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(
-            "cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+            "cos", _dots("q_vec", "n_vec") / (F.col("q_n") * F.col("n_n"))
         )
         .select("q_id", "n_id", "cos", "qrank")
     )
@@ -3228,7 +3228,7 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         ca.crossJoin(F.broadcast(qh.drop("bucket")))
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(
-            "cos", _dots(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+            "cos", _dots("q_vec", "n_vec") / (F.col("q_n") * F.col("n_n"))
         )
         .select("q_id", "n_id", "cos", F.lit("__bf").alias("method"))
     )
@@ -4095,7 +4095,7 @@ def streaming_embedding_gate(spark: SparkSession, sf: str) -> DataFrame:
             for t in range(_ND_TABLES)
             for row in ev.select(
                 similarity.lsh_bucket(
-                    F.col("embedding"), _ND_PLANES, _DIM, t * _ND_PLANES
+                    "embedding", _ND_PLANES, _DIM, t * _ND_PLANES
                 ).alias("bucket")
             )
             .distinct()
@@ -4112,7 +4112,7 @@ def streaming_embedding_gate(spark: SparkSession, sf: str) -> DataFrame:
     enc = F.array(
         *[
             similarity.lsh_bucket(
-                F.col("embedding"), _ND_PLANES, _DIM, t * _ND_PLANES
+                "embedding", _ND_PLANES, _DIM, t * _ND_PLANES
             )
             + F.lit(t * (1 << _ND_PLANES))
             for t in range(_ND_TABLES)
@@ -7281,7 +7281,7 @@ def whitened_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, "cell")
         .filter(F.col("id1") < F.col("id2"))
         .filter(
-            similarity._dots(F.col("v1"), F.col("v2"))
+            similarity._dots("v1", "v2")
             / (F.col("n1") * F.col("n2"))
             >= 0.15
         )
@@ -8383,17 +8383,17 @@ def topic_mixture(spark: SparkSession, sf: str) -> DataFrame:
         cents.select(
             "cell",
             F.col("c_vec").cast("array<double>").alias("c_vec"),
-            similarity.norm(F.col("c_vec")).alias("c_n"),
+            similarity.norm("c_vec").alias("c_n"),
         )
     )
     v = e.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        similarity.norm(F.col("embedding")).alias("v_n"),
+        similarity.norm("embedding").alias("v_n"),
     )
     scored = v.crossJoin(cb).withColumn(
         "c_cos",
-        similarity._dots(F.col("v"), F.col("c_vec"))
+        similarity._dots("v", "c_vec")
         / (F.col("v_n") * F.col("c_n")),
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.col("cell"))
@@ -12663,13 +12663,13 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
         q8.select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").cast("array<double>").alias("q_vec"),
-            similarity.norm(F.col("embedding")).alias("q_n"),
+            similarity.norm("embedding").alias("q_n"),
         )
     )
     nv = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").cast("array<double>").alias("n_vec"),
-        similarity.norm(F.col("embedding")).alias("n_n"),
+        similarity.norm("embedding").alias("n_n"),
     )
     cols = ["tier", "q_id", "n_id", "q_vec", "n_vec", "q_n", "n_n"]
     pairs = (
@@ -12688,7 +12688,7 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     cos5 = (
         pairs.withColumn(
             "cos",
-            similarity._dots(F.col("q_vec"), F.col("n_vec"))
+            similarity._dots("q_vec", "n_vec")
             / (F.col("q_n") * F.col("n_n")),
         )
         .withColumn("rank", F.row_number().over(wc))
@@ -12872,14 +12872,14 @@ def ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     qsrc = q8.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("v"),
-        similarity.norm(F.col("embedding")).alias("vn"),
+        similarity.norm("embedding").alias("vn"),
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.col("cell"))
     qrank = (
         qsrc.crossJoin(cents)
         .withColumn(
             "c_cos",
-            similarity._dots(F.col("v"), F.col("c_vec"))
+            similarity._dots("v", "c_vec")
             / (F.col("vn") * F.col("c_n")),
         )
         .withColumn("qr", F.row_number().over(wq))
@@ -12906,13 +12906,13 @@ def ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
         q8.select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").cast("array<double>").alias("q_vec"),
-            similarity.norm(F.col("embedding")).alias("q_n"),
+            similarity.norm("embedding").alias("q_n"),
         )
     )
     nv = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").cast("array<double>").alias("n_vec"),
-        similarity.norm(F.col("embedding")).alias("n_n"),
+        similarity.norm("embedding").alias("n_n"),
     )
     wb = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     bf = (
@@ -12920,7 +12920,7 @@ def ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(
             "cos",
-            similarity._dots(F.col("q_vec"), F.col("n_vec"))
+            similarity._dots("q_vec", "n_vec")
             / (F.col("q_n") * F.col("n_n")),
         )
         .withColumn("rank", F.row_number().over(wb))
