@@ -820,9 +820,26 @@ GROUP BY l_returnflag, l_linestatus""",
 )
 def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """Pricing-summary aggregation (TPC-H Q1 shape): the canonical
-    scan→partial-agg→shuffle-one-row-per-group plan; linear at 100 TB."""
+    scan→partial-agg→shuffle-one-row-per-group plan; linear at 100 TB.
+
+    _spread (r15, width-conditional): the 8 msum round/cast chains are
+    ~24 integer ops per row — on the single-split fixture the fused
+    scan+partial-agg ran one core while 31 idled (probe 1.22 -> 0.84s).
+    Spread AFTER the filter, on the 6 needed columns only (pruning and
+    the shipdate pushdown stay at the scan); the partial sums are
+    exact-integer so grouping is partitioning-independent. A lake-wide
+    scan skips the round-robin."""
+    from riemann_spark.functions.dedup import _spread
+
     li = load_table(spark, sf, "lineitem")
-    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    f = _spread(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+        ).select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc * (F.lit(1.0) + F.col("l_tax"))
     n = F.count(F.lit(1))

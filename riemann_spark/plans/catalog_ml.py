@@ -45,8 +45,14 @@ FROM t""",
 def text_features(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-signal feature extraction: token counts, mean token
     length, punctuation and stopword ratios — pure projections, fuse
-    with the scan, zero shuffles at any scale."""
-    d = load_table(spark, sf, "documents")
+    with the scan; zero KEYED shuffles at any scale. _spread (r15,
+    width-conditional): the regex/tokenize chains are the per-row
+    cost — run them at cluster width, not input-split width; a
+    lake-scale scan is already wide and skips the round-robin.
+    Probe 0.41 -> 0.24s."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     return d.select(
         "doc_id",
         text.token_count("text").cast("long").alias("n_tokens"),
@@ -925,9 +931,15 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex pre-split) and both
     document fingerprints (md5 content identity + Rabin-Karp rolling
     hash) in one pass — the per-document bookkeeping row a training
-    pipeline keeps for every shard. Pure projections, zero shuffle;
-    all arithmetic exact-integer so the oracle is bit-deterministic."""
-    d = load_table(spark, sf, "documents")
+    pipeline keeps for every shard. Pure projections, zero KEYED
+    shuffle; all arithmetic exact-integer so the oracle is
+    bit-deterministic. _spread (r15, width-conditional): the BPE
+    regex + per-token md5 fold dominates — cluster width instead of
+    input-split width (probe 0.57 -> 0.23s); skipped on a lake-wide
+    scan."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     return d.select(
         "doc_id",
         text.token_count("text").cast("long").alias("n_ws_tokens"),
@@ -1420,8 +1432,14 @@ def gopher_gates(spark: SparkSession, sf: str) -> DataFrame:
     minimum stopword evidence — per-doc booleans plus the combined
     gate. Pure projections over one tokenization, zero shuffle;
     thresholds fixture-calibrated where the paper's assume web-scale
-    docs (word floor 20 vs 50)."""
-    return _gopher_flags(load_table(spark, sf, "documents"))
+    docs (word floor 20 vs 50). _spread (r15, width-conditional): one
+    tokenization + five per-token scans at cluster width (probe
+    0.49 -> 0.31s); lake-wide scans skip it."""
+    return _gopher_flags(
+        dedup._spread(
+            load_table(spark, sf, "documents").select("doc_id", "text")
+        )
+    )
 
 
 @q(
@@ -1724,8 +1742,14 @@ def repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
     duplicate-word fraction + most-covering-2-gram char fraction, the
     standard repetition gate before pre-training. One 2-gram explode
-    with map-side partial counts; output is one row per doc."""
-    d = load_table(spark, sf, "documents")
+    with map-side partial counts; output is one row per doc.
+    _spread (r15, width-conditional): the per-row sorted-gram
+    run-length fold is the cost — cluster width instead of
+    input-split width (probe 0.74 -> 0.31s); lake-wide scans skip
+    the round-robin."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     return text.repetition_metrics(d)
 
 
@@ -2187,9 +2211,13 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     Rabin-Karp rolling hash (h = (h·31 + md5_32(token)) mod 1e9+7 —
     the primitive incremental/windowed fingerprinting builds on) and
     the order-insensitive md5 content fingerprint dedup keys on. Pure
-    per-row projection: zero shuffle, whole-stage codegen, no UDF —
-    at 100 TB this is a single map pass."""
-    d = load_table(spark, sf, "documents")
+    per-row projection: no keyed shuffle, whole-stage codegen, no UDF —
+    at 100 TB this is a single map pass. _spread (r15,
+    width-conditional): per-token md5 folds at cluster width (probe
+    0.42 -> 0.19s); skipped on a lake-wide scan."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     return d.select(
         "doc_id",
         text.rolling_fingerprint("text").alias("rolling_fp"),
@@ -2559,7 +2587,12 @@ def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     shuffle, zero UDF; trained weights drop in without a plan change.
     Both engines fold the per-doc sum sequentially, so the double is
     bit-identical."""
-    d = load_table(spark, sf, "documents")
+    # _spread (r15, width-conditional): the fold is 2 md5/token — run
+    # it at cluster width, not input-split width (probe 0.71 -> 0.25s);
+    # skipped when the scan is already wide (lake scale)
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     return d.select(
         "doc_id", text.hashed_linear_score("text", _CLS_DIM).alias("score")
     )
@@ -5935,9 +5968,14 @@ def span_corruption_q(spark: SparkSession, sf: str) -> DataFrame:
     one md5-placed 3-token span per 20-token block is replaced by a
     <Xk> sentinel in the input and emitted after the sentinel in the
     target (15% corruption). Deterministic (hash int mod 18, no
-    rand()), pure projection, zero shuffle; the oracle rebuilds both
-    streams with list slices and matches the fingerprints exactly."""
-    d = load_table(spark, sf, "documents")
+    rand()), pure projection, no keyed shuffle; the oracle rebuilds
+    both streams with list slices and matches the fingerprints
+    exactly. _spread (r15, width-conditional): the per-block md5
+    placement + nested array transforms at cluster width (probe
+    0.52 -> 0.28s); lake-wide scans skip it."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     return text.span_corruption(d)
 
 
@@ -6605,8 +6643,14 @@ def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     easy→hard ramp). Two windows, both on source-prefixed keys;
     ntile/row_number are purely positional → engine-exact given the
     (quality, doc_id) total order, and quality is the shared exact
-    expression tree."""
-    d = load_table(spark, sf, "documents")
+    expression tree. _spread (r15, width-conditional): the quality
+    fold (2 md5/token) runs at cluster width ahead of the keyed
+    window shuffle (probe 0.56 -> 0.41s; ntile/row_number read the
+    post-shuffle total order, so values are partitioning-independent);
+    lake-wide scans skip it."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    )
     w_stage = Window.partitionBy("source").orderBy("quality", "doc_id")
     w_pos = Window.partitionBy("source", "stage").orderBy(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cur"))),
@@ -8453,8 +8497,11 @@ def quality_repetition_corr(spark: SparkSession, sf: str) -> DataFrame:
     scan; the five moments are ONE single-row aggregate on the 1e-12
     quantized grid (bit-reproducible under any partitioning); r is a
     driver-free scalar expression on that one row. One pass, one
-    one-row shuffle."""
-    d = load_table(spark, sf, "documents")
+    one-row shuffle. _spread (r15, width-conditional): both signal
+    folds at cluster width (probe 0.64 -> 0.40s; the quantized sums
+    are partitioning-independent by construction); lake-wide scans
+    skip it."""
+    d = dedup._spread(load_table(spark, sf, "documents").select("text"))
     toks = text.tokens("text")
     t = d.select(
         text.quality_score("text").alias("x"),

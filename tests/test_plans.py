@@ -118,10 +118,15 @@ def test_dedup_jaccard_single_shingle_shuffle(spark):
 
 
 def test_token_stats_is_pure_projection(spark):
-    """Token counting + fingerprints must fuse with the scan — zero
-    exchanges at any scale."""
+    """Token counting + fingerprints fuse into one projection pass —
+    no KEYED shuffle at any scale. Since r15 the single-split fixture
+    carries exactly _spread's round-robin (the BPE regex + md5 folds
+    run cluster-wide; a lake-wide scan skips it — see
+    test_spread_is_input_width_conditional)."""
     p = plan_of(spark, "token_stats")
-    assert "Exchange" not in p
+    assert p.count("Exchange") == 2  # one node: tree line + details
+    assert "RoundRobinPartitioning" in p
+    assert "hashpartitioning" not in p
 
 
 def test_partitioned_write_prunes_and_pushes(spark, tmp_path):
@@ -1068,7 +1073,12 @@ def test_curriculum_order_two_keyed_windows(spark):
 
     p = plan_of(spark, "curriculum_order")
     assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 2, p
-    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    # exactly ONE keyed exchange (hashpartitioning(source) shared by
+    # both windows); the second exchange is _spread's round-robin on
+    # the single-split fixture (r15 — skipped on a lake-wide scan)
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2, p
+    assert p.count("Arguments: hashpartitioning(source") == 1, p
+    assert "RoundRobinPartitioning" in p
 
 
 def test_incremental_dedup_no_cartesian(spark):
