@@ -3308,19 +3308,26 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     per_pair = ranked.groupBy("q_id", "n_id").agg(
         F.collect_set("method").alias("ms")
     )
-    hit_rows = {
-        r["method"]: (r["hits"], r["n_in_tier"])
-        for r in per_pair.select(
-            F.explode("ms").alias("method"),
-            F.array_contains("ms", "__bf").cast("int").alias("bf_hit"),
-        )
-        .groupBy("method")
-        .agg(
-            F.sum("bf_hit").alias("hits"),
-            F.count(F.lit(1)).alias("n_in_tier"),
-        )
-        .collect()
-    }
+    # _batch_scope (r15): every shuffle in this audit is model-sized
+    # (8 queries × candidate sets), so byte-sized AQE coalescing —
+    # the incremental-CC lane's documented posture — applies; at
+    # session width the ~6 tiny exchanges each schedule full-width
+    # task sets. A/B min-of-3: 3.82 -> 2.41s. Scope covers exactly
+    # the collect (all the query's compute); restored before return.
+    with _batch_scope(spark):
+        hit_rows = {
+            r["method"]: (r["hits"], r["n_in_tier"])
+            for r in per_pair.select(
+                F.explode("ms").alias("method"),
+                F.array_contains("ms", "__bf").cast("int").alias("bf_hit"),
+            )
+            .groupBy("method")
+            .agg(
+                F.sum("bf_hit").alias("hits"),
+                F.count(F.lit(1)).alias("n_in_tier"),
+            )
+            .collect()
+        }
     total = hit_rows["__bf"][1]
     fracs = {
         "lsh": _lsh_scan(0),
@@ -12745,19 +12752,25 @@ def ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     per_pair = adc5.unionByName(cos5).groupBy("q_id", "n_id").agg(
         F.collect_set("tier").alias("ts")
     )
-    hit_rows = {
-        r["tier"]: (r["hits"], r["n_in_tier"])
-        for r in per_pair.select(
-            F.explode("ts").alias("tier"),
-            F.array_contains("ts", "__bf").cast("int").alias("bf_hit"),
-        )
-        .groupBy("tier")
-        .agg(
-            F.sum("bf_hit").alias("hits"),
-            F.count(F.lit(1)).alias("n_in_tier"),
-        )
-        .collect()
-    }
+    # _batch_scope (r15): the ADC/rerank/ground-truth shuffles are all
+    # model-sized (8 queries), so byte-sized AQE coalescing applies —
+    # see ann_recall_report. A/B min-of-3: 4.18 -> 3.03s. The scope
+    # covers the one collect that computes everything (the persisted
+    # `ranked` materializes inside it too); restored before return.
+    with _batch_scope(spark):
+        hit_rows = {
+            r["tier"]: (r["hits"], r["n_in_tier"])
+            for r in per_pair.select(
+                F.explode("ts").alias("tier"),
+                F.array_contains("ts", "__bf").cast("int").alias("bf_hit"),
+            )
+            .groupBy("tier")
+            .agg(
+                F.sum("bf_hit").alias("hits"),
+                F.count(F.lit(1)).alias("n_in_tier"),
+            )
+            .collect()
+        }
     n_true = hit_rows["__bf"][1]
     ranked.unpersist()
     out_tiers = ["ivfpq"] + (["ivfpq_seeded"] if audit else []) + [
