@@ -6032,8 +6032,12 @@ def classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
     is the classifier miscalibrated there?). Bin edges are floor() of
     bit-identical doubles, per-bin means quantize to 1e-6 integers
     (the source_quality_matrix contract); one projection + one
-    10-group aggregate."""
-    d = load_table(spark, sf, "documents")
+    10-group aggregate. _spread (r15, width-conditional): both the
+    score fold and the gopher flags read the spread frame — cluster
+    width instead of input-split width; lake-wide scans skip it."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     sc = d.select(
         "doc_id", text.hashed_linear_score("text", _CLS_DIM).alias("score")
     )
@@ -9711,8 +9715,12 @@ def quality_calibration_report(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: inference is the same zero-shuffle projection as
     quality_classifier; the report is ONE 10-group aggregate with
     map-side partials, quantized-grid means, and integer label
-    counts — bit-identical in both engines at any corpus size."""
-    d = load_table(spark, sf, "documents")
+    counts — bit-identical in both engines at any corpus size.
+    _spread (r15, width-conditional): the inference fold at cluster
+    width; lake-wide scans skip the round-robin."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     grade = (
         F.instr(
             F.lit("0123456789abcdef"),
@@ -9880,16 +9888,27 @@ def quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
     aggregate — at 100 TB, 2·steps scans of a cached 3-column frame,
     no shuffle wider than one row."""
     feat = _lrn_features(spark, sf).persist()
-    rows = []
     try:
-        for step, w in _lrn_trajectory(spark, sf, feat):
-            zk = _lrn_z(w)
-            acc = feat.agg(
-                F.sum(((zk >= 0.0) == (F.col("y") == 1.0)).cast("int"))
+        traj = _lrn_trajectory(spark, sf, feat)
+        # ONE aggregation serves every step's accuracy probe (r15):
+        # the weights are driver-side floats once the trajectory is
+        # known, so the per-step probe jobs (one scan of the cached
+        # feature frame EACH) fold into a single multi-column agg —
+        # same count expressions, same cached input, 3 jobs -> 1.
+        acc = feat.agg(
+            *[
+                F.sum(
+                    ((_lrn_z(w) >= 0.0) == (F.col("y") == 1.0)).cast("int")
+                )
                 .cast("long")
-                .alias("n_correct")
-            ).collect()[0]
-            rows.append((step, w[0], w[1], w[2], acc.n_correct))
+                .alias(f"n_correct_{step}")
+                for step, w in traj
+            ]
+        ).collect()[0]
+        rows = [
+            (step, w[0], w[1], w[2], acc[f"n_correct_{step}"])
+            for step, w in traj
+        ]
     finally:
         feat.unpersist()
     return spark.createDataFrame(
@@ -9931,8 +9950,14 @@ def _lrn_trajectory(spark: SparkSession, sf: str, feat: DataFrame | None = None)
 
 def _lrn_features(spark: SparkSession, sf: str) -> DataFrame:
     """(source, score, stop, y) — the training projection; pure
-    Column work, fuses with the scan."""
-    d = load_table(spark, sf, "documents")
+    Column work, fuses with the scan. _spread (r15,
+    width-conditional): the hashed-linear fold (2 md5/token) is the
+    per-row cost and the frame is persisted by every trainer — fill
+    the cache at cluster width, not input-split width; lake-wide
+    scans skip the round-robin."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    )
     grade = (
         F.instr(
             F.lit("0123456789abcdef"),
@@ -11098,8 +11123,12 @@ def classifier_calibration_drift(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: inference is a zero-shuffle projection; the report
     is one (window × 10-bin) aggregate with map-side partials plus a
     4-row rollup. The oracle re-trains the identical model in
-    unrolled CTEs and rebuilds every window's buckets."""
-    d = load_table(spark, sf, "documents")
+    unrolled CTEs and rebuilds every window's buckets. _spread (r15,
+    width-conditional): the inference fold (2 md5/token) runs at
+    cluster width; lake-wide scans skip the round-robin."""
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     wts = _lrn_trajectory(spark, sf)[-1][1]
     grade = (
         F.instr(
@@ -11811,9 +11840,13 @@ def classifier_uncertainty_sampling(spark: SparkSession, sf: str) -> DataFrame:
     nothing collects but the 3-float weight vector. The oracle
     re-trains the identical model in unrolled SQL CTEs and replays
     the same windowed selection, so green means both engines agree on
-    the MODEL and on the chosen docs."""
+    the MODEL and on the chosen docs. _spread (r15,
+    width-conditional): the inference fold at cluster width;
+    lake-wide scans skip the round-robin."""
     w = _lrn_trajectory(spark, sf)[-1][1]
-    d = load_table(spark, sf, "documents")
+    d = dedup._spread(
+        load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    )
     feat = d.select(
         "doc_id",
         "source",
