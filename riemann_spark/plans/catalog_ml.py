@@ -7623,7 +7623,6 @@ def _bm25_frame(spark: SparkSession, sf: str) -> DataFrame:
     ONE single-row global agg broadcast back, the score via the same
     F.expr string the oracle runs."""
     d = load_table(spark, sf, "documents")
-    toks = text.tokens("text")
 
     # r14: dl + the 8 per-term tfs each embedded their own copy of the
     # tokenizer (Catalyst does not CSE across higher-order functions —
@@ -7633,21 +7632,19 @@ def _bm25_frame(spark: SparkSession, sf: str) -> DataFrame:
     # struct behind an explode-of-one barrier (field reads off a
     # Generate output are plain attribute refs, immune to
     # project-collapse re-inlining), and _spread the scan.
-    def tf(tk, term: str):  # single-arg lambda: a 2-arg one would
-        # become pyspark's (element, index) form and shadow the closure
-        return F.size(F.filter(tk, lambda t: t == F.lit(term)))
-
-    stats = F.explode(
-        F.transform(
-            F.array(toks),
-            lambda tk: F.struct(
-                F.size(tk).cast("long").alias("dl"),
-                *[
-                    tf(tk, w).cast("long").alias(f"tf{i}")
-                    for i, w in enumerate(_BM25_TERMS)
-                ],
-            ),
-        )
+    # ONE parsed expression (r15, the _dots/_ivfpq_slices lesson): the
+    # Python-lambda form cost ~0.4s of py4j round trips per plan
+    # construction (profiled: ~2800 round trips/build across the BM25
+    # consumers). The parsed tree is expression-identical — same
+    # split(trim), same filter-size tf, same casts and struct field
+    # names; lambda variable names differ, which is plan-cosmetic.
+    tfs = ", ".join(
+        f"cast(size(filter(tk, t -> t = '{w}')) as bigint) as tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    stats = F.expr(
+        r"explode(transform(array(split(trim(text), '\\s+')), "
+        f"tk -> struct(cast(size(tk) as bigint) as dl, {tfs})))"
     )
     # NOT persisted (measured): the stats aggregate and the score
     # projection each plan this subtree, so the tokenizer runs twice
@@ -7756,7 +7753,7 @@ def rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     )
     e = load_table(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    cos = similarity.cosine(F.col("embedding"), F.col("q"))
+    cos = similarity.cosine("embedding", "q")
     vec_w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     vr = (
         e.crossJoin(F.broadcast(qv))
@@ -8670,7 +8667,7 @@ def retrieval_eval_report(spark: SparkSession, sf: str) -> DataFrame:
     vec_w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     vr = (
         e.crossJoin(F.broadcast(qv))
-        .select("vec_id", similarity.cosine(F.col("v"), F.col("q")).alias("cos"))
+        .select("vec_id", similarity.cosine("v", "q").alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(20)
         .select(
@@ -9491,7 +9488,7 @@ def retrieval_eval_rrf(spark: SparkSession, sf: str) -> DataFrame:
     vec_w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     vr = (
         e.crossJoin(F.broadcast(qv))
-        .select("vec_id", similarity.cosine(F.col("v"), F.col("q")).alias("cos"))
+        .select("vec_id", similarity.cosine("v", "q").alias("cos"))
         .select(
             "vec_id", F.row_number().over(vec_w).cast("long").alias("vec_rank")
         )
@@ -10180,7 +10177,7 @@ def retrieval_eval_multiquery(spark: SparkSession, sf: str) -> DataFrame:
         e.crossJoin(F.broadcast(qs))
         .select(
             "q_id", "vec_id",
-            similarity.cosine(F.col("v"), F.col("q")).alias("cos"),
+            similarity.cosine("v", "q").alias("cos"),
         )
         .select("q_id", "vec_id", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 20)
