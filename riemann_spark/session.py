@@ -39,6 +39,16 @@ def get_spark(app_name: str = "riemann-spark", cpus: int | None = None) -> Spark
         # measured 25-query warm pass 14.6 -> 11.6 s (static conf —
         # must be set before the first codegen, hence here).
         .config("spark.sql.codegen.cache.maxEntries", "2048")
+        # PySpark 4's DataFrame-debugging origin capture wraps EVERY
+        # Column/DataFrame API call with a Python stack inspection
+        # plus ~15-25 py4j round trips (getActiveSession + conf read +
+        # PySparkCurrentOrigin.set/clear) purely to decorate error
+        # messages with the user call site. Profiled here: a trivial
+        # `F.col("x") + F.lit(1)` costs 7.1ms with it on, 1.9ms off —
+        # and plan construction is a measured ~20% of the packed
+        # bench. Error-message ergonomics only; plans, values and
+        # execution are untouched. Off in production sessions.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         # driver parquet uses TIMESTAMP(NANOS); read as long, convert in load_table
