@@ -786,10 +786,10 @@ def pq_encode(
         if codebook is not None
         else pq_codebook(df, n_sub, n_codes, dim, id_col, vec_col)
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("s"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # parsed expression — identical tree, one py4j round trip (r15)
+    d2 = F.expr(
+        "aggregate(zip_with(s, cw, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     w = Window.partitionBy("id", "m").orderBy("d2", "code")
     winners = (
@@ -865,10 +865,10 @@ def pq_topk(
             f"cast(`{vec_col}` as array<double>)", n_sub, sub_w, "qsub"
         ).alias("x"),
     ).select("q_id", "x.m", "x.qsub")
-    d2 = F.aggregate(
-        F.zip_with(F.col("qsub"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # parsed expression — identical tree, one py4j round trip (r15)
+    d2 = F.expr(
+        "aggregate(zip_with(qsub, cw, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     lut = (
         qs.join(F.broadcast(cb), "m")
@@ -923,10 +923,11 @@ def pq_topk_rerank(
     nv = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("nv")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # parsed expression (r15, the _dots lesson): identical tree —
+    # same zip_with squared-diff, same 0.0 double init, same left fold
+    d2 = F.expr(
+        "aggregate(zip_with(qv, nv, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     scored = cand.join(F.broadcast(qv), "q_id").join(nv, "n_id").withColumn("d2", d2)
     w = Window.partitionBy("q_id").orderBy("d2", "n_id")
