@@ -62,13 +62,19 @@ def spread_for_python(df: DataFrame) -> DataFrame:
     ``mapInPandas`` parallelism equals the input partition count: a
     single-file local read (1 split) runs the whole Python codec on
     one core while 31 idle. At cluster scale the source has far more
-    splits than cores, so this is a deliberate no-op there — we only
-    round-robin repartition when the plan has *fewer* partitions than
-    ``spark.default.parallelism``. The shuffle moves only the columns
-    the stage selected (prune before calling)."""
+    splits than cores and the spread is skipped. The shuffle moves
+    only the columns the stage selected (prune before calling).
+
+    r15: delegates to ``dedup._spread``'s two-branch width probe —
+    the old ``df.rdd.getNumPartitions()`` probe converted the plan
+    through the Python-serializer path and cost a profiled ~0.26s of
+    py4j/codegen PER CALL (×2 per codec roundtrip build); the shared
+    branch probes partition count JVM-side, and only when the session
+    has seen a lake-sized source at all (small corpora spread
+    probe-free — a mistaken shuffle there moves <1 GiB by
+    construction)."""
     if df.isStreaming:
         return df  # micro-batch partitioning is the source's concern
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    from riemann_spark.functions.dedup import _spread
+
+    return _spread(df)
